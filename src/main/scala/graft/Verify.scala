@@ -11,13 +11,26 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // write timestamps as INT64 micros so the driver's DuckDB/pyarrow
+      // side sees the same physical type it computes (not INT96/ns)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        var df = fn(spark, sfDir)
+        // Spark timestamps are LTZ (isAdjustedToUTC=true in parquet); the
+        // DuckDB oracle produces naive timestamps. Session TZ is UTC, so
+        // casting to NTZ is value-identity but makes the physical parquet
+        // type (INT64 micros, naive) match the oracle's exactly.
+        for (f <- df.schema.fields
+             if f.dataType == org.apache.spark.sql.types.TimestampType)
+          df = df.withColumn(f.name,
+            org.apache.spark.sql.functions.col(f.name).cast("timestamp_ntz"))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
