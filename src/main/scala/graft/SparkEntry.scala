@@ -1,13 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{MeteoQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
   /** All query packs, one per SURVEY.md §2 subsection. */
   def packs: Seq[QueryPack] = Seq(
+    MeteoQueries,
     Relational)
 
   private lazy val registry: Seq[GraftQuery] = packs.flatMap(_.all)

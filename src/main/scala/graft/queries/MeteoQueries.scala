@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.functions.Exact._
+import graft.meteo.{Dashboard, FetchLedger}
+import graft.ops.Upsert
+
+/** SURVEY.md §2.1 — the reference's ETL/dashboard surface as oracle-gated
+  * queries. The meteo domain tables don't exist in the test corpus, so
+  * each operator runs against its structural analog (events as the
+  * fetch/observation stream, lineitem as the metric table); the
+  * domain-typed paths are exercised in MeteoSpec on synthetic payloads.
+  */
+object MeteoQueries extends QueryPack {
+
+  /** JSON payload field extraction — the entry step of the normalizer
+    * (etl/models.py to_records), on the events.props JSON column. */
+  val normalize = GraftQuery(
+    "meteo_normalize",
+    Some("""
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      FROM events ORDER BY event_id
+    """.stripMargin.trim)) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+      .orderBy("event_id")
+  }
+
+  /** ON CONFLICT DO UPDATE semantics (etl/load.py:45-57): newest row wins
+    * per natural key. */
+  val upsertLatest = GraftQuery(
+    "meteo_upsert_latest",
+    Some("""
+      SELECT user_id, event_type, updated_at, event_id, latest_value FROM (
+        SELECT user_id, event_type, ts AS updated_at, event_id,
+               value AS latest_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+      ORDER BY user_id, event_type
+    """.stripMargin.trim)) { (spark, dir) =>
+    Upsert.latestByKey(
+        Tables.events(spark, dir), Seq("user_id", "event_type"),
+        col("ts"), Seq(col("event_id")))
+      .select(col("user_id"), col("event_type"), col("ts").as("updated_at"),
+        col("event_id"), col("value").as("latest_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Fetch-ledger health rollup: resolve current state per job
+    * (last transition wins), count by status (FetchLedger.statusRollup
+    * over the events stream viewed as a transition log). */
+  val ledger = GraftQuery(
+    "meteo_fetch_ledger",
+    Some("""
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS n_jobs, MAX(at) AS last_transition
+      FROM (
+        SELECT user_id, event_type AS status, ts AS at,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC, ts DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+      GROUP BY status
+      ORDER BY status
+    """.stripMargin.trim)) { (spark, dir) =>
+    val transitions = Tables.events(spark, dir).select(
+      col("user_id").cast("string").as("fetch_id"),
+      col("event_id").as("seq"),
+      col("ts").as("at"),
+      col("event_type").as("status"))
+    FetchLedger.statusRollup(transitions)
+  }
+
+  /** COUNT(DISTINCT (lon,lat)) — dashboard/queries.py:1, on the
+    * (partkey,suppkey) composite. */
+  val countLocations = GraftQuery(
+    "dash_count_locations",
+    Some("""
+      SELECT CAST(COUNT(DISTINCT (l_partkey, l_suppkey)) AS BIGINT) AS n_locations
+      FROM lineitem
+    """.stripMargin.trim)) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .agg(countDistinct(col("l_partkey"), col("l_suppkey")).as("n_locations"))
+  }
+
+  /** count(*) per table — dashboard/queries.py:4 (VAR_COUNT_TABLE). */
+  val tableCounts = GraftQuery(
+    "dash_table_counts",
+    Some("""
+      SELECT * FROM (
+        SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n FROM customer
+        UNION ALL SELECT 'documents', CAST(COUNT(*) AS BIGINT) FROM documents
+        UNION ALL SELECT 'events', CAST(COUNT(*) AS BIGINT) FROM events
+        UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+      ) ORDER BY table_name
+    """.stripMargin.trim)) { (spark, dir) =>
+    Seq("customer", "documents", "events", "lineitem", "orders")
+      .map(t => Tables.load(spark, dir, t)
+        .agg(lit(t).as("table_name"), count(lit(1)).as("n")))
+      .reduce(_ unionByName _)
+      .orderBy("table_name")
+  }
+
+  /** Last job status — dashboard/queries.py:5 (LAST_JOB_STATUS). */
+  val lastStatus = GraftQuery(
+    "dash_last_status",
+    Some("""
+      SELECT o_orderstatus AS status FROM orders
+      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    """.stripMargin.trim)) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .limit(1)
+      .select(col("o_orderstatus").as("status"))
+  }
+
+  /** Recent-rows feed — streamlit_app.py:21 (ORDER BY timestamp LIMIT). */
+  val recent = GraftQuery(
+    "dash_recent",
+    Some("""
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      ORDER BY ts, event_id LIMIT 5000
+    """.stripMargin.trim)) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .orderBy(col("ts"), col("event_id"))
+      .limit(5000)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  /** describe() summary stats — streamlit_app.py:72-84, via
+    * Dashboard.describe (exact decimal sums → engine-stable mean/std). */
+  val describeQ = GraftQuery(
+    "dash_describe",
+    Some("""
+      SELECT metric, n,
+             ROUND(s / n, 6) AS mean,
+             ROUND(sqrt((ss - s * s / n) / (n - 1)), 6) AS std,
+             min_v, max_v
+      FROM (
+        SELECT 'l_discount' AS metric, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(l_discount AS DECIMAL(30,6)) * CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS ss,
+               CAST(MIN(l_discount) AS DOUBLE) AS min_v,
+               CAST(MAX(l_discount) AS DOUBLE) AS max_v
+        FROM lineitem WHERE l_discount IS NOT NULL
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE),
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)) * CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE),
+               CAST(MIN(l_extendedprice) AS DOUBLE),
+               CAST(MAX(l_extendedprice) AS DOUBLE)
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        UNION ALL
+        SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE),
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)) * CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE),
+               CAST(MIN(l_quantity) AS DOUBLE),
+               CAST(MAX(l_quantity) AS DOUBLE)
+        FROM lineitem WHERE l_quantity IS NOT NULL
+      ) ORDER BY metric
+    """.stripMargin.trim)) { (spark, dir) =>
+    Dashboard.describe(Tables.lineitem(spark, dir),
+      Seq("l_discount", "l_extendedprice", "l_quantity"))
+  }
+
+  override def all: Seq[GraftQuery] = Seq(
+    normalize, upsertLatest, ledger, countLocations, tableCounts,
+    lastStatus, recent, describeQ)
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+import graft.meteo._
+import graft.ops.Upsert
+
+class MeteoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Synthetic open-meteo payload shaped like the reference's fixture
+    * (tests/fixtures/meteo-payload.json): location + parallel hourly
+    * arrays; values are deterministic functions of the hour index. */
+  def payloadJson(lat: Double, lon: Double, hours: Int, base: Double = 20.0): String = {
+    val times = (0 until hours).map(h => f""""2025-12-01T$h%02d:00"""").mkString(",")
+    def arr(f: Int => String) = (0 until hours).map(f).mkString(",")
+    s"""{"latitude":$lat,"longitude":$lon,"generationtime_ms":0.4,
+       |"hourly":{"time":[$times],
+       |"temperature_2m":[${arr(h => (base + h * 0.1).toString)}],
+       |"precipitation":[${arr(h => (h % 3 * 0.1).toString)}],
+       |"soil_temperature_18cm":[${arr(_ => "28.6")}],
+       |"soil_moisture_9_to_27cm":[${arr(_ => "0.0")}],
+       |"wind_speed_10m":[${arr(h => (10.0 + h).toString)}],
+       |"wind_direction_10m":[${arr(h => (h * 10 % 360).toString)}],
+       |"cloud_cover":[${arr(h => (h * 7 % 100).toString)}]}}""".stripMargin
+  }
+
+  test("normalizer explodes parallel hourly arrays into one row per hour") {
+    val df = Seq(("f1", payloadJson(3.04, 5.06, 24)))
+      .toDF("fetch_id", "payload")
+    val obs = PayloadNormalizer.normalize(df)
+    assert(obs.count() == 24)
+    assert(obs.columns.toSeq == Seq("fetch_id", "latitude", "longitude",
+      "timestamp") ++ PayloadNormalizer.metricMap.map(_._2))
+    val first = obs.orderBy("timestamp").head
+    assert(first.getAs[Double]("latitude") == 3.0) // rounded to 1 dp
+    assert(first.getAs[Double]("longitude") == 5.1)
+    assert(first.getAs[Double]("temperature_2m".replace("_2m", "")) == 20.0)
+    assert(first.getAs[Timestamp]("timestamp").toString.startsWith("2025-12-01 00:00"))
+  }
+
+  test("normalizer handles nulls in metric arrays (Optional fields)") {
+    val json = """{"latitude":1.0,"longitude":2.0,"hourly":{
+      |"time":["2025-12-01T00:00","2025-12-01T01:00"],
+      |"temperature_2m":[27.1,null],"precipitation":[null,0.1],
+      |"soil_temperature_18cm":[1.0,1.0],"soil_moisture_9_to_27cm":[0.0,0.0],
+      |"wind_speed_10m":[5.0,6.0],"wind_direction_10m":[100,200],
+      |"cloud_cover":[50,60]}}""".stripMargin
+    val obs = PayloadNormalizer.normalize(Seq(("f1", json)).toDF("fetch_id", "payload"))
+      .orderBy("timestamp").collect()
+    assert(obs.length == 2)
+    assert(obs(0).isNullAt(obs(0).fieldIndex("precipitation")))
+    assert(obs(1).isNullAt(obs(1).fieldIndex("temperature")))
+  }
+
+  test("upsert merge: incoming wins on key conflict, others survive") {
+    val existing = Seq(
+      (1.0, 2.0, Timestamp.valueOf("2025-12-01 00:00:00"), 10.0, 1L),
+      (1.0, 2.0, Timestamp.valueOf("2025-12-01 01:00:00"), 11.0, 1L)
+    ).toDF("latitude", "longitude", "timestamp", "temperature", "version")
+    val incoming = Seq(
+      (1.0, 2.0, Timestamp.valueOf("2025-12-01 01:00:00"), 99.0, 2L),
+      (1.0, 2.0, Timestamp.valueOf("2025-12-01 02:00:00"), 12.0, 2L)
+    ).toDF("latitude", "longitude", "timestamp", "temperature", "version")
+    val merged = Upsert.mergeByKey(existing, incoming,
+      Seq("latitude", "longitude", "timestamp"), col("version"))
+    assert(merged.count() == 3)
+    val at1 = merged.filter(col("timestamp") === "2025-12-01 01:00:00").head
+    assert(at1.getAs[Double]("temperature") == 99.0)
+  }
+
+  test("fetch ledger lifecycle: pending -> success/error, rollup by status") {
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2026-01-01 00:01:00")
+    val ledger0 = FetchLedger.begin(spark, Seq(
+      ("f1", "https://api.example/v1", Map("latitude" -> "1.0")),
+      ("f2", "https://api.example/v1", Map("latitude" -> "2.0"))), t0)
+    val outcomes = Seq(
+      MeteoSchemas.FetchTransition("f1", 1L, t1, "https://api.example/v1",
+        Map("latitude" -> "1.0"), MeteoSchemas.FetchStatus.Success,
+        Some(200), None, Some("/lake/bronze/2026/01/01/f1.json")),
+      MeteoSchemas.FetchTransition("f2", 1L, t1, "https://api.example/v1",
+        Map("latitude" -> "2.0"), MeteoSchemas.FetchStatus.Error,
+        Some(429), Some("""{"error":"rate limited"}"""), None)).toDF()
+    val ledger = FetchLedger.finish(ledger0, outcomes)
+
+    val state = FetchLedger.currentState(ledger).collect()
+    assert(state.length == 2)
+    assert(state.forall(_.getAs[String]("status") != MeteoSchemas.FetchStatus.Pending))
+    assert(FetchLedger.finished(ledger).count() == 2)
+    val rollup = FetchLedger.statusRollup(ledger).collect()
+    assert(rollup.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("error" -> 1L, "success" -> 1L))
+  }
+
+  test("bronze lake: date-partitioned write, partition-pruned read") {
+    val root = Files.createTempDirectory("bronze").toString
+    val df = Seq(
+      ("f1", payloadJson(1.0, 2.0, 2), Timestamp.valueOf("2026-01-01 10:00:00")),
+      ("f2", payloadJson(3.0, 4.0, 2), Timestamp.valueOf("2026-01-02 10:00:00"))
+    ).toDF("fetch_id", "payload", "fetched_at")
+    BronzeLake.write(df, root)
+    assert(BronzeLake.read(spark, root).count() == 2)
+    val oneDay = BronzeLake.read(spark, root, Some((2026, 1, 1)))
+    assert(oneDay.count() == 1)
+    val scan = oneDay.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), s"expected partition pruning:\n$scan")
+    // end-to-end: bronze -> normalize -> silver observations
+    val obs = PayloadNormalizer.normalize(
+      BronzeLake.read(spark, root).select("fetch_id", "payload"))
+    assert(obs.count() == 4)
+  }
+
+  test("dashboard: locations count and recent feed on observations") {
+    val obs = PayloadNormalizer.normalize(Seq(
+      ("f1", payloadJson(1.0, 2.0, 3)),
+      ("f2", payloadJson(5.0, 6.0, 3))).toDF("fetch_id", "payload"))
+    assert(Dashboard.countLocations(obs) == 2)
+    assert(Dashboard.recent(obs, 4).count() == 4)
+    val d = Dashboard.describe(obs, Seq("temperature", "wind_speed")).collect()
+    assert(d.length == 2)
+    assert(d.forall(_.getAs[Long]("n") == 6)) // 2 payloads x 3 hours
+    assert(d.head.getAs[Double]("std") > 0)
+  }
+}
