@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{MeteoQueries, Relational}
+import graft.queries.{MeteoQueries, Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -9,7 +9,8 @@ object SparkEntry {
   /** All query packs, one per SURVEY.md §2 subsection. */
   def packs: Seq[QueryPack] = Seq(
     MeteoQueries,
-    Relational)
+    Relational,
+    TrainingData)
 
   private lazy val registry: Seq[GraftQuery] = packs.flatMap(_.all)
 

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing._
+import graft.functions.VectorOps
+
+/** Deduplication family for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding cosine.
+  *
+  * Scale notes (100 TB):
+  *  - No operator materializes the O(n²) pair space. Candidates come from
+  *    equality joins on sketch keys (LSH bands / simhash bands / shared
+  *    shingles) whose values are uniformly distributed hashes → shuffle
+  *    partitions stay balanced (no key skew by construction).
+  *  - Sketch computation is narrow: higher-order array functions per row,
+  *    no explode-groupBy round trip, so a corpus-sized input needs exactly
+  *    one shuffle (the candidate join) per operator.
+  *  - `id_a < id_b` canonicalizes pairs (each emitted once).
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving row per distinct `textCol` content — the
+    * row with the smallest id (canonical doc). */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dup rollup: per distinct content, the canonical (min) id and
+    * the copy count. */
+  def exactRollup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).cast("long").as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Distinct 3-shingle sets per doc, the shared input of the text
+    * near-dup operators. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("doc_id"),
+      shingles3(tokens(col(textCol))).as("s"))
+
+  /** Exact verify step: Jaccard over shingle sets for candidate pairs. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double) = {
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(inter / (size(col("sa")) + size(col("sb")) - inter).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** N-gram Jaccard near-dup pairs: candidates share ≥1 shingle (an
+    * equality join on the shingle — never a cross join), then exact
+    * set-Jaccard ≥ `threshold`.
+    *
+    * The intersection size is the per-pair match COUNT of the shingle
+    * join itself (shingle sets are distinct), so the verify step never
+    * touches the shingle arrays again — the pair shuffle carries two ids
+    * and a count, and |A∪B| = |A|+|B|−|A∩B| comes from a size lookup.
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol)
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
+    val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
+    ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash + banded LSH near-dup pairs.
+    *
+    * Signature: `numPerms` seeded 60-bit hashes, min over the shingle
+    * set — computed with nested array transforms per row (no shuffle).
+    * Banding: `bands` groups of `numPerms/bands` rows; docs sharing any
+    * band key become candidates; exact Jaccard ≥ `threshold` verifies.
+    * At j≈0.9 and 16×4 banding the per-band hit rate is j⁴≈0.66, so true
+    * near-dups are caught with prob ≈ 1-(1-0.66)¹⁶ ≈ 1.
+    */
+  def minHashLsh(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    val sh = shingleSets(docs, idCol, textCol)
+    // The signature is by far the dominant cost (numPerms hashes per
+    // shingle). Persist it: the banded self-join and the verify step
+    // would otherwise recompute it once per join side.
+    val sig = sh.withColumn("mh",
+        transform(sequence(lit(0), lit(numPerms - 1)), p =>
+          array_min(transform(col("s"), g => hash60(p, g)))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig
+      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("mh"))
+      .select(col("doc_id"), col("band"),
+        md5(array_join(
+          transform(slice(col("mh"), col("band") * r + 1, lit(r)), _.cast("string")),
+          ",")).as("bkey"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold).orderBy("id_a", "id_b")
+  }
+
+  /** 60-bit SimHash near-dup pairs within Hamming distance `maxHamming`.
+    *
+    * Candidates come from 6 bands of 10 bits: by pigeonhole, any pair
+    * within Hamming ≤ 5 shares at least one untouched band, so banding +
+    * verify returns EXACTLY the pairs a full O(n²) Hamming join would —
+    * it's an optimization, not an approximation (the DuckDB oracle runs
+    * the direct join and matches).
+    */
+  def simHash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 5): DataFrame = {
+    require(maxHamming <= 5, "6x10-bit banding guarantees recall only to Hamming 5")
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val sim = docs
+      .select(col(idCol).as("doc_id"),
+        transform(tokens(col(textCol)), t => hash60(t)).as("hs"))
+      .select(col("doc_id"),
+        column(graft.functions.SimHash60(expression(col("hs")))).as("sh"))
+    val banded = sim
+      .select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(5))).as("band"))
+      .withColumn("bval", expr("(sh >> (10 * band)) & 1023"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("a.sh").as("sha"),
+        col("b.doc_id").as("id_b"), col("b.sh").as("shb"))
+      .distinct()
+    cand
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(sha ^ shb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ `threshold`.
+    *
+    * This is the exact (quadratic-candidate) variant used as the oracle
+    * baseline; at lake scale candidates come from
+    * [[Similarity.lshBuckets]] instead and this verify step runs only
+    * inside buckets.
+    */
+  def embeddingCosine(embs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.35): DataFrame = {
+    val m = embs.select(col(idCol).as("vec_id"),
+        VectorOps.toDouble(col(vecCol)).as("e"))
+      .withColumn("nrm", VectorOps.norm(col("e")))
+    m.as("a").join(m.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(VectorOps.cosineWithNorms(
+          col("a.e"), col("b.e"), col("a.nrm"), col("b.nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+}

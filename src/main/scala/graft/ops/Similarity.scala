@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.functions.VectorOps._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers:
+  *  - [[bruteForceTopK]] — exact; queries broadcast, corpus streamed, one
+  *    tiny shuffle for the per-query top-k. The correctness baseline.
+  *  - [[ivfTopK]] — IVF coarse quantization: corpus bucketed by nearest
+  *    centroid once, queries probe only `nProbe` cells. At scale the
+  *    assignment is a broadcast join (centroids are small) and the probe
+  *    join touches `nProbe/nCells` of the corpus.
+  *  - [[lshTopK]] — random-hyperplane LSH: deterministic hash-derived
+  *    planes, sign-bit bucket key; candidates share a bucket. Recall is
+  *    probabilistic (measured in the spec); throughput is a bucket-join.
+  */
+object Similarity {
+
+  /** Corpus with doubled embedding + precomputed norm (computed once,
+    * reused across every pair score). */
+  private def withNorm(embs: DataFrame, idCol: String, vecCol: String) =
+    embs.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("e"))
+      .withColumn("nrm", norm(col("e")))
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private def score(q: DataFrame, c: DataFrame): Column =
+    round(cosineWithNorms(col("q.e"), col("c.e"), col("q.nrm"), col("c.nrm")), 6)
+
+  /** Exact top-k: every query scored against every corpus vector.
+    * `queries` must be small (it is broadcast); the corpus side never
+    * shuffles until the final per-query top-k of survivors. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol)
+    val q = withNorm(queries, idCol, vecCol)
+    val scored = c.as("c").join(broadcast(q.as("q")),
+        col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        score(q, c).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** IVF top-k: corpus assigned once to its nearest of `centroids`
+    * (broadcast argmax join), each query probes its `nProbe` nearest
+    * cells and ranks only the vectors inside them. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nProbe: Int = 4, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol)
+    val q = withNorm(queries, idCol, vecCol)
+    val cent = withNorm(centroids, idCol, vecCol)
+      .select(col("vec_id").as("cid"), col("e"), col("nrm"))
+
+    def nearestCells(side: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      side.as("q").join(broadcast(cent.as("c")), lit(true))
+        .select(col("q.vec_id").as("qid"), col("c.cid").as("cid"),
+          round(cosineWithNorms(col("q.e"), col("c.e"), col("q.nrm"), col("c.nrm")), 6)
+            .as("cos"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= keep).drop("__rn", "cos")
+    }
+
+    val assign = nearestCells(c, 1).select(col("qid").as("vec_id"), col("cid"))
+    val probes = nearestCells(q, nProbe).select(col("qid").as("query_id"), col("cid"))
+    val scored = probes
+      .join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(q.select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")),
+        "query_id")
+      .join(c.select(col("vec_id"), col("e").as("ce"), col("nrm").as("cn")), "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineWithNorms(col("qe"), col("ce"), col("qn"), col("cn")), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Deterministic random-hyperplane coefficients: plane `p`, dim `d` →
+    * a value in [-1, 1] derived from the stable 60-bit hash, so every
+    * engine/run agrees on the planes without storing them. */
+  def planeCoefs(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      (Hashing.hash60Local(s"$p:$d") % 2001 - 1000) / 1000.0
+    }
+
+  /** Sign-bit bucket key over `nPlanes` hyperplanes (0..2^nPlanes-1). */
+  def lshBucket(e: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (coefs, p) =>
+      when(dot(e, typedLit(coefs.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Attach the LSH bucket id to an embedding table (the candidate-
+    * generation building block shared with [[Dedup.embeddingCosine]]'s
+    * scale path). */
+  def lshBuckets(embs: DataFrame, nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = withNorm(embs, idCol, vecCol)
+    val planes = planeCoefs(nPlanes, 64)
+    m.withColumn("bucket", lshBucket(col("e"), planes))
+  }
+
+  /** LSH top-k: queries only score corpus vectors in their own bucket.
+    * Approximate — recall vs [[bruteForceTopK]] is measured in the spec,
+    * not guaranteed. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, nPlanes: Int = 8,
+      k: Int = 5, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = lshBuckets(corpus, nPlanes, idCol, vecCol)
+    val q = lshBuckets(queries, nPlanes, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+    val scored = c.as("c").join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineWithNorms(col("qe"), col("e"), col("qn"), col("nrm")), 6)
+          .as("cosine"))
+    rankTopK(scored, k)
+  }
+}

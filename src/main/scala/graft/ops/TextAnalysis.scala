@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All operators are narrow (per-row, no shuffle): a 100 TB corpus is
+  * processed one input split at a time with zero data movement, and the
+  * expressions are plain Catalyst built-ins so column pruning reaches the
+  * scan (only `idCol` and `textCol` are read).
+  */
+object TextAnalysis {
+
+  /** Stopword marker sets per language (tiny on purpose: these are
+    * discriminative function words, not full stopword lists). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  private def stopScore(tk: Column, words: Seq[String]): Column =
+    size(filter(tk, t => t.isin(words: _*))).cast("long")
+
+  /** N-gram-free heuristic language ID: count language-marker stopword
+    * hits per language, argmax with a fixed tie-break order (de, en, es,
+    * fr), 'und' when nothing matches. */
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    val scored = docs.select(
+      col(idCol) +: stopwords.map { case (l, ws) => stopScore(tk, ws).as(s"s_$l") }: _*)
+    val m = greatest(stopwords.map(l => col(s"s_${l._1}")): _*)
+    scored.withColumn("pred_lang",
+      when(m === 0, "und")
+        .when(col("s_de") === m, "de")
+        .when(col("s_en") === m, "en")
+        .when(col("s_es") === m, "es")
+        .otherwise("fr"))
+  }
+
+  /** Quality scoring: document length, word count, punctuation ratio,
+    * stopword ratio, mean word length, and a bounded composite score. */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(tk).cast("long").as("n_words"),
+      length(regexp_replace(col(textCol), "[^.,;:!?]", "")).cast("long").as("n_punct"),
+      stopScore(tk, stopwords.head._2).as("n_stop"),
+      aggregate(transform(tk, t => length(t)), lit(0), (a, x) => a + x)
+        .cast("long").as("sum_tok"))
+      .select(
+        col(idCol), col("n_chars"), col("n_words"),
+        round(col("n_punct") / col("n_chars").cast("double"), 6).as("punct_ratio"),
+        round(col("n_stop") / col("n_words").cast("double"), 6).as("stop_ratio"),
+        round(col("sum_tok") / col("n_words").cast("double"), 6).as("mean_word_len"),
+        round(
+          lit(0.4) * least(col("n_words") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("n_punct") / col("n_chars").cast("double")) +
+          lit(0.3) * least(lit(5.0) * col("n_stop") / col("n_words").cast("double"), lit(1.0)),
+          6).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens and BPE-ish regex tokens (letter
+    * runs, digit runs, single punctuation marks). */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      size(tokens(col(textCol))).cast("long").as("ws_tokens"),
+      regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+        .cast("long").as("re_tokens"),
+      round(length(col(textCol)) / size(tokens(col(textCol))).cast("double"), 6)
+        .as("chars_per_token"))
+
+  /** Document fingerprint: bottom-k sketch of the 60-bit hashes of the
+    * document's 3-word shingles (a winnowing-style content signature —
+    * two documents sharing most shingles share most of the sketch). */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8): DataFrame =
+    docs.select(
+      col(idCol),
+      slice(array_sort(array_distinct(
+        transform(shingles3(tokens(col(textCol))), g => hash60(g)))), 1, k).as("fp"))
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** SURVEY.md §2.3–§2.5 — training-data pipeline operators, oracle-gated
+  * on the `documents` / `embeddings` tables.
+  *
+  * Each oracle replicates the operator's math in DuckDB SQL exactly
+  * (same md5-derived 60-bit hash, same sequential double folds), so the
+  * driver's value-hash compare is bit-strict, not approximate.
+  */
+object TrainingData extends QueryPack {
+
+  /** Shared oracle CTE: distinct 3-word shingles per doc. */
+  private val SH =
+    """sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s
+      |        FROM (SELECT doc_id, string_split_regex(text,'\s+') AS tk FROM documents))""".stripMargin
+
+  /** Shared oracle CTE: embeddings as doubles + precomputed norm. */
+  private val NORM =
+    """m AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm
+      |        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings))""".stripMargin
+
+  // ---- §2.5 text analysis ----
+
+  val langId = GraftQuery(
+    "text_langid",
+    Some(s"""
+      WITH s AS (SELECT doc_id,
+        CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+        CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+        CAST(len(list_filter(tk, x -> x IN ('el','los','las','y','es'))) AS BIGINT) AS s_es,
+        CAST(len(list_filter(tk, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr
+       FROM (SELECT doc_id, string_split_regex(text,'\\s+') AS tk FROM documents))
+      SELECT doc_id, s_en, s_de, s_es, s_fr,
+       CASE WHEN greatest(s_en,s_de,s_es,s_fr) = 0 THEN 'und'
+            WHEN s_de = greatest(s_en,s_de,s_es,s_fr) THEN 'de'
+            WHEN s_en = greatest(s_en,s_de,s_es,s_fr) THEN 'en'
+            WHEN s_es = greatest(s_en,s_de,s_es,s_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+      FROM s ORDER BY doc_id""".trim)) { (spark, dir) =>
+    TextAnalysis.languageId(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
+  val quality = GraftQuery(
+    "text_quality",
+    Some("""
+      WITH m AS (SELECT doc_id,
+        CAST(len(text) AS BIGINT) AS n_chars,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+        CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS n_stop,
+        CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT) AS sum_tok
+       FROM (SELECT doc_id, text, string_split_regex(text,'\s+') AS tk FROM documents))
+      SELECT doc_id, n_chars, n_words,
+       ROUND(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+       ROUND(n_stop / CAST(n_words AS DOUBLE), 6) AS stop_ratio,
+       ROUND(sum_tok / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+       ROUND(0.4*least(n_words/100.0, 1.0) + 0.3*(1.0 - n_punct/CAST(n_chars AS DOUBLE))
+             + 0.3*least(5.0*n_stop/CAST(n_words AS DOUBLE), 1.0), 6) AS quality
+      FROM m ORDER BY doc_id""".trim)) { (spark, dir) =>
+    TextAnalysis.qualityScore(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
+  val tokensQ = GraftQuery(
+    "text_tokens",
+    Some("""
+      SELECT doc_id,
+       CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens,
+       ROUND(len(text) / CAST(len(string_split_regex(text,'\s+')) AS DOUBLE), 6) AS chars_per_token
+      FROM documents ORDER BY doc_id""".trim)) { (spark, dir) =>
+    TextAnalysis.tokenCounts(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
+  val fingerprintQ = GraftQuery(
+    "text_fingerprint",
+    Some(s"""
+      WITH $SH
+      SELECT doc_id, list_slice(list_sort(list_distinct(list_transform(s, g -> ('0x'||substr(md5(g),1,15))::BIGINT))), 1, 8) AS fp
+      FROM sh ORDER BY doc_id""".trim)) { (spark, dir) =>
+    TextAnalysis.fingerprint(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
+  // ---- §2.3 deduplication ----
+
+  val dedupExact = GraftQuery(
+    "dedup_exact",
+    Some("""
+      SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY canonical_id""".trim)) { (spark, dir) =>
+    Dedup.exactRollup(Tables.documents(spark, dir)).orderBy("canonical_id")
+  }
+
+  val dedupNgram = GraftQuery(
+    "dedup_ngram_jaccard",
+    Some(s"""
+      WITH $SH,
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+      j AS (SELECT id_a, id_b,
+         ROUND(len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
+       FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+      SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".trim)) { (spark, dir) =>
+    Dedup.ngramJaccard(Tables.documents(spark, dir))
+  }
+
+  val dedupMinhash = GraftQuery(
+    "dedup_minhash_lsh",
+    Some(s"""
+      WITH $SH,
+      sig AS (SELECT doc_id, s, list_transform(range(0,64), p -> list_min(list_transform(s, g -> ('0x'||substr(md5(CAST(p AS VARCHAR)||':'||g),1,15))::BIGINT))) AS mh FROM sh),
+      bands AS (SELECT doc_id, band, md5(array_to_string(list_transform(list_slice(mh, band*4+1, band*4+4), x -> CAST(x AS VARCHAR)), ',')) AS bkey
+                FROM (SELECT doc_id, mh, unnest(range(0,16)) AS band FROM sig)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      j AS (SELECT id_a, id_b,
+         ROUND(len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
+       FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+      SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".trim)) { (spark, dir) =>
+    Dedup.minHashLsh(Tables.documents(spark, dir))
+  }
+
+  val dedupSimhash = GraftQuery(
+    "dedup_simhash",
+    Some("""
+      WITH h AS (SELECT doc_id, list_transform(tk, x -> ('0x'||substr(md5(x),1,15))::BIGINT) AS hs, len(tk) AS n
+                 FROM (SELECT doc_id, string_split_regex(text,'\s+') AS tk FROM documents)),
+      sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,60), b ->
+         CASE WHEN 2*len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > n THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh
+       FROM h)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 5
+      ORDER BY id_a, id_b""".trim)) { (spark, dir) =>
+    Dedup.simHash(Tables.documents(spark, dir))
+  }
+
+  val dedupEmbedding = GraftQuery(
+    "dedup_embedding",
+    Some(s"""
+      WITH $NORM,
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ROUND(list_sum(list_transform(range(1,65), i -> a.e[i]*b.e[i])) / (a.nrm*b.nrm), 6) AS cosine
+       FROM m a JOIN m b ON a.vec_id < b.vec_id)
+      SELECT * FROM p WHERE cosine >= 0.35 ORDER BY id_a, id_b""".trim)) { (spark, dir) =>
+    Dedup.embeddingCosine(Tables.embeddings(spark, dir))
+  }
+
+  // ---- §2.4 similarity search ----
+
+  val annBrute = GraftQuery(
+    "ann_bruteforce",
+    Some(s"""
+      WITH $NORM,
+      q AS (SELECT * FROM m WHERE vec_id < 10),
+      p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+       FROM q JOIN m c ON c.vec_id != q.vec_id)
+      SELECT query_id, neighbor_id, cosine FROM (
+       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM p) t
+      WHERE rn <= 5 ORDER BY query_id, neighbor_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10))
+  }
+
+  val annIvf = GraftQuery(
+    "ann_ivf",
+    Some(s"""
+      WITH $NORM,
+      cent AS (SELECT vec_id AS cid, e, nrm FROM m WHERE vec_id < 16),
+      asg AS (SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> v.e[i]*c.e[i])) / (v.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m v CROSS JOIN cent c) t WHERE rn = 1),
+      q AS (SELECT * FROM m WHERE vec_id < 10),
+      probes AS (SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM q CROSS JOIN cent c) t WHERE rn <= 4),
+      p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+        ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+       FROM probes pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.query_id
+       JOIN m q ON q.vec_id = pr.query_id JOIN m c ON c.vec_id = a.vec_id)
+      SELECT query_id, neighbor_id, cosine FROM (
+       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM p) t
+      WHERE rn <= 5 ORDER BY query_id, neighbor_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(embs,
+      embs.filter(col("vec_id") < 10), embs.filter(col("vec_id") < 16))
+  }
+
+  /** LSH ANN is genuinely approximate — no portable-SQL oracle; driver
+    * records a rows-only check, recall is asserted in SimilaritySpec. */
+  val annLsh = GraftQuery("ann_lsh", None) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10))
+  }
+
+  override def all: Seq[GraftQuery] = Seq(
+    langId, quality, tokensQ, fingerprintQ,
+    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding,
+    annBrute, annIvf, annLsh)
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's native Catalyst expressions and the public
+  * Column API. Spark 4 made `ExpressionUtils` private[sql], so this is
+  * the one (tiny, read-only) package-injection point the library uses —
+  * the standard technique for Spark-native extension libraries that ship
+  * their own codegen expressions. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

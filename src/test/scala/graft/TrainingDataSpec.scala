@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+class TrainingDataSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("native expressions match their built-in formulations bit-for-bit") {
+    import graft.functions.{Hashing, VectorOps}
+    val strs = Seq("", "a", "hello world", "Ünïcodé ☃ text", "0:shingle a b")
+      .toDF("s")
+    val hcmp = strs.select(
+      Hashing.hash60(col("s")).as("native"),
+      Hashing.hash60Composed(col("s")).as("composed")).collect()
+    assert(hcmp.forall(r => r.getLong(0) == r.getLong(1)),
+      s"hash mismatch: ${hcmp.mkString(",")}")
+    // driver-side replica matches too
+    assert(Hashing.hash60Local("hello world") ==
+      hcmp(2).getLong(0) || true) // alignment checked below per-row
+    val local = strs.collect().map(r => Hashing.hash60Local(r.getString(0)))
+    assert(hcmp.map(_.getLong(0)).toSeq == local.toSeq)
+
+    val vecs = Seq((Seq(1.5f, -2.25f, 3.125f), Seq(0.5f, 4.0f, -1.0f)))
+      .toDF("a", "b")
+      .select(VectorOps.toDouble(col("a")).as("a"), VectorOps.toDouble(col("b")).as("b"))
+    val dcmp = vecs.select(
+      VectorOps.dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0d), (acc, x) => acc + x).as("hof")).head
+    assert(dcmp.getDouble(0) == dcmp.getDouble(1))
+  }
+
+  test("languageId scores marker stopwords and argmaxes deterministically") {
+    val d = docs(
+      1L -> "the cat is one of the fast animals and it is quick",
+      2L -> "der hund ist und das haus ist der ort",
+      3L -> "le chat est la maison et le chien est grand",
+      4L -> "el perro y los gatos y el sol",
+      5L -> "xyzzy plugh qwerty")
+    val r = TextAnalysis.languageId(d).orderBy("doc_id").collect()
+    assert(r.map(_.getAs[String]("pred_lang")).toSeq ==
+      Seq("en", "de", "fr", "es", "und"))
+    assert(r(0).getAs[Long]("s_en") == 6) // the x2, is x2, of, and
+  }
+
+  test("qualityScore components and composite are bounded and exact") {
+    val d = docs(1L -> "the quick fox. jumps, high!")
+    val r = TextAnalysis.qualityScore(d).head
+    assert(r.getAs[Long]("n_chars") == 27)
+    assert(r.getAs[Long]("n_words") == 5)
+    assert(r.getAs[Double]("punct_ratio") == math.rint(3.0 / 27 * 1e6) / 1e6)
+    assert(r.getAs[Double]("quality") > 0 && r.getAs[Double]("quality") <= 1.0)
+  }
+
+  test("tokenCounts: whitespace vs regex tokens") {
+    val d = docs(1L -> "ab12 c! d")
+    val r = TextAnalysis.tokenCounts(d).head
+    assert(r.getAs[Long]("ws_tokens") == 3)
+    assert(r.getAs[Long]("re_tokens") == 5) // ab,12,c,!,d
+  }
+
+  test("fingerprint: bottom-k sketch is stable and near-dup-overlapping") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 30).map(i => if (i == 15) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 130).map(i => s"w$i").mkString(" ")
+    val fp = TextAnalysis.fingerprint(docs(1L -> base, 2L -> nearDup, 3L -> other))
+      .orderBy("doc_id").collect()
+      .map(_.getAs[collection.Seq[Long]]("fp").toSeq)
+    assert(fp(0).size == 8 && fp(0) == fp(0).sorted)
+    assert(fp(0).intersect(fp(1)).size >= 5, "near-dups share most of the sketch")
+    assert(fp(0).intersect(fp(2)).isEmpty, "unrelated docs share nothing")
+  }
+
+  test("exact dedup keeps canonical (min-id) doc per content") {
+    val d = docs(1L -> "same text here", 2L -> "same text here", 3L -> "different")
+    val kept = Dedup.exact(d).orderBy("doc_id").collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val roll = Dedup.exactRollup(d).orderBy("canonical_id").collect()
+    assert(roll.map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_copies")))
+      .toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  private val baseWords = (1 to 40).map(i => s"word$i")
+  private def perturbed(at: Int): String =
+    baseWords.updated(at, "PERTURBED").mkString(" ")
+
+  test("ngramJaccard and minHashLsh both find the planted near-dup pair") {
+    val d = docs(
+      1L -> baseWords.mkString(" "),
+      2L -> perturbed(20),
+      3L -> (200 to 240).map(i => s"w$i").mkString(" "))
+    for (op <- Seq(
+        Dedup.ngramJaccard(d, threshold = 0.5),
+        Dedup.minHashLsh(d, threshold = 0.5))) {
+      val pairs = op.collect()
+      assert(pairs.length == 1)
+      assert((pairs(0).getAs[Long]("id_a"), pairs(0).getAs[Long]("id_b")) == (1L, 2L))
+      assert(pairs(0).getAs[Double]("jaccard") > 0.8)
+    }
+  }
+
+  test("simHash: identical docs at hamming 0, near-dups close, others far") {
+    val d = docs(
+      1L -> baseWords.mkString(" "),
+      2L -> baseWords.mkString(" "),
+      3L -> perturbed(20))
+    val pairs = Dedup.simHash(d, maxHamming = 5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("hamming"))
+      .toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0)
+  }
+
+  private def vec(seed: Int, flip: Int = -1): Seq[Float] =
+    (0 until 64).map { d =>
+      val v = (Similarity.planeCoefs(1, 64)(0)(d) * (seed + 1) % 1.0).toFloat
+      if (d == flip) -v else v
+    }
+
+  private def embTable(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("embeddingCosine finds planted near-identical vectors") {
+    val e = embTable(
+      1L -> vec(1), 2L -> vec(1, flip = 3), 3L -> vec(7), 4L -> vec(13))
+    val pairs = Dedup.embeddingCosine(e, threshold = 0.9).collect()
+    assert(pairs.length == 1)
+    assert((pairs(0).getAs[Long]("id_a"), pairs(0).getAs[Long]("id_b")) == (1L, 2L))
+  }
+
+  test("bruteForceTopK ranks the planted duplicate first") {
+    val e = embTable(
+      1L -> vec(1), 2L -> vec(1, flip = 3), 3L -> vec(7), 4L -> vec(13), 5L -> vec(29))
+    val top = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 1), k = 2)
+      .orderBy(col("cosine").desc).collect()
+    assert(top.length == 2)
+    assert(top(0).getAs[Long]("neighbor_id") == 2L)
+  }
+
+  test("ivfTopK with all-covering probes matches brute force") {
+    val e = embTable((1L to 20L).map(i => i -> vec(i.toInt)): _*)
+    val q = e.filter(col("vec_id") <= 2)
+    val cent = e.filter(col("vec_id") <= 4)
+    val ivf = Similarity.ivfTopK(e, q, cent, nProbe = 4, k = 3).collect()
+    val bf = Similarity.bruteForceTopK(e, q, k = 3).collect()
+    // probing ALL cells (nProbe = nCent) makes IVF exact
+    assert(ivf.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      bf.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("lshTopK: planted duplicate lands in the same bucket; results are a " +
+      "subset of brute-force candidates with true cosines") {
+    val e = embTable(
+      (1L -> vec(1)) +: (2L -> vec(1, flip = 3)) +:
+        (3L to 30L).map(i => i -> vec(i.toInt)): _*)
+    val q = e.filter(col("vec_id") === 1)
+    val lsh = Similarity.lshTopK(e, q, nPlanes = 8, k = 5).collect()
+    assert(lsh.map(_.getAs[Long]("neighbor_id")).contains(2L),
+      "near-identical vector must share all sign bits")
+    val bf = Similarity.bruteForceTopK(e, q, k = 29).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    for (r <- lsh)
+      assert(bf(r.getAs[Long]("neighbor_id")) == r.getAs[Double]("cosine"),
+        "LSH scores must be true cosines")
+  }
+}
