@@ -42,10 +42,16 @@ object Hashing {
   /** Whitespace tokens (reference tokenization for all text ops). */
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  /** Distinct 3-word shingles of a token array. Empty for < 3 tokens
-    * (mirrors DuckDB `range(1, len-1)` which is empty there — Spark's
-    * `sequence` would count backwards instead, hence the guard). */
+  /** Distinct 3-word shingles of a token array (native [[Shingles3]];
+    * empty for < 3 tokens, mirroring DuckDB `range(1, len-1)`). */
   def shingles3(tk: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Shingles3(org.apache.spark.sql.GraftColumnBridge.expression(tk)))
+
+  /** Built-in-only shingle formulation (parity testing only — the HOF
+    * chain re-evaluates `tk` per element when `tk` is not a bare
+    * attribute, so never use it in an operator). */
+  def shingles3Composed(tk: Column): Column =
     when(size(tk) >= 3,
       array_distinct(transform(sequence(lit(1), size(tk) - 2), i =>
         concat_ws(" ",

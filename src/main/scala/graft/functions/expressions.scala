@@ -134,6 +134,103 @@ case class SimHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct 3-word shingles of a token array, first-occurrence order —
+  * semantically `array_distinct(transform(sequence(...), i ->
+  * concat_ws(' ', tk[i], tk[i+1], tk[i+2])))`, but one native call: the
+  * HOF formulation re-evaluates its child chain per element and (worse)
+  * gets cloned wholesale into generated null/emptiness filters by
+  * `InferFiltersFromGenerate`, costing hundreds of regex splits per row. */
+case class Shingles3(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles3"
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleUtil.shingles3(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleUtil.shingles3($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
+object ShingleUtil {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def shingles3(tk: ArrayData): ArrayData = {
+    val n = tk.numElements()
+    if (n < 3) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n - 2) {
+      seen.add(UTF8String.concatWs(SPACE,
+        tk.getUTF8String(i), tk.getUTF8String(i + 1), tk.getUTF8String(i + 2)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** Full MinHash signature in one native call: for each permutation
+  * `p` in [0, numPerms), the minimum over the shingle set of
+  * hash60(p + ":" + shingle). Bit-identical to the HOF formulation
+  * `transform(sequence(0,63), p -> array_min(transform(s, g ->
+  * hash60(concat(p,':',g)))))` and to the DuckDB oracle, but one MD5
+  * per (perm, shingle) with zero lambda-interpreter overhead. */
+case class MinHash60(child: Expression, numPerms: Int)
+    extends UnaryExpression {
+
+  // containsNull: an empty shingle set yields an all-null signature
+  // (array_min of empty is null), matching the HOF/oracle formulation.
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash60"
+
+  override def nullSafeEval(a: Any): Any =
+    MinHashUtil.signature(a.asInstanceOf[ArrayData], numPerms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashUtil.signature($a, $numPerms);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash60 =
+    copy(child = newChild)
+}
+
+object MinHashUtil {
+  /** Static entry point shared by interpreted eval and generated code.
+    * Empty shingle set → nulls (array_min of empty is null); callers
+    * filter empty docs upstream. */
+  def signature(s: ArrayData, numPerms: Int): ArrayData = {
+    val n = s.numElements()
+    val out = new Array[Any](numPerms)
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    val prefixes = new Array[Array[Byte]](numPerms)
+    var p = 0
+    while (p < numPerms) { prefixes(p) = (p.toString + ":").getBytes; p += 1 }
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val g = s.getUTF8String(i).getBytes
+      p = 0
+      while (p < numPerms) {
+        val h = StableHash60.hashBytes(prefixes(p), g)
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    p = 0
+    while (p < numPerms) { out(p) = mins(p); p += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object SimHashUtil {
   /** Static entry point shared by interpreted eval and generated code. */
   def simhash60(hs: ArrayData): Long = {
@@ -160,10 +257,15 @@ object StableHash60 {
   }
 
   /** Static entry point shared by interpreted eval and generated code. */
-  def hash(s: UTF8String): Long = {
+  def hash(s: UTF8String): Long = hashBytes(Array.emptyByteArray, s.getBytes)
+
+  /** hash60 of `prefix ++ payload` without concatenating the strings. */
+  def hashBytes(prefix: Array[Byte], payload: Array[Byte]): Long = {
     val d = md5.get()
     d.reset()
-    val digest = d.digest(s.getBytes)
+    if (prefix.nonEmpty) d.update(prefix)
+    d.update(payload)
+    val digest = d.digest()
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }

@@ -100,11 +100,12 @@ object Dedup {
     val r = numPerms / bands
     val sh = shingleSets(docs, idCol, textCol)
     // The signature is by far the dominant cost (numPerms hashes per
-    // shingle). Persist it: the banded self-join and the verify step
+    // shingle) — computed by the native MinHash60 expression in one call
+    // per doc, and persisted: the banded self-join and the verify step
     // would otherwise recompute it once per join side.
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val sig = sh.withColumn("mh",
-        transform(sequence(lit(0), lit(numPerms - 1)), p =>
-          array_min(transform(col("s"), g => hash60(p, g)))))
+        column(graft.functions.MinHash60(expression(col("s")), numPerms)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig
       .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),

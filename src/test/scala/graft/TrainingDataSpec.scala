@@ -32,6 +32,26 @@ class TrainingDataSpec extends SparkTestBase {
       aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
         lit(0d), (acc, x) => acc + x).as("hof")).head
     assert(dcmp.getDouble(0) == dcmp.getDouble(1))
+
+    val toks = Seq("one two three four five", "a b", "x y z x y z x y z")
+      .toDF("t").select(Hashing.tokens(col("t")).as("tk"))
+    val scmp = toks.select(
+      Hashing.shingles3(col("tk")).as("native"),
+      Hashing.shingles3Composed(col("tk")).as("composed")).collect()
+    assert(scmp.forall(r =>
+      r.getAs[collection.Seq[String]](0) == r.getAs[collection.Seq[String]](1)))
+
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val mcmp = toks
+      .select(Hashing.shingles3(col("tk")).as("s"))
+      .select(
+        column(graft.functions.MinHash60(expression(col("s")), 8)).as("native"),
+        transform(sequence(lit(0), lit(7)), p =>
+          array_min(transform(col("s"), g => Hashing.hash60(p, g)))).as("hof"))
+      .collect()
+    assert(mcmp.forall(r =>
+      r.getAs[collection.Seq[Any]](0) == r.getAs[collection.Seq[Any]](1)),
+      s"minhash mismatch: ${mcmp.mkString(";")}")
   }
 
   test("languageId scores marker stopwords and argmaxes deterministically") {
