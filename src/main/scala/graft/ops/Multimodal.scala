@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines.
+  *
+  * Media are opaque `binary` columns plus a typed metadata struct —
+  * the lakehouse-native layout: bytes travel with their row, partition
+  * pruning and predicate pushdown work on the metadata, and decode-heavy
+  * stages run as `mapPartitions` batches so per-partition setup (decoder
+  * init, model load) amortizes across rows — the Scala analog of a
+  * Pandas-UDF `mapInPandas` stage.
+  *
+  * The actual codec work is STUBBED by design: real image/audio codecs
+  * are not available in this environment, so [[Decoder]] is a trait and
+  * the default [[DeterministicFakeDecoder]] derives features from the
+  * bytes deterministically. The Spark-side plumbing — schema, batch
+  * shape, partitioning, metadata propagation — is real and tested; a
+  * deployment swaps in a JNI/javacpp decoder without touching the plan.
+  */
+object Multimodal {
+
+  /** Typed media metadata (the `meta` struct column). */
+  case class MediaMeta(kind: String, width: Int, height: Int,
+      sampleRate: Int, durationMs: Long)
+
+  case class MediaRow(media_id: Long, media: Array[Byte], meta: MediaMeta)
+
+  case class FeatureRow(media_id: Long, kind: String, n_bytes: Long,
+      features: Array[Double])
+
+  /** Per-partition decoder contract. `open()` runs once per partition
+    * (amortized setup), `decode` once per row. */
+  trait Decoder extends Serializable {
+    def open(): Unit = ()
+    def decode(bytes: Array[Byte], meta: MediaMeta): Array[Double]
+    def close(): Unit = ()
+  }
+
+  /** Deterministic stand-in for a real codec: features are a fixed-size
+    * signature of the payload bytes (moments of byte windows). Stable
+    * across runs/partitionings, so specs can assert exact values. */
+  class DeterministicFakeDecoder(dim: Int = 16) extends Decoder {
+    override def decode(bytes: Array[Byte], meta: MediaMeta): Array[Double] = {
+      val out = new Array[Double](dim)
+      if (bytes.isEmpty) return out
+      var i = 0
+      while (i < bytes.length) {
+        out(i % dim) += (bytes(i) & 0xff).toDouble / 255.0
+        i += 1
+      }
+      var d = 0
+      while (d < dim) { out(d) = math.rint(out(d) * 1e6) / 1e6; d += 1 }
+      out
+    }
+  }
+
+  /** Real-codec stub: the deployment point for an actual decoder.
+    * Deliberately unimplemented in this environment. */
+  class NativeCodecDecoder extends Decoder {
+    override def decode(bytes: Array[Byte], meta: MediaMeta): Array[Double] =
+      ??? // real image/audio codec goes here (not available in-container)
+  }
+
+  /** Decode/feature-extract as a batched mapPartitions stage. The
+    * decoder opens once per partition; rows stream through without
+    * collecting the partition in memory. */
+  def decodeFeatures(media: Dataset[MediaRow],
+      decoder: Decoder = new DeterministicFakeDecoder()): Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      decoder.open()
+      val out = rows.map { r =>
+        FeatureRow(r.media_id, r.meta.kind, r.media.length.toLong,
+          decoder.decode(r.media, r.meta))
+      }
+      new Iterator[FeatureRow] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) decoder.close(); h }
+        def next(): FeatureRow = out.next()
+      }
+    }
+  }
+
+  /** Deterministic frame/chunk sampling over a binary payload: slice
+    * `frameSize`-byte frames starting at `offset`, stepping `stride`
+    * bytes, at most `maxFrames` per row; metadata rides along. Pure
+    * column operations (codegen, no UDF): one output row per frame. */
+  def frameSample(df: DataFrame, frameSize: Int, stride: Int,
+      maxFrames: Int = 8, offset: Int = 0,
+      mediaCol: String = "media"): DataFrame = {
+    require(frameSize > 0 && stride > 0 && maxFrames > 0)
+    val nAvail = greatest(lit(0),
+      (length(col(mediaCol)) - offset - frameSize + stride) / stride)
+    val nFrames = least(lit(maxFrames), nAvail).cast("int")
+    df
+      .withColumn("frame_idx",
+        explode(when(nFrames > 0, sequence(lit(0), nFrames - 1))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("frame_start", lit(offset) + col("frame_idx") * stride)
+      .withColumn("frame",
+        expr(s"substring($mediaCol, frame_start + 1, $frameSize)"))
+      .drop(mediaCol)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.{MediaMeta, MediaRow}
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def media(id: Long, n: Int, kind: String = "image"): MediaRow =
+    MediaRow(id, Array.tabulate(n)(i => ((i * 7 + id) % 256).toByte),
+      MediaMeta(kind, 64, 64, 0, 0L))
+
+  test("decodeFeatures: batched mapPartitions, deterministic features, " +
+      "metadata preserved") {
+    val ds = Seq(media(1, 1000), media(2, 500, "audio"), media(3, 0))
+      .toDS().repartition(2)
+    val feats = Multimodal.decodeFeatures(ds).collect().sortBy(_.media_id)
+    assert(feats.map(f => (f.media_id, f.kind, f.n_bytes)).toSeq ==
+      Seq((1L, "image", 1000L), (2L, "audio", 500L), (3L, "image", 0L)))
+    assert(feats.forall(_.features.length == 16))
+    // determinism across partitionings
+    val feats1 = Multimodal.decodeFeatures(ds.repartition(3)).collect()
+      .sortBy(_.media_id)
+    assert(feats.map(_.features.toSeq).toSeq == feats1.map(_.features.toSeq).toSeq)
+    assert(feats(2).features.forall(_ == 0.0), "empty payload -> zero features")
+  }
+
+  test("frameSample: offset-stride slicing, bounded frames, metadata rides") {
+    val df = Seq(media(1, 100), media(2, 25), media(3, 5)).toDS().toDF()
+    val frames = Multimodal.frameSample(df, frameSize = 10, stride = 20,
+      maxFrames = 4)
+    val byId = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // id=1: bytes 100 -> starts 0,20,40,60,80 but capped at 4 frames
+    // id=2: bytes 25 -> frames at 0 (10b) and 20 (5b remaining -> short? substring gives 5 bytes)
+    // id=3: bytes 5 -> one short frame at 0? (5-0-10+20)/20 = 0 -> zero frames
+    assert(byId(1L) == 4)
+    assert(byId(2L) == 1)
+    assert(!byId.contains(3L))
+    val f1 = frames.filter(col("media_id") === 1 && col("frame_idx") === 1).head
+    assert(f1.getAs[Int]("frame_start") == 20)
+    assert(f1.getAs[Array[Byte]]("frame").length == 10)
+    assert(f1.getAs[org.apache.spark.sql.Row]("meta").getAs[String]("kind") == "image")
+    // frame bytes match the original payload slice
+    val orig = media(1, 100).media.slice(20, 30).toSeq
+    assert(f1.getAs[Array[Byte]]("frame").toSeq == orig)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.FetchEventStream
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): Path = Files.createTempDirectory(prefix)
+
+  private def eventJson(id: String, status: String, millis: Long): String =
+    s"""{"fetch_id":"$id","source":"https://api.example/v1","status":"$status",""" +
+      s""""path":"/bronze/$id.json","params":{"latitude":"1.0"},"finished_at":$millis}"""
+
+  test("stream parses events, routes bad records, windows health") {
+    val in = tmp("events")
+    Files.writeString(in.resolve("batch0.json"),
+      Seq(
+        eventJson("f1", "success", 1000L * 3600 * 24),
+        eventJson("f2", "error", 1000L * (3600 * 24 + 1800)),
+        """{"fetch_id":"f3","status":"nonsense-status"}""",
+        """not even json""").mkString("\n"))
+
+    val parsed = FetchEventStream.parseEvents(
+      FetchEventStream.readRaw(spark, in.toString))
+    val q = parsed.writeStream.format("memory").queryName("parsed")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("parsed")
+    assert(rows.count() == 4)
+    assert(rows.filter(col("valid")).count() == 2)
+    assert(FetchEventStream.deadLetters(rows).count() == 2)
+
+    // health aggregation over the valid slice (batch-mode check of the
+    // same plan the streaming sink runs incrementally)
+    val health = FetchEventStream.windowedHealth(
+      FetchEventStream.validEvents(rows))
+    val h = health.orderBy("window").collect()
+    assert(h.length == 1) // both events inside one 1h window
+    assert(h(0).getAs[Long]("n_jobs") == 2)
+    assert(h(0).getAs[Double]("success_rate") == 0.5)
+  }
+
+  test("windowed health runs as a real streaming query with watermark") {
+    val in = tmp("events2")
+    Files.writeString(in.resolve("b.json"), Seq(
+      eventJson("a", "success", 0),
+      eventJson("b", "success", 30 * 60 * 1000L),
+      eventJson("c", "error", 90 * 60 * 1000L)).mkString("\n"))
+    val health = FetchEventStream.windowedHealth(
+      FetchEventStream.validEvents(FetchEventStream.parseEvents(
+        FetchEventStream.readRaw(spark, in.toString))))
+    val q = health.writeStream.format("memory").queryName("health")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("health").collect()
+    assert(rows.map(_.getAs[Long]("n_jobs")).sum == 3)
+    assert(rows.length == 2) // two 1h windows
+  }
+
+  test("normalizeToSilver consumes events into a merged silver table") {
+    val events = tmp("events3"); val bronze = tmp("bronze")
+    val silver = tmp("silver").resolve("obs"); val ckpt = tmp("ckpt")
+
+    def payload(lat: Double, temp: Double): String =
+      s"""{"latitude":$lat,"longitude":9.0,"hourly":{"time":["2026-01-01T00:00"],
+         |"temperature_2m":[$temp],"precipitation":[0.0],
+         |"soil_temperature_18cm":[1.0],"soil_moisture_9_to_27cm":[0.1],
+         |"wind_speed_10m":[5.0],"wind_direction_10m":[90],"cloud_cover":[10]}}"""
+        .stripMargin.replace("\n", "")
+    // bronze payload rows referenced by fetch_id (payload embedded as string)
+    Seq(("f1", payload(1.0, 20.0)), ("f2", payload(2.0, 25.0)))
+      .toDF("fetch_id", "payload")
+      .write.mode("overwrite").json(bronze.toString)
+    Files.writeString(events.resolve("b0.json"),
+      eventJson("f1", "success", 1000) + "\n" + eventJson("f2", "success", 2000))
+
+    val ev = FetchEventStream.validEvents(FetchEventStream.parseEvents(
+      FetchEventStream.readRaw(spark, events.toString)))
+    val q = FetchEventStream.normalizeToSilver(
+      ev, bronze.toString, silver.toString, ckpt.toString)
+    try q.processAllAvailable() finally q.stop()
+
+    val obs = spark.read.parquet(silver.toString)
+    assert(obs.count() == 2) // one hour per payload
+    assert(obs.select("latitude").as[Double].collect().toSet == Set(1.0, 2.0))
+
+    // second batch: a re-fetch of lat=1.0 wins over the old observation
+    Seq(("f3", payload(1.0, 99.0))).toDF("fetch_id", "payload")
+      .write.mode("append").json(bronze.toString)
+    Files.writeString(events.resolve("b1.json"),
+      eventJson("f3", "success", 5000))
+    val q2 = FetchEventStream.normalizeToSilver(
+      ev, bronze.toString, silver.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val obs2 = spark.read.parquet(silver.toString)
+    assert(obs2.count() == 2)
+    val lat1 = obs2.filter(col("latitude") === 1.0).head
+    assert(lat1.getAs[Double]("temperature") == 99.0, "newest fetch wins")
+  }
+}
