@@ -28,13 +28,14 @@ object Similarity {
     embs.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("e"))
       .withColumn("nrm", norm(col("e")))
 
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k).drop("__rn")
+  /** Per-query top-k via the bounded-heap [[graft.plans.TopK]] operator
+    * (no per-partition full sort — see SURVEY.md §2.8). The ordering is
+    * total (neighbor_id tie-break), so the result set is identical to a
+    * `row_number` window. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id")), k)
       .orderBy("query_id", "neighbor_id")
-  }
 
   private def score(q: DataFrame, c: DataFrame): Column =
     round(cosineWithNorms(col("q.e"), col("c.e"), col("q.nrm"), col("c.nrm")), 6)

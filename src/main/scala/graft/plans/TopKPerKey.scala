@@ -1,0 +1,133 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Partial top-k per group as a first-class operator (SURVEY.md §2.8).
+  *
+  * The idiomatic formulation — `row_number().over(Window.partitionBy(
+  * keys).orderBy(ord)) <= k` — shuffles every row, then FULLY SORTS each
+  * partition, then discards all but k rows per key. At 100 TB the sort
+  * dominates and spills. This operator keeps a bounded k-element heap
+  * per key within each partition instead: O(n log k) with no sort
+  * buffer, no spill, and rows beyond k never materialize.
+  *
+  * Pieces: [[TopKPerKeyNode]] (logical), [[TopKPerKeyStrategy]]
+  * (planner rule), [[TopKPerKeyExec]] (physical). Registered either via
+  * `spark.sql.extensions=graft.plans.GraftSparkExtensions` or lazily by
+  * [[TopK.perKey]] through `spark.experimental.extraStrategies` — so
+  * the operator works on any session, extension-configured or not.
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, ordering, k, child) =>
+      TopKPerKeyExec(keys, ordering, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** One shuffle on the grouping keys; no ordering requirement — the
+    * heap replaces the sort that a window operator would demand. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keys, childOutput)
+      val ord = GenerateOrdering.generate(ordering, childOutput)
+      // heap head = WORST retained row (reverse order), so admission is
+      // a single compare against peek
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](k + 1, ord.reversed())
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < k) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      heaps.values.iterator.asScala.flatMap { h =>
+        val arr = h.toArray(new Array[InternalRow](h.size))
+        java.util.Arrays.sort(arr, ord)
+        arr.iterator
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+}
+
+object TopK {
+
+  /** Idempotently make the strategy available on `spark` (covers
+    * sessions built without the extensions conf). */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+
+  /** Top `k` rows per `keyCols` group under `sortCols` (use `.desc`/
+    * `.asc` columns; bare columns default ascending). The ordering must
+    * be total (include a tie-breaker) for deterministic results. Output
+    * keeps the input schema; rows within a group come out in sort order,
+    * groups in no particular order. */
+  def perKey(df: DataFrame, keyCols: Seq[String], sortCols: Seq[Column],
+      k: Int): DataFrame = {
+    require(k > 0)
+    val spark = df.sparkSession
+    ensureRegistered(spark)
+    val child = df.queryExecution.analyzed
+    val keys: Seq[Expression] = keyCols.map { n =>
+      child.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"key '$n' not in ${child.output.map(_.name)}"))
+    }
+    val ordering = sortCols.map(c => GraftColumnBridge.eagerExpression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    GraftColumnBridge.ofRows(spark, TopKPerKeyNode(keys, ordering, k, child))
+  }
+}
