@@ -40,10 +40,16 @@ object Dedup {
         count(lit(1)).as("n_copies"))
 
   /** Distinct 3-shingle sets per doc, the shared input of the text
-    * near-dup operators. */
+    * near-dup operators. Hash-repartitioned on the doc id first: the
+    * downstream per-row work (shingling, minhash signatures) is compute-
+    * bound, and input files are not guaranteed to split (single-row-group
+    * parquet reads as ONE task no matter the cluster size) — the
+    * repartition pins compute parallelism to the session's shuffle
+    * partitioning instead of the writer's file layout. */
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String) =
-    docs.select(col(idCol).as("doc_id"),
-      shingles3(tokens(col(textCol))).as("s"))
+    docs.repartition(shufflePartitions(docs), col(idCol))
+      .select(col(idCol).as("doc_id"),
+        shingles3(tokens(col(textCol))).as("s"))
 
   /** Exact verify step: Jaccard over shingle sets for candidate pairs. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double) = {
@@ -135,6 +141,7 @@ object Dedup {
     require(maxHamming <= 5, "6x10-bit banding guarantees recall only to Hamming 5")
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val sim = docs
+      .repartition(shufflePartitions(docs), col(idCol)) // compute parallelism (see shingleSets)
       .select(col(idCol).as("doc_id"),
         transform(tokens(col(textCol)), t => hash60(t)).as("hs"))
       .select(col("doc_id"),
@@ -165,7 +172,8 @@ object Dedup {
     */
   def embeddingCosine(embs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.35): DataFrame = {
-    val m = embs.select(col(idCol).as("vec_id"),
+    val m = embs.repartition(shufflePartitions(embs), col(idCol)) // compute parallelism (see Similarity.withNorm)
+      .select(col(idCol).as("vec_id"),
         VectorOps.toDouble(col(vecCol)).as("e"))
       .withColumn("nrm", VectorOps.norm(col("e")))
     m.as("a").join(m.as("b"), col("a.vec_id") < col("b.vec_id"))

@@ -23,9 +23,12 @@ import graft.functions.VectorOps._
 object Similarity {
 
   /** Corpus with doubled embedding + precomputed norm (computed once,
-    * reused across every pair score). */
+    * reused across every pair score). Repartitioned on the id so pair
+    * scoring parallelism follows the session, not the input file layout
+    * (a single-row-group parquet scan is one task). */
   private def withNorm(embs: DataFrame, idCol: String, vecCol: String) =
-    embs.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("e"))
+    embs.repartition(shufflePartitions(embs), col(idCol))
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("e"))
       .withColumn("nrm", norm(col("e")))
 
   /** Per-query top-k via the bounded-heap [[graft.plans.TopK]] operator
