@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{MeteoQueries, Relational, TrainingData}
+import graft.queries.{Extended, MeteoQueries, Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -10,7 +10,8 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     MeteoQueries,
     Relational,
-    TrainingData)
+    TrainingData,
+    Extended)
 
   private lazy val registry: Seq[GraftQuery] = packs.flatMap(_.all)
 

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.functions.Exact._
+import graft.functions.Hashing.tokens
+import graft.ops.{AsOfJoin, Dedup, Upsert}
+
+/** SURVEY.md §2.9 — extended relational + pipeline surface: as-of join,
+  * pivot, exact interpolated quantiles, end-to-end corpus curation.
+  */
+object Extended extends QueryPack {
+
+  /** Point-in-time join: for each 'view' event, the user's latest
+    * 'purchase' at-or-before it. Oracle uses DuckDB's native ASOF JOIN;
+    * the engine's union+window formulation must match it exactly. */
+  val q13 = GraftQuery(
+    "q13_asof_join",
+    Some("""
+      WITH r0 AS (SELECT user_id, ts, value, event_id,
+              ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1),
+      l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+      SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts, r.value AS asof_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id""".stripMargin.trim)) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val r = Upsert.latestByKey(
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "value", "event_id"),
+        Seq("user_id", "ts"), col("event_id"))
+      .select(col("user_id"), col("ts").as("asof_ts"), col("value").as("asof_value"))
+    val l = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    AsOfJoin.lastAtOrBefore(l, r, Seq("user_id"), "ts", "asof_ts",
+        Seq("asof_ts", "asof_value"))
+      .select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+      .orderBy("event_id")
+  }
+
+  /** Pivot: order counts by status × year plus exact total spend. */
+  val q14 = GraftQuery(
+    "q14_pivot",
+    Some("""
+      SELECT o_orderstatus AS status,
+        CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS y1995,
+        CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS y1996,
+        CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS y1997,
+        CAST(SUM(CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END) AS BIGINT) AS y1998,
+        CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.trim)) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val pv = o.withColumn("yr", year(col("o_orderdate")))
+      .groupBy(col("o_orderstatus").as("status"))
+      .pivot("yr", Seq(1995, 1996, 1997, 1998))
+      .agg(count(lit(1)))
+    val renamed = Seq(1995, 1996, 1997, 1998).foldLeft(pv) { (df, y) =>
+      df.withColumn(s"y$y", coalesce(col(y.toString), lit(0L)))
+        .drop(y.toString)
+    }
+    val tot = o.groupBy(col("o_orderstatus").as("status"))
+      .agg(exactRoundSum(dec(col("o_totalprice")), 2).as("total"))
+    renamed.join(tot, "status").orderBy("status")
+  }
+
+  /** Exact interpolated quantiles (percentile_cont semantics) computed
+    * manually — rank arithmetic over a window, interpolation in double —
+    * so Spark and DuckDB execute the identical formula (their built-in
+    * quantile implementations interpolate in different orders). */
+  val q15 = GraftQuery(
+    "q15_quantiles",
+    Some("""
+      WITH v AS (SELECT l_returnflag AS flag, CAST(l_extendedprice AS DOUBLE) AS x,
+              ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem),
+      q AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p),
+      j AS (SELECT flag, p, x, rn,
+              CAST(floor((n-1)*p) AS BIGINT) AS lo, (n-1)*p - floor((n-1)*p) AS frac
+            FROM v CROSS JOIN q
+            WHERE rn = CAST(floor((n-1)*p) AS BIGINT) + 1 OR rn = CAST(floor((n-1)*p) AS BIGINT) + 2)
+      SELECT flag, p,
+        ROUND(MIN(CASE WHEN rn = lo + 1 THEN x END)
+          + MIN(frac) * (COALESCE(MIN(CASE WHEN rn = lo + 2 THEN x END),
+                                  MIN(CASE WHEN rn = lo + 1 THEN x END))
+                         - MIN(CASE WHEN rn = lo + 1 THEN x END)), 6) AS quantile
+      FROM j GROUP BY flag, p ORDER BY flag, p""".stripMargin.trim)) { (spark, dir) =>
+    val w = Window.partitionBy("flag")
+      .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+    val wn = Window.partitionBy("flag")
+    val v = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("double").as("x"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+    val j = v
+      .withColumn("p", explode(array(lit(0.25), lit(0.5), lit(0.75))))
+      .withColumn("lo", floor((col("n") - 1) * col("p")).cast("long"))
+      .withColumn("frac", (col("n") - 1) * col("p") - floor((col("n") - 1) * col("p")))
+      .filter(col("rn") === col("lo") + 1 || col("rn") === col("lo") + 2)
+    j.groupBy("flag", "p")
+      .agg(
+        min(when(col("rn") === col("lo") + 1, col("x"))).as("xlo"),
+        min(when(col("rn") === col("lo") + 2, col("x"))).as("xhi"),
+        min(col("frac")).as("f"))
+      .select(col("flag"), col("p"),
+        round(col("xlo") + col("f") * (coalesce(col("xhi"), col("xlo")) - col("xlo")), 6)
+          .as("quantile"))
+      .orderBy("flag", "p")
+  }
+
+  /** End-to-end corpus curation: quality-gate the documents (length +
+    * stopword-presence), drop near-duplicates (ngram-Jaccard pairs, the
+    * higher id loses), report per-source survivor counts + token mass —
+    * the composed pipeline a training-data run executes. */
+  val curation = GraftQuery(
+    "pipeline_curation",
+    Some("""
+      WITH toks AS (SELECT doc_id, source, text, string_split_regex(text,'\s+') AS tk FROM documents),
+      qual AS (SELECT doc_id, source,
+          CAST(len(tk) AS BIGINT) AS n_words,
+          len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS n_stop
+        FROM toks),
+      keep AS (SELECT doc_id, source, n_words FROM qual WHERE n_words >= 30 AND n_stop > 0),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s FROM toks),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+      dup AS (SELECT DISTINCT id_b FROM (
+        SELECT id_a, id_b,
+           len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE) AS jac
+        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b) WHERE jac >= 0.5)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_tokens
+      FROM keep WHERE doc_id NOT IN (SELECT id_b FROM dup)
+      GROUP BY source ORDER BY source""".stripMargin.trim)) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val tk = tokens(col("text"))
+    val keep = docs.select(col("doc_id"), col("source"),
+        size(tk).cast("long").as("n_words"),
+        size(filter(tk, t => t.isin("the", "a", "of", "and", "is"))).as("n_stop"))
+      .filter(col("n_words") >= 30 && col("n_stop") > 0)
+    val dupLosers = Dedup.ngramJaccard(docs, threshold = 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    keep.join(dupLosers, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q13, q14, q15, curation)
+}

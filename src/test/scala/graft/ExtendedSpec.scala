@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOfJoin, SkewJoin}
+import graft.streaming.StatefulSessions
+
+class ExtendedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin picks the latest right row at-or-before each left row") {
+    val quotes = Seq(
+      (1L, t("2026-01-01 10:00:00"), 100.0),
+      (1L, t("2026-01-01 11:00:00"), 110.0),
+      (2L, t("2026-01-01 10:30:00"), 55.0)
+    ).toDF("k", "qts", "px")
+    val trades = Seq(
+      (10L, 1L, t("2026-01-01 09:59:00")), // before any quote -> null
+      (11L, 1L, t("2026-01-01 10:00:00")), // exactly at -> 100
+      (12L, 1L, t("2026-01-01 10:59:59")), // -> 100
+      (13L, 1L, t("2026-01-01 12:00:00")), // -> 110
+      (14L, 2L, t("2026-01-01 11:00:00")), // -> 55
+      (15L, 3L, t("2026-01-01 11:00:00"))  // no quotes for key -> null
+    ).toDF("trade_id", "k", "tts")
+    val r = AsOfJoin.lastAtOrBefore(trades, quotes, Seq("k"), "tts", "qts",
+        Seq("qts", "px"))
+      .orderBy("trade_id").collect()
+    val px = r.map(x => Option(x.getAs[Any]("px")).map(_.asInstanceOf[Double]))
+    assert(px.toSeq == Seq(None, Some(100.0), Some(100.0), Some(110.0),
+      Some(55.0), None))
+    assert(r(3).getAs[Timestamp]("qts") == t("2026-01-01 11:00:00"))
+  }
+
+  test("saltedInner equals the plain join and replicates the small side") {
+    // one pathological hot key (0) plus normal keys
+    val big = (1 to 10000).map(i => (if (i % 2 == 0) 0L else i.toLong % 50, i))
+      .toDF("k", "v")
+    val small = (0L to 49L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val salted = SkewJoin.saltedInner(big, small, "k", col("v"), saltFactor = 8)
+    val plain = big.join(small, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum("v")).head.getLong(0) == plain.agg(sum("v")).head.getLong(0))
+  }
+
+  test("stateful streaming sessionization closes sessions by gap and timeout") {
+    import StatefulSessions.Event
+    // batch semantics first (shared per-key logic)
+    val ev = Seq(
+      (1L, t("2026-01-01 10:00:00")), (1L, t("2026-01-01 10:10:00")),
+      (1L, t("2026-01-01 12:00:00")), // > 30min gap -> new session
+      (2L, t("2026-01-01 09:00:00"))
+    ).toDF("user_id", "ts")
+    val sessions = StatefulSessions.sessionizeBatch(ev, gapSeconds = 1800)
+      .orderBy("user_id", "session_start").collect()
+    assert(sessions.length == 3)
+    assert(sessions(0).getAs[Int]("n_events") == 2)
+    assert(sessions(0).getAs[String]("closed_by") == "gap")
+    assert(sessions(1).getAs[Int]("n_events") == 1)
+
+    // streaming: two micro-batches through flatMapGroupsWithState
+    val dir = java.nio.file.Files.createTempDirectory("sess")
+    def write(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name),
+        rows.map { case (u, ts) => s"""{"user_id":$u,"ts":"$ts"}""" }.mkString("\n"))
+    write("b0.json", Seq(1L -> "2026-01-01 10:00:00", 1L -> "2026-01-01 10:10:00"))
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP").json(dir.toString).as[Event]
+    val q = StatefulSessions.sessionize(stream, gapSeconds = 1800,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0, "session still open")
+      write("b1.json", Seq(1L -> "2026-01-01 12:00:00")) // gap-closes the first
+      q.processAllAvailable()
+      val closed = spark.table("sessions").collect()
+      assert(closed.length == 1)
+      assert(closed(0).getAs[Int]("n_events") == 2)
+      assert(closed(0).getAs[String]("closed_by") == "gap")
+    } finally q.stop()
+  }
+}
