@@ -35,20 +35,27 @@ object PayloadNormalizer {
     * (payload, hour) with the observation schema; passthrough columns are
     * preserved.
     *
+    * The `time` array drives the explode; each metric is an indexed
+    * `element_at` lookup — so a payload missing one metric array (the
+    * reference's Optional fields, etl/models.py:36-42) yields rows with
+    * that column null instead of silently dropping the whole payload
+    * (which is what zipping null into `arrays_zip` would do).
+    *
     * Scale: explode is narrow (no shuffle); a 100 TB bronze directory
     * normalizes embarrassingly parallel, one task per input split.
     */
   def normalize(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    val p = parse(col(payloadCol))
-    val zipped = arrays_zip(
-      col("_p.hourly.time") +: metricMap.map(m => col(s"_p.hourly.${m._1}")): _*)
-    df.withColumn("_p", p)
-      .withColumn("_h", explode(zipped))
+    val passthrough = df.columns.filter(_ != payloadCol).toSeq
+    df.withColumn("_p", parse(col(payloadCol)))
+      .select(passthrough.map(col) :+ col("_p") :+
+        posexplode(col("_p.hourly.time")): _*)
       .select(
-        df.columns.filter(_ != payloadCol).map(col) ++ Seq(
+        passthrough.map(col) ++ Seq(
           round(col("_p.latitude"), 1).as("latitude"),
           round(col("_p.longitude"), 1).as("longitude"),
-          to_timestamp(col("_h.time"), "yyyy-MM-dd'T'HH:mm").as("timestamp")) ++
-          metricMap.map { case (raw, out) => col(s"_h.$raw").as(out) }: _*)
+          to_timestamp(col("col"), "yyyy-MM-dd'T'HH:mm").as("timestamp")) ++
+          metricMap.map { case (raw, out) =>
+            element_at(col(s"_p.hourly.$raw"), col("pos") + 1).as(out)
+          }: _*)
   }
 }

@@ -55,6 +55,20 @@ class MeteoSpec extends SparkTestBase {
     assert(obs(1).isNullAt(obs(1).fieldIndex("temperature")))
   }
 
+  test("normalizer tolerates a payload missing a whole metric array") {
+    val json = """{"latitude":1.0,"longitude":2.0,"hourly":{
+      |"time":["2025-12-01T00:00","2025-12-01T01:00"],
+      |"temperature_2m":[27.1,26.0],"precipitation":[0.0,0.1],
+      |"soil_temperature_18cm":[1.0,1.0],"soil_moisture_9_to_27cm":[0.0,0.0],
+      |"wind_speed_10m":[5.0,6.0],"wind_direction_10m":[100,200]}}""".stripMargin
+    // cloud_cover absent entirely -> null column, rows still emitted per hour
+    val obs = PayloadNormalizer.normalize(Seq(("f1", json)).toDF("fetch_id", "payload"))
+      .orderBy("timestamp").collect()
+    assert(obs.length == 2)
+    assert(obs.forall(_.isNullAt(obs.head.fieldIndex("cloud_cover"))))
+    assert(obs(0).getAs[Double]("temperature") == 27.1)
+  }
+
   test("upsert merge: incoming wins on key conflict, others survive") {
     val existing = Seq(
       (1.0, 2.0, Timestamp.valueOf("2025-12-01 00:00:00"), 10.0, 1L),
