@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.meteo.{MeteoSchemas, PayloadNormalizer}
+import graft.meteo.{MeteoSchemas, Sources}
 import graft.ops.Upsert
 
 /** The reference's stream-first lane (streaming/consumer.py,
@@ -76,11 +76,17 @@ object FetchEventStream {
         if (!batch.isEmpty) {
           val bronze = spark.read.schema("fetch_id STRING, payload STRING")
             .json(bronzeDir)
-          val batchObs = PayloadNormalizer.normalize(
-            batch.select(col("fetch_id"), col("finished_at"))
-              .join(bronze, "fetch_id")
-              .withColumn("version", col("finished_at").cast("long"))
-              .select("fetch_id", "payload", "version"))
+          // resolve each event's transform through the source registry
+          // (streaming/load.py:49-52); events from unregistered sources
+          // are skipped, the consumer's StreamLoadError path
+          val batchObs = Sources.registry.values.toSeq.map { src =>
+            src.normalize(
+              batch.filter(col("source") === src.url)
+                .select(col("fetch_id"), col("finished_at"))
+                .join(bronze, "fetch_id")
+                .withColumn("version", col("finished_at").cast("long"))
+                .select("fetch_id", "payload", "version"))
+          }.reduce(_ unionByName _)
           val existing = readSilver(spark, silverDir)
           val merged = existing match {
             case Some(cur) => Upsert.mergeByKey(cur, batchObs,

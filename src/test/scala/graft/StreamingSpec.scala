@@ -11,7 +11,7 @@ class StreamingSpec extends SparkTestBase {
   private def tmp(prefix: String): Path = Files.createTempDirectory(prefix)
 
   private def eventJson(id: String, status: String, millis: Long): String =
-    s"""{"fetch_id":"$id","source":"https://api.example/v1","status":"$status",""" +
+    s"""{"fetch_id":"$id","source":"https://api.open-meteo.com/v1/forecast","status":"$status",""" +
       s""""path":"/bronze/$id.json","params":{"latitude":"1.0"},"finished_at":$millis}"""
 
   test("stream parses events, routes bad records, windows health") {
@@ -91,7 +91,10 @@ class StreamingSpec extends SparkTestBase {
     Seq(("f3", payload(1.0, 99.0))).toDF("fetch_id", "payload")
       .write.mode("append").json(bronze.toString)
     Files.writeString(events.resolve("b1.json"),
-      eventJson("f3", "success", 5000))
+      eventJson("f3", "success", 5000) + "\n" +
+        // unknown source url -> registry miss -> skipped (StreamLoadError path)
+        eventJson("f3", "success", 6000)
+          .replace("https://api.open-meteo.com/v1/forecast", "https://unknown.example/v2"))
     val q2 = FetchEventStream.normalizeToSilver(
       ev, bronze.toString, silver.toString, ckpt.toString)
     try q2.processAllAvailable() finally q2.stop()
