@@ -16,6 +16,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopK.ensureRegistered(spark)
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     if (doRun) {

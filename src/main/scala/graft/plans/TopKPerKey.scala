@@ -95,18 +95,24 @@ case class TopKPerKeyExec(
 
 /** `spark.sql.extensions` entry point. */
 class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    e.injectOptimizerRule(_ => WindowTopKRewrite)
+  }
 }
 
 object TopK {
 
-  /** Idempotently make the strategy available on `spark` (covers
-    * sessions built without the extensions conf). */
-  def ensureRegistered(spark: SparkSession): Unit =
+  /** Idempotently make the strategy + rewrite rule available on `spark`
+    * (covers sessions built without the extensions conf). */
+  def ensureRegistered(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    if (!spark.experimental.extraOptimizations.contains(WindowTopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ WindowTopKRewrite
+  }
 
   /** Top `k` rows per `keyCols` group under `sortCols` (use `.desc`/
     * `.asc` columns; bare columns default ascending). The ordering must

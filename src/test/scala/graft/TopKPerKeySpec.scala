@@ -31,6 +31,28 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(!plan.contains("Window"), "no window operator")
   }
 
+  test("WindowTopKRewrite: row_number<=k + drop(rn) plans as TopKPerKey; " +
+      "queries that keep the rank column are left alone") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy("key").orderBy(col("score").desc, col("id"))
+    // the drop-rank idiom (Upsert.latestByKey shape) -> rewritten
+    val dropped = data.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    dropped.collect()
+    val p1 = dropped.queryExecution.executedPlan.toString
+    assert(p1.contains("TopKPerKey") && !p1.contains("Window"), p1)
+    // rank kept in output -> NOT rewritten (schema would change)
+    val kept = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    kept.collect()
+    val p2 = kept.queryExecution.executedPlan.toString
+    assert(p2.contains("Window") && !p2.contains("TopKPerKey"), p2)
+    // rewritten result equals the window result
+    val viaRule = dropped.orderBy("key", "score", "id").collect()
+    val viaTopK = graft.plans.TopK.perKey(data, Seq("key"),
+      Seq(col("score").desc, col("id")), 1).orderBy("key", "score", "id").collect()
+    assert(viaRule.toSeq == viaTopK.toSeq)
+  }
+
   test("k larger than group size returns whole groups; ascending works") {
     val small = Seq((1, 10), (1, 20), (2, 5)).toDF("key", "v")
     val r = TopK.perKey(small, Seq("key"), Seq(col("v")), k = 10)
