@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.{AsOfJoin, Upsert}
+import graft.plans.TopK
+
+/** Property-based equivalence checks: each custom operator against an
+  * independent reference formulation, over randomized inputs. Spark jobs
+  * are expensive per check, so successful-run counts are kept small —
+  * the value is in randomized shapes (dup keys, ties, empty groups), not
+  * in volume. */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Draw deterministic samples from a Gen (no scalatest bridge in the
+    * offline dep set; fixed seeds keep failures reproducible). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    samples(Gen.zip(ga, gb), 5).foreach { case (a, b) => body(a, b) }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val rowsGen: Gen[List[(Int, Int, Int)]] =
+    Gen.listOfN(120, for {
+      k <- Gen.choose(0, 6)
+      s <- Gen.choose(0, 40) // small range -> plenty of score ties
+      id <- Gen.choose(0, 1000000)
+    } yield (k, s, id))
+
+  test("TopKPerKey ≡ window row_number for random data and k (total order)") {
+    forAll(rowsGen, Gen.choose(1, 5)) { (rows, k) =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("key", "score", "id").dropDuplicates("key", "score", "id")
+        val viaTopK = TopK.perKey(df, Seq("key"),
+            Seq(col("score").desc, col("id")), k)
+          .orderBy("key", "score", "id").collect().toSeq
+        val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+        val viaWindow = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn")
+          .orderBy("key", "score", "id").collect().toSeq
+        assert(viaTopK == viaWindow)
+      }
+    }
+  }
+
+  private val eventsGen: Gen[List[(Int, Int)]] = // (key, epochSecond)
+    Gen.listOfN(60, for {
+      k <- Gen.choose(0, 4)
+      t <- Gen.choose(0, 50)
+    } yield (k, t))
+
+  test("AsOfJoin ≡ naive per-row scan for random event streams") {
+    forAll(eventsGen, eventsGen) { (leftRaw, rightRaw) =>
+      whenever(leftRaw.nonEmpty && rightRaw.nonEmpty) {
+        // dedupe right on (key, t): operator contract (deterministic pick)
+        val right = rightRaw.distinct
+          .groupBy(r => (r._1, r._2)).map(_._2.head).toList
+        val left = leftRaw.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong, k, new Timestamp(t * 1000L)) }
+        val rightDf = right.map { case (k, t) =>
+          (k, new Timestamp(t * 1000L), s"v$k-$t") }.toDF("key", "rts", "payload")
+        val leftDf = left.toDF("lid", "key", "lts")
+        val got = AsOfJoin.lastAtOrBefore(leftDf, rightDf, Seq("key"),
+            "lts", "rts", Seq("rts", "payload"))
+          .select("lid", "payload").collect()
+          .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+        val expect = left.map { case (lid, k, lts) =>
+          val cands = right.filter(r => r._1 == k && r._2 * 1000L <= lts.getTime)
+          lid -> (if (cands.isEmpty) None
+                  else { val b = cands.maxBy(_._2); Some(s"v${b._1}-${b._2}") })
+        }.toMap
+        assert(got == expect)
+      }
+    }
+  }
+
+  test("Upsert.mergeByKey is idempotent and incoming-wins for random batches") {
+    forAll(eventsGen, eventsGen) { (aRaw, bRaw) =>
+      whenever(aRaw.nonEmpty && bRaw.nonEmpty) {
+        // one row per key+ts with a distinct payload per batch
+        def mk(rows: List[(Int, Int)], tag: String) =
+          rows.distinct.map { case (k, t) => (k.toLong, t.toLong, s"$tag-$k-$t") }
+            .toDF("key", "ts", "payload")
+            .dropDuplicates("key", "ts")
+        val existing = mk(aRaw, "old")
+        val incoming = mk(bRaw, "new")
+        val once = Upsert.mergeByKey(existing, incoming, Seq("key", "ts"), col("ts"))
+        val twice = Upsert.mergeByKey(once, incoming, Seq("key", "ts"), col("ts"))
+        val o = once.orderBy("key", "ts").collect().toSeq
+        val t2 = twice.orderBy("key", "ts").collect().toSeq
+        assert(o == t2, "re-applying the same batch must be a no-op")
+        // every key present in incoming must carry the incoming payload
+        val winners = once.filter(col("payload").startsWith("old")).collect()
+        val incomingKeys = incoming.select("key", "ts").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(winners.forall(r =>
+          !incomingKeys.contains((r.getLong(0), r.getLong(1)))))
+      }
+    }
+  }
+}
