@@ -163,6 +163,48 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over a near-dup pair list: every doc that
+    * appears in a pair gets the minimum doc id reachable through shared
+    * pairs as its `cluster_id` (the canonical survivor). Pairs alone
+    * don't dedupe — A~B and B~C must collapse to ONE canonical doc even
+    * when A~C was never emitted; that's the transitive closure.
+    *
+    * Iterative min-label propagation (the GraphX/large-scale-dedup
+    * standard): each round, a vertex takes the min of its own and its
+    * neighbors' labels — one shuffle per round, rounds bounded by the
+    * eccentricity of the min vertex (1–2 for near-dup cliques). The
+    * driver only evaluates a has-anything-changed probe per round, never
+    * the data.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct().persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("u")).distinct()
+      .withColumn("label", col("u")).persist(MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbr = edges.join(labels.withColumnRenamed("u", "v"), "v")
+        .groupBy("u").agg(min("label").as("nlabel"))
+      val updated = labels.join(nbr, Seq("u"), "left")
+        .select(col("u"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(MEMORY_AND_DISK)
+      converged = updated
+        .join(labels.withColumnRenamed("label", "old"), "u")
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("u").as("doc_id"), col("label").cast("long").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ `threshold`.
     *
     * This is the exact (quadratic-candidate) variant used as the oracle

@@ -148,6 +148,29 @@ object TrainingData extends QueryPack {
     Dedup.embeddingCosine(Tables.embeddings(spark, dir))
   }
 
+  val dedupClusters = GraftQuery(
+    "dedup_clusters",
+    Some(s"""
+      WITH RECURSIVE $SH,
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+      pairs AS (SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+           len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE) AS jac
+        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b) t WHERE jac >= 0.5),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      verts AS (SELECT DISTINCT u FROM edges),
+      reach AS (
+        SELECT u, u AS v FROM verts
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+      )
+      SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id""".trim)) { (spark, dir) =>
+    Dedup.duplicateClusters(
+      Dedup.ngramJaccard(Tables.documents(spark, dir), threshold = 0.5)
+        .select("id_a", "id_b"))
+  }
+
   // ---- §2.4 similarity search ----
 
   val annBrute = GraftQuery(
@@ -203,5 +226,6 @@ object TrainingData extends QueryPack {
   override def all: Seq[GraftQuery] = Seq(
     langId, quality, tokensQ, fingerprintQ,
     dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding,
+    dedupClusters,
     annBrute, annIvf, annLsh)
 }

@@ -135,6 +135,18 @@ class TrainingDataSpec extends SparkTestBase {
     assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0)
   }
 
+  test("duplicateClusters computes transitive closure with min-id canon") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),          // chain 1-2-3 -> cluster 1
+      (10L, 11L),                  // pair -> cluster 10
+      (20L, 22L), (21L, 22L)       // star -> cluster 20
+    ).toDF("id_a", "id_b")
+    val clusters = graft.ops.Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   private def vec(seed: Int, flip: Int = -1): Seq[Float] =
     (0 until 64).map { d =>
       val v = (Similarity.planeCoefs(1, 64)(0)(d) * (seed + 1) % 1.0).toFloat
