@@ -178,8 +178,13 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // symmetrize in ONE pass over the (possibly expensive) pair plan —
+    // a self-union would evaluate it once per branch
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().persist(MEMORY_AND_DISK)
     var labels = edges.select(col("u")).distinct()
       .withColumn("label", col("u")).persist(MEMORY_AND_DISK)
