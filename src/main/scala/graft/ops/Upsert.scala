@@ -45,4 +45,46 @@ object Upsert {
       .unionByName(incoming.select(cols.map(col): _*).withColumn("__src", lit(1)))
     latestByKey(unioned, keys, col("__src"), Seq(version)).drop("__src")
   }
+
+  /** Partition-bounded MERGE into a `partitionCol`-partitioned parquet
+    * table at `root`: only the partitions PRESENT IN THE BATCH are read
+    * (partition pruning via an IN filter on collected partition values —
+    * a batch touches few dates; collecting them is a driver-side list of
+    * strings, not data) and only those are rewritten (dynamic partition
+    * overwrite). A 100 TB silver table absorbs a daily batch at the cost
+    * of the touched days, not a full-table rewrite — the claim SURVEY §4
+    * makes, as code.
+    *
+    * First write (no table at `root`) lays the table out partitioned.
+    */
+  def mergePartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      incoming: DataFrame,
+      keys: Seq[String],
+      version: Column,
+      partitionCol: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(root))
+    val resolved =
+      if (!exists) latestByKey(incoming, keys, version)
+      else {
+        val parts = incoming.select(partitionCol).distinct().collect()
+          .map(_.get(0)).toSeq
+        val existing = spark.read.parquet(root)
+          .filter(col(partitionCol).isin(parts: _*)) // partition pruning
+        mergeByKey(existing, incoming, keys, version)
+      }
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      resolved.write.mode("overwrite")
+        .partitionBy(partitionCol)
+        .parquet(root)
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }
