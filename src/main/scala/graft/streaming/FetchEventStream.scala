@@ -87,36 +87,19 @@ object FetchEventStream {
                 .withColumn("version", col("finished_at").cast("long"))
                 .select("fetch_id", "payload", "version"))
           }.reduce(_ unionByName _)
-          val existing = readSilver(spark, silverDir)
-          val merged = existing match {
-            case Some(cur) => Upsert.mergeByKey(cur, batchObs,
-              Seq("latitude", "longitude", "timestamp"), col("version"))
-            case None => Upsert.latestByKey(batchObs,
-              Seq("latitude", "longitude", "timestamp"), col("version"),
-              Seq(col("fetch_id")))
-          }
-          // rewrite-then-swap keeps the read path consistent; at lake
-          // scale this becomes a MERGE bounded by date-partition pruning
-          // (only partitions present in the batch are rewritten).
-          val tmp = silverDir + "_tmp"
-          merged.write.mode("overwrite").parquet(tmp)
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            spark.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(silverDir), true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(silverDir))
+          // partition-bounded MERGE: the silver table is day-partitioned
+          // and only the days present in this batch are read + rewritten
+          // (Upsert.mergePartitioned) — a micro-batch costs its touched
+          // days, never a full-table rewrite.
+          Upsert.mergePartitioned(spark, silverDir,
+            batchObs.withColumn("obs_date",
+              date_format(col("timestamp"), "yyyy-MM-dd")),
+            Seq("latitude", "longitude", "timestamp"), col("version"),
+            "obs_date")
         }
         ()
       }
       .start()
-  }
-
-  private def readSilver(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
-      Some(spark.read.parquet(dir))
-    else None
   }
 
   /** Watermarked tumbling-window fetch-health aggregation: per window,
