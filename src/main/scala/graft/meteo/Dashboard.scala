@@ -13,7 +13,7 @@ object Dashboard {
 
   /** `COUNT(DISTINCT (longitude, latitude))` — dashboard/queries.py:1. */
   def countLocations(obs: DataFrame): Long =
-    obs.select(countDistinct(col("longitude"), col("latitude"))).head.getLong(0)
+    obs.select(countDistinct(col("longitude"), col("latitude"))).head().getLong(0)
 
   /** Most recent rows feed — streamlit_app.py:21 (ORDER BY timestamp). */
   def recent(obs: DataFrame, limit: Int = 5000): DataFrame =

@@ -42,7 +42,7 @@ class ExtendedSpec extends SparkTestBase {
     val salted = SkewJoin.saltedInner(big, small, "k", col("v"), saltFactor = 8)
     val plain = big.join(small, "k")
     assert(salted.count() == plain.count())
-    assert(salted.agg(sum("v")).head.getLong(0) == plain.agg(sum("v")).head.getLong(0))
+    assert(salted.agg(sum("v")).head().getLong(0) == plain.agg(sum("v")).head().getLong(0))
   }
 
   test("stateful streaming sessionization closes sessions by gap and timeout") {

@@ -37,8 +37,8 @@ class LakeSpec extends SparkTestBase {
 
     val after = spark.read.parquet(root)
     assert(after.count() == 5)
-    assert(after.filter(col("key") === 1).head.getAs[String]("payload") == "a2")
-    assert(after.filter(col("key") === 2).head.getAs[String]("payload") == "b")
+    assert(after.filter(col("key") === 1).head().getAs[String]("payload") == "a2")
+    assert(after.filter(col("key") === 2).head().getAs[String]("payload") == "b")
     assert(fileState("2026-01-02") == before2, "untouched partition rewritten!")
     assert(fileState("2026-01-03") == before3, "untouched partition rewritten!")
   }
@@ -72,9 +72,9 @@ class LakeSpec extends SparkTestBase {
   test("approximate distinct-count tracks exact within tolerance") {
     val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val exact = df.select(countDistinct(col("l_partkey"), col("l_suppkey")))
-      .head.getLong(0)
+      .head().getLong(0)
     val approx = df.select(approx_count_distinct(
-      concat_ws("|", col("l_partkey"), col("l_suppkey")), 0.02)).head.getLong(0)
+      concat_ws("|", col("l_partkey"), col("l_suppkey")), 0.02)).head().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }

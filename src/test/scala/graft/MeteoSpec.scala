@@ -34,7 +34,7 @@ class MeteoSpec extends SparkTestBase {
     assert(obs.count() == 24)
     assert(obs.columns.toSeq == Seq("fetch_id", "latitude", "longitude",
       "timestamp") ++ PayloadNormalizer.metricMap.map(_._2))
-    val first = obs.orderBy("timestamp").head
+    val first = obs.orderBy("timestamp").head()
     assert(first.getAs[Double]("latitude") == 3.0) // rounded to 1 dp
     assert(first.getAs[Double]("longitude") == 5.1)
     assert(first.getAs[Double]("temperature_2m".replace("_2m", "")) == 20.0)
@@ -81,7 +81,7 @@ class MeteoSpec extends SparkTestBase {
     val merged = Upsert.mergeByKey(existing, incoming,
       Seq("latitude", "longitude", "timestamp"), col("version"))
     assert(merged.count() == 3)
-    val at1 = merged.filter(col("timestamp") === "2025-12-01 01:00:00").head
+    val at1 = merged.filter(col("timestamp") === "2025-12-01 01:00:00").head()
     assert(at1.getAs[Double]("temperature") == 99.0)
   }
 

@@ -39,7 +39,7 @@ class MultimodalSpec extends SparkTestBase {
     assert(byId(1L) == 4)
     assert(byId(2L) == 1)
     assert(!byId.contains(3L))
-    val f1 = frames.filter(col("media_id") === 1 && col("frame_idx") === 1).head
+    val f1 = frames.filter(col("media_id") === 1 && col("frame_idx") === 1).head()
     assert(f1.getAs[Int]("frame_start") == 20)
     assert(f1.getAs[Array[Byte]]("frame").length == 10)
     assert(f1.getAs[org.apache.spark.sql.Row]("meta").getAs[String]("kind") == "image")

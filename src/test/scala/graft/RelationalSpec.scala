@@ -81,20 +81,20 @@ class RelationalSpec extends SparkTestBase {
   test("q10 sessionization: session bounds ordered, events conserved") {
     val df = Relational.q10.run(spark, sfDir)
     assert(df.filter(col("session_start") > col("session_end")).count() == 0)
-    val total = df.agg(sum("n_events")).head.getLong(0)
+    val total = df.agg(sum("n_events")).head().getLong(0)
     assert(total == Tables.events(spark, sfDir).count())
   }
 
   test("q11 windowed agg conserves events across 6h buckets") {
     val df = Relational.q11.run(spark, sfDir)
-    val total = df.agg(sum("n_events")).head.getLong(0)
+    val total = df.agg(sum("n_events")).head().getLong(0)
     assert(total == Tables.events(spark, sfDir).count())
   }
 
   test("q12 star join covers every nation with customers+orders") {
     val df = Relational.q12.run(spark, sfDir)
     assert(df.count() > 0 && df.count() <= 25)
-    assert(df.agg(sum("n_orders")).head.getLong(0) <=
+    assert(df.agg(sum("n_orders")).head().getLong(0) <=
       Tables.orders(spark, sfDir).count())
   }
 

@@ -101,7 +101,7 @@ class StreamingSpec extends SparkTestBase {
 
     val obs2 = spark.read.parquet(silver.toString)
     assert(obs2.count() == 2)
-    val lat1 = obs2.filter(col("latitude") === 1.0).head
+    val lat1 = obs2.filter(col("latitude") === 1.0).head()
     assert(lat1.getAs[Double]("temperature") == 99.0, "newest fetch wins")
   }
 }

@@ -30,7 +30,7 @@ class TrainingDataSpec extends SparkTestBase {
     val dcmp = vecs.select(
       VectorOps.dot(col("a"), col("b")).as("native"),
       aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
-        lit(0d), (acc, x) => acc + x).as("hof")).head
+        lit(0d), (acc, x) => acc + x).as("hof")).head()
     assert(dcmp.getDouble(0) == dcmp.getDouble(1))
 
     val toks = Seq("one two three four five", "a b", "x y z x y z x y z")
@@ -69,7 +69,7 @@ class TrainingDataSpec extends SparkTestBase {
 
   test("qualityScore components and composite are bounded and exact") {
     val d = docs(1L -> "the quick fox. jumps, high!")
-    val r = TextAnalysis.qualityScore(d).head
+    val r = TextAnalysis.qualityScore(d).head()
     assert(r.getAs[Long]("n_chars") == 27)
     assert(r.getAs[Long]("n_words") == 5)
     assert(r.getAs[Double]("punct_ratio") == math.rint(3.0 / 27 * 1e6) / 1e6)
@@ -78,7 +78,7 @@ class TrainingDataSpec extends SparkTestBase {
 
   test("tokenCounts: whitespace vs regex tokens") {
     val d = docs(1L -> "ab12 c! d")
-    val r = TextAnalysis.tokenCounts(d).head
+    val r = TextAnalysis.tokenCounts(d).head()
     assert(r.getAs[Long]("ws_tokens") == 3)
     assert(r.getAs[Long]("re_tokens") == 5) // ab,12,c,!,d
   }
