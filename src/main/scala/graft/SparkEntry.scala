@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Extended, MeteoQueries, Relational, TrainingData}
+import graft.queries.{Extended, MeteoQueries, Relational, Relational2, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -10,6 +10,7 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     MeteoQueries,
     Relational,
+    Relational2,
     TrainingData,
     Extended)
 

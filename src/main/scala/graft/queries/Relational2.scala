@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.functions.Exact._
+
+/** SURVEY.md §2.2 (continued) — relational completeness: CUBE grouping
+  * sets, set operations, scalar string/date function batteries (every
+  * function oracle-checked for cross-engine semantics, not just
+  * existence).
+  */
+object Relational2 extends QueryPack {
+
+  /** CUBE over (returnflag, linestatus) with GROUPING markers — the
+    * full grouping-sets lattice in one pass (partial aggregation
+    * applies; the lattice expansion happens after the map-side combine). */
+  val q16 = GraftQuery(
+    "q16_cube",
+    Some("""
+      SELECT COALESCE(l_returnflag, '<all>') AS flag, COALESCE(l_linestatus, '<all>') AS status,
+        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag, CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY g_flag, g_status, flag, status""".stripMargin.trim)) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        count(lit(1)).as("n"),
+        exactSum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+        col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+      .orderBy("g_flag", "g_status", "flag", "status")
+  }
+
+  /** INTERSECT / EXCEPT set operations (distinct semantics). */
+  val q17 = GraftQuery(
+    "q17_setops",
+    Some("""
+      WITH big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 400000),
+      urgent AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT 'both' AS which, k FROM (SELECT k FROM big INTERSECT SELECT k FROM urgent)
+      UNION ALL
+      SELECT 'big_only', k FROM (SELECT k FROM big EXCEPT SELECT k FROM urgent)
+      ORDER BY which, k""".stripMargin.trim)) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val big = o.filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("k")).distinct()
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k")).distinct()
+    big.intersect(urgent).select(lit("both").as("which"), col("k"))
+      .unionByName(big.except(urgent).select(lit("big_only").as("which"), col("k")))
+      .orderBy("which", "k")
+  }
+
+  /** Scalar string-function battery: each function's semantics (1-based
+    * positions, padding, empty-match behavior) must agree with the
+    * oracle engine, not merely exist. */
+  val q18 = GraftQuery(
+    "q18_string_funcs",
+    Some("""
+      SELECT c_custkey,
+        upper(c_name) AS u, lower(c_mktsegment) AS l,
+        substr(c_name, 1, 8) AS pre,
+        replace(c_name, 'Customer', 'C') AS repl,
+        lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS joined,
+        CAST(length(c_name) AS BIGINT) AS len,
+        CAST(strpos(c_name, '1') AS BIGINT) AS pos1
+      FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin.trim)) { (spark, dir) =>
+    Tables.customer(spark, dir).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("u"),
+        lower(col("c_mktsegment")).as("l"),
+        substring(col("c_name"), 1, 8).as("pre"),
+        regexp_replace(col("c_name"), "Customer", "C").as("repl"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        concat_ws("|", col("c_mktsegment"), col("c_nationkey").cast("string")).as("joined"),
+        length(col("c_name")).cast("long").as("len"),
+        instr(col("c_name"), "1").cast("long").as("pos1"))
+      .orderBy("c_custkey").limit(500)
+  }
+
+  /** Date/time battery: extraction, truncation, day arithmetic,
+    * formatting — identical calendar semantics across engines. */
+  val q19 = GraftQuery(
+    "q19_date_funcs",
+    Some("""
+      SELECT o_orderkey,
+        CAST(year(o_orderdate) AS BIGINT) AS y,
+        CAST(month(o_orderdate) AS BIGINT) AS m,
+        CAST(dayofmonth(o_orderdate) AS BIGINT) AS d,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        CAST(date_diff('day', CAST('1995-01-01' AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        strftime(o_orderdate, '%Y-%m') AS ym
+      FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin.trim)) { (spark, dir) =>
+    Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy("o_orderkey").limit(1000)
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q16, q17, q18, q19)
+}
