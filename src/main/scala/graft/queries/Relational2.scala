@@ -111,5 +111,46 @@ object Relational2 extends QueryPack {
       .orderBy("o_orderkey").limit(1000)
   }
 
-  override def all: Seq[GraftQuery] = Seq(q16, q17, q18, q19)
+  /** SCD-type-2 interval construction: an append-only change log becomes
+    * validity intervals via `lead()` — valid_to of a row is the next
+    * change's timestamp, open-ended (is_current) for the latest. One
+    * window, one shuffle on the entity key. */
+  val q20 = GraftQuery(
+    "q20_scd2",
+    Some("""
+      SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      FROM events
+      ORDER BY user_id, event_id LIMIT 5000""".stripMargin.trim)) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir).select(
+        col("user_id"), col("event_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        when(lead(col("ts"), 1).over(w).isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "event_id").limit(5000)
+  }
+
+  /** Fixed-width histogram by pure arithmetic binning (identical formula
+    * both engines — no built-in width_bucket dependency). */
+  val q21 = GraftQuery(
+    "q21_histogram",
+    Some("""
+      SELECT CAST(least(floor(l_extendedprice / 10000), 10) AS BIGINT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+        CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+      FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.trim)) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(least(floor(col("l_extendedprice") / 10000), lit(10))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).cast("double").as("lo"),
+        max(col("l_extendedprice")).cast("double").as("hi"))
+      .orderBy("bucket")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q16, q17, q18, q19, q20, q21)
 }
