@@ -44,6 +44,16 @@ object PayloadNormalizer {
     * Scale: explode is narrow (no shuffle); a 100 TB bronze directory
     * normalizes embarrassingly parallel, one task per input split.
     */
+  /** Typed view of [[normalize]] for callers that want compile-time row
+    * safety (the payload column is consumed; extra passthrough columns
+    * are dropped to fit the Observation schema). */
+  def normalizeTyped(df: DataFrame, payloadCol: String = "payload")
+      : org.apache.spark.sql.Dataset[MeteoSchemas.Observation] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    normalize(df.select(payloadCol), payloadCol).as[MeteoSchemas.Observation]
+  }
+
   def normalize(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val passthrough = df.columns.filter(_ != payloadCol).toSeq
     df.withColumn("_p", parse(col(payloadCol)))

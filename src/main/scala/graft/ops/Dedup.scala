@@ -188,6 +188,10 @@ object Dedup {
       .distinct().persist(MEMORY_AND_DISK)
     var labels = edges.select(col("u")).distinct()
       .withColumn("label", col("u")).persist(MEMORY_AND_DISK)
+    // min-propagation only ever lowers labels, so the label sum is
+    // strictly decreasing until the fixpoint — one cheap aggregate per
+    // round detects convergence (no join against the previous labels)
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -197,10 +201,9 @@ object Dedup {
         .select(col("u"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist(MEMORY_AND_DISK)
-      converged = updated
-        .join(labels.withColumnRenamed("label", "old"), "u")
-        .filter(col("label") =!= col("old"))
-        .isEmpty
+      val newSum = updated.agg(sum(col("label"))).head().getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels.unpersist()
       labels = updated
       iter += 1

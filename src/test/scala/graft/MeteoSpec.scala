@@ -69,6 +69,15 @@ class MeteoSpec extends SparkTestBase {
     assert(obs(0).getAs[Double]("temperature") == 27.1)
   }
 
+  test("normalizeTyped yields a compile-time-safe Dataset[Observation]") {
+    val ds = PayloadNormalizer.normalizeTyped(
+      Seq(("f1", payloadJson(1.0, 2.0, 3))).toDF("fetch_id", "payload"))
+    val obs: Seq[MeteoSchemas.Observation] = ds.collect().toSeq
+    assert(obs.length == 3)
+    assert(obs.forall(_.latitude == 1.0))
+    assert(obs.map(_.temperature).forall(_.isDefined))
+  }
+
   test("upsert merge: incoming wins on key conflict, others survive") {
     val existing = Seq(
       (1.0, 2.0, Timestamp.valueOf("2025-12-01 00:00:00"), 10.0, 1L),
