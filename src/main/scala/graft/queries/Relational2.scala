@@ -152,5 +152,70 @@ object Relational2 extends QueryPack {
       .orderBy("bucket")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q16, q17, q18, q19, q20, q21)
+  /** Ranking-function battery: rank / dense_rank / ntile / percent_rank
+    * / cume_dist over one shared window (a single sort serves all five). */
+  val q22 = GraftQuery(
+    "q22_rank_battery",
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(RANK() OVER w AS BIGINT) AS rnk,
+        CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        ROUND(CAST(PERCENT_RANK() OVER w AS DOUBLE), 6) AS prank,
+        ROUND(CAST(CUME_DIST() OVER w AS DOUBLE), 6) AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_custkey, o_orderkey LIMIT 5000""".stripMargin.trim)) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w).cast("double"), 6).as("prank"),
+        round(cume_dist().over(w).cast("double"), 6).as("cdist"))
+      .orderBy("o_custkey", "o_orderkey").limit(5000)
+  }
+
+  /** Bivariate statistics (covariance, correlation, stddev) computed
+    * from exact decimal moment sums — both engines evaluate the same
+    * closed-form formula on the same exact inputs, where their built-in
+    * streaming corr/covar implementations would disagree in low bits. */
+  val q23 = GraftQuery(
+    "q23_stats_battery",
+    Some("""
+      WITH s AS (SELECT
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)) * CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)) * CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)) * CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+       FROM lineitem)
+      SELECT n,
+        ROUND((sxy - sx*sy/n) / (n-1), 6) AS covar_samp,
+        ROUND((sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)), 6) AS corr,
+        ROUND(sqrt((sxx - sx*sx/n) / (n-1)), 6) AS std_qty
+      FROM s""".stripMargin.trim)) { (spark, dir) =>
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def d30(c: String) = col(c).cast(DecimalType(30, 6))
+    val s = Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("l_quantity"))).cast(DoubleType).as("sx"),
+      sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sy"),
+      sum(d30("l_quantity") * d30("l_quantity")).cast(DoubleType).as("sxx"),
+      sum(d30("l_extendedprice") * d30("l_extendedprice")).cast(DoubleType).as("syy"),
+      sum(d30("l_quantity") * d30("l_extendedprice")).cast(DoubleType).as("sxy"))
+    s.select(col("n"),
+      round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6)
+        .as("covar_samp"),
+      round((col("sxy") - col("sx") * col("sy") / col("n")) /
+        (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+         sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr"),
+      round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+        .as("std_qty"))
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q16, q17, q18, q19, q20, q21, q22, q23)
 }
