@@ -22,19 +22,24 @@ object Dashboard {
   /** pandas `.describe()` for a set of metric columns, computed
     * distributed and exactly: count/mean/std/min/max per metric, one row
     * per metric. Decimal sums make mean/std independent of partition
-    * order (see graft.functions.Exact). */
+    * order (see graft.functions.Exact).
+    *
+    * Single-pass: the metrics are melted to (metric, value) rows with
+    * one `explode` and aggregated in one shuffle — a per-metric
+    * aggregate-and-union would scan the table once per metric, which at
+    * lake scale turns a dashboard tile into k full-table reads. */
   def describe(df: DataFrame, metrics: Seq[String]): DataFrame = {
-    val perMetric = metrics.map { m =>
-      val c = col(m)
-      df.filter(c.isNotNull).agg(
-        lit(m).as("metric"),
+    val melted = df
+      .select(explode(array(metrics.map(m =>
+        struct(lit(m).as("metric"), col(m).cast("double").as("v"))): _*)).as("mv"))
+      .select(col("mv.metric").as("metric"), col("mv.v").as("v"))
+      .filter(col("v").isNotNull)
+    melted.groupBy("metric").agg(
         count(lit(1)).as("n"),
-        sum(dec(c)).cast("double").as("_s"),
-        sum(dec(c) * dec(c)).cast("double").as("_ss"),
-        min(c).cast("double").as("min_v"),
-        max(c).cast("double").as("max_v"))
-    }
-    perMetric.reduce(_ unionByName _)
+        sum(dec(col("v"))).cast("double").as("_s"),
+        sum(dec(col("v")) * dec(col("v"))).cast("double").as("_ss"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
       .select(
         col("metric"), col("n"),
         round(col("_s") / col("n"), 6).as("mean"),

@@ -115,20 +115,30 @@ object Similarity {
     m.withColumn("bucket", lshBucket(col("e"), planes))
   }
 
-  /** LSH top-k: queries only score corpus vectors in their own bucket.
-    * Approximate — recall vs [[bruteForceTopK]] is measured in the spec,
-    * not guaranteed. */
+  /** LSH top-k: queries only score corpus vectors in nearby buckets.
+    * `nProbe = 0` searches the query's own bucket; `nProbe = 1` also
+    * probes every bucket one sign-flip away (multi-probe: each extra
+    * bit of probing trades candidate volume for recall — a vector just
+    * across one hyperplane lands one bit away). Approximate — recall vs
+    * [[bruteForceTopK]] is measured in the spec, not guaranteed. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, nPlanes: Int = 8,
-      k: Int = 5, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      k: Int = 5, nProbe: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = lshBuckets(corpus, nPlanes, idCol, vecCol)
+    // expand each query to its probe set: own bucket + hamming-1 flips
+    val probeBuckets =
+      if (nProbe == 0) array(col("bucket"))
+      else array((col("bucket") +:
+        (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
     val q = lshBuckets(queries, nPlanes, idCol, vecCol)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("nrm").as("qn"), col("bucket"))
+        col("nrm").as("qn"), explode(probeBuckets).as("bucket"))
     val scored = c.as("c").join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosineWithNorms(col("qe"), col("e"), col("qn"), col("nrm")), 6)
           .as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
     rankTopK(scored, k)
   }
 }
