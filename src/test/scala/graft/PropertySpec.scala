@@ -81,6 +81,32 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("simHash banding is exact: banded pairs == brute-force Hamming<=5 pairs") {
+    val vocab = (1 to 25).map(i => s"tok$i")
+    val docsGen: Gen[List[(Long, String)]] = Gen.listOfN(30, for {
+      id <- Gen.choose(0, 1000000)
+      n <- Gen.choose(10, 30)
+      words <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield (id.toLong, words.mkString(" ")))
+    samples(docsGen, 3).foreach { raw =>
+      val docs = raw.distinctBy(_._1).toDF("doc_id", "text")
+      val banded = graft.ops.Dedup.simHash(docs, maxHamming = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force over the same simhashes
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      val sims = docs.select(col("doc_id"),
+          column(graft.functions.SimHash60(expression(
+            transform(graft.functions.Hashing.tokens(col("text")),
+              t => graft.functions.Hashing.hash60(t))))).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val brute = (for {
+        (a, sa) <- sims; (b, sb) <- sims
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= 5
+      } yield (a, b)).toSet
+      assert(banded == brute, s"banded=$banded brute=$brute")
+    }
+  }
+
   test("Upsert.mergeByKey is idempotent and incoming-wins for random batches") {
     forAll(eventsGen, eventsGen) { (aRaw, bRaw) =>
       whenever(aRaw.nonEmpty && bRaw.nonEmpty) {
