@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing.hash60
+
+/** Deterministic dataset splitting and sampling for training pipelines.
+  *
+  * Everything here is a pure function of the row's id and a salt —
+  * no `rand()`: the same row lands in the same split on every run, every
+  * cluster, every retry (reproducible experiments, leakage-free
+  * incremental reprocessing), and the assignment is narrow (no shuffle).
+  */
+object Splits {
+
+  /** Bucket in [0, buckets) from the id + salt. */
+  def bucket(id: Column, salt: String, buckets: Int = 100): Column =
+    pmod(hash60(concat(lit(salt), lit(":"), id.cast("string"))), lit(buckets))
+
+  /** Assign 'train' / 'val' / 'test' by hash bucket with the given
+    * percentage boundaries. */
+  def assign(df: DataFrame, idCol: String, salt: String = "split",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100)
+    val b = bucket(col(idCol), salt)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic stratified sample: the `fraction` of each `strataCol`
+    * group with the smallest id-hashes (hash order is uniform, so this
+    * is an unbiased per-group sample that is STABLE across runs — rows
+    * only leave the sample if the group shrinks). One shuffle on the
+    * strata key. */
+  def stratified(df: DataFrame, idCol: String, strataCol: String,
+      fraction: Double, salt: String = "sample"): DataFrame = {
+    require(fraction > 0 && fraction <= 1)
+    val h = hash60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(strataCol).orderBy(h, col(idCol))
+    val n = Window.partitionBy(strataCol)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .filter(col("__rn") <= ceil(col("__n") * fraction))
+      .drop("__rn", "__n")
+  }
+}

@@ -171,6 +171,39 @@ object TrainingData extends QueryPack {
         .select("id_a", "id_b"))
   }
 
+  val dataSplit = GraftQuery(
+    "data_split",
+    Some("""
+      WITH b AS (SELECT doc_id, source,
+         ('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS bk
+       FROM documents)
+      SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+        CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id
+      FROM b GROUP BY 1 ORDER BY 1""".trim)) { (spark, dir) =>
+    graft.ops.Splits.assign(Tables.documents(spark, dir), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).cast("long").as("min_id"))
+      .orderBy("split")
+  }
+
+  val dataSample = GraftQuery(
+    "data_sample_stratified",
+    Some("""
+      WITH h AS (SELECT doc_id, source,
+          ('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS hv
+        FROM documents),
+      r AS (SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS n
+        FROM h)
+      SELECT doc_id, source FROM r WHERE rn <= ceil(n * 0.2)
+      ORDER BY source, doc_id""".trim)) { (spark, dir) =>
+    graft.ops.Splits.stratified(
+        Tables.documents(spark, dir).select("doc_id", "source"),
+        "doc_id", "source", 0.2)
+      .orderBy("source", "doc_id")
+  }
+
   // ---- §2.4 similarity search ----
 
   val annBrute = GraftQuery(
@@ -226,6 +259,6 @@ object TrainingData extends QueryPack {
   override def all: Seq[GraftQuery] = Seq(
     langId, quality, tokensQ, fingerprintQ,
     dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding,
-    dedupClusters,
+    dedupClusters, dataSplit, dataSample,
     annBrute, annIvf, annLsh)
 }

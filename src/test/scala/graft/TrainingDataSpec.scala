@@ -135,6 +135,34 @@ class TrainingDataSpec extends SparkTestBase {
     assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0)
   }
 
+  test("splits are deterministic, exhaustive, and stable under growth") {
+    import graft.ops.Splits
+    val d = (1L to 500L).map(i => i -> s"doc $i").toDF("doc_id", "text")
+    val s1 = Splits.assign(d, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val s2 = Splits.assign(d, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(s1 == s2, "same rows, same splits, every run")
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size)
+    assert(frac("train") > 350 && frac("train") < 450) // ~80%
+    // growing the table never reassigns an existing row
+    val bigger = (1L to 1000L).map(i => i -> s"doc $i").toDF("doc_id", "text")
+    val s3 = Splits.assign(bigger, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(s1.forall { case (k, v) => s3(k) == v })
+  }
+
+  test("stratified sample takes the right fraction per group, stably") {
+    import graft.ops.Splits
+    val d = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "grp")
+    val s = Splits.stratified(d, "doc_id", "grp", 0.1)
+    val counts = s.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 10)) // ceil(100 * 0.1) per group
+    assert(s.collect().toSet == Splits.stratified(d, "doc_id", "grp", 0.1)
+      .collect().toSet)
+  }
+
   test("duplicateClusters computes transitive closure with min-id canon") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L),          // chain 1-2-3 -> cluster 1
