@@ -102,6 +102,15 @@ class RelationalSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every oracle orders deterministically (or is a singleton aggregate)") {
+    // the driver's compare sorts columns but NOT rows — every oracle must
+    // either carry an ORDER BY or provably return at most one row
+    val singletons = Set("dash_count_locations", "q23_stats_battery")
+    for ((name, sql) <- SparkEntry.oracleSql if !singletons(name))
+      assert(sql.toUpperCase.contains("ORDER BY"),
+        s"$name oracle has no ORDER BY — nondeterministic row order")
+  }
+
   test("every oracleSql key exists in queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
