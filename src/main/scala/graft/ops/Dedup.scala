@@ -46,13 +46,13 @@ object Dedup {
     * parquet reads as ONE task no matter the cluster size) — the
     * repartition pins compute parallelism to the session's shuffle
     * partitioning instead of the writer's file layout. */
-  private def shingleSets(docs: DataFrame, idCol: String, textCol: String) =
+  private[ops] def shingleSets(docs: DataFrame, idCol: String, textCol: String) =
     docs.repartition(shufflePartitions(docs), col(idCol))
       .select(col(idCol).as("doc_id"),
         shingles3(tokens(col(textCol))).as("s"))
 
   /** Exact verify step: Jaccard over shingle sets for candidate pairs. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double) = {
+  private[ops] def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double) = {
     val inter = size(array_intersect(col("sa"), col("sb")))
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
@@ -90,6 +90,23 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** (doc_id, band, bkey) band table for a shingle-set table — the
+    * joinable LSH index rows (shared by the one-shot operator and the
+    * incremental [[DedupIndex]]). */
+  private[ops] def bandTable(sh: DataFrame, numPerms: Int, bands: Int): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    sh.withColumn("mh",
+        column(graft.functions.MinHash60(expression(col("s")), numPerms)))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("mh"))
+      .select(col("doc_id"), col("band"),
+        md5(array_join(
+          transform(slice(col("mh"), col("band") * r + 1, lit(r)), _.cast("string")),
+          ",")).as("bkey"))
+  }
+
   /** MinHash + banded LSH near-dup pairs.
     *
     * Signature: `numPerms` seeded 60-bit hashes, min over the shingle
@@ -102,24 +119,12 @@ object Dedup {
   def minHashLsh(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", numPerms: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    require(numPerms % bands == 0, "bands must divide numPerms")
-    val r = numPerms / bands
     val sh = shingleSets(docs, idCol, textCol)
-    // The signature is by far the dominant cost (numPerms hashes per
-    // shingle) — computed by the native MinHash60 expression in one call
-    // per doc, and persisted: the banded self-join and the verify step
-    // would otherwise recompute it once per join side.
-    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    val sig = sh.withColumn("mh",
-        column(graft.functions.MinHash60(expression(col("s")), numPerms)))
+    // The banded signature is by far the dominant cost (numPerms hashes
+    // per shingle) — persisted: the self-join and the verify step would
+    // otherwise recompute it once per join side.
+    val banded = bandTable(sh, numPerms, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig
-      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
-        col("mh"))
-      .select(col("doc_id"), col("band"),
-        md5(array_join(
-          transform(slice(col("mh"), col("band") * r + 1, lit(r)), _.cast("string")),
-          ",")).as("bkey"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent incremental MinHash-LSH dedup index — the steady-state
+  * shape of near-dup detection at lake scale.
+  *
+  * The one-shot [[Dedup.minHashLsh]] re-sketches the whole corpus per
+  * run; at 100 TB that's the dominant cost and it is pure recompute.
+  * This index persists two tables under `root`:
+  *   - `bands/`    (doc_id, band, bkey) — the joinable LSH rows
+  *   - `shingles/` (doc_id, s)          — shingle sets for exact verify
+  * A new batch sketches ONLY itself, joins its bands against the stored
+  * bands (new×old) and itself (new×new), verifies Jaccard exactly, and
+  * appends its rows — per-batch cost is proportional to the batch, not
+  * the corpus. Both tables append-only; the band join key (band, bkey)
+  * is a uniform hash → no skew.
+  */
+object DedupIndex {
+
+  private def bandsDir(root: String) = s"$root/bands"
+  private def shinglesDir(root: String) = s"$root/shingles"
+
+  private def exists(spark: SparkSession, dir: String): Boolean =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(dir))
+
+  /** Sketch `newDocs`, emit near-dup pairs against the index AND within
+    * the batch, then append the batch's sketch rows to the index.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. Doc ids must be
+    * globally unique across all batches. */
+  def append(spark: SparkSession, root: String, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = Dedup.shingleSets(newDocs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = Dedup.bandTable(sh, numPerms, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val haveIndex = exists(spark, bandsDir(root))
+    val oldBands =
+      if (haveIndex) spark.read.parquet(bandsDir(root)) else null
+    // candidates: new×new (self-join) ∪ new×old (index join)
+    val selfCand = newBands.as("a").join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cand = (if (!haveIndex) selfCand
+      else selfCand.unionByName(
+        newBands.as("n").join(oldBands.as("o"),
+            col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+          .select(least(col("n.doc_id"), col("o.doc_id")).as("id_a"),
+            greatest(col("n.doc_id"), col("o.doc_id")).as("id_b"))
+          .filter(col("id_a") =!= col("id_b"))))
+      .distinct()
+    val allShingles =
+      if (haveIndex) sh.unionByName(spark.read.parquet(shinglesDir(root)))
+      else sh
+    val pairs = Dedup.verifyJaccard(cand, allShingles, threshold)
+      .orderBy("id_a", "id_b")
+      // materialize BEFORE the appends below extend the index dirs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+
+    newBands.write.mode("append").parquet(bandsDir(root))
+    sh.write.mode("append").parquet(shinglesDir(root))
+    sh.unpersist(); newBands.unpersist()
+    pairs
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{Dedup, DedupIndex}
+
+class DedupIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val baseWords = (1 to 40).map(i => s"word$i")
+  private def doc(id: Long, change: Int = -1): (Long, String) =
+    id -> baseWords.zipWithIndex
+      .map { case (w, i) => if (i == change) s"CH$id" else w }.mkString(" ")
+  private def unrelated(id: Long): (Long, String) =
+    id -> (100 to 140).map(i => s"z${id}w$i").mkString(" ")
+
+  test("incremental index finds cross-batch and in-batch near-dups, " +
+      "matching the one-shot operator on the union") {
+    val root = Files.createTempDirectory("dedupidx").resolve("idx").toString
+
+    // batch 1: one doc + one unrelated
+    val b1 = Seq(doc(1), unrelated(50)).toDF("doc_id", "text")
+    val p1 = DedupIndex.append(spark, root, b1).collect()
+    assert(p1.isEmpty, "no dups within batch 1")
+
+    // batch 2: near-dup of doc 1 (cross-batch) + two in-batch near-dups
+    val b2 = Seq(doc(2, change = 20), doc(10, change = 5), doc(11, change = 5),
+      unrelated(60)).toDF("doc_id", "text")
+    val p2 = DedupIndex.append(spark, root, b2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // one-shot operator over the union, restricted to pairs touching b2
+    val union = b1.unionByName(b2)
+    val b2Ids = Set(2L, 10L, 11L, 60L)
+    val expected = Dedup.minHashLsh(union).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => b2Ids(p._1) || b2Ids(p._2)).toSet
+    assert(p2 == expected, s"got $p2 expected $expected")
+    assert(p2.contains((1L, 2L)), "cross-batch pair found via the index")
+    assert(p2.contains((10L, 11L)), "in-batch pair found")
+
+    // batch 3: another near-dup; index now holds both earlier batches
+    val p3 = DedupIndex.append(spark, root,
+        Seq(doc(3, change = 30)).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 3 is a near-dup of every earlier perturbation of the base doc
+    assert(p3 == Set((1L, 3L), (2L, 3L), (3L, 10L), (3L, 11L)), s"got $p3")
+  }
+}
