@@ -46,4 +46,31 @@ class DedupIndexSpec extends SparkTestBase {
     // doc 3 is a near-dup of every earlier perturbation of the base doc
     assert(p3 == Set((1L, 3L), (2L, 3L), (3L, 10L), (3L, 11L)), s"got $p3")
   }
+
+  test("streaming dedup-at-ingest emits cross-batch pairs as they arrive") {
+    import graft.streaming.StreamingDedup
+    val base = Files.createTempDirectory("sdedup")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    val idx = base.resolve("idx").toString
+    val pairsDir = base.resolve("pairs").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    def writeBatch(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.writeString(in.resolve(name), docs.map { case (id, t) =>
+        s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n"))
+
+    writeBatch("b0.json", Seq(doc(1), unrelated(50)))
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .json(in.toString)
+    val q = StreamingDedup.nearDupPairs(stream, idx, pairsDir, ckpt)
+    try {
+      q.processAllAvailable()
+      writeBatch("b1.json", Seq(doc(2, change = 20), unrelated(60)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val pairs = spark.read.parquet(pairsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }
