@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audits: the performance claims in SURVEY §4, pinned as
+  * tests so a regression (a lost pushdown, a HOF sneaking back into a
+  * hot loop, a dropped partial aggregate) fails CI rather than silently
+  * costing 10× at scale. */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: aggregation is partial (map-side combine before the shuffle)") {
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"no map-side partial aggregation:\n$plan")
+  }
+
+  test("q02: predicates and projection reach the parquet scan") {
+    val plan = planOf("q02_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan)
+    assert(plan.contains("l_quantity"), plan)
+    assert(!plan.contains("l_comment"),
+      "scan reads columns the query never touches")
+  }
+
+  test("embedding scoring runs inside whole-stage codegen (native " +
+      "expressions, no CodegenFallback HOFs in the pair loop)") {
+    val plan = planOf("dedup_embedding")
+    assert(plan.contains("graft_dot"), s"native DotProduct missing:\n$plan")
+    assert(!plan.contains("aggregate(zip_with"),
+      "interpreted HOF fold back in the hot path")
+    assert(plan.contains("*("), // WSCG stages render as *(n) in toString
+      s"no whole-stage codegen span:\n$plan")
+  }
+
+  test("ann ranking uses the bounded-heap operator, not a window sort") {
+    val plan = planOf("ann_bruteforce")
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("upsert keep-newest plans as TopKPerKey via the rewrite rule") {
+    val plan = planOf("meteo_upsert_latest")
+    assert(plan.contains("TopKPerKey") && !plan.contains("Window"), plan)
+  }
+}
