@@ -26,10 +26,18 @@ object Similarity {
     * reused across every pair score). Repartitioned on the id so pair
     * scoring parallelism follows the session, not the input file layout
     * (a single-row-group parquet scan is one task). */
-  private def withNorm(embs: DataFrame, idCol: String, vecCol: String) =
+  private def withNorm(embs: DataFrame, idCol: String, vecCol: String) = {
+    // accept float vectors (parquet embeddings) or double vectors
+    // (e.g. Multimodal.decodeFeatures output) alike
+    val e = embs.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => col(vecCol)
+      case _ => toDouble(col(vecCol))
+    }
     embs.repartition(shufflePartitions(embs), col(idCol))
-      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("e"))
+      .select(col(idCol).as("vec_id"), e.as("e"))
       .withColumn("nrm", norm(col("e")))
+  }
 
   /** Per-query top-k via the bounded-heap [[graft.plans.TopK]] operator
     * (no per-partition full sort — see SURVEY.md §2.8). The ordering is

@@ -27,6 +27,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(2).features.forall(_ == 0.0), "empty payload -> zero features")
   }
 
+  test("decoded features feed the ANN stack: nearest media by payload") {
+    // id=2 is a near-copy of id=1 (one byte differs); id=3..6 unrelated
+    val m1 = media(1, 800)
+    val m2bytes = m1.media.clone(); m2bytes(100) = (m2bytes(100) ^ 0x7).toByte
+    val ds = (Multimodal.MediaRow(2, m2bytes, m1.meta) +: m1 +:
+      (3L to 6L).map(i => media(i, 800 + i.toInt * 13))).toDS()
+    val feats = Multimodal.decodeFeatures(ds).toDF()
+    val nearest = graft.ops.Similarity.bruteForceTopK(
+      feats, feats.filter(col("media_id") === 1), k = 1,
+      idCol = "media_id", vecCol = "features")
+    val top = nearest.head()
+    assert(top.getAs[Long]("neighbor_id") == 2L,
+      "near-identical payload must be the nearest by decoded features")
+    assert(top.getAs[Double]("cosine") > 0.99)
+  }
+
   test("frameSample: offset-stride slicing, bounded frames, metadata rides") {
     val df = Seq(media(1, 100), media(2, 25), media(3, 5)).toDS().toDF()
     val frames = Multimodal.frameSample(df, frameSize = 10, stride = 20,
