@@ -212,6 +212,21 @@ class TrainingDataSpec extends SparkTestBase {
       bf.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("ivfTopK recall on real embeddings; probing all cells is exact") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val q = embs.filter(col("vec_id") < 5)
+    val cents = embs.filter(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(embs, q, k = 5))
+    val probeAll = pairs(Similarity.ivfTopK(embs, q, cents, nProbe = 16, k = 5))
+    assert(probeAll == exact, "probing every cell must equal brute force")
+    val probe4 = pairs(Similarity.ivfTopK(embs, q, cents, nProbe = 4, k = 5))
+    val recall = probe4.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.15, // near-random vectors: ~nProbe/nCells of corpus seen
+      s"recall $recall collapsed — candidate routing broken")
+  }
+
   test("lshTopK: planted duplicate lands in the same bucket; results are a " +
       "subset of brute-force candidates with true cosines") {
     val e = embTable(
