@@ -57,6 +57,10 @@ class PropertySpec extends SparkTestBase {
     } yield (k, t))
 
   test("AsOfJoin ≡ naive per-row scan for random event streams") {
+    // every third payload is NULL: the matched row's null must surface as
+    // null, NOT be backfilled from an older right row (per-column
+    // last(ignoreNulls) would stitch fields across right rows)
+    def pay(k: Int, t: Int): String = if ((k + t) % 3 == 0) null else s"v$k-$t"
     forAll(eventsGen, eventsGen) { (leftRaw, rightRaw) =>
       whenever(leftRaw.nonEmpty && rightRaw.nonEmpty) {
         // dedupe right on (key, t): operator contract (deterministic pick)
@@ -65,16 +69,18 @@ class PropertySpec extends SparkTestBase {
         val left = leftRaw.zipWithIndex
           .map { case ((k, t), i) => (i.toLong, k, new Timestamp(t * 1000L)) }
         val rightDf = right.map { case (k, t) =>
-          (k, new Timestamp(t * 1000L), s"v$k-$t") }.toDF("key", "rts", "payload")
+          (k, new Timestamp(t * 1000L), pay(k, t)) }.toDF("key", "rts", "payload")
         val leftDf = left.toDF("lid", "key", "lts")
         val got = AsOfJoin.lastAtOrBefore(leftDf, rightDf, Seq("key"),
             "lts", "rts", Seq("rts", "payload"))
-          .select("lid", "payload").collect()
-          .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+          .select("lid", "rts", "payload").collect()
+          .map(r => r.getLong(0) ->
+            (Option(r.getTimestamp(1)), Option(r.getString(2)))).toMap
         val expect = left.map { case (lid, k, lts) =>
           val cands = right.filter(r => r._1 == k && r._2 * 1000L <= lts.getTime)
-          lid -> (if (cands.isEmpty) None
-                  else { val b = cands.maxBy(_._2); Some(s"v${b._1}-${b._2}") })
+          lid -> (if (cands.isEmpty) (None, None)
+                  else { val b = cands.maxBy(_._2)
+                    (Some(new Timestamp(b._2 * 1000L)), Option(pay(b._1, b._2))) })
         }.toMap
         assert(got == expect)
       }
