@@ -76,15 +76,13 @@ object Upsert {
           .filter(col(partitionCol).isin(parts: _*)) // partition pruning
         mergeByKey(existing, incoming, keys, version)
       }
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      resolved.write.mode("overwrite")
-        .partitionBy(partitionCol)
-        .parquet(root)
-    finally prevMode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-write option, NOT the session conf: mutating the global conf
+    // races with concurrent writers on a shared session (e.g. two
+    // streaming foreachBatch sinks), which could run a full-table static
+    // overwrite and clobber untouched partitions
+    resolved.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(root)
   }
 }
