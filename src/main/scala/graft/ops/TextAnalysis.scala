@@ -82,11 +82,15 @@ object TextAnalysis {
 
   /** Document fingerprint: bottom-k sketch of the 60-bit hashes of the
     * document's 3-word shingles (a winnowing-style content signature —
-    * two documents sharing most shingles share most of the sketch). */
+    * two documents sharing most shingles share most of the sketch).
+    * `fp` is the sketch itself; `fp_str` is its canonical comma-joined
+    * form — a scalar equality key for the sketch (joins, oracle
+    * compares, change detection) where array columns don't sort. */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8): DataFrame =
     docs.select(
       col(idCol),
       slice(array_sort(array_distinct(
         transform(shingles3(tokens(col(textCol))), g => hash60(g)))), 1, k).as("fp"))
+      .withColumn("fp_str", concat_ws(",", col("fp").cast("array<string>")))
 }

@@ -78,11 +78,14 @@ object TrainingData extends QueryPack {
 
   val fingerprintQ = GraftQuery(
     "text_fingerprint",
+    // the compare surface is the canonical comma-joined form (fp_str):
+    // the driver's value-hash compare can't sort raw array<long> columns
     Some(s"""
       WITH $SH
-      SELECT doc_id, list_slice(list_sort(list_distinct(list_transform(s, g -> ('0x'||substr(md5(g),1,15))::BIGINT))), 1, 8) AS fp
+      SELECT doc_id, array_to_string(list_transform(list_slice(list_sort(list_distinct(list_transform(s, g -> ('0x'||substr(md5(g),1,15))::BIGINT))), 1, 8), x -> CAST(x AS VARCHAR)), ',') AS fp_str
       FROM sh ORDER BY doc_id""".trim)) { (spark, dir) =>
-    TextAnalysis.fingerprint(Tables.documents(spark, dir)).orderBy("doc_id")
+    TextAnalysis.fingerprint(Tables.documents(spark, dir))
+      .select("doc_id", "fp_str").orderBy("doc_id")
   }
 
   // ---- §2.3 deduplication ----
