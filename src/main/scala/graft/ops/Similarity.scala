@@ -124,20 +124,23 @@ object Similarity {
   }
 
   /** LSH top-k: queries only score corpus vectors in nearby buckets.
-    * `nProbe = 0` searches the query's own bucket; `nProbe = 1` also
-    * probes every bucket one sign-flip away (multi-probe: each extra
-    * bit of probing trades candidate volume for recall — a vector just
-    * across one hyperplane lands one bit away). Approximate — recall vs
-    * [[bruteForceTopK]] is measured in the spec, not guaranteed. */
+    * `nProbe` is the probing depth: the query searches every bucket
+    * within Hamming distance `nProbe` of its own (0 = own bucket only;
+    * 1 adds all single sign-flips; 2 adds all two-bit flips, …).
+    * Each extra bit of depth trades candidate volume (sum of C(nPlanes,d)
+    * buckets) for recall — a vector just across d hyperplanes lands d
+    * bits away. Approximate — recall vs [[bruteForceTopK]] is measured
+    * in the spec, not guaranteed. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, nPlanes: Int = 8,
       k: Int = 5, nProbe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 0 && nProbe <= nPlanes, s"nProbe $nProbe out of [0, $nPlanes]")
     val c = lshBuckets(corpus, nPlanes, idCol, vecCol)
-    // expand each query to its probe set: own bucket + hamming-1 flips
-    val probeBuckets =
-      if (nProbe == 0) array(col("bucket"))
-      else array((col("bucket") +:
-        (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+    // expand each query to its probe set: every xor-mask of <= nProbe bits
+    val masks: Seq[Long] = (1 to nProbe).flatMap(d =>
+      (0 until nPlanes).combinations(d).map(_.map(1L << _).sum))
+    val probeBuckets = array((col("bucket") +:
+      masks.map(m => col("bucket").bitwiseXOR(lit(m)))): _*)
     val q = lshBuckets(queries, nPlanes, idCol, vecCol)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qn"), explode(probeBuckets).as("bucket"))

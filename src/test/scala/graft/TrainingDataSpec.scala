@@ -242,4 +242,21 @@ class TrainingDataSpec extends SparkTestBase {
       assert(bf(r.getAs[Long]("neighbor_id")) == r.getAs[Double]("cosine"),
         "LSH scores must be true cosines")
   }
+
+  test("lshTopK multi-probe: deeper probing is monotone in recall and " +
+      "full-depth probing equals brute force") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val q = embs.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(embs, q, k = 5))
+    // nProbe = nPlanes xors every mask -> every bucket probed -> exact
+    val full = pairs(Similarity.lshTopK(embs, q, nPlanes = 8, k = 5, nProbe = 8))
+    assert(full == exact, "probing every bucket must equal brute force")
+    val d1 = pairs(Similarity.lshTopK(embs, q, nPlanes = 8, k = 5, nProbe = 1))
+    val d2 = pairs(Similarity.lshTopK(embs, q, nPlanes = 8, k = 5, nProbe = 2))
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+    assert(recall(d2) >= recall(d1),
+      s"depth-2 recall ${recall(d2)} < depth-1 recall ${recall(d1)}")
+  }
 }
