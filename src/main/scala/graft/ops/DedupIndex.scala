@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   * A new batch sketches ONLY itself, joins its bands against the stored
   * bands (new×old) and itself (new×new), verifies Jaccard exactly, and
   * appends its rows — per-batch cost is proportional to the batch, not
-  * the corpus. Both tables append-only; the band join key (band, bkey)
-  * is a uniform hash → no skew.
+  * the corpus. The band join key (band, bkey) is a uniform hash → no
+  * skew.
+  *
+  * Each batch owns the partition directory `batch=<batchId>` in both
+  * tables and writes it with OVERWRITE: an at-least-once replay (e.g. a
+  * foreachBatch retry after the append but before the checkpoint commit)
+  * rewrites the same rows instead of duplicating them, so the index
+  * never accumulates duplicate sketch rows and verify joins stay 1:1.
   */
 object DedupIndex {
 
@@ -27,10 +33,14 @@ object DedupIndex {
       .exists(new org.apache.hadoop.fs.Path(dir))
 
   /** Sketch `newDocs`, emit near-dup pairs against the index AND within
-    * the batch, then append the batch's sketch rows to the index.
+    * the batch, then write the batch's sketch rows into its own index
+    * partition (idempotent under replay — see class doc).
     * Returns (id_a, id_b, jaccard) with id_a < id_b. Doc ids must be
-    * globally unique across all batches. */
+    * globally unique across all batches; `batchId` must be unique per
+    * batch and stable across retries of the same batch (foreachBatch's
+    * batchId has exactly this contract). */
   def append(spark: SparkSession, root: String, newDocs: DataFrame,
+      batchId: Long,
       idCol: String = "doc_id", textCol: String = "text",
       numPerms: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
@@ -40,8 +50,13 @@ object DedupIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val haveIndex = exists(spark, bandsDir(root))
+    // exclude THIS batch's partition: on a replay its rows are already
+    // in the index and would duplicate candidates and verify rows
     val oldBands =
-      if (haveIndex) spark.read.parquet(bandsDir(root)) else null
+      if (haveIndex) spark.read.parquet(bandsDir(root))
+        .filter(col("batch") =!= batchId)
+        .select(newBands.columns.toSeq.map(col): _*)
+      else null
     // candidates: new×new (self-join) ∪ new×old (index join)
     val selfCand = newBands.as("a").join(newBands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -56,7 +71,9 @@ object DedupIndex {
           .filter(col("id_a") =!= col("id_b"))))
       .distinct()
     val allShingles =
-      if (haveIndex) sh.unionByName(spark.read.parquet(shinglesDir(root)))
+      if (haveIndex) sh.unionByName(spark.read.parquet(shinglesDir(root))
+        .filter(col("batch") =!= batchId)
+        .select(sh.columns.toSeq.map(col): _*))
       else sh
     val pairs = Dedup.verifyJaccard(cand, allShingles, threshold)
       .orderBy("id_a", "id_b")
@@ -64,8 +81,8 @@ object DedupIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count()
 
-    newBands.write.mode("append").parquet(bandsDir(root))
-    sh.write.mode("append").parquet(shinglesDir(root))
+    newBands.write.mode("overwrite").parquet(s"${bandsDir(root)}/batch=$batchId")
+    sh.write.mode("overwrite").parquet(s"${shinglesDir(root)}/batch=$batchId")
     sh.unpersist(); newBands.unpersist()
     pairs
   }

@@ -12,10 +12,12 @@ import graft.ops.DedupIndex
   * pairs land in `pairsDir` as they are discovered.
   *
   * This is the streaming complement of the batch dedup family: the
-  * corpus is never re-sketched, state lives in parquet (restart-safe via
-  * the checkpoint — a replayed batch re-emits the same pairs and
-  * re-appends the same index rows, which downstream last-write-wins
-  * consumers tolerate), and per-batch cost tracks batch size.
+  * corpus is never re-sketched, state lives in parquet, and per-batch
+  * cost tracks batch size. Restart-safe: the index append is idempotent
+  * (each batch overwrites its own `batch=<id>` partition, keyed by
+  * foreachBatch's replay-stable batchId), so an at-least-once replay
+  * can only re-emit the same pair rows to `pairsDir` — which downstream
+  * last-write-wins consumers tolerate — never corrupt the index.
   */
 object StreamingDedup {
 
@@ -24,10 +26,10 @@ object StreamingDedup {
       textCol: String = "text", threshold: Double = 0.5): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val pairs = DedupIndex.append(batch.sparkSession, indexRoot, batch,
-            idCol, textCol, threshold = threshold)
+            batchId, idCol, textCol, threshold = threshold)
           pairs.write.mode("append").parquet(pairsDir)
           pairs.unpersist()
         }

@@ -20,13 +20,13 @@ class DedupIndexSpec extends SparkTestBase {
 
     // batch 1: one doc + one unrelated
     val b1 = Seq(doc(1), unrelated(50)).toDF("doc_id", "text")
-    val p1 = DedupIndex.append(spark, root, b1).collect()
+    val p1 = DedupIndex.append(spark, root, b1, batchId = 1).collect()
     assert(p1.isEmpty, "no dups within batch 1")
 
     // batch 2: near-dup of doc 1 (cross-batch) + two in-batch near-dups
     val b2 = Seq(doc(2, change = 20), doc(10, change = 5), doc(11, change = 5),
       unrelated(60)).toDF("doc_id", "text")
-    val p2 = DedupIndex.append(spark, root, b2).collect()
+    val p2 = DedupIndex.append(spark, root, b2, batchId = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     // one-shot operator over the union, restricted to pairs touching b2
@@ -39,12 +39,22 @@ class DedupIndexSpec extends SparkTestBase {
     assert(p2.contains((1L, 2L)), "cross-batch pair found via the index")
     assert(p2.contains((10L, 11L)), "in-batch pair found")
 
+    // replay of batch 2 (at-least-once retry): same batchId overwrites
+    // its own index partition — output identical, index not duplicated
+    val p2replay = DedupIndex.append(spark, root, b2, batchId = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2replay == p2, s"replay changed output: $p2replay vs $p2")
+
     // batch 3: another near-dup; index now holds both earlier batches
     val p3 = DedupIndex.append(spark, root,
-        Seq(doc(3, change = 30)).toDF("doc_id", "text")).collect()
+        Seq(doc(3, change = 30)).toDF("doc_id", "text"), batchId = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // doc 3 is a near-dup of every earlier perturbation of the base doc
+    // (exactly once per pair — a replay-duplicated index would emit dups)
     assert(p3 == Set((1L, 3L), (2L, 3L), (3L, 10L), (3L, 11L)), s"got $p3")
+    val bandRows = spark.read.parquet(s"$root/bands")
+    assert(bandRows.count() == bandRows.dropDuplicates("doc_id", "band").count(),
+      "index holds duplicate band rows after replay")
   }
 
   test("streaming dedup-at-ingest emits cross-batch pairs as they arrive") {
