@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Extended, MeteoQueries, Relational, Relational2, TrainingData}
+import graft.queries.{Extended, MeteoQueries, Relational, Relational2, Relational3, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -11,6 +11,7 @@ object SparkEntry {
     MeteoQueries,
     Relational,
     Relational2,
+    Relational3,
     TrainingData,
     Extended)
 
