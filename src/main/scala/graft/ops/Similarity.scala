@@ -123,6 +123,81 @@ object Similarity {
     m.withColumn("bucket", lshBucket(col("e"), planes))
   }
 
+  /** Product-quantization encode: split each vector into `m` contiguous
+    * subvectors and assign every subvector to its nearest codeword (L2,
+    * deterministic tie-break on codeword id). Output: (vec_id, s, cid)
+    * — `m` small ints per vector, the PQ compression (a 64-float vector
+    * becomes `m` codes; at lake scale the encoded corpus is ~32× smaller
+    * than the raw embeddings and the raw vectors are never read again).
+    *
+    * Scale shape: the codebook is tiny and broadcast; assignment is a
+    * map-side `min(struct(dist, cid))` aggregation after a narrow
+    * explode — no window sort, no shuffle beyond the (vec_id, s) combine.
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = 64 / m // embeddings are 64-dim
+    val c = withNorm(corpus, idCol, vecCol)
+    val cw = withNorm(codebook, idCol, vecCol)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val ss = explode(array((0 until m).map(lit): _*)).as("s")
+    // sub-slices: slice() is 1-based; subspace s covers [s*subDim+1, subDim]
+    val corpusSub = c.select(col("vec_id"), ss, col("e"))
+      .withColumn("vs", slice(col("e"), col("s") * subDim + 1, lit(subDim)))
+    val cwSub = cw.select(col("cid"), ss, col("ce"))
+      .withColumn("cs", slice(col("ce"), col("s") * subDim + 1, lit(subDim)))
+      .withColumn("sqc", dot(col("cs"), col("cs")))
+    // L2 argmin: |v|^2 is constant per (vec,s), so minimize |c|^2 - 2<v,c>
+    corpusSub.join(broadcast(cwSub), Seq("s"))
+      .select(col("vec_id"), col("s"), col("cid"),
+        round(col("sqc") - lit(2.0) * dot(col("vs"), col("cs")), 6).as("d"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("cid"))).getField("cid").as("cid"))
+  }
+
+  /** PQ top-k via asymmetric distance computation (ADC): each query
+    * precomputes a lookup table of subspace dot products against every
+    * codeword, and a corpus vector's score is the sum of `m` table
+    * lookups selected by its codes — the raw corpus vectors are never
+    * touched at query time. Approximate (quantization error); recall vs
+    * [[bruteForceTopK]] is measured in the spec.
+    *
+    * Determinism: the m=8 per-subspace terms are pivoted into fixed
+    * columns and summed in one written expression order, so the float
+    * fold is identical in Spark and the DuckDB oracle. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+      m: Int = 8, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m == 8, "pivoted fold is written for m = 8")
+    val subDim = 64 / m
+    val q = withNorm(queries, idCol, vecCol)
+    val cw = withNorm(codebook, idCol, vecCol)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val ss = explode(array((0 until m).map(lit): _*)).as("s")
+    val cwSub = cw.select(col("cid"), ss, col("ce"))
+      .withColumn("cs", slice(col("ce"), col("s") * subDim + 1, lit(subDim)))
+      .withColumn("sqc", dot(col("cs"), col("cs")))
+      .drop("ce")
+    // per-query LUT: dot(q_sub, codeword_sub) for every (s, cid)
+    val lut = q.select(col("vec_id").as("query_id"), col("nrm").as("qn"), ss, col("e"))
+      .withColumn("qs", slice(col("e"), col("s") * subDim + 1, lit(subDim)))
+      .join(broadcast(cwSub), Seq("s"))
+      .select(col("query_id"), col("qn"), col("s"), col("cid"),
+        dot(col("qs"), col("cs")).as("dq"), col("sqc"))
+    val codes = pqEncode(corpus, codebook, m, idCol, vecCol)
+    def at(c: String, s: Int) = min(when(col("s") === s, col(c))).as(s"${c}$s")
+    val terms = codes.join(lut, Seq("s", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(max(col("qn")).as("qn"),
+        (0 until m).flatMap(s => Seq(at("dq", s), at("sqc", s))): _*)
+    val sdot = (0 until m).map(s => col(s"dq$s")).reduce(_ + _)
+    val ssq = (0 until m).map(s => col(s"sqc$s")).reduce(_ + _)
+    val scored = terms.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      round(sdot / (col("qn") * sqrt(ssq)), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** LSH top-k: queries only score corpus vectors in nearby buckets.
     * `nProbe` is the probing depth: the query searches every bucket
     * within Hamming distance `nProbe` of its own (0 = own bucket only;

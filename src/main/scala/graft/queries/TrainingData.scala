@@ -259,9 +259,57 @@ object TrainingData extends QueryPack {
     Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10))
   }
 
+  /** PQ/ADC is deterministic given a fixed codebook (vec_id 16..31), so
+    * unlike LSH it IS oracle-expressible: the oracle replicates encode
+    * (per-subspace L2 argmin) and ADC scoring with the identical float
+    * fold order (per-subspace terms summed in one written expression). */
+  val annPq = GraftQuery(
+    "ann_pq",
+    Some(s"""
+      WITH $NORM,
+      q AS (SELECT * FROM m WHERE vec_id < 10),
+      cw AS (SELECT vec_id AS cid, e AS ce FROM m WHERE vec_id >= 16 AND vec_id < 32),
+      sg AS (SELECT unnest(range(0, 8)) AS s),
+      cws AS (SELECT cid, s, list_slice(ce, s*8+1, s*8+8) AS cs,
+          list_sum(list_transform(list_slice(ce, s*8+1, s*8+8), x -> x*x)) AS sqc
+        FROM cw, sg),
+      vsub AS (SELECT vec_id, s, list_slice(e, s*8+1, s*8+8) AS vs FROM m, sg),
+      asg AS (SELECT vec_id, s, cid FROM (
+          SELECT v.vec_id, v.s, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+              ROUND(c.sqc - 2*list_sum(list_transform(range(1,9), i -> v.vs[i]*c.cs[i])), 6), c.cid) AS rn
+          FROM vsub v JOIN cws c ON c.s = v.s) t WHERE rn = 1),
+      lut AS (SELECT qq.vec_id AS query_id, qq.nrm AS qn, c.s, c.cid,
+          list_sum(list_transform(range(1,9), i -> qq.qs[i]*c.cs[i])) AS dq, c.sqc
+        FROM (SELECT vec_id, nrm, s, list_slice(e, s*8+1, s*8+8) AS qs FROM q, sg) qq
+        JOIN cws c ON c.s = qq.s),
+      terms AS (SELECT l.query_id, a.vec_id, MAX(l.qn) AS qn,
+          MIN(CASE WHEN l.s=0 THEN l.dq END) AS dq0, MIN(CASE WHEN l.s=0 THEN l.sqc END) AS sqc0,
+          MIN(CASE WHEN l.s=1 THEN l.dq END) AS dq1, MIN(CASE WHEN l.s=1 THEN l.sqc END) AS sqc1,
+          MIN(CASE WHEN l.s=2 THEN l.dq END) AS dq2, MIN(CASE WHEN l.s=2 THEN l.sqc END) AS sqc2,
+          MIN(CASE WHEN l.s=3 THEN l.dq END) AS dq3, MIN(CASE WHEN l.s=3 THEN l.sqc END) AS sqc3,
+          MIN(CASE WHEN l.s=4 THEN l.dq END) AS dq4, MIN(CASE WHEN l.s=4 THEN l.sqc END) AS sqc4,
+          MIN(CASE WHEN l.s=5 THEN l.dq END) AS dq5, MIN(CASE WHEN l.s=5 THEN l.sqc END) AS sqc5,
+          MIN(CASE WHEN l.s=6 THEN l.dq END) AS dq6, MIN(CASE WHEN l.s=6 THEN l.sqc END) AS sqc6,
+          MIN(CASE WHEN l.s=7 THEN l.dq END) AS dq7, MIN(CASE WHEN l.s=7 THEN l.sqc END) AS sqc7
+        FROM asg a JOIN lut l ON l.s = a.s AND l.cid = a.cid
+        WHERE a.vec_id != l.query_id
+        GROUP BY l.query_id, a.vec_id),
+      p AS (SELECT query_id, vec_id AS neighbor_id,
+          ROUND((dq0+dq1+dq2+dq3+dq4+dq5+dq6+dq7) /
+                (qn * sqrt(sqc0+sqc1+sqc2+sqc3+sqc4+sqc5+sqc6+sqc7)), 6) AS cosine
+        FROM terms)
+      SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM p) t
+      WHERE rn <= 5 ORDER BY query_id, neighbor_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.pqTopK(embs, embs.filter(col("vec_id") < 10),
+      embs.filter(col("vec_id") >= 16 && col("vec_id") < 32))
+  }
+
   override def all: Seq[GraftQuery] = Seq(
     langId, quality, tokensQ, fingerprintQ,
     dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding,
     dedupClusters, dataSplit, dataSample,
-    annBrute, annIvf, annLsh)
+    annBrute, annIvf, annLsh, annPq)
 }

@@ -243,6 +243,32 @@ class TrainingDataSpec extends SparkTestBase {
         "LSH scores must be true cosines")
   }
 
+  test("pqEncode assigns every codeword vector to itself (zero distortion)") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val codebook = embs.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+    val codes = Similarity.pqEncode(codebook, codebook).collect()
+    assert(codes.length == 16 * 8)
+    assert(codes.forall(r => r.getAs[Long]("cid") == r.getAs[Long]("vec_id")),
+      "a codeword's nearest codeword must be itself in every subspace")
+  }
+
+  test("pqTopK recall on real embeddings is above the quantization floor") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val q = embs.filter(col("vec_id") < 5)
+    val codebook = embs.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(embs, q, k = 5))
+    val pq = pairs(Similarity.pqTopK(embs, q, codebook, k = 5))
+    assert(pq.size == exact.size, "PQ must return a full top-k per query")
+    // sanity floor, not a quality claim: a 16-codeword book on
+    // near-random 64-dim vectors quantizes coarsely (recall ~0.1 here);
+    // broken routing/scoring lands at ~k/n ≈ 0.002
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.05,
+      s"recall $recall collapsed — encode or ADC scoring broken")
+  }
+
   test("lshTopK multi-probe: deeper probing is monotone in recall and " +
       "full-depth probing equals brute force") {
     val embs = Tables.embeddings(spark, sfDir)
