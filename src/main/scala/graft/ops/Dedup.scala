@@ -90,6 +90,34 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** DF-capped n-gram Jaccard: like [[ngramJaccard]], but shingles whose
+    * document frequency exceeds `dfCap` are excluded from CANDIDATE
+    * GENERATION. In a dup-heavy corpus a boilerplate shingle shared by
+    * thousands of docs makes the candidate join quadratic in that count;
+    * the cap bounds every shingle's pair contribution at C(dfCap, 2).
+    * Verification stays exact over the FULL shingle sets (array verify),
+    * so precision is unchanged — only pairs whose every common shingle
+    * is hot can be missed (approximate recall, deterministic result).
+    *
+    * Plan shape: the doc frequency is a window count over the exploded
+    * shingle table, and the candidate self-join keys on the same shingle
+    * column — one shuffle on `g` serves both.
+    */
+  def ngramJaccardCapped(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.5,
+      dfCap: Int = 20): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol)
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") <= dfCap)
+      .select("doc_id", "g")
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold).orderBy("id_a", "id_b")
+  }
+
   /** (doc_id, band, bkey) band table for a shingle-set table — the
     * joinable LSH index rows (shared by the one-shot operator and the
     * incremental [[DedupIndex]]). */

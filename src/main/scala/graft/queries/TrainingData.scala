@@ -111,6 +111,21 @@ object TrainingData extends QueryPack {
     Dedup.ngramJaccard(Tables.documents(spark, dir))
   }
 
+  val dedupNgramCapped = GraftQuery(
+    "dedup_ngram_capped",
+    Some(s"""
+      WITH $SH,
+      ex AS (SELECT doc_id, g FROM (
+        SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df
+        FROM (SELECT doc_id, unnest(s) AS g FROM sh)) t WHERE df <= 20),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+      j AS (SELECT id_a, id_b,
+         ROUND(len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
+       FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+      SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".trim)) { (spark, dir) =>
+    Dedup.ngramJaccardCapped(Tables.documents(spark, dir))
+  }
+
   val dedupMinhash = GraftQuery(
     "dedup_minhash_lsh",
     Some(s"""
@@ -309,7 +324,8 @@ object TrainingData extends QueryPack {
 
   override def all: Seq[GraftQuery] = Seq(
     langId, quality, tokensQ, fingerprintQ,
-    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
+    dedupEmbedding,
     dedupClusters, dataSplit, dataSample,
     annBrute, annIvf, annLsh, annPq)
 }

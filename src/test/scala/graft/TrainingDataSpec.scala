@@ -123,6 +123,32 @@ class TrainingDataSpec extends SparkTestBase {
     }
   }
 
+  test("ngramJaccardCapped drops only hot-shingle candidates; verify stays exact") {
+    // docs 1..2: a genuine near-dup pair via RARE shingles.
+    // docs 10..19: each unique EXCEPT a shared boilerplate sentence whose
+    // shingles are hot (df = 10 > cap) — uncapped, those 10 docs generate
+    // C(10,2)=45 candidate pairs; capped, zero.
+    val boiler = "this document is provided as is without warranty"
+    val d = docs(
+      (Seq(1L -> baseWords.mkString(" "), 2L -> perturbed(20)) ++
+        (10L to 19L).map(i =>
+          i -> s"$boiler ${(1 to 30).map(j => s"u${i}w$j").mkString(" ")}")): _*)
+    val capped = Dedup.ngramJaccardCapped(d, threshold = 0.05, dfCap = 5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val uncapped = Dedup.ngramJaccard(d, threshold = 0.05).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(capped.contains((1L, 2L)), "rare-shingle pair must survive the cap")
+    assert(uncapped.exists(p => p._1 >= 10L), "boilerplate pairs exist uncapped")
+    assert(!capped.exists(p => p._1 >= 10L), "hot-shingle pairs must be dropped")
+    assert(capped.subsetOf(uncapped), "cap may only remove pairs, never add")
+    // verify is exact: the surviving pair's jaccard matches the uncapped one
+    val jCapped = Dedup.ngramJaccardCapped(d, threshold = 0.05, dfCap = 5)
+      .filter(col("id_a") === 1L).head().getAs[Double]("jaccard")
+    val jFull = Dedup.ngramJaccard(d, threshold = 0.05)
+      .filter(col("id_a") === 1L).head().getAs[Double]("jaccard")
+    assert(jCapped == jFull)
+  }
+
   test("simHash: identical docs at hamming 0, near-dups close, others far") {
     val d = docs(
       1L -> baseWords.mkString(" "),
