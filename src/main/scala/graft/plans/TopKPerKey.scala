@@ -98,6 +98,7 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     e.injectOptimizerRule(_ => WindowTopKRewrite)
+    e.injectOptimizerRule(_ => TopKJoinPushdown)
   }
 }
 
@@ -112,6 +113,9 @@ object TopK {
     if (!spark.experimental.extraOptimizations.contains(WindowTopKRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ WindowTopKRewrite
+    if (!spark.experimental.extraOptimizations.contains(TopKJoinPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKJoinPushdown
   }
 
   /** Top `k` rows per `keyCols` group under `sortCols` (use `.desc`/

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftOuter
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -30,6 +31,99 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * total for deterministic survivors — with ties, both the window and
   * the heap keep an arbitrary pick.
   */
+/** Optimizer rule: rank-then-join instead of join-then-rank.
+  *
+  * {{{ TopKPerKey(keys, ord, k, Join(l, r, LeftOuter, l.a = r.b)) }}}
+  * becomes
+  * {{{ Join(TopKPerKey(keys, ord, k, l), r, LeftOuter, l.a = r.b) }}}
+  *
+  * when the top-k keys and ordering reference only the left side and the
+  * right side is PROVABLY unique on its join keys. Then the join neither
+  * drops nor duplicates left rows, so ranking before it selects exactly
+  * the same survivors — but the join now processes k rows per key
+  * instead of the full left side (at 100 TB: the top-k feeds the join a
+  * bounded stream, and the enrichment join's shuffle shrinks by the
+  * selectivity of the rank filter).
+  *
+  * Uniqueness is established structurally, no stats needed: the right
+  * side (under pure column-pruning Projects) is an Aggregate whose every
+  * grouping column is a join key, or a Distinct whose whole output is
+  * join keys. Inner joins are NOT rewritten — an unmatched left row
+  * would be filtered before ranking in the original plan but after it
+  * in the pushed plan, changing which rows fill the top k.
+  */
+object TopKJoinPushdown extends Rule[LogicalPlan] {
+
+  /** Split an equi-join condition into (leftAttrs, rightAttrs) per
+    * conjunct; None if any conjunct is not a plain attribute equality. */
+  private def equiKeys(cond: Expression, l: LogicalPlan, r: LogicalPlan)
+      : Option[Seq[Attribute]] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val rKeys = conjuncts.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+        if l.outputSet.contains(a) && r.outputSet.contains(b) => Some(b)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+        if l.outputSet.contains(a) && r.outputSet.contains(b) => Some(b)
+      case _ => None
+    }
+    if (rKeys.forall(_.isDefined)) Some(rKeys.flatten) else None
+  }
+
+  private def splitConjunctivePredicates(cond: Expression): Seq[Expression] =
+    cond match {
+      case And(a, b) => splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)
+      case other => Seq(other)
+    }
+
+  /** Is `plan` unique on `keys` (at most one row per key combination)? */
+  @annotation.tailrec
+  private def isUniqueOn(plan: LogicalPlan, keys: Seq[Attribute]): Boolean = {
+    val keyIds = keys.map(_.exprId).toSet
+    plan match {
+      // pure column pruning/reordering preserves uniqueness evidence
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        isUniqueOn(child, keys)
+      case Distinct(child) =>
+        child.output.forall(a => keyIds.contains(a.exprId))
+      case agg: Aggregate =>
+        agg.groupingExpressions.forall { g =>
+          agg.aggregateExpressions.exists {
+            case a @ Alias(c, _) => c.semanticEquals(g) && keyIds.contains(a.exprId)
+            case ar: AttributeReference => ar.semanticEquals(g) && keyIds.contains(ar.exprId)
+            case _ => false
+          }
+        }
+      case _ => false
+    }
+  }
+
+  private def tryPush(keys: Seq[Expression], ord: Seq[SortOrder], k: Int,
+      j: Join): Option[Join] = j match {
+    case Join(l, r, LeftOuter, Some(cond), _) =>
+      val refs = AttributeSet(keys.flatMap(_.references) ++ ord.flatMap(_.references))
+      equiKeys(cond, l, r) match {
+        case Some(rKeys) if refs.subsetOf(l.outputSet) && isUniqueOn(r, rKeys) =>
+          Some(j.copy(left = TopKPerKeyNode(keys, ord, k, l)))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case t @ TopKPerKeyNode(keys, ord, k, j: Join) =>
+      tryPush(keys, ord, k, j).getOrElse(t)
+    // column pruning routinely leaves a pure attribute Project between
+    // the top-k and the join; a row-preserving projection commutes with
+    // a row-filtering operator, so push through it
+    case t @ TopKPerKeyNode(keys, ord, k, p @ Project(pl, j: Join))
+        if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      tryPush(keys, ord, k, j) match {
+        case Some(pushed) => p.copy(child = pushed)
+        case None => t
+      }
+  }
+}
+
 object WindowTopKRewrite extends Rule[LogicalPlan] {
 
   private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {

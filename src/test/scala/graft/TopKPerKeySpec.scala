@@ -53,6 +53,41 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(viaRule.toSeq == viaTopK.toSeq)
   }
 
+  test("TopKJoinPushdown ranks below a unique left-outer enrichment join; " +
+      "non-unique or inner joins are left alone") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import graft.plans.TopKPerKeyNode
+    val dim = data.groupBy("key").agg(avg(col("score")).as("key_avg"))
+    def hasTopKBelowJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join => j.left.collectFirst { case t: TopKPerKeyNode => t }.isDefined
+      }.exists(identity)
+
+    // unique right (Aggregate on the join key), left_outer -> pushed
+    val joined = data.join(dim, Seq("key"), "left_outer")
+    val pushed = TopK.perKey(joined, Seq("key"),
+      Seq(col("score").desc, col("id")), 3)
+    assert(hasTopKBelowJoin(pushed),
+      s"expected rank below join:\n${pushed.queryExecution.optimizedPlan}")
+    // result identical to ranking after the join
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+    val expected = joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .orderBy("key", "score", "id").collect()
+    assert(pushed.orderBy("key", "score", "id").collect().toSeq == expected.toSeq)
+
+    // non-unique right side (raw fact table) -> NOT pushed
+    val dup = data.select(col("key"), col("score").as("other_score"))
+    val notPushed = TopK.perKey(data.join(dup, Seq("key"), "left_outer"),
+      Seq("key"), Seq(col("other_score").desc, col("id")), 3)
+    assert(!hasTopKBelowJoin(notPushed), "must not push below a 1:N join")
+
+    // inner join -> NOT pushed (unmatched rows would shift the top k)
+    val inner = TopK.perKey(data.join(dim, Seq("key")), Seq("key"),
+      Seq(col("score").desc, col("id")), 3)
+    assert(!hasTopKBelowJoin(inner), "must not push below an inner join")
+  }
+
   test("k larger than group size returns whole groups; ascending works") {
     val small = Seq((1, 10), (1, 20), (2, 5)).toDF("key", "v")
     val r = TopK.perKey(small, Seq("key"), Seq(col("v")), k = 10)
