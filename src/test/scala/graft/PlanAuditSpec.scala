@@ -48,4 +48,39 @@ class PlanAuditSpec extends SparkTestBase {
     val plan = planOf("meteo_upsert_latest")
     assert(plan.contains("TopKPerKey") && !plan.contains("Window"), plan)
   }
+
+  test("ann_pq: codebook joins broadcast; encode argmin is a hash " +
+      "aggregate (no window sort); ADC scoring is codegen'd") {
+    val plan = planOf("ann_pq")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook/LUT join must broadcast:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"encode argmin must be a map-side-combined aggregate:\n$plan")
+    assert(plan.contains("graft_dot"), s"native DotProduct missing:\n$plan")
+  }
+
+  test("dedup_ngram_capped: hot-set filter is a broadcast anti-join, " +
+      "DF count is partially aggregated") {
+    val plan = planOf("dedup_ngram_capped")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hot-shingle filter must be a broadcast anti-join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"DF count must map-side combine:\n$plan")
+    assert(!plan.contains("Window"), "no window sort in the capped path")
+  }
+
+  test("q24 grouping sets: one pass with partial aggregation, no union " +
+      "of per-stratum scans") {
+    val plan = planOf("q24_grouping_sets")
+    assert(plan.contains("Expand"), s"lattice must expand, not re-scan:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side combine:\n$plan")
+    assert(!plan.contains("Union"), "grouping sets must not union scans")
+  }
+
+  test("q28: decorrelated subqueries share one scan per table (no " +
+      "per-row re-execution shape)") {
+    val plan = planOf("q28_correlated_subquery")
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"subquery survived into the physical plan:\n$plan")
+  }
 }
