@@ -47,4 +47,36 @@ object Splits {
       .filter(col("__rn") <= ceil(col("__n") * fraction))
       .drop("__rn", "__n")
   }
+
+  /** Deterministic weighted sample: priority = hash(id)/weight, keep the
+    * k smallest priorities. A row's selection odds scale with its weight
+    * (e.g. sample long documents proportionally to length), yet the
+    * sample is a pure function of (id, weight) — reproducible across
+    * runs and engines (one IEEE double division; no `rand()`, no `pow`).
+    * Global top-k executes as TakeOrdered (per-partition k-heaps + a
+    * k-sized driver merge), never a full sort. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "ws"): DataFrame = {
+    val h = hash60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    df.withColumn("priority", h.cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
+  /** Sequence packing for training: assign documents to fixed token
+    * budgets (context windows). Documents are spread over `buckets`
+    * independent lanes by id-hash; within a lane, packs fill in id order
+    * by exclusive running token count (`pack_id = start_tok div budget`).
+    * Lanes make the running sum shuffle-parallel — one window partition
+    * per lane, not a single global cumsum — and packs remain
+    * deterministic and append-stable within each lane. */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: Column,
+      budget: Int = 2048, buckets: Int = 8, salt: String = "pack"): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), tokensCol.cast("long").as("n_tokens"),
+        bucket(col(idCol), salt, buckets).as("bucket"))
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"start_tok div $budget"))
+  }
 }

@@ -80,6 +80,79 @@ object TextAnalysis {
       round(length(col(textCol)) / size(tokens(col(textCol))).cast("double"), 6)
         .as("chars_per_token"))
 
+  /** Repetition signals (Gopher-style quality rules): fraction of
+    * distinct tokens, most-frequent-token share, and duplicate-bigram
+    * fraction. High repetition flags boilerplate / degenerate text for
+    * training-data filtering.
+    *
+    * Implemented as explode → two-level aggregation (per-(doc,gram)
+    * counts, then per-doc stats): both levels get map-side partial
+    * aggregation and stay in whole-stage codegen, so the shape scales to
+    * arbitrarily long documents — unlike a per-row nested
+    * higher-order-function formulation, whose O(distinct·n) interpreted
+    * lambda would dominate on long docs (see SURVEY §4 on HOF hot loops).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // tokenize into an attribute FIRST (one regex split per doc), and
+    // keep the bigram path HOF-free: explode the POSITIONS, then pair
+    // tokens in a plain codegen projection. A transform() lambda here is
+    // CodegenFallback and measured 30× slower at sf0.1 (SURVEY §4).
+    val tk = col("tk")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+    val uni = base.select(col(idCol), explode(tk).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").as("n_words"), count(lit(1)).as("n_distinct"), max("c").as("top_c"))
+    val big = base
+      .select(col(idCol), tk,
+        explode(when(size(tk) >= 2, sequence(lit(1), size(tk) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col(idCol),
+        concat_ws(" ", element_at(tk, col("i")),
+          element_at(tk, col("i") + 1)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").as("n_bigrams"), count(lit(1)).as("n_distinct_bg"))
+    uni.join(big, Seq(idCol))
+      .select(
+        col(idCol),
+        col("n_words").cast("long").as("n_words"),
+        round(col("n_distinct") / col("n_words").cast("double"), 6).as("distinct_frac"),
+        round(col("top_c") / col("n_words").cast("double"), 6).as("top_token_frac"),
+        round(lit(1.0) - col("n_distinct_bg") / col("n_bigrams").cast("double"), 6)
+          .as("dup_bigram_frac"))
+  }
+
+  /** Benchmark-contamination check: for every corpus document, the
+    * fraction of its distinct 3-word shingles that also appear in a
+    * benchmark document set (here a deterministic hash-selected subset —
+    * in production the eval benchmarks themselves). Standard
+    * decontamination gate before training.
+    *
+    * The benchmark gram set is broadcast (benchmarks are tiny relative
+    * to a 100 TB corpus); the corpus side streams through a broadcast
+    * left join + per-doc aggregate — no corpus-sized shuffle.
+    */
+  def contamination(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", benchMod: Int = 10): DataFrame = {
+    val withG = docs.select(
+      col(idCol), shingles3(tokens(col(textCol))).as("s"),
+      (hash60(concat(lit("bench:"), col(idCol).cast("string"))) % benchMod === 0)
+        .as("is_bench"))
+    val benchGrams = withG.filter(col("is_bench"))
+      .select(explode(col("s")).as("g")).distinct()
+      .withColumn("hit", lit(1L))
+    withG.filter(!col("is_bench"))
+      .select(col(idCol), explode(col("s")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        coalesce(sum("hit"), lit(0L)).cast("long").as("n_hits"))
+      .withColumn("contamination",
+        round(col("n_hits") / col("n_grams").cast("double"), 6))
+  }
+
   /** Document fingerprint: bottom-k sketch of the 60-bit hashes of the
     * document's 3-word shingles (a winnowing-style content signature —
     * two documents sharing most shingles share most of the sketch).

@@ -150,5 +150,23 @@ object Extended extends QueryPack {
       .orderBy("source")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q13, q14, q15, curation)
+  /** Temporal band self-join: same-user event pairs within 600 s, via
+    * [[graft.ops.BandJoin]]'s cell-bucketed candidate generation; the
+    * oracle is the naive inequality join (per-key quadratic — viable in
+    * DuckDB at sf0.01, which is exactly why the engine-side op exists). */
+  val q31 = GraftQuery(
+    "q31_band_join",
+    Some("""
+      SELECT a.event_id AS id_a, b.event_id AS id_b,
+        abs(epoch_us(a.ts) - epoch_us(b.ts)) AS delta_us
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+       AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+      ORDER BY id_a, id_b""".trim)) { (spark, dir) =>
+    graft.ops.BandJoin.pairsWithin(
+        Tables.events(spark, dir), "user_id", "event_id", "ts", 600L)
+      .orderBy("id_a", "id_b")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q13, q14, q15, curation, q31)
 }

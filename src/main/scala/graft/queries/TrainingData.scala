@@ -322,10 +322,76 @@ object TrainingData extends QueryPack {
       embs.filter(col("vec_id") >= 16 && col("vec_id") < 32))
   }
 
+  /** Gopher-style repetition/boilerplate signals per document. */
+  val textRepetition = GraftQuery(
+    "text_repetition",
+    Some("""
+      WITH tkt AS (SELECT doc_id, string_split_regex(text,'\s+') AS tk FROM documents),
+      u AS (SELECT doc_id, t, COUNT(*) AS c FROM (SELECT doc_id, unnest(tk) AS t FROM tkt) GROUP BY 1, 2),
+      ua AS (SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct, MAX(c) AS top_c FROM u GROUP BY 1),
+      bgl AS (SELECT doc_id, list_transform(range(1, len(tk)), i -> tk[i]||' '||tk[i+1]) AS bg FROM tkt),
+      b AS (SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, unnest(bg) AS g FROM bgl) GROUP BY 1, 2),
+      ba AS (SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct_bg FROM b GROUP BY 1)
+      SELECT ua.doc_id, CAST(n_words AS BIGINT) AS n_words,
+        ROUND(n_distinct / CAST(n_words AS DOUBLE), 6) AS distinct_frac,
+        ROUND(top_c / CAST(n_words AS DOUBLE), 6) AS top_token_frac,
+        ROUND(1.0 - n_distinct_bg / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac
+      FROM ua JOIN ba ON ua.doc_id = ba.doc_id ORDER BY ua.doc_id""".trim)) { (spark, dir) =>
+    TextAnalysis.repetitionSignals(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
+  /** Benchmark-contamination fraction per (non-benchmark) document. */
+  val textContamination = GraftQuery(
+    "text_contamination",
+    Some(s"""
+      WITH $SH,
+      b AS (SELECT doc_id, s, ('0x'||substr(md5('bench:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 10 = 0 AS is_bench FROM sh),
+      bg AS (SELECT DISTINCT unnest(s) AS g FROM b WHERE is_bench),
+      dg AS (SELECT doc_id, unnest(s) AS g FROM b WHERE NOT is_bench)
+      SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, CAST(COUNT(bg.g) AS BIGINT) AS n_hits,
+        ROUND(COUNT(bg.g) / CAST(COUNT(*) AS DOUBLE), 6) AS contamination
+      FROM dg LEFT JOIN bg ON dg.g = bg.g GROUP BY dg.doc_id ORDER BY doc_id""".trim)) { (spark, dir) =>
+    TextAnalysis.contamination(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
+  /** Deterministic weighted (length-proportional) document sample. */
+  val dataWeighted = GraftQuery(
+    "data_weighted_sample",
+    Some("""
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        CAST(('0x'||substr(md5('ws:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+      FROM documents ORDER BY priority, doc_id LIMIT 100""".trim)) { (spark, dir) =>
+    graft.ops.Splits.weightedSample(
+      Tables.documents(spark, dir).select("doc_id", "n_chars"),
+      "doc_id", "n_chars", 100)
+  }
+
+  /** Sequence packing: documents → fixed token-budget packs. */
+  val dataPack = GraftQuery(
+    "data_pack_sequences",
+    Some("""
+      WITH t AS (SELECT doc_id,
+          CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens,
+          ('0x'||substr(md5('pack:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 8 AS bucket
+        FROM documents),
+      c AS (SELECT doc_id, n_tokens, bucket,
+          COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        FROM t)
+      SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+        CAST(start_tok AS BIGINT) AS start_tok,
+        CAST(start_tok // 2048 AS BIGINT) AS pack_id
+      FROM c ORDER BY doc_id""".trim)) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Splits.packSequences(
+        docs, "doc_id", size(graft.functions.Hashing.tokens(col("text"))))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[GraftQuery] = Seq(
     langId, quality, tokensQ, fingerprintQ,
+    textRepetition, textContamination,
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding,
-    dedupClusters, dataSplit, dataSample,
+    dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,
     annBrute, annIvf, annLsh, annPq)
 }

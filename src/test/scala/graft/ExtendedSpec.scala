@@ -83,4 +83,25 @@ class ExtendedSpec extends SparkTestBase {
       assert(closed(0).getAs[String]("closed_by") == "gap")
     } finally q.stop()
   }
+
+  test("bandJoin: cell-bucketed pairs equal the naive inequality join, " +
+      "including pairs straddling a cell boundary") {
+    import graft.ops.BandJoin
+    val ev = Tables.events(spark, sfDir)
+    val got = BandJoin.pairsWithin(ev, "user_id", "event_id", "ts", 600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val e = ev.select(col("user_id").as("k"), col("event_id").as("id"),
+      unix_micros(col("ts")).as("us"))
+    val naive = e.as("a").join(e.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id") &&
+        abs(col("a.us") - col("b.us")) <= 600L * 1000000L)
+      .select(col("a.id"), col("b.id"), abs(col("a.us") - col("b.us")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive, s"bucketed ${got.size} vs naive ${naive.size}")
+    assert(naive.nonEmpty, "band too narrow to exercise the join")
+    // no pair is emitted twice (exactly-once candidate generation)
+    val gotList = BandJoin.pairsWithin(ev, "user_id", "event_id", "ts", 600L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotList.length == gotList.toSet.size, "duplicate pairs emitted")
+  }
 }

@@ -311,4 +311,75 @@ class TrainingDataSpec extends SparkTestBase {
     assert(recall(d2) >= recall(d1),
       s"depth-2 recall ${recall(d2)} < depth-1 recall ${recall(d1)}")
   }
+
+  test("repetitionSignals: degenerate repetition scores high, varied text low") {
+    val d = docs(
+      1L -> "spam spam spam spam spam spam",      // one token repeated
+      2L -> "alpha beta gamma delta epsilon zeta", // all distinct
+      3L -> "go stop go stop go stop")             // repeated bigram cycle
+    val r = TextAnalysis.repetitionSignals(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 6)
+    assert(r(1L).getDouble(3) == 1.0)              // top_token_frac
+    assert(r(1L).getDouble(4) == 1.0 - 1.0 / 5.0)  // 5 bigrams, 1 distinct
+    assert(r(2L).getDouble(2) == 1.0)              // distinct_frac
+    assert(r(2L).getDouble(4) == 0.0)              // no repeated bigram
+    assert(r(3L).getDouble(2) < 0.5 && r(3L).getDouble(4) > 0.5)
+  }
+
+  test("contamination: doc sharing benchmark shingles scores > disjoint doc") {
+    val d = Tables.documents(spark, sfDir)
+    val out = TextAnalysis.contamination(d)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every score is a valid fraction and hits never exceed grams
+    assert(rows.forall { r =>
+      val (g, h, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      h >= 0 && h <= g && c >= 0.0 && c <= 1.0
+    })
+    // benchmark docs themselves are excluded from the scored output
+    import graft.functions.Hashing.hash60
+    val benchIds = d.select(col("doc_id"))
+      .filter(hash60(concat(lit("bench:"), col("doc_id").cast("string"))) % 10 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet.intersect(benchIds).isEmpty)
+    // shared vocabulary in the synthetic corpus must produce some overlap
+    assert(rows.exists(_.getDouble(3) > 0.0))
+  }
+
+  test("weightedSample is deterministic and weight-biased") {
+    import graft.ops.Splits
+    val d = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+    val s1 = Splits.weightedSample(d, "doc_id", "n_chars", 50).collect()
+    val s2 = Splits.weightedSample(d, "doc_id", "n_chars", 50).collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq)
+    assert(s1.length == 50)
+    // length-weighted sampling must pull the sample mean length above the
+    // corpus mean (weights span ~50..500 chars)
+    val corpusMean = d.agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = s1.map(_.getLong(1)).sum.toDouble / s1.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("packSequences fills budgets in order within hash lanes") {
+    import graft.ops.Splits
+    val d = Tables.documents(spark, sfDir)
+    val out = Splits.packSequences(
+      d, "doc_id", size(graft.functions.Hashing.tokens(col("text"))),
+      budget = 200, buckets = 4).collect()
+    assert(out.map(_.getLong(0)).toSet.size == out.length) // every doc once
+    // exclusive cumsum: within a lane, start_tok is the sum of prior docs
+    val byLane = out.groupBy(_.getLong(2))
+    assert(byLane.keySet.subsetOf((0L until 4L).toSet))
+    for ((_, rows) <- byLane) {
+      val sorted = rows.sortBy(_.getLong(0))
+      var acc = 0L
+      for (r <- sorted) {
+        assert(r.getLong(3) == acc, s"start_tok ${r.getLong(3)} != $acc")
+        assert(r.getLong(4) == acc / 200)
+        acc += r.getLong(1)
+      }
+    }
+  }
 }
