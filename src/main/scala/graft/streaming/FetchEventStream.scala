@@ -102,6 +102,20 @@ object FetchEventStream {
       .start()
   }
 
+  /** Exactly-once event feed from an at-least-once publisher: drop
+    * replayed fetch events by fetch_id. The reference's producer
+    * (streaming/load.py) republishes on retry, so consumers see
+    * duplicate fetch_ids arriving near the original event time.
+    * `dropDuplicatesWithinWatermark` keys dedup state by fetch_id but
+    * EVICTS it once the watermark passes — state stays bounded by the
+    * duplicate horizon (retries arrive within minutes), where plain
+    * `dropDuplicates` would accrete one state row per fetch_id forever
+    * (unbounded at 100 TB-scale ingest). */
+  def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("finished_at", watermark)
+      .dropDuplicatesWithinWatermark("fetch_id")
+
   /** Watermarked tumbling-window fetch-health aggregation: per window,
     * jobs by terminal status and the success rate — the dashboard's
     * health tiles, computed incrementally instead of by table scan. */

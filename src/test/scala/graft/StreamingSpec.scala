@@ -43,6 +43,28 @@ class StreamingSpec extends SparkTestBase {
     assert(h(0).getAs[Double]("success_rate") == 0.5)
   }
 
+  test("dedupedEvents drops replayed fetch_ids with watermark-bounded state") {
+    val in = tmp("events-dup")
+    val hour = 3600 * 1000L
+    Files.writeString(in.resolve("b0.json"), Seq(
+      eventJson("f1", "success", hour),
+      eventJson("f1", "success", hour + 60000L), // publisher retry
+      eventJson("f2", "success", hour + 120000L),
+      eventJson("f1", "success", hour + 90000L)  // second retry
+    ).mkString("\n"))
+    val deduped = FetchEventStream.dedupedEvents(
+      FetchEventStream.validEvents(FetchEventStream.parseEvents(
+        FetchEventStream.readRaw(spark, in.toString))))
+    val q = deduped.writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("fetch_id")
+        .collect().map(_.getString(0)).sorted
+      assert(ids.toSeq == Seq("f1", "f2"), s"got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("windowed health runs as a real streaming query with watermark") {
     val in = tmp("events2")
     Files.writeString(in.resolve("b.json"), Seq(

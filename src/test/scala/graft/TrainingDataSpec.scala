@@ -362,6 +362,33 @@ class TrainingDataSpec extends SparkTestBase {
       s"sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("approx sketches land within their documented error bounds") {
+    import graft.ops.Sketches
+    val ev = Tables.events(spark, sfDir)
+    val approx = Sketches.approxSummary(
+        ev, Seq("event_type"), "user_id", "value", Seq(0.5), rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = Sketches.exactSummary(
+        ev, Seq("event_type"), "user_id", "value", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    for (k <- exact.keys) {
+      val (a, e) = (approx(k), exact(k))
+      val (ad, ed) = (a.getLong(1).toDouble, e.getLong(1).toDouble)
+      assert(math.abs(ad - ed) <= 3 * 0.05 * ed + 1,
+        s"$k: approx distinct $ad vs exact $ed out of 3*rsd")
+      // percentile_approx rank error <= n/accuracy; with accuracy 10000
+      // and n ~ thousands the approx median must sit between the exact
+      // 45th and 55th percentiles
+      val med = a.getList[Double](2).get(0)
+      val lo = ev.filter(col("event_type") === k)
+        .agg(percentile(col("value"), lit(0.45))).head().getDouble(0)
+      val hi = ev.filter(col("event_type") === k)
+        .agg(percentile(col("value"), lit(0.55))).head().getDouble(0)
+      assert(med >= lo && med <= hi, s"$k: approx median $med outside [$lo,$hi]")
+    }
+  }
+
   test("packSequences fills budgets in order within hash lanes") {
     import graft.ops.Splits
     val d = Tables.documents(spark, sfDir)
