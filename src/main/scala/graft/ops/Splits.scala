@@ -48,6 +48,21 @@ object Splits {
       .drop("__rn", "__n")
   }
 
+  /** Per-stratum quota: keep at most `cap` rows per `strataCol` group —
+    * the absolute-count twin of [[stratified]] (source-balance caps in
+    * corpus curation: no single domain/source may contribute more than
+    * its quota). Same stability contract: the kept rows are the cap
+    * smallest id-hashes, so the selection is uniform within the group
+    * and stable under corpus growth. One shuffle on the strata key. */
+  def quota(df: DataFrame, idCol: String, strataCol: String,
+      cap: Int, salt: String = "quota"): DataFrame = {
+    val h = hash60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(strataCol).orderBy(h, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Deterministic weighted sample: priority = hash(id)/weight, keep the
     * k smallest priorities. A row's selection odds scale with its weight
     * (e.g. sample long documents proportionally to length), yet the

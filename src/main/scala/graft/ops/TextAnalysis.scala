@@ -153,6 +153,35 @@ object TextAnalysis {
         round(col("n_hits") / col("n_grams").cast("double"), 6))
   }
 
+  /** Top-k characteristic terms per document by TF-IDF, with a RATIONAL
+    * idf (tf·N/df instead of tf·log(N/df)): scoring is pure integer
+    * arithmetic plus one IEEE division, so ranks are reproducible across
+    * engines and hardware — `log` is not correctly-rounded in either
+    * engine and can flip near-tie ranks. Monotone in the same variables,
+    * so the per-doc ORDER is log-TF-IDF's whenever no exact rational tie
+    * says otherwise.
+    *
+    * Two aggregations (both map-side combined: (doc,term) then term) and
+    * one broadcast of the corpus size; the per-doc top-k window sorts
+    * only each doc's own vocabulary.
+    */
+  def topTerms(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("score"))
+  }
+
   /** Document fingerprint: bottom-k sketch of the 60-bit hashes of the
     * document's 3-word shingles (a winnowing-style content signature —
     * two documents sharing most shingles share most of the sketch).

@@ -387,9 +387,42 @@ object TrainingData extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Top-3 characteristic terms per doc (rational TF-IDF). */
+  val textTfidf = GraftQuery(
+    "text_tfidf",
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+          CAST(tf.tf * n.n AS DOUBLE) / dfq.df AS score,
+          ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+            ORDER BY CAST(tf.tf * n.n AS DOUBLE) / dfq.df DESC, tf.term) AS rn
+        FROM tf JOIN dfq USING (term) CROSS JOIN n)
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+      FROM s WHERE rn <= 3 ORDER BY doc_id, term""".trim)) { (spark, dir) =>
+    TextAnalysis.topTerms(Tables.documents(spark, dir)).orderBy("doc_id", "term")
+  }
+
+  /** Per-source quota cap (source-balance curation). */
+  val dataQuota = GraftQuery(
+    "data_quota",
+    Some("""
+      WITH r AS (SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+            ('0x'||substr(md5('quota:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT, doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, source FROM r WHERE rn <= 15 ORDER BY doc_id""".trim)) { (spark, dir) =>
+    graft.ops.Splits.quota(
+        Tables.documents(spark, dir).select("doc_id", "source"),
+        "doc_id", "source", 15)
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[GraftQuery] = Seq(
     langId, quality, tokensQ, fingerprintQ,
-    textRepetition, textContamination,
+    textRepetition, textContamination, textTfidf, dataQuota,
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding,
     dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,

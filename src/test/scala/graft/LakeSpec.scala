@@ -44,28 +44,44 @@ class LakeSpec extends SparkTestBase {
   }
 
   test("bucketed tables join without a shuffle exchange") {
+    import graft.sources.Bucketed
     val n = 1000
-    (1 to n).map(i => (i.toLong, s"cust$i")).toDF("key", "name")
-      .write.mode("overwrite").bucketBy(8, "key").sortBy("key")
-      .saveAsTable("cust_bucketed")
-    (1 to 5 * n).map(i => (i.toLong % n + 1, i * 10.0)).toDF("key", "amount")
-      .write.mode("overwrite").bucketBy(8, "key").sortBy("key")
-      .saveAsTable("orders_bucketed")
+    Bucketed.write((1 to n).map(i => (i.toLong, s"cust$i")).toDF("key", "name"),
+      "cust_bucketed", 8, Seq("key"))
+    Bucketed.write(
+      (1 to 5 * n).map(i => (i.toLong % n + 1, i * 10.0)).toDF("key", "amount"),
+      "orders_bucketed", 8, Seq("key"))
 
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = spark.table("orders_bucketed")
-        .join(spark.table("cust_bucketed"), "key")
-        .groupBy("name").agg(sum("amount").as("total"))
+      val joined = Bucketed.cojoin(spark, "orders_bucketed", "cust_bucketed",
+        Seq("key"))
       joined.collect()
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), plan)
-      // co-located: no shuffle on the JOIN key (the groupBy(name)
-      // aggregation exchange afterwards is expected and unrelated)
-      assert(!plan.contains("Exchange hashpartitioning(key"),
-        s"expected shuffle-free bucketed join:\n$plan")
-      assert(joined.count() == n)
+      assert(!Bucketed.hasShuffle(joined),
+        s"expected shuffle-free bucketed join:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == 5 * n)
+      // the same aggregation, bucket-aligned: groupBy on the bucket key
+      // also plans with no exchange
+      val agg = spark.table("orders_bucketed").groupBy("key")
+        .agg(sum("amount").as("total"))
+      agg.collect()
+      assert(!Bucketed.hasShuffle(agg),
+        s"expected shuffle-free bucketed agg:\n${agg.queryExecution.executedPlan}")
+      // bucket pruning: an equality filter on the bucket key scans 1/8
+      // of the buckets (autoBucketedScan would hide the bucketed read
+      // for a bare filter, where nothing downstream consumes the
+      // partitioning — pin it on to observe the pruning)
+      val prevAuto =
+        spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val pruned = spark.table("orders_bucketed").filter(col("key") === 7L)
+        val scanDesc = pruned.queryExecution.executedPlan.toString
+        assert(scanDesc.contains("SelectedBucketsCount: 1 out of 8"),
+          s"expected bucket pruning:\n$scanDesc")
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

@@ -362,6 +362,37 @@ class TrainingDataSpec extends SparkTestBase {
       s"sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("topTerms ranks rare-but-frequent terms first, k per doc") {
+    val d = docs(
+      1L -> "zebra zebra zebra common common",
+      2L -> "common common common plain plain",
+      3L -> "plain common zebra other words here")
+    val out = TextAnalysis.topTerms(d, k = 2).collect()
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length == 2))
+    // doc 1: 'zebra' (tf=3, df=2) must outrank 'common' (tf=2, df=3)
+    val d1 = out.filter(_.getLong(0) == 1L).map(_.getString(1)).toSeq
+    assert(d1.head == "zebra", s"got $d1")
+    // score is tf*N/df exactly
+    val z = out.filter(r => r.getLong(0) == 1L && r.getString(1) == "zebra").head
+    assert(z.getDouble(4) == 3.0 * 3 / 2)
+  }
+
+  test("quota keeps at most cap rows per stratum, stably") {
+    import graft.ops.Splits
+    val d = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val out = Splits.quota(d, "doc_id", "source", 15)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((s, n) <- orig)
+      assert(bySource(s) == math.min(n, 15L), s"$s: ${bySource(s)}")
+    // stable: same selection on rerun
+    val again = Splits.quota(d, "doc_id", "source", 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("approx sketches land within their documented error bounds") {
     import graft.ops.Sketches
     val ev = Tables.events(spark, sfDir)
