@@ -168,7 +168,33 @@ object MeteoQueries extends QueryPack {
       Seq("l_discount", "l_extendedprice", "l_quantity"))
   }
 
+  /** Single-pass per-column table profile (ANALYZE TABLE / data-quality
+    * summary) over `orders`. */
+  val profileQ = GraftQuery(
+    "dash_profile",
+    Some("""
+      WITH a AS (SELECT COUNT(*) AS n,
+        COUNT(o_orderkey) AS c1, COUNT(DISTINCT o_orderkey) AS d1, CAST(MIN(o_orderkey) AS VARCHAR) AS mn1, CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+        COUNT(o_custkey) AS c2, COUNT(DISTINCT o_custkey) AS d2, CAST(MIN(o_custkey) AS VARCHAR) AS mn2, CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+        COUNT(o_orderstatus) AS c3, COUNT(DISTINCT o_orderstatus) AS d3, CAST(MIN(o_orderstatus) AS VARCHAR) AS mn3, CAST(MAX(o_orderstatus) AS VARCHAR) AS mx3,
+        COUNT(o_totalprice) AS c4, COUNT(DISTINCT o_totalprice) AS d4, CAST(MIN(o_totalprice) AS VARCHAR) AS mn4, CAST(MAX(o_totalprice) AS VARCHAR) AS mx4,
+        COUNT(o_orderdate) AS c5, COUNT(DISTINCT o_orderdate) AS d5, CAST(MIN(o_orderdate) AS VARCHAR) AS mn5, CAST(MAX(o_orderdate) AS VARCHAR) AS mx5,
+        COUNT(o_orderpriority) AS c6, COUNT(DISTINCT o_orderpriority) AS d6, CAST(MIN(o_orderpriority) AS VARCHAR) AS mn6, CAST(MAX(o_orderpriority) AS VARCHAR) AS mx6
+       FROM orders)
+      SELECT 'o_orderkey' AS col_name, n, n - c1 AS n_nulls, d1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM a
+      UNION ALL SELECT 'o_custkey', n, n - c2, d2, mn2, mx2 FROM a
+      UNION ALL SELECT 'o_orderstatus', n, n - c3, d3, mn3, mx3 FROM a
+      UNION ALL SELECT 'o_totalprice', n, n - c4, d4, mn4, mx4 FROM a
+      UNION ALL SELECT 'o_orderdate', n, n - c5, d5, mn5, mx5 FROM a
+      UNION ALL SELECT 'o_orderpriority', n, n - c6, d6, mn6, mx6 FROM a
+      ORDER BY col_name""".trim)) { (spark, dir) =>
+    graft.ops.Profile.profile(Tables.orders(spark, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+      .orderBy("col_name")
+  }
+
   override def all: Seq[GraftQuery] = Seq(
     normalize, upsertLatest, ledger, countLocations, tableCounts,
-    lastStatus, recent, describeQ)
+    lastStatus, recent, describeQ, profileQ)
 }

@@ -147,4 +147,25 @@ class MeteoSpec extends SparkTestBase {
     assert(d.forall(_.getAs[Long]("n") == 6)) // 2 payloads x 3 hours
     assert(d.head.getAs[Double]("std") > 0)
   }
+
+  test("profile computes n/nulls/distinct/min/max per column in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(2.5)),
+      (2L, None, Some(1.0)),
+      (3L, Some("a"), None),
+      (4L, Some("b"), Some(2.5))).toDF("id", "s", "v")
+    val p = graft.ops.Profile.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) == 4 && p("id").getLong(2) == 0 &&
+      p("id").getLong(3) == 4)
+    assert(p("s").getLong(2) == 1 && p("s").getLong(3) == 2)
+    assert(p("s").getString(4) == "a" && p("s").getString(5) == "b")
+    assert(p("v").getLong(2) == 1 && p("v").getLong(3) == 2 &&
+      p("v").getString(4) == "1.0" && p("v").getString(5) == "2.5")
+    // single scan: exactly one leaf in the plan (the table is read once)
+    val leaves = graft.ops.Profile.profile(df, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.collectLeaves()
+    assert(leaves.size == 1, s"expected one scan, got ${leaves.size}")
+  }
 }
