@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling: per-key regular-grid gap fill with linear
+  * interpolation (the meteo lane's "hourly observation series with
+  * holes" shape — reference stores raw per-timestamp rows, see
+  * `/root/reference/etl/models.py:60` `to_records`; an analytics
+  * consumer needs the regular grid).
+  *
+  * Scale shape: one shuffle to aggregate onto the grid unit, a
+  * broadcast-sized span table, and two window passes per key — state is
+  * one (ts, value) pair per direction, never the whole series. Grid
+  * synthesis is `sequence()` per key (distributed explode), not a
+  * driver-side loop; partitions are bounded by per-key grid length, so
+  * at lake scale keys (stations, sensors) parallelize and a single
+  * key's series stays a few thousand rows per year of hourly data.
+  */
+object Resample {
+
+  /** Aggregate `valCol` onto a truncated-`unit` grid per `key` (exact
+    * decimal mean, rounded to 6dp), fill every missing grid cell
+    * between each key's first and last observation by linear
+    * interpolation between the surrounding observed cells.
+    *
+    * Output: (key, h, v_filled, src∈{observed,interpolated}).
+    */
+  def gapfillLinear(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      valCol: String,
+      unit: String = "hour",
+      stepSql: String = "interval 1 hour"): DataFrame = {
+    import graft.functions.Exact.dec
+
+    val base = df
+      .groupBy(col(key), date_trunc(unit, col(tsCol)).as("h"))
+      .agg(round(sum(dec(col(valCol))).cast("double") / count(lit(1)), 6)
+        .as("v"))
+    val grid = base.groupBy(col(key))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col(key), explode(sequence(col("h0"), col("h1"), expr(stepSql)))
+        .as("h"))
+    val j = grid.join(base, Seq(key, "h"), "left")
+
+    val wPrev = Window.partitionBy(key).orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(key).orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // h and v come from the SAME observed row by construction: the
+    // carried expressions are non-null exactly when v is (so, unlike a
+    // multi-column payload, independent last/first calls cannot stitch
+    // values from different rows).
+    val knownH = when(col("v").isNotNull, col("h"))
+    val withNeighbors = j
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(knownH, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(knownH, ignoreNulls = true).over(wNext))
+
+    // fraction of the gap elapsed, in grid-epoch seconds (exact longs
+    // until the single double division — engine-reproducible)
+    val frac = (unix_timestamp(col("h")) - unix_timestamp(col("ph")))
+      .cast("double") /
+      (unix_timestamp(col("nh")) - unix_timestamp(col("ph"))).cast("double")
+    withNeighbors
+      .withColumn("v_filled",
+        when(col("v").isNotNull, col("v"))
+          .otherwise(round(col("pv") + (col("nv") - col("pv")) * frac, 6)))
+      .withColumn("src",
+        when(col("v").isNotNull, lit("observed")).otherwise(lit("interpolated")))
+      .select(col(key), col("h"), col("v_filled"), col("src"))
+  }
+}

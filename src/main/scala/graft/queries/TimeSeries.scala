@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.ops.Resample
+
+/** SURVEY.md §2.9 — time-series surface: regular-grid gap fill with
+  * linear interpolation, and calendar-RANGE rolling windows.
+  */
+object TimeSeries extends QueryPack {
+
+  /** Hourly resample of the events feed per event_type, every missing
+    * hour linearly interpolated between its observed neighbors (the
+    * meteo "hourly series with holes" analytics shape). */
+  val tsGapfill = GraftQuery(
+    "ts_gapfill",
+    Some("""
+      WITH base AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS v
+        FROM events GROUP BY 1, 2),
+      grid AS (
+        SELECT event_type, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        FROM base GROUP BY event_type),
+      j AS (
+        SELECT g.event_type, g.h, b.v
+        FROM grid g LEFT JOIN base b ON g.event_type = b.event_type AND g.h = b.h),
+      w AS (
+        SELECT event_type, h, v,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+          first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        FROM j)
+      SELECT event_type, h,
+        CASE WHEN v IS NOT NULL THEN v
+             ELSE ROUND(pv + (nv - pv) *
+               (CAST(CAST(epoch(h) AS BIGINT) - CAST(epoch(ph) AS BIGINT) AS DOUBLE) /
+                CAST(CAST(epoch(nh) AS BIGINT) - CAST(epoch(ph) AS BIGINT) AS DOUBLE)), 6)
+        END AS v_filled,
+        CASE WHEN v IS NOT NULL THEN 'observed' ELSE 'interpolated' END AS src
+      FROM w ORDER BY event_type, h""".stripMargin.trim)) { (spark, dir) =>
+    Resample.gapfillLinear(Tables.events(spark, dir), "event_type", "ts", "value")
+      .orderBy("event_type", "h")
+  }
+
+  /** Calendar-RANGE rolling window: per customer, the exact 7-day
+    * trailing spend and order count at each order (value-based frame —
+    * peers with the same date share a result; decimal sum for
+    * cross-engine bit-identity). */
+  val q32 = GraftQuery(
+    "q32_range_frame",
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderdate,
+        CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS DOUBLE) AS spend_7d,
+        COUNT(*) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS n_7d
+      FROM orders ORDER BY o_orderkey""".stripMargin.trim)) { (spark, dir) =>
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+      expr("""CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS DOUBLE)""")
+        .as("spend_7d"),
+      expr("""COUNT(*) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)""")
+        .as("n_7d"))
+      .orderBy("o_orderkey")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(tsGapfill, q32)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+import graft.ops.Resample
+
+class TimeSeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+
+  test("gapfillLinear fills interior holes by linear interpolation") {
+    // key a: observed at hours 0 (v=10) and 3 (v=40) → hours 1,2
+    // interpolated at 20, 30; key b: no holes
+    val df = Seq(
+      ("a", ts(0, 15), 10.0), ("a", ts(3, 45), 40.0),
+      ("b", ts(5), 1.0), ("b", ts(6), 2.0)).toDF("k", "t", "x")
+    val out = Resample.gapfillLinear(df, "k", "t", "x")
+      .orderBy("k", "h").collect()
+    assert(out.length == 6) // a: hours 0..3, b: hours 5..6
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getAs[Double]("v_filled")).toSeq ==
+      Seq(10.0, 20.0, 30.0, 40.0))
+    assert(a.map(_.getAs[String]("src")).toSeq ==
+      Seq("observed", "interpolated", "interpolated", "observed"))
+    assert(out.filter(_.getString(0) == "b")
+      .forall(_.getAs[String]("src") == "observed"))
+  }
+
+  test("gapfillLinear averages multiple observations in one grid cell") {
+    val df = Seq(("a", ts(0, 1), 1.0), ("a", ts(0, 59), 3.0))
+      .toDF("k", "t", "x")
+    val out = Resample.gapfillLinear(df, "k", "t", "x").collect()
+    assert(out.length == 1 && out.head.getAs[Double]("v_filled") == 2.0)
+  }
+
+  test("gapfill on real events leaves no nulls and preserves observed cells") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val out = Resample.gapfillLinear(ev, "event_type", "ts", "value")
+    assert(out.filter(col("v_filled").isNull).count() == 0)
+    // every observed hourly mean survives unchanged
+    val base = ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("v"))
+    val joined = base.join(out, Seq("event_type", "h"))
+    assert(joined.count() == base.count())
+    assert(joined.filter(col("v") =!= col("v_filled")).count() == 0)
+  }
+
+  test("range-interval rolling window matches a naive per-row computation") {
+    val q = queries.TimeSeries.q32.run(spark, "/root/testdata/sf0.001")
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    // naive: self-join on customer with the 7-day band condition
+    val l = o.as("l"); val r = o.as("r")
+    val naive = l.join(r,
+        col("l.o_custkey") === col("r.o_custkey") &&
+        col("r.o_orderdate") <= col("l.o_orderdate") &&
+        col("r.o_orderdate") >= col("l.o_orderdate") - expr("interval 7 days"))
+      .groupBy(col("l.o_orderkey").as("o_orderkey"))
+      .agg(round(sum(col("r.o_totalprice").cast("decimal(18,2)"))
+        .cast("double"), 2).as("exp_spend"),
+        count(lit(1)).as("exp_n"))
+    val cmp = q.join(naive, "o_orderkey")
+    assert(cmp.filter(col("spend_7d") =!= col("exp_spend") ||
+      col("n_7d") =!= col("exp_n")).count() == 0)
+  }
+}
