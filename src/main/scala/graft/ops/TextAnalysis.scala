@@ -195,4 +195,30 @@ object TextAnalysis {
       slice(array_sort(array_distinct(
         transform(shingles3(tokens(col(textCol))), g => hash60(g)))), 1, k).as("fp"))
       .withColumn("fp_str", concat_ws(",", col("fp").cast("array<string>")))
+
+  /** PII redaction pass: mask emails, SSN-shaped ids, and long digit
+    * runs with typed placeholders; per-doc match counts (on the
+    * ORIGINAL text) alongside the masked text. Patterns stay in the
+    * RE2-compatible subset (no lookarounds/backrefs) so the same
+    * regexes run identically on Java regex (Spark codegen'd
+    * `regexp_replace`/`regexp_count` — narrow, no shuffle) and any
+    * RE2-based engine. Masking order is fixed (email → id → number):
+    * each rule sees the previous rule's output, so an SSN inside an
+    * email is ONE `<EMAIL>`, not nested placeholders. */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiId = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val piiNumber = "[0-9]{7,}"
+
+  def maskPii(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(piiEmail)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(piiId)).cast("long").as("n_ids"),
+      regexp_count(col(textCol), lit(piiNumber)).cast("long").as("n_numbers"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), piiEmail, "<EMAIL>"),
+          piiId, "<ID>"),
+        piiNumber, "<NUM>").as("masked"))
 }

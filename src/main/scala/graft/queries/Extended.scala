@@ -168,5 +168,62 @@ object Extended extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q13, q14, q15, curation, q31)
+  /** Full MERGE / CDC apply: a deterministic change log derived from
+    * orders (updates, deletes, inserts, and a later change overriding an
+    * earlier delete) applied via [[graft.ops.Merge]]; the oracle is the
+    * textbook FULL OUTER JOIN formulation. */
+  val q33 = GraftQuery(
+    "q33_merge_cdc",
+    Some("""
+      WITH changes AS (
+        SELECT o_orderkey, o_custkey,
+               'X' AS o_orderstatus, o_totalprice + 100 AS o_totalprice,
+               o_orderdate, o_orderpriority,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op, 1 AS seq
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+               o_orderdate, o_orderpriority, 'I', 1
+        FROM orders WHERE o_orderkey % 11 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'R', o_totalprice,
+               o_orderdate, o_orderpriority, 'U', 2
+        FROM orders WHERE o_orderkey % 21 = 0),
+      latest AS (
+        SELECT * FROM (
+          SELECT c.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+          FROM changes c) WHERE rn = 1)
+      SELECT
+        COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
+        CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+        CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+        CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderdate ELSE b.o_orderdate END AS o_orderdate,
+        CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
+      FROM orders b FULL OUTER JOIN latest c ON b.o_orderkey = c.o_orderkey
+      WHERE NOT (c.o_orderkey IS NOT NULL AND c.op = 'D')
+      ORDER BY o_orderkey""".stripMargin.trim)) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val upd = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("o_totalprice", col("o_totalprice") + 100)
+      .withColumn("op",
+        when(col("o_orderkey") % 3 === 0, "D").otherwise("U"))
+      .withColumn("seq", lit(1))
+    val ins = o.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("op", lit("I"))
+      .withColumn("seq", lit(1))
+    val late = o.filter(col("o_orderkey") % 21 === 0)
+      .withColumn("o_orderstatus", lit("R"))
+      .withColumn("op", lit("U"))
+      .withColumn("seq", lit(2))
+    val changes = upd.unionByName(ins).unionByName(late)
+    graft.ops.Merge.applyChangeLog(o, changes, Seq("o_orderkey"), "op",
+        col("seq"))
+      .orderBy("o_orderkey")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q13, q14, q15, curation, q31, q33)
 }

@@ -194,7 +194,36 @@ object MeteoQueries extends QueryPack {
       .orderBy("col_name")
   }
 
+  /** Incrementally-maintained dashboard rollup: the per-type statistics
+    * computed by MERGING two batch states (before/after a cutover day)
+    * via [[graft.ops.IncrementalAgg]] — the oracle aggregates the full
+    * table directly, so the gate proves state-merge ≡ one-shot (the
+    * decimal state algebra is exact and associative). */
+  val rollupIncremental = GraftQuery(
+    "rollup_incremental",
+    Some("""
+      SELECT event_type,
+        COUNT(value) AS n,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS mean,
+        MIN(value) AS vmin, MAX(value) AS vmax,
+        ROUND((CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+          - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+            * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value))
+          / COUNT(value), 6) AS var_pop
+      FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.trim)) {
+    (spark, dir) =>
+    import graft.ops.IncrementalAgg
+    val ev = Tables.events(spark, dir)
+    val cut = lit("2024-01-20").cast("timestamp")
+    val merged = IncrementalAgg.merge(Seq(
+        IncrementalAgg.state(ev.filter(col("ts") < cut), Seq("event_type"), "value"),
+        IncrementalAgg.state(ev.filter(col("ts") >= cut), Seq("event_type"), "value")),
+      Seq("event_type"))
+    IncrementalAgg.finalize(merged, Seq("event_type")).orderBy("event_type")
+  }
+
   override def all: Seq[GraftQuery] = Seq(
     normalize, upsertLatest, ledger, countLocations, tableCounts,
-    lastStatus, recent, describeQ, profileQ)
+    lastStatus, recent, describeQ, profileQ, rollupIncremental)
 }

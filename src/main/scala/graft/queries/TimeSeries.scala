@@ -79,5 +79,37 @@ object TimeSeries extends QueryPack {
       .orderBy("o_orderkey")
   }
 
-  override def all: Seq[GraftQuery] = Seq(tsGapfill, q32)
+  /** Robust anomaly gate: events whose value deviates from the
+    * per-type exact median by more than 3×MAD (rank-arithmetic
+    * percentile_disc medians — engine-reproducible). */
+  val q34 = GraftQuery(
+    "q34_outliers",
+    Some("""
+      WITH r AS (SELECT event_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+      med AS (SELECT event_type,
+          MIN(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS med
+        FROM r GROUP BY event_type),
+      d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+              abs(e.value - m.med) AS dev
+            FROM events e JOIN med m USING (event_type)),
+      dr AS (SELECT event_type, event_id, dev,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n FROM d),
+      mad AS (SELECT event_type,
+          MIN(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN dev END) AS mad
+        FROM dr GROUP BY event_type)
+      SELECT d.event_id, d.event_type, d.value, ROUND(d.med, 6) AS med,
+        ROUND(m.mad, 6) AS mad, ROUND(d.dev, 6) AS dev
+      FROM d JOIN mad m USING (event_type)
+      WHERE d.dev > 3 * m.mad
+      ORDER BY d.event_type, d.event_id""".stripMargin.trim)) { (spark, dir) =>
+    graft.ops.Outliers.robustZ(
+        Tables.events(spark, dir), "event_type", "value", "event_id", 3.0)
+      .orderBy("event_type", "event_id")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(tsGapfill, q32, q34)
 }

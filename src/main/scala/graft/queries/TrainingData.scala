@@ -420,8 +420,24 @@ object TrainingData extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** PII redaction: masked text + per-doc pattern counts. */
+  val textPii = GraftQuery(
+    "text_pii_mask",
+    Some("""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ids,
+        CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_numbers,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g'),
+          '[0-9]{7,}', '<NUM>', 'g') AS masked
+      FROM documents ORDER BY doc_id""".trim)) { (spark, dir) =>
+    TextAnalysis.maskPii(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
   override def all: Seq[GraftQuery] = Seq(
-    langId, quality, tokensQ, fingerprintQ,
+    langId, quality, tokensQ, fingerprintQ, textPii,
     textRepetition, textContamination, textTfidf, dataQuota,
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding,

@@ -104,4 +104,29 @@ class ExtendedSpec extends SparkTestBase {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(gotList.length == gotList.toSet.size, "duplicate pairs emitted")
   }
+
+  test("merge applyChangeLog: insert/update/delete/late-override/update-to-null") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, Some("c"), 30.0), (4L, Some("d"), 40.0))
+      .toDF("k", "s", "x")
+    val changes = Seq(
+      (2L, Some("B"), 21.0, "U", 1L),   // plain update
+      (3L, Some("c"), 30.0, "D", 1L),   // delete
+      (4L, Some("d"), 40.0, "D", 1L),   // delete…
+      (4L, Some("d2"), 41.0, "U", 2L),  // …overridden by a later update
+      (5L, Some("e"), 50.0, "I", 1L),   // insert
+      (2L, None, 22.0, "U", 2L))        // latest update sets s to NULL
+      .toDF("k", "s", "x", "op", "seq")
+    val out = graft.ops.Merge
+      .applyChangeLog(base, changes, Seq("k"), "op", col("seq"))
+      .orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 5L))
+    val byK = out.map(r => r.getLong(0) -> r).toMap
+    assert(byK(1L).getString(1) == "a" && byK(1L).getDouble(2) == 10.0)
+    assert(byK(2L).isNullAt(1) && byK(2L).getDouble(2) == 22.0)
+    assert(byK(4L).getString(1) == "d2" && byK(4L).getDouble(2) == 41.0)
+    assert(byK(5L).getString(1) == "e" && byK(5L).getDouble(2) == 50.0)
+  }
 }

@@ -148,6 +148,26 @@ class MeteoSpec extends SparkTestBase {
     assert(d.head.getAs[Double]("std") > 0)
   }
 
+  test("incremental state merge equals one-shot aggregation, any batching") {
+    import graft.ops.IncrementalAgg
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val oneShot = IncrementalAgg.finalize(
+      IncrementalAgg.state(ev, Seq("event_type"), "value"), Seq("event_type"))
+      .orderBy("event_type").collect()
+    // three arbitrary batches by user_id residue — a partitioning the
+    // time-based cutover never produces, merged in a different grouping
+    val parts = (0 to 2).map(r =>
+      IncrementalAgg.state(ev.filter(col("user_id") % 3 === r),
+        Seq("event_type"), "value"))
+    val merged = IncrementalAgg.merge(
+      Seq(IncrementalAgg.merge(parts.take(2), Seq("event_type")), parts(2)),
+      Seq("event_type"))
+    val inc = IncrementalAgg.finalize(merged, Seq("event_type"))
+      .orderBy("event_type").collect()
+    assert(inc.toSeq == oneShot.toSeq)
+    assert(oneShot.forall(_.getAs[Double]("var_pop") > 0))
+  }
+
   test("profile computes n/nulls/distinct/min/max per column in one pass") {
     import spark.implicits._
     val df = Seq(

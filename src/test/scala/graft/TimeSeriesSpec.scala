@@ -49,6 +49,19 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(joined.filter(col("v") =!= col("v_filled")).count() == 0)
   }
 
+  test("robustZ flags only the spike: hand-computed median and MAD") {
+    // values 1..9 plus a 100 spike: disc-median = 5, devs sorted
+    // 0,1,1,2,2,3,3,4,4,95 → MAD = 2; k=3 → only dev 95 flagged
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("k", "id", "x")
+    val out = graft.ops.Outliers.robustZ(df, "k", "x", "id", 3.0).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("x") == 100.0)
+    assert(out.head.getAs[Double]("med") == 5.0)
+    assert(out.head.getAs[Double]("mad") == 2.0)
+    assert(out.head.getAs[Double]("dev") == 95.0)
+  }
+
   test("range-interval rolling window matches a naive per-row computation") {
     val q = queries.TimeSeries.q32.run(spark, "/root/testdata/sf0.001")
     val o = Tables.orders(spark, "/root/testdata/sf0.001")

@@ -440,4 +440,19 @@ class TrainingDataSpec extends SparkTestBase {
       }
     }
   }
+  test("maskPii masks emails, ssn-ids, long digit runs and counts matches") {
+    val df = docs(
+      (1L, "contact john.doe+x@ex-ample.co.uk or 555-12-3456 ref 12345678 ok"),
+      (2L, "no pii here, just 123 and 9999 short runs"))
+    val out = TextAnalysis.maskPii(df).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_emails") == 1 && r1.getAs[Long]("n_ids") == 1 &&
+      r1.getAs[Long]("n_numbers") == 1)
+    assert(r1.getAs[String]("masked") ==
+      "contact <EMAIL> or <ID> ref <NUM> ok")
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_emails") == 0 && r2.getAs[Long]("n_ids") == 0 &&
+      r2.getAs[Long]("n_numbers") == 0)
+    assert(r2.getAs[String]("masked") == "no pii here, just 123 and 9999 short runs")
+  }
 }
