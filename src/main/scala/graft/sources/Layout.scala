@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Physical-layout maintenance for a parquet lake: small-file
+  * compaction, z-order clustering, and per-file pruning statistics —
+  * the OPTIMIZE / data-skipping lane a 100 TB table lives or dies by
+  * (a day of streaming micro-batches leaves thousands of KB-sized
+  * files; scans pay per file opened, not per byte).
+  *
+  * All three are distributed dataflow end-to-end: the file list is the
+  * only driver-side small data, bins are assigned by prefix-sum inside
+  * hash lanes (no global sort), and the rewrite routes every bin
+  * wholly into one task via `repartition(bin)` + `partitionBy(bin)` —
+  * no per-bin driver loop.
+  */
+object Layout {
+
+  /** List the data files under `root` as a (path, bytes) DataFrame. */
+  def listFiles(spark: SparkSession, root: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+    import spark.implicits._
+    files.toSeq.toDF("path", "bytes")
+  }
+
+  /** Assign each file to a compaction bin of ~`targetBytes`:
+    * size-descending first-fit-by-prefix-sum inside `lanes` hash lanes
+    * (each lane packs independently — the window never sees more than
+    * one lane; bins overflow by at most one file, the standard
+    * bin-packing relaxation). Bin ids are globally unique. */
+  def planBins(files: DataFrame, targetBytes: Long, lanes: Int = 32): DataFrame = {
+    val lane = pmod(xxhash64(col("path")), lit(lanes))
+    val w = Window.partitionBy("lane").orderBy(col("bytes").desc, col("path"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.withColumn("lane", lane)
+      .withColumn("start", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin",
+        col("lane") * lit(1000000L) + (col("start") / lit(targetBytes)).cast("long"))
+      .select("path", "bytes", "bin")
+  }
+
+  /** Compact `root` into `out`: one parquet file per bin. The
+    * bin→task routing is a hash repartition on the bin id; partitionBy
+    * then splits each task's rows by bin directory, so every bin is
+    * exactly one output file regardless of how bins share tasks. */
+  def compact(spark: SparkSession, root: String, out: String,
+      targetBytes: Long, lanes: Int = 32): Long = {
+    val plan = planBins(listFiles(spark, root), targetBytes, lanes)
+    val nBins = plan.select("bin").distinct().count()
+    // join on the basename: input_file_name() renders a file:/// URI,
+    // FileStatus.getPath a file:/ one — the name is the stable key
+    val base = (c: Column) => regexp_extract(c, "[^/]+$", 0)
+    val routed = spark.read.parquet(root)
+      .withColumn("__fname", base(input_file_name()))
+      .join(broadcast(plan.select(base(col("path")).as("__fname"), col("bin"))),
+        "__fname")
+      .drop("__fname")
+    routed.repartition(nBins.toInt.max(1), col("bin"))
+      .write.mode("overwrite").partitionBy("bin").parquet(out)
+    nBins
+  }
+
+  /** Morton (z-order) interleave of two 16-bit bucket ids — pure
+    * shift/mask integer ops, whole-stage-codegen friendly. */
+  def zInterleave(a: Column, b: Column): Column = {
+    def spread(x: Column): Column = {
+      val x1 = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+      val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(0x33333333L))
+      (x3.bitwiseOR(shiftleft(x3, 1))).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Rewrite `df` clustered by the z-order of two numeric columns into
+    * ~`nFiles` range-partitioned files: each file covers a compact
+    * rectangle of the (cA, cB) space, so a predicate on EITHER column
+    * prunes most files by min/max stats (one-dimensional sort layouts
+    * only prune on the sort key). Buckets are min/max-scaled 16-bit
+    * ranks — cheap and deterministic; swap in quantile boundaries for
+    * heavily skewed dimensions. */
+  def zorderWrite(df: DataFrame, cA: String, cB: String, nFiles: Int,
+      out: String): Unit = {
+    val stats = df.agg(
+      min(col(cA)).cast("double").as("amin"), max(col(cA)).cast("double").as("amax"),
+      min(col(cB)).cast("double").as("bmin"), max(col(cB)).cast("double").as("bmax"))
+    def bucket(c: Column, lo: Column, hi: Column): Column =
+      least(lit(65535L), floor(
+        (c.cast("double") - lo) / (hi - lo + lit(1e-12)) * 65536.0)).cast("long")
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", zInterleave(
+        bucket(col(cA), col("amin"), col("amax")),
+        bucket(col(cB), col("bmin"), col("bmax"))))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "amin", "amax", "bmin", "bmax")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  /** Per-file min/max pruning statistics for `cols` — the skipping
+    * index a scan planner consults before opening files. */
+  def fileStats(spark: SparkSession, root: String, cols: Seq[String]): DataFrame =
+    spark.read.parquet(root)
+      .withColumn("__file", input_file_name())
+      .groupBy("__file")
+      .agg(count(lit(1)).as("rows"),
+        cols.flatMap(c => Seq(
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+
+  /** Fraction of files a point-equality predicate on `c` must open,
+    * given the stats table: the pruning selectivity the layout earns. */
+  def pruneFraction(stats: DataFrame, c: String, value: Double): Double = {
+    val total = stats.count().toDouble
+    val hit = stats.filter(col(s"${c}_min") <= value && col(s"${c}_max") >= value)
+      .count().toDouble
+    hit / total
+  }
+}

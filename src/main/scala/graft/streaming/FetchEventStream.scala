@@ -116,6 +116,36 @@ object FetchEventStream {
       .withWatermark("finished_at", watermark)
       .dropDuplicatesWithinWatermark("fetch_id")
 
+  /** Stream-stream join: PENDING (request) events matched with their
+    * terminal SUCCESS/ERROR events by fetch_id — per-fetch latency AT
+    * INGEST, the reference's `created_at → finished_at` ledger delta
+    * (etl/db.py:52) computed without a table scan. Both sides carry
+    * watermarks and the join condition time-bounds the match to
+    * `horizonSeconds`, so each side's buffered state evicts once the
+    * watermark passes the horizon — bounded by in-flight fetches, not
+    * ingest history. Inner join: a request with no terminal event in
+    * horizon ages out silently (the ledger rollup still reports it
+    * PENDING). */
+  def requestLatency(requests: DataFrame, completions: DataFrame,
+      watermark: String = "1 hour", horizonSeconds: Long = 7200)
+      : DataFrame = {
+    val req = requests.filter(col("status") === FetchStatus.Pending)
+      .select(col("fetch_id"), col("finished_at").as("req_at"))
+      .withWatermark("req_at", watermark)
+    val done = completions
+      .filter(col("status").isin(FetchStatus.Success, FetchStatus.Error))
+      .select(col("fetch_id").as("done_fetch_id"),
+        col("status").as("final_status"), col("finished_at").as("done_at"))
+      .withWatermark("done_at", watermark)
+    req.join(done,
+        col("fetch_id") === col("done_fetch_id") &&
+        col("done_at") >= col("req_at") &&
+        col("done_at") <= col("req_at") + expr(s"interval $horizonSeconds seconds"))
+      .select(col("fetch_id"), col("final_status"), col("req_at"), col("done_at"),
+        (unix_millis(col("done_at")) - unix_millis(col("req_at")))
+          .as("latency_ms"))
+  }
+
   /** Watermarked tumbling-window fetch-health aggregation: per window,
     * jobs by terminal status and the success rate — the dashboard's
     * health tiles, computed incrementally instead of by table scan. */

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.ops.Upsert
+import graft.sources.Layout
 
 /** Lake-scale techniques: partition-bounded MERGE and bucketed
   * co-located joins (the SURVEY §4 claims, exercised). */
@@ -93,5 +94,61 @@ class LakeSpec extends SparkTestBase {
       concat_ws("|", col("l_partkey"), col("l_suppkey")), 0.02)).head().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
+  }
+
+  test("compact packs many small files into ~target-sized bins, content-preserving") {
+    val dir = Files.createTempDirectory("compact")
+    val root = dir.resolve("small").toString
+    val out = dir.resolve("packed").toString
+    val src = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "value")
+    src.repartition(24).write.parquet(root)
+    val nFilesBefore = Layout.listFiles(spark, root).count()
+    assert(nFilesBefore == 24)
+    // large target + 2 lanes → everything packs into 2 bins
+    val nBins = Layout.compact(spark, root, out, targetBytes = 1L << 30, lanes = 2)
+    assert(nBins <= 2)
+    val outFiles = spark.read.parquet(out).withColumn("f", input_file_name())
+      .select("f").distinct().count()
+    assert(outFiles == nBins, s"one file per bin: $outFiles vs $nBins")
+    val a = src.orderBy("event_id").collect().toSeq
+    val b = spark.read.parquet(out).select("event_id", "user_id", "value")
+      .orderBy("event_id").collect().toSeq
+    assert(a == b, "compaction must preserve content exactly")
+  }
+
+  test("planBins bounds bins at target + one straddling file") {
+    val files = (1 to 40).map(i => (s"f$i", 30L)).toDF("path", "bytes")
+    val plan = Layout.planBins(files, targetBytes = 100L, lanes = 1).collect()
+    val byBin = plan.groupBy(_.getAs[Long]("bin")).view.mapValues(_.map(_.getAs[Long]("bytes")).sum)
+    // 40×30 bytes in 100-byte bins, one lane: ceil(1200/120)=10 bins of ≤120
+    assert(byBin.values.forall(_ <= 130L))
+    assert(plan.length == 40 && byBin.size >= 10)
+  }
+
+  test("z-order layout yields compact per-file rectangles that prune on both dims") {
+    val dir = Files.createTempDirectory("zorder")
+    val zout = dir.resolve("z").toString
+    val rout = dir.resolve("rand").toString
+    val grid = spark.range(10000)
+      .selectExpr("id", "CAST(id % 100 AS DOUBLE) AS x", "CAST(id DIV 100 AS DOUBLE) AS y")
+    Layout.zorderWrite(grid, "x", "y", 16, zout)
+    grid.repartition(16).write.parquet(rout)
+
+    def avgArea(root: String): Double = {
+      val st = Layout.fileStats(spark, root, Seq("x", "y")).collect()
+      st.map(r => ((r.getAs[Double]("x_max") - r.getAs[Double]("x_min") + 1) / 100.0) *
+        ((r.getAs[Double]("y_max") - r.getAs[Double]("y_min") + 1) / 100.0)).sum / st.length
+    }
+    val zArea = avgArea(zout)
+    val rArea = avgArea(rout)
+    assert(zArea < 0.2, s"z-order files should cover small rectangles, got $zArea")
+    assert(zArea < rArea / 3, s"z $zArea vs random $rArea")
+
+    val zStats = Layout.fileStats(spark, zout, Seq("x", "y"))
+    val rStats = Layout.fileStats(spark, rout, Seq("x", "y"))
+    assert(Layout.pruneFraction(zStats, "x", 37.0) <= 0.5)
+    assert(Layout.pruneFraction(zStats, "y", 37.0) <= 0.5)
+    assert(Layout.pruneFraction(rStats, "x", 37.0) > 0.9)
   }
 }

@@ -126,4 +126,30 @@ class StreamingSpec extends SparkTestBase {
     val lat1 = obs2.filter(col("latitude") === 1.0).head()
     assert(lat1.getAs[Double]("temperature") == 99.0, "newest fetch wins")
   }
+
+  test("stream-stream join emits request→completion latency, inner-only") {
+    val in = tmp("latency")
+    val base = 1000L * 3600 * 24
+    Files.writeString(in.resolve("batch0.json"),
+      Seq(
+        eventJson("f1", "pending", base),
+        eventJson("f1", "success", base + 60000L),
+        eventJson("f2", "pending", base + 1000L),
+        eventJson("f2", "error", base + 121000L),
+        eventJson("f3", "pending", base + 2000L),   // never completes
+        eventJson("f4", "success", base + 3000L)    // never requested
+      ).mkString("\n"))
+    val events = FetchEventStream.validEvents(
+      FetchEventStream.parseEvents(FetchEventStream.readRaw(spark, in.toString)))
+    val lat = FetchEventStream.requestLatency(events, events)
+    val q = lat.writeStream.format("memory").queryName("lat")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("lat").orderBy("fetch_id").collect()
+    assert(rows.map(_.getAs[String]("fetch_id")).toSeq == Seq("f1", "f2"))
+    assert(rows(0).getAs[Long]("latency_ms") == 60000L)
+    assert(rows(0).getAs[String]("final_status") == "success")
+    assert(rows(1).getAs[Long]("latency_ms") == 120000L)
+    assert(rows(1).getAs[String]("final_status") == "error")
+  }
 }
