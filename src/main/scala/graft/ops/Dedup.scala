@@ -39,6 +39,35 @@ object Dedup {
       .agg(min(col(idCol)).cast("long").as("canonical_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Paragraph-granular duplication signal (the Dolma/CCNet "dedup
+    * paragraphs across the corpus" pass, on a corpus whose unit is a
+    * fixed token window): documents are chunked into consecutive
+    * `chunk`-token windows, each chunk keyed by its stable 60-bit hash,
+    * and every doc reports what fraction of its chunks occur (by hash)
+    * in MORE than one place corpus-wide — high fraction ⇒ boilerplate
+    * or near-copy assembled from duplicated spans that document-level
+    * dedup misses. Shuffles hashes (8 bytes), never chunk text; the
+    * global chunk census is one map-side-combined groupBy. */
+  def chunkDupFraction(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunk: Int = 10): DataFrame = {
+    val tk = tokens(col(textCol))
+    val nChunks = floor((size(tk) + lit(chunk - 1)) / lit(chunk)).cast("int")
+    val chunks = docs
+      .repartition(shufflePartitions(docs), col(idCol))
+      .filter(size(tk) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(transform(sequence(lit(0), nChunks - 1),
+          i => hash60(concat_ws(" ", slice(tk, i * chunk + 1, lit(chunk))))))
+          .as("ch"))
+    val census = chunks.groupBy("ch").agg(count(lit(1)).as("g"))
+    chunks.join(census, "ch")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("g") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_frac",
+        round(col("n_dup_chunks") / col("n_chunks").cast("double"), 6))
+  }
+
   /** Distinct 3-shingle sets per doc, the shared input of the text
     * near-dup operators. Hash-repartitioned on the doc id first: the
     * downstream per-row work (shingling, minhash signatures) is compute-

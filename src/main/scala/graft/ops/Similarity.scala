@@ -102,6 +102,32 @@ object Similarity {
   /** Deterministic random-hyperplane coefficients: plane `p`, dim `d` →
     * a value in [-1, 1] derived from the stable 60-bit hash, so every
     * engine/run agrees on the planes without storing them. */
+  /** Two-stage ANN: the PQ/ADC coarse pass ([[pqTopK]]) nominates
+    * `candK` candidates per query in the compressed domain, then ONLY
+    * those candidates are re-scored with the exact cosine and re-ranked
+    * to `k` — the standard lake-scale recipe (quantized candidate
+    * generation + exact re-rank). The exact pass touches candK raw
+    * vectors per query instead of the corpus; candidate→vector is an
+    * equi-join on the corpus id (shuffle bounded by |queries|·candK),
+    * and the small query side broadcasts. */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame,
+      codebook: DataFrame, m: Int = 8, candK: Int = 20, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = pqTopK(corpus, queries, codebook, m, candK, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = withNorm(corpus, idCol, vecCol)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn"))
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val exact = cand.join(c, "neighbor_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineWithNorms(col("qe"), col("ce"), col("qn"), col("cn")), 6)
+          .as("cosine"))
+    rankTopK(exact, k)
+  }
+
   def planeCoefs(nPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(nPlanes, dim) { (p, d) =>
       (Hashing.hash60Local(s"$p:$d") % 2001 - 1000) / 1000.0

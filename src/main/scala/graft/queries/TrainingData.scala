@@ -278,42 +278,49 @@ object TrainingData extends QueryPack {
     * unlike LSH it IS oracle-expressible: the oracle replicates encode
     * (per-subspace L2 argmin) and ADC scoring with the identical float
     * fold order (per-subspace terms summed in one written expression). */
+  /** Shared oracle CTE chain: the full PQ pipeline (queries, codebook,
+    * subspace slices, encode argmin, per-query LUT, pivoted ADC terms)
+    * ending in p(query_id, neighbor_id, cosine). Reused by ann_pq and
+    * ann_pq_rerank. Assumes WITH $NORM precedes it. */
+  private val PQ =
+    """q AS (SELECT * FROM m WHERE vec_id < 10),
+      |      cw AS (SELECT vec_id AS cid, e AS ce FROM m WHERE vec_id >= 16 AND vec_id < 32),
+      |      sg AS (SELECT unnest(range(0, 8)) AS s),
+      |      cws AS (SELECT cid, s, list_slice(ce, s*8+1, s*8+8) AS cs,
+      |          list_sum(list_transform(list_slice(ce, s*8+1, s*8+8), x -> x*x)) AS sqc
+      |        FROM cw, sg),
+      |      vsub AS (SELECT vec_id, s, list_slice(e, s*8+1, s*8+8) AS vs FROM m, sg),
+      |      asg AS (SELECT vec_id, s, cid FROM (
+      |          SELECT v.vec_id, v.s, c.cid,
+      |            ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+      |              ROUND(c.sqc - 2*list_sum(list_transform(range(1,9), i -> v.vs[i]*c.cs[i])), 6), c.cid) AS rn
+      |          FROM vsub v JOIN cws c ON c.s = v.s) t WHERE rn = 1),
+      |      lut AS (SELECT qq.vec_id AS query_id, qq.nrm AS qn, c.s, c.cid,
+      |          list_sum(list_transform(range(1,9), i -> qq.qs[i]*c.cs[i])) AS dq, c.sqc
+      |        FROM (SELECT vec_id, nrm, s, list_slice(e, s*8+1, s*8+8) AS qs FROM q, sg) qq
+      |        JOIN cws c ON c.s = qq.s),
+      |      terms AS (SELECT l.query_id, a.vec_id, MAX(l.qn) AS qn,
+      |          MIN(CASE WHEN l.s=0 THEN l.dq END) AS dq0, MIN(CASE WHEN l.s=0 THEN l.sqc END) AS sqc0,
+      |          MIN(CASE WHEN l.s=1 THEN l.dq END) AS dq1, MIN(CASE WHEN l.s=1 THEN l.sqc END) AS sqc1,
+      |          MIN(CASE WHEN l.s=2 THEN l.dq END) AS dq2, MIN(CASE WHEN l.s=2 THEN l.sqc END) AS sqc2,
+      |          MIN(CASE WHEN l.s=3 THEN l.dq END) AS dq3, MIN(CASE WHEN l.s=3 THEN l.sqc END) AS sqc3,
+      |          MIN(CASE WHEN l.s=4 THEN l.dq END) AS dq4, MIN(CASE WHEN l.s=4 THEN l.sqc END) AS sqc4,
+      |          MIN(CASE WHEN l.s=5 THEN l.dq END) AS dq5, MIN(CASE WHEN l.s=5 THEN l.sqc END) AS sqc5,
+      |          MIN(CASE WHEN l.s=6 THEN l.dq END) AS dq6, MIN(CASE WHEN l.s=6 THEN l.sqc END) AS sqc6,
+      |          MIN(CASE WHEN l.s=7 THEN l.dq END) AS dq7, MIN(CASE WHEN l.s=7 THEN l.sqc END) AS sqc7
+      |        FROM asg a JOIN lut l ON l.s = a.s AND l.cid = a.cid
+      |        WHERE a.vec_id != l.query_id
+      |        GROUP BY l.query_id, a.vec_id),
+      |      p AS (SELECT query_id, vec_id AS neighbor_id,
+      |          ROUND((dq0+dq1+dq2+dq3+dq4+dq5+dq6+dq7) /
+      |                (qn * sqrt(sqc0+sqc1+sqc2+sqc3+sqc4+sqc5+sqc6+sqc7)), 6) AS cosine
+      |        FROM terms)""".stripMargin
+
   val annPq = GraftQuery(
     "ann_pq",
     Some(s"""
       WITH $NORM,
-      q AS (SELECT * FROM m WHERE vec_id < 10),
-      cw AS (SELECT vec_id AS cid, e AS ce FROM m WHERE vec_id >= 16 AND vec_id < 32),
-      sg AS (SELECT unnest(range(0, 8)) AS s),
-      cws AS (SELECT cid, s, list_slice(ce, s*8+1, s*8+8) AS cs,
-          list_sum(list_transform(list_slice(ce, s*8+1, s*8+8), x -> x*x)) AS sqc
-        FROM cw, sg),
-      vsub AS (SELECT vec_id, s, list_slice(e, s*8+1, s*8+8) AS vs FROM m, sg),
-      asg AS (SELECT vec_id, s, cid FROM (
-          SELECT v.vec_id, v.s, c.cid,
-            ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s ORDER BY
-              ROUND(c.sqc - 2*list_sum(list_transform(range(1,9), i -> v.vs[i]*c.cs[i])), 6), c.cid) AS rn
-          FROM vsub v JOIN cws c ON c.s = v.s) t WHERE rn = 1),
-      lut AS (SELECT qq.vec_id AS query_id, qq.nrm AS qn, c.s, c.cid,
-          list_sum(list_transform(range(1,9), i -> qq.qs[i]*c.cs[i])) AS dq, c.sqc
-        FROM (SELECT vec_id, nrm, s, list_slice(e, s*8+1, s*8+8) AS qs FROM q, sg) qq
-        JOIN cws c ON c.s = qq.s),
-      terms AS (SELECT l.query_id, a.vec_id, MAX(l.qn) AS qn,
-          MIN(CASE WHEN l.s=0 THEN l.dq END) AS dq0, MIN(CASE WHEN l.s=0 THEN l.sqc END) AS sqc0,
-          MIN(CASE WHEN l.s=1 THEN l.dq END) AS dq1, MIN(CASE WHEN l.s=1 THEN l.sqc END) AS sqc1,
-          MIN(CASE WHEN l.s=2 THEN l.dq END) AS dq2, MIN(CASE WHEN l.s=2 THEN l.sqc END) AS sqc2,
-          MIN(CASE WHEN l.s=3 THEN l.dq END) AS dq3, MIN(CASE WHEN l.s=3 THEN l.sqc END) AS sqc3,
-          MIN(CASE WHEN l.s=4 THEN l.dq END) AS dq4, MIN(CASE WHEN l.s=4 THEN l.sqc END) AS sqc4,
-          MIN(CASE WHEN l.s=5 THEN l.dq END) AS dq5, MIN(CASE WHEN l.s=5 THEN l.sqc END) AS sqc5,
-          MIN(CASE WHEN l.s=6 THEN l.dq END) AS dq6, MIN(CASE WHEN l.s=6 THEN l.sqc END) AS sqc6,
-          MIN(CASE WHEN l.s=7 THEN l.dq END) AS dq7, MIN(CASE WHEN l.s=7 THEN l.sqc END) AS sqc7
-        FROM asg a JOIN lut l ON l.s = a.s AND l.cid = a.cid
-        WHERE a.vec_id != l.query_id
-        GROUP BY l.query_id, a.vec_id),
-      p AS (SELECT query_id, vec_id AS neighbor_id,
-          ROUND((dq0+dq1+dq2+dq3+dq4+dq5+dq6+dq7) /
-                (qn * sqrt(sqc0+sqc1+sqc2+sqc3+sqc4+sqc5+sqc6+sqc7)), 6) AS cosine
-        FROM terms)
+      $PQ
       SELECT query_id, neighbor_id, cosine FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM p) t
       WHERE rn <= 5 ORDER BY query_id, neighbor_id""".trim)) { (spark, dir) =>
@@ -436,11 +443,51 @@ object TrainingData extends QueryPack {
     TextAnalysis.maskPii(Tables.documents(spark, dir)).orderBy("doc_id")
   }
 
+  /** Two-stage ANN: PQ/ADC candidates re-ranked by exact cosine. */
+  val annPqRerank = GraftQuery(
+    "ann_pq_rerank",
+    Some(s"""
+      WITH $NORM,
+      $PQ,
+      cand AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM p) t
+        WHERE rn <= 20),
+      ex AS (SELECT cand.query_id, cand.neighbor_id,
+          ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+        FROM cand JOIN m q ON q.vec_id = cand.query_id
+                  JOIN m c ON c.vec_id = cand.neighbor_id)
+      SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM ex) t
+      WHERE rn <= 5 ORDER BY query_id, neighbor_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.pqRerankTopK(embs, embs.filter(col("vec_id") < 10),
+      embs.filter(col("vec_id") >= 16 && col("vec_id") < 32))
+  }
+
+  /** Chunk-granular duplication signal (paragraph dedup analog). */
+  val dedupParagraph = GraftQuery(
+    "dedup_paragraph",
+    Some("""
+      WITH tkt AS (SELECT doc_id, string_split_regex(text,'\s+') AS tk FROM documents),
+      idx AS (SELECT doc_id, tk, unnest(range(0, CAST(floor((len(tk)+9)/10.0) AS BIGINT))) AS i
+              FROM tkt WHERE len(tk) > 0),
+      ch AS (SELECT doc_id,
+              ('0x'||substr(md5(array_to_string(list_slice(tk, i*10+1, i*10+10), ' ')),1,15))::BIGINT AS ch
+             FROM idx),
+      census AS (SELECT ch, COUNT(*) AS g FROM ch GROUP BY ch)
+      SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(CASE WHEN census.g > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        ROUND(SUM(CASE WHEN census.g > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_chunk_frac
+      FROM ch c JOIN census USING (ch)
+      GROUP BY c.doc_id ORDER BY c.doc_id""".trim)) { (spark, dir) =>
+    Dedup.chunkDupFraction(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
   override def all: Seq[GraftQuery] = Seq(
     langId, quality, tokensQ, fingerprintQ, textPii,
     textRepetition, textContamination, textTfidf, dataQuota,
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding,
     dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,
-    annBrute, annIvf, annLsh, annPq)
+    annBrute, annIvf, annLsh, annPq, annPqRerank, dedupParagraph)
 }

@@ -455,4 +455,41 @@ class TrainingDataSpec extends SparkTestBase {
       r2.getAs[Long]("n_numbers") == 0)
     assert(r2.getAs[String]("masked") == "no pii here, just 123 and 9999 short runs")
   }
+
+  test("pqRerankTopK: exact rerank beats coarse PQ recall, scores are exact") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = embs.filter(col("vec_id") < 10)
+    val cb = embs.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(embs, q)
+    val bruteSet = pairs(brute)
+    val pqSet = pairs(Similarity.pqTopK(embs, q, cb))
+    val rr = Similarity.pqRerankTopK(embs, q, cb)
+    val rrSet = pairs(rr)
+    assert((rrSet & bruteSet).size >= (pqSet & bruteSet).size,
+      "rerank recall must not be below coarse PQ recall")
+    // every rerank score equals the exact brute-force cosine
+    val exact = brute.withColumnRenamed("cosine", "bc")
+    val cmp = rr.join(exact, Seq("query_id", "neighbor_id"))
+    assert(cmp.filter(col("cosine") =!= col("bc")).count() == 0)
+  }
+
+  test("chunkDupFraction: shared 10-token chunks are flagged corpus-wide") {
+    def words(prefix: String) = (0 until 10).map(i => s"$prefix$i").mkString(" ")
+    val a = words("a"); val b = words("b"); val c = words("c")
+    val df = docs(
+      (1L, s"$a $b"),          // chunks: A, B
+      (2L, s"$a $c"),          // chunks: A, C
+      (3L, words("z")),        // chunk: Z (unique)
+      (4L, s"$b ${words("y").split(" ").take(5).mkString(" ")}")) // B + partial
+    val out = Dedup.chunkDupFraction(df).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_chunks") == 2 &&
+      out(1L).getAs[Double]("dup_chunk_frac") == 1.0) // A and B both shared
+    assert(out(2L).getAs[Double]("dup_chunk_frac") == 0.5) // A shared, C not
+    assert(out(3L).getAs[Double]("dup_chunk_frac") == 0.0)
+    assert(out(4L).getAs[Long]("n_chunks") == 2 &&
+      out(4L).getAs[Double]("dup_chunk_frac") == 0.5) // B shared, partial not
+  }
 }
