@@ -225,5 +225,43 @@ object Extended extends QueryPack {
       .orderBy("o_orderkey")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q13, q14, q15, curation, q31, q33)
+  /** Join-type battery: every join shape the engine supports, counted
+    * in ONE declarative plan (a union of aggregates — no driver-side
+    * orchestration). Covers inner/left/right/full equi-joins, semi,
+    * anti, and an explicit small-side cross join. */
+  val q35 = GraftQuery(
+    "q35_join_types",
+    Some("""
+      SELECT 'a_inner' AS jt, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL SELECT 'b_left', CAST(COUNT(*) AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL SELECT 'c_right', CAST(COUNT(*) AS BIGINT)
+        FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL SELECT 'd_full', CAST(COUNT(*) AS BIGINT)
+        FROM orders o FULL JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL SELECT 'e_semi', CAST(COUNT(*) AS BIGINT)
+        FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      UNION ALL SELECT 'f_anti', CAST(COUNT(*) AS BIGINT)
+        FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      UNION ALL SELECT 'g_cross', CAST(COUNT(*) AS BIGINT)
+        FROM region, nation
+      ORDER BY jt""".stripMargin.trim)) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val key = o("o_custkey") === c("c_custkey")
+    def cnt(jt: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n")).select(lit(jt).as("jt"), col("n"))
+    cnt("a_inner", o.join(c, key))
+      .unionByName(cnt("b_left", o.join(c, key, "left")))
+      .unionByName(cnt("c_right", o.join(c, key, "right")))
+      .unionByName(cnt("d_full", o.join(c, key, "full")))
+      .unionByName(cnt("e_semi", c.join(o, key, "left_semi")))
+      .unionByName(cnt("f_anti", c.join(o, key, "left_anti")))
+      .unionByName(cnt("g_cross",
+        Tables.region(spark, dir).crossJoin(Tables.nation(spark, dir))))
+      .orderBy("jt")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q13, q14, q15, curation, q31, q33, q35)
 }

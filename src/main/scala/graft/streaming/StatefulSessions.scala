@@ -90,6 +90,23 @@ object StatefulSessions {
         updateKey(gapSeconds * 1000, armTimeout))
   }
 
+
+  /** The BUILT-IN alternative: Spark's `session_window` gap aggregation.
+    * Same gap semantics as [[sessionize]] (an event within `gap` of the
+    * session's end extends it), expressed declaratively — in streaming
+    * mode pair with a watermark and the state store merges/evicts
+    * session windows natively (no user state management at all). Prefer
+    * this when per-session logic is aggregation-shaped; drop to
+    * [[sessionize]]'s flatMapGroupsWithState only for custom state
+    * (e.g. emit-on-close payloads, cross-session carryover). */
+  def sessionWindowAgg(events: DataFrame, gapSeconds: Long): DataFrame =
+    events.groupBy(
+        col("user_id"),
+        session_window(col("ts"), s"$gapSeconds seconds").as("sw"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   /** Batch-mode wrapper used by specs and backfills: the same
     * sessionization semantics over a bounded DataFrame (flatMapGroups —
     * identical per-key logic, no state store). */

@@ -129,4 +129,33 @@ class ExtendedSpec extends SparkTestBase {
     assert(byK(4L).getString(1) == "d2" && byK(4L).getDouble(2) == 41.0)
     assert(byK(5L).getString(1) == "e" && byK(5L).getDouble(2) == 50.0)
   }
+
+  test("built-in session_window agrees with the custom sessionizer on real data") {
+    import graft.streaming.StatefulSessions
+    val ev = Tables.events(spark, sfDir).select("user_id", "ts")
+    val custom = StatefulSessions.sessionizeBatch(ev, gapSeconds = 1800)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+    val builtin = StatefulSessions.sessionWindowAgg(ev, gapSeconds = 1800)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+    val diff = custom.as("a").join(builtin.as("b"), "user_id")
+      .filter(col("a.n_sessions") =!= col("b.n_sessions") ||
+        col("a.n_events") =!= col("b.n_events"))
+    assert(custom.count() == builtin.count())
+    assert(diff.count() == 0, "session boundaries disagree")
+  }
+
+  test("q35 join-type battery: counts obey the join-algebra identities") {
+    val rows = queries.Extended.q35.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nOrders = Tables.orders(spark, sfDir).count()
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(rows("a_inner") == nOrders) // every order has a customer
+    assert(rows("b_left") == nOrders)
+    assert(rows("c_right") == rows("a_inner") + rows("f_anti"))
+    assert(rows("d_full") == rows("b_left") + rows("f_anti"))
+    assert(rows("e_semi") + rows("f_anti") == nCust)
+    assert(rows("g_cross") == 125) // 5 regions x 25 nations
+  }
 }
