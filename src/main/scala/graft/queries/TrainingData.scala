@@ -483,7 +483,22 @@ object TrainingData extends QueryPack {
     Dedup.chunkDupFraction(Tables.documents(spark, dir)).orderBy("doc_id")
   }
 
+  /** Vocabulary fuzzy-join: token pairs within edit distance 2. */
+  val fuzzyVocab = GraftQuery(
+    "fuzzy_vocab_join",
+    Some("""
+      WITH tok AS (SELECT DISTINCT unnest(string_split_regex(text,'\s+')) AS t
+                   FROM documents),
+      v AS (SELECT t FROM tok WHERE len(t) > 0)
+      SELECT a.t AS t_a, b.t AS t_b, CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+      FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) <= 2
+      ORDER BY t_a, t_b""".trim)) { (spark, dir) =>
+    graft.ops.FuzzyJoin.vocabPairs(Tables.documents(spark, dir))
+      .orderBy("t_a", "t_b")
+  }
+
   override def all: Seq[GraftQuery] = Seq(
+    fuzzyVocab,
     langId, quality, tokensQ, fingerprintQ, textPii,
     textRepetition, textContamination, textTfidf, dataQuota,
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,

@@ -492,4 +492,25 @@ class TrainingDataSpec extends SparkTestBase {
     assert(out(4L).getAs[Long]("n_chunks") == 2 &&
       out(4L).getAs[Double]("dup_chunk_frac") == 0.5) // B shared, partial not
   }
+
+  test("fuzzyJoin: length-banded pairs equal the naive levenshtein join") {
+    import graft.ops.FuzzyJoin
+    val df = docs(
+      (1L, "cat cart carts dog dg a abc zebra"),
+      (2L, "cat spark spars"))
+    val got = FuzzyJoin.vocabPairs(df, maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // naive: full cross of the 10-token vocab
+    val vocab = df.select(explode(split(col("text"), "\\s+")).as("t")).distinct()
+    val naive = vocab.as("a").join(vocab.as("b"),
+        col("a.t") < col("b.t") &&
+        levenshtein(col("a.t"), col("b.t")) <= 2)
+      .select(col("a.t"), col("b.t"),
+        levenshtein(col("a.t"), col("b.t")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == naive, s"got ${got.size} naive ${naive.size}")
+    // cross-length-bucket pairs must be present (a↔abc spans 2 buckets)
+    assert(got.contains(("a", "abc", 2L)))
+    assert(got.contains(("cart", "carts", 1L)))
+  }
 }
