@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: 10× scale-up stress for the round-2 operators (the SURVEY
+  * §4 "would this survive a scale-up" check, measured rather than
+  * argued). Replicates the sf0.1 tables 10× with shifted ids — and for
+  * the time-series ops with NEW keys, so key cardinality scales with
+  * data (the lake shape: more stations, not denser ones).
+  *
+  * Usage: runMain graft.Stress [sfDir]
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rep10(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until 10).map(i => shift(df, i)).reduce(_ unionByName _)
+
+    val ev = Tables.events(spark, sfDir)
+    val ev10 = rep10(ev) { (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L))
+        .withColumn("event_type", concat(col("event_type"), lit(s"_$i")))
+    }
+    val docs10 = rep10(Tables.documents(spark, sfDir)) { (d, i) =>
+      d.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+    }
+    val orders10 = rep10(Tables.orders(spark, sfDir)) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+    }
+
+    def time(name: String)(action: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = action
+      println(f"STRESS $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    time("gapfill_10x") {
+      ops.Resample.gapfillLinear(ev10, "event_type", "ts", "value").count()
+    }
+    time("outliers_10x") {
+      ops.Outliers.robustZ(ev10, "event_type", "value", "event_id", 3.0).count()
+    }
+    time("chunk_dedup_10x") {
+      ops.Dedup.chunkDupFraction(docs10).count()
+    }
+    time("fuzzy_vocab_10x") {
+      ops.FuzzyJoin.vocabPairs(docs10).count()
+    }
+    time("profile_10x") {
+      ops.Profile.profile(orders10, Seq("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+        .count()
+    }
+    time("merge_cdc_10x") {
+      val changes = orders10.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("op", when(col("o_orderkey") % 3 === 0, "D").otherwise("U"))
+        .withColumn("seq", lit(1))
+      ops.Merge.applyChangeLog(orders10, changes, Seq("o_orderkey"), "op",
+        col("seq")).count()
+    }
+    time("incr_rollup_10x") {
+      ops.IncrementalAgg.finalize(
+        ops.IncrementalAgg.merge(
+          (0 until 4).map(r => ops.IncrementalAgg.state(
+            ev10.filter(col("user_id") % 4 === r), Seq("event_type"), "value")),
+          Seq("event_type")),
+        Seq("event_type")).count()
+    }
+    spark.stop()
+  }
+}
