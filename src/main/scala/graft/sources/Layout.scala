@@ -86,20 +86,42 @@ object Layout {
     * ranks — cheap and deterministic; swap in quantile boundaries for
     * heavily skewed dimensions. */
   def zorderWrite(df: DataFrame, cA: String, cB: String, nFiles: Int,
-      out: String): Unit = {
-    val stats = df.agg(
-      min(col(cA)).cast("double").as("amin"), max(col(cA)).cast("double").as("amax"),
-      min(col(cB)).cast("double").as("bmin"), max(col(cB)).cast("double").as("bmax"))
-    def bucket(c: Column, lo: Column, hi: Column): Column =
-      least(lit(65535L), floor(
-        (c.cast("double") - lo) / (hi - lo + lit(1e-12)) * 65536.0)).cast("long")
-    df.crossJoin(broadcast(stats))
-      .withColumn("__z", zInterleave(
-        bucket(col(cA), col("amin"), col("amax")),
-        bucket(col(cB), col("bmin"), col("bmax"))))
-      .repartitionByRange(nFiles, col("__z"))
+      out: String, quantileBuckets: Boolean = false): Unit = {
+    val zd =
+      if (!quantileBuckets) {
+        val stats = df.agg(
+          min(col(cA)).cast("double").as("amin"), max(col(cA)).cast("double").as("amax"),
+          min(col(cB)).cast("double").as("bmin"), max(col(cB)).cast("double").as("bmax"))
+        def bucket(c: Column, lo: Column, hi: Column): Column =
+          least(lit(65535L), floor(
+            (c.cast("double") - lo) / (hi - lo + lit(1e-12)) * 65536.0)).cast("long")
+        df.crossJoin(broadcast(stats))
+          .withColumn("__z", zInterleave(
+            bucket(col(cA), col("amin"), col("amax")),
+            bucket(col(cB), col("bmin"), col("bmax"))))
+          .drop("amin", "amax", "bmin", "bmax")
+      } else {
+        // skewed dimensions: equi-DEPTH buckets from sampled quantile
+        // boundaries (256 per dim, scaled to the 16-bit grid) — linear
+        // scaling would crowd a heavy tail into a handful of cells and
+        // the z-curve would degenerate to a 1-D sort on the other dim.
+        // approxQuantile is one pass over a sample; boundaries ship as a
+        // literal array, bucket id = #boundaries ≤ x (a 256-element
+        // codegen'd HOF per row — write-path cost only).
+        def boundaries(c: String): Seq[Double] =
+          df.stat.approxQuantile(c, (1 until 256).map(_ / 256.0).toArray, 0.01)
+            .toSeq
+        def bucket(c: String, bs: Seq[Double]): Column = {
+          val arr = array(bs.map(lit): _*)
+          (size(filter(arr, b => b <= col(c).cast("double"))).cast("long")
+            * lit(256L))
+        }
+        df.withColumn("__z", zInterleave(
+          bucket(cA, boundaries(cA)), bucket(cB, boundaries(cB))))
+      }
+    zd.repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z", "amin", "amax", "bmin", "bmax")
+      .drop("__z")
       .write.mode("overwrite").parquet(out)
   }
 

@@ -151,4 +151,23 @@ class LakeSpec extends SparkTestBase {
     assert(Layout.pruneFraction(zStats, "y", 37.0) <= 0.5)
     assert(Layout.pruneFraction(rStats, "x", 37.0) > 0.9)
   }
+
+  test("quantile z-order buckets keep heavy-tailed data balanced across files") {
+    val dir = Files.createTempDirectory("zq")
+    val out = dir.resolve("zq").toString
+    // heavy tail on x: id^2 crowds 3/4 of the linear range into the
+    // last quarter of ids; y stays uniform
+    val skewed = spark.range(10000)
+      .selectExpr("id", "CAST(id * id AS DOUBLE) AS x", "CAST(id % 100 AS DOUBLE) AS y")
+    Layout.zorderWrite(skewed, "x", "y", 16, out, quantileBuckets = true)
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.length == 16)
+    val mean = perFile.sum.toDouble / perFile.length
+    assert(perFile.forall(n => n > mean / 3 && n < mean * 3),
+      s"files unbalanced: ${perFile.sorted.mkString(",")}")
+    // pruning still works on the skewed dim: point lookup in the tail
+    val st = Layout.fileStats(spark, out, Seq("x", "y"))
+    assert(Layout.pruneFraction(st, "x", 9000.0 * 9000.0) <= 0.5)
+  }
 }

@@ -196,4 +196,39 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(0).getAs[Long]("n") == 2 && rows(0).getAs[Double]("mean") == 2.0)
     assert(rows(1).getAs[Double]("total") == 10.0)
   }
+
+  test("session_window streams: watermark closes and emits gap sessions") {
+    import graft.streaming.StatefulSessions
+    val dir = tmp("swstream")
+    def write(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name),
+        rows.map { case (u, ts) => s"""{"user_id":$u,"ts":"$ts"}""" }.mkString("\n"))
+    write("b0.json", Seq(
+      1L -> "2026-01-01 10:00:00", 1L -> "2026-01-01 10:10:00",
+      2L -> "2026-01-01 09:00:00"))
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP").json(dir.toString)
+    val sessions = StatefulSessions.sessionWindowAgg(
+      stream.withWatermark("ts", "10 minutes"), gapSeconds = 1800)
+    val q = sessions.writeStream.format("memory").queryName("sw")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past user 1's first session end (10:40)
+      write("b1.json", Seq(1L -> "2026-01-01 13:00:00"))
+      q.processAllAvailable()
+      write("b2.json", Seq(9L -> "2026-01-01 15:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("sw").orderBy("user_id", "session_start").collect()
+      val u1 = rows.filter(_.getLong(0) == 1L)
+      assert(u1.nonEmpty, s"user 1 session not emitted: ${rows.mkString(";")}")
+      assert(u1.head.getAs[Long]("n_events") == 2)
+      assert(u1.head.getAs[java.sql.Timestamp]("session_start").toString
+        .startsWith("2026-01-01 10:00:00"))
+      assert(u1.head.getAs[java.sql.Timestamp]("session_end").toString
+        .startsWith("2026-01-01 10:40:00")) // last event + gap
+      val u2 = rows.filter(_.getLong(0) == 2L)
+      assert(u2.length == 1 && u2.head.getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
 }
