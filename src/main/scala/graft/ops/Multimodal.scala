@@ -82,6 +82,32 @@ object Multimodal {
     }
   }
 
+  /** Spill-aware rebalance for fat binary rows: route rows into packs
+    * whose TOTAL payload stays under `targetBytes`, then range-route one
+    * pack per task — a decode stage's working set is bounded by the
+    * budget (+ one row), not by however many 100 MB videos the upstream
+    * shuffle happened to co-locate. Same lane-prefix-sum shape as
+    * [[graft.sources.Layout.planBins]] / `Splits.packSequences`: lanes
+    * bound the window partitions, so the cumulative sum parallelizes; a
+    * row larger than the budget gets a pack of its own. */
+  def balanceByBytes(df: DataFrame, targetBytes: Long, lanes: Int = 32,
+      idCol: String = "media_id", mediaCol: String = "media"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lane = pmod(xxhash64(col(idCol)), lit(lanes))
+    val w = Window.partitionBy("__lane").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = df
+      .withColumn("__lane", lane)
+      .withColumn("__bytes", length(col(mediaCol)).cast("long"))
+      .withColumn("__start", coalesce(sum(col("__bytes")).over(w), lit(0L)))
+      .withColumn("__pack",
+        col("__lane") * lit(1000000L) + (col("__start") / lit(targetBytes)).cast("long"))
+    val nPacks = packed.agg(countDistinct(col("__pack"))).head().getLong(0)
+    packed
+      .repartitionByRange(nPacks.toInt.max(1), col("__pack"))
+      .drop("__lane", "__bytes", "__start", "__pack")
+  }
+
   /** Deterministic frame/chunk sampling over a binary payload: slice
     * `frameSize`-byte frames starting at `offset`, stepping `stride`
     * bytes, at most `maxFrames` per row; metadata rides along. Pure

@@ -63,4 +63,25 @@ class MultimodalSpec extends SparkTestBase {
     val orig = media(1, 100).media.slice(20, 30).toSeq
     assert(f1.getAs[Array[Byte]]("frame").toSeq == orig)
   }
+
+  test("balanceByBytes bounds per-task payload at target + one row") {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      // heavy-tailed payloads: a few rows dwarf the rest
+      val n = if (i % 23 == 0) 40000 + rng.nextInt(20000) else 500 + rng.nextInt(2000)
+      (i.toLong, Array.fill(n)(i.toByte))
+    }
+    val df = rows.toDF("media_id", "media")
+    val target = 100000L
+    val balanced = graft.ops.Multimodal.balanceByBytes(df, target, lanes = 4)
+    val perPart = balanced.rdd.mapPartitions { it =>
+      Iterator.single(it.map(_.getAs[Array[Byte]]("media").length.toLong).sum)
+    }.collect().filter(_ > 0)
+    val maxRow = rows.map(_._2.length).max
+    assert(perPart.forall(_ <= target + maxRow),
+      s"partition over budget: ${perPart.sorted.reverse.take(3).mkString(",")}")
+    assert(balanced.count() == 200)
+    // all payload bytes survive the rebalance
+    assert(perPart.sum == rows.map(_._2.length.toLong).sum)
+  }
 }
