@@ -116,6 +116,9 @@ object TopK {
     if (!spark.experimental.extraOptimizations.contains(TopKJoinPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ TopKJoinPushdown
+    if (!spark.experimental.extraOptimizations.contains(FilterThroughTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FilterThroughTopK
   }
 
   /** Top `k` rows per `keyCols` group under `sortCols` (use `.desc`/

@@ -124,6 +124,35 @@ object TopKJoinPushdown extends Rule[LogicalPlan] {
   }
 }
 
+
+/** Optimizer rule: restore predicate pushdown through [[TopKPerKeyNode]].
+  *
+  * Catalyst's `PushDownPredicates` knows nothing about custom logical
+  * nodes, so ANY filter lands and stays ABOVE the top-k — the heap
+  * processes every key group, then whole groups are discarded, and the
+  * predicate never reaches the parquet scan. A predicate that
+  * references only the PARTITION KEYS removes entire groups, and
+  * per-key top-k is computed independently per group — so it commutes:
+  *
+  * {{{ Filter(p(keys), TopKPerKey(keys, ord, k, child)) ≡
+  *     TopKPerKey(keys, ord, k, Filter(p(keys), child)) }}}
+  *
+  * After the swap the standard rules take over and push the filter the
+  * rest of the way down (at best into `PushedFilters` on the scan).
+  * Predicates touching NON-key columns (e.g. the ranked value) do NOT
+  * commute — filtering survivors differs from ranking the filtered —
+  * and are left alone.
+  */
+object FilterThroughTopK extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, t @ TopKPerKeyNode(keys, _, _, child))
+        if cond.deterministic &&
+          cond.references.subsetOf(AttributeSet(keys.flatMap(_.references))) &&
+          cond.references.subsetOf(child.outputSet) =>
+      t.withNewChildren(Seq(Filter(cond, child)))
+  }
+}
+
 object WindowTopKRewrite extends Rule[LogicalPlan] {
 
   private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {

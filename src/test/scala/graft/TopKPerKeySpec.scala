@@ -94,4 +94,41 @@ class TopKPerKeySpec extends SparkTestBase {
       .orderBy("key", "v").collect().map(r => (r.getInt(0), r.getInt(1)))
     assert(r.toSeq == Seq((1, 10), (1, 20), (2, 5)))
   }
+
+  test("FilterThroughTopK: key predicates push below the heap and reach " +
+      "the scan; value predicates stay above") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val topk = graft.plans.TopK.perKey(ev, Seq("user_id"),
+      Seq(col("value").desc, col("event_id")), k = 3)
+
+    val keyFiltered = topk.filter(col("user_id") < 100)
+    keyFiltered.collect()
+    // pushdown restored end-to-end: the predicate reaches the parquet scan
+    val physical = keyFiltered.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(user_id), LessThan(user_id,100)"),
+      s"filter did not reach the scan:\n$physical")
+    // results identical to the unpushed formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    val expected = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn").filter(col("user_id") < 100)
+    assert(keyFiltered.orderBy("event_id").collect().toSeq ==
+      expected.orderBy("event_id").collect().toSeq)
+
+    // NON-key predicate must NOT push (filter-survivors ≠ rank-filtered)
+    val valFiltered = topk.filter(col("value") > 50)
+    val optimized = valFiltered.queryExecution.optimizedPlan
+    val filterAboveTopK = optimized match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(_, child) =>
+        child.collectFirst {
+          case t: graft.plans.TopKPerKeyNode => t }.isDefined ||
+          child.isInstanceOf[graft.plans.TopKPerKeyNode]
+      case _ => false
+    }
+    assert(filterAboveTopK, s"value filter must stay above the top-k:\n$optimized")
+    val expectedVal = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn").filter(col("value") > 50)
+    assert(valFiltered.orderBy("event_id").collect().toSeq ==
+      expectedVal.orderBy("event_id").collect().toSeq)
+  }
 }
