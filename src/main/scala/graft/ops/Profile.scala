@@ -51,8 +51,9 @@ object Profile {
         max(col(c)).cast("string").as(s"${c}__max"))
     }
     val row = dist.agg(aggs.head, aggs.tail: _*)
+    // the sums are NULL (not 0) over an empty relation — coalesce at the edge
     val stackArgs = cols.map(c =>
-      s"'$c', ${c}__n, coalesce(${c}__nulls, 0), ${c}__nd, ${c}__min, ${c}__max")
+      s"'$c', coalesce(${c}__n, 0), coalesce(${c}__nulls, 0), ${c}__nd, ${c}__min, ${c}__max")
       .mkString(", ")
     row.selectExpr(
       s"stack($n, $stackArgs) " +

@@ -80,4 +80,33 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(cmp.filter(col("spend_7d") =!= col("exp_spend") ||
       col("n_7d") =!= col("exp_n")).count() == 0)
   }
+
+  test("edge cases: single-point series, empty changes, empty frames") {
+    // gapfill: a key with ONE observation yields exactly that grid cell
+    val one = Seq(("k", ts(4), 7.0)).toDF("k", "t", "x")
+    val g = Resample.gapfillLinear(one, "k", "t", "x").collect()
+    assert(g.length == 1 && g.head.getAs[Double]("v_filled") == 7.0 &&
+      g.head.getAs[String]("src") == "observed")
+
+    // merge: empty change log is the identity
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val noChanges = Seq.empty[(Long, String, String, Long)]
+      .toDF("k", "s", "op", "seq")
+    val merged = graft.ops.Merge
+      .applyChangeLog(base, noChanges, Seq("k"), "op", col("seq"))
+      .orderBy("k").collect()
+    assert(merged.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+
+    // outliers: constant series (MAD = 0) flags nothing at any k
+    val const = (1 to 20).map(i => ("g", i.toLong, 5.0)).toDF("k", "id", "x")
+    assert(graft.ops.Outliers.robustZ(const, "k", "x", "id", 3.0).count() == 0)
+
+    // profile: empty relation — zero rows, zero distinct, null min/max
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val p = graft.ops.Profile.profile(empty, Seq("id", "s")).collect()
+    assert(p.length == 2)
+    assert(p.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 &&
+      r.getLong(3) == 0 && r.isNullAt(4) && r.isNullAt(5)))
+  }
 }
