@@ -128,6 +128,66 @@ object Similarity {
     rankTopK(exact, k)
   }
 
+  /** Lloyd's k-means refinement for the IVF coarse quantizer: start
+    * from deterministic seed centroids (e.g. a hash-chosen corpus
+    * subset), iterate assign → recompute means. Turns [[ivfTopK]]'s
+    * fixed cells into TRAINED cells — tighter cells, better
+    * recall-per-probe at the same query cost.
+    *
+    * Scale shape per round: one broadcast argmin assignment over the
+    * corpus (no shuffle of vectors), then ONE shuffle of (cid, pos,
+    * component) triples for the elementwise mean — map-side combined,
+    * state k·dim, independent of corpus size. Rounds materialize via
+    * persist so lineage stays flat. Empty cells keep their previous
+    * centroid (deterministic; no resampling randomness).
+    */
+  def kmeansRefine(corpus: DataFrame, seeds: DataFrame, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val c = withNorm(corpus, idCol, vecCol).persist(MEMORY_AND_DISK)
+    var cent = withNorm(seeds, idCol, vecCol)
+      .select(col("vec_id").as("cid"), col("e"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
+      val assign = c.as("v").join(broadcast(cent.as("k")), lit(true))
+        .select(col("v.vec_id").as("vid"), col("v.e").as("e"), col("k.cid"),
+          round(dot(col("k.e"), col("k.e")) -
+            lit(2.0) * dot(col("v.e"), col("k.e")), 6).as("d"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      val means = assign
+        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, p -> p.m)").as("e"))
+      val next = cent.select(col("cid"), col("e").as("prev"))
+        .join(means.withColumnRenamed("e", "upd"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("upd"), col("prev")).as("e"))
+        .persist(MEMORY_AND_DISK)
+      next.count() // materialize: flat lineage round to round
+      cent = next
+    }
+    c.unpersist()
+    cent
+  }
+
+  /** Mean squared L2 distortion of `corpus` under `centroids` — the
+    * k-means objective, used by specs to assert refinement helps. */
+  def distortion(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    val c = withNorm(corpus, idCol, vecCol)
+    val cent = centroids.select(col("cid"), col("e").as("ke"))
+    val w = Window.partitionBy("vid").orderBy(col("d2"), col("cid"))
+    c.as("v").join(broadcast(cent), lit(true))
+      .select(col("vec_id").as("vid"),
+        (dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("ke")) +
+          dot(col("ke"), col("ke"))).as("d2"), col("cid"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .agg(avg(col("d2"))).head().getDouble(0)
+  }
+
   def planeCoefs(nPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(nPlanes, dim) { (p, d) =>
       (Hashing.hash60Local(s"$p:$d") % 2001 - 1000) / 1000.0

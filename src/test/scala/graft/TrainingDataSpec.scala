@@ -513,4 +513,22 @@ class TrainingDataSpec extends SparkTestBase {
     assert(got.contains(("a", "abc", 2L)))
     assert(got.contains(("cart", "carts", 1L)))
   }
+
+  test("kmeansRefine: distortion non-increasing, trained cells beat seeds") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val seeds = embs.filter(col("vec_id") < 16)
+    val d0 = Similarity.distortion(embs,
+      Similarity.kmeansRefine(embs, seeds, iters = 0))
+    val d2 = Similarity.distortion(embs,
+      Similarity.kmeansRefine(embs, seeds, iters = 2))
+    val d5 = Similarity.distortion(embs,
+      Similarity.kmeansRefine(embs, seeds, iters = 5))
+    assert(d2 <= d0 + 1e-9, s"d0=$d0 d2=$d2")
+    assert(d5 <= d2 + 1e-9, s"d2=$d2 d5=$d5")
+    assert(d5 < d0, "training should strictly improve the seed cells here")
+    // refined centroids keep the schema the IVF path expects
+    val refined = Similarity.kmeansRefine(embs, seeds, iters = 2)
+    assert(refined.columns.toSeq == Seq("cid", "e"))
+    assert(refined.count() == 16)
+  }
 }
