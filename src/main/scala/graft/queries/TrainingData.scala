@@ -274,6 +274,19 @@ object TrainingData extends QueryPack {
     Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10))
   }
 
+  /** Trained-IVF end to end: Lloyd-refined cells (2 rounds from the
+    * deterministic seed set) feeding the IVF probe path. Rows-only
+    * (like ann_lsh): replicating 2 rounds of float mean-recompute in
+    * portable SQL is not worth the oracle; recall and distortion are
+    * spec-gated instead. */
+  val annIvfTrained = GraftQuery("ann_ivf_trained", None) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    val trained = Similarity.kmeansRefine(
+        embs, embs.filter(col("vec_id") < 16), iters = 2)
+      .select(col("cid").as("vec_id"), col("e").as("embedding"))
+    Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10), trained)
+  }
+
   /** PQ/ADC is deterministic given a fixed codebook (vec_id 16..31), so
     * unlike LSH it IS oracle-expressible: the oracle replicates encode
     * (per-subspace L2 argmin) and ADC scoring with the identical float
@@ -504,5 +517,5 @@ object TrainingData extends QueryPack {
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding,
     dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,
-    annBrute, annIvf, annLsh, annPq, annPqRerank, dedupParagraph)
+    annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, dedupParagraph)
 }

@@ -531,4 +531,16 @@ class TrainingDataSpec extends SparkTestBase {
     assert(refined.columns.toSeq == Seq("cid", "e"))
     assert(refined.count() == 16)
   }
+
+  test("trained IVF: results are true-cosine top-k over probed cells with sane recall") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = embs.filter(col("vec_id") < 10)
+    val got = queries.TrainingData.annIvfTrained.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    val brute = Similarity.bruteForceTopK(embs, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"trained-IVF recall too low: $recall")
+  }
 }
