@@ -126,4 +126,33 @@ class PlanAuditSpec extends SparkTestBase {
     val plan = planOf("ann_pq_rerank")
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("AQE splits a skewed join partition (the SURVEY §4 skew path)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ/shuffle
+      import spark.implicits._
+      // one pathological key carries ~90% of the rows, with a fat payload
+      val pad = "x" * 200
+      val skewed = spark.range(200000)
+        .selectExpr(s"IF(id % 10 < 9, 0L, id) AS k", s"repeat('$pad', 1) AS payload")
+      val dim = spark.range(1000).selectExpr("id AS k", "CAST(id AS STRING) AS name")
+      val joined = skewed.join(dim, "k")
+      // run THIS plan via collect: count()/foreachPartition execute a
+      // derived query and leave joined's own AQE unfinalized
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
