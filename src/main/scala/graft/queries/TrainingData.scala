@@ -496,6 +496,41 @@ object TrainingData extends QueryPack {
     Dedup.chunkDupFraction(Tables.documents(spark, dir)).orderBy("doc_id")
   }
 
+  /** Corpus vocabulary statistics: frequency-ranked terms with
+    * cumulative coverage (the tokenizer-coverage / Zipf view). Exact
+    * integer math + one rounded division per row. */
+  val vocabStats = GraftQuery(
+    "text_vocab_stats",
+    Some("""
+      WITH tok AS (SELECT unnest(string_split_regex(text,'\s+')) AS term FROM documents),
+      f AS (SELECT term, COUNT(*) AS freq FROM tok WHERE len(term) > 0 GROUP BY term),
+      t AS (SELECT SUM(freq) AS total FROM f),
+      r AS (SELECT term, freq,
+          ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank,
+          SUM(freq) OVER (ORDER BY freq DESC, term
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM f)
+      SELECT r.term, CAST(r.freq AS BIGINT) AS freq, CAST(r.rank AS BIGINT) AS rank,
+        ROUND(CAST(r.cum AS DOUBLE) / t.total, 6) AS cum_share
+      FROM r, t ORDER BY rank""".trim)) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.documents(spark, dir)
+      .select(explode(graft.functions.Hashing.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // total via a 1-row broadcast, not a second scan of the corpus
+    val total = f.agg(sum(col("freq")).as("total"))
+    f.withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum(col("freq")).over(cumW))
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("freq").cast("long").as("freq"),
+        col("rank").cast("long").as("rank"),
+        round(col("cum").cast("double") / col("total"), 6).as("cum_share"))
+      .orderBy("rank")
+  }
+
   /** Vocabulary fuzzy-join: token pairs within edit distance 2. */
   val fuzzyVocab = GraftQuery(
     "fuzzy_vocab_join",
@@ -511,7 +546,7 @@ object TrainingData extends QueryPack {
   }
 
   override def all: Seq[GraftQuery] = Seq(
-    fuzzyVocab,
+    fuzzyVocab, vocabStats,
     langId, quality, tokensQ, fingerprintQ, textPii,
     textRepetition, textContamination, textTfidf, dataQuota,
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
