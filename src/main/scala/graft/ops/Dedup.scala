@@ -276,8 +276,13 @@ object Dedup {
         struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().persist(MEMORY_AND_DISK)
+    // localCheckpoint (not just persist): the jump step below self-joins
+    // the round's result, so lineage would DOUBLE per round — the
+    // analyzed plan grows 2^rounds and planning itself OOMs. Cutting
+    // lineage keeps the per-round plan constant-size. (On a cluster with
+    // unreliable executors, use reliable checkpoint(dir) instead.)
     var labels = edges.select(col("u")).distinct()
-      .withColumn("label", col("u")).persist(MEMORY_AND_DISK)
+      .withColumn("label", col("u")).localCheckpoint(true)
     // min-propagation only ever lowers labels, so the label sum is
     // strictly decreasing until the fixpoint — one cheap aggregate per
     // round detects convergence (no join against the previous labels)
@@ -287,14 +292,26 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val nbr = edges.join(labels.withColumnRenamed("u", "v"), "v")
         .groupBy("u").agg(min("label").as("nlabel"))
-      val updated = labels.join(nbr, Seq("u"), "left")
+      val stepped = labels.join(nbr, Seq("u"), "left")
         .select(col("u"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(MEMORY_AND_DISK)
+      // pointer jumping: also adopt the label OF the current label
+      // (label-of-label shortcut). Neighbor-min alone walks one hop per
+      // round — rounds = component diameter, which for a 100 TB corpus
+      // chained by near-dup bridges can be long; the shortcut doubles
+      // the reach each round, so rounds fall to O(log diameter). The
+      // fixpoint is unchanged (labels only ever decrease toward the
+      // component minimum).
+      val half = stepped.localCheckpoint(true) // jump self-join: 2 refs
+      val updated = half.as("a")
+        .join(half.select(col("u").as("label"), col("label").as("l2")).as("b"),
+          Seq("label"), "left")
+        .select(col("u"),
+          least(col("label"), coalesce(col("l2"), col("label"))).as("label"))
+        .localCheckpoint(true)
       val newSum = updated.agg(sum(col("label"))).head().getLong(0)
       converged = newSum == prevSum
       prevSum = newSum
-      labels.unpersist()
       labels = updated
       iter += 1
     }

@@ -543,4 +543,17 @@ class TrainingDataSpec extends SparkTestBase {
     val recall = (got & brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"trained-IVF recall too low: $recall")
   }
+
+  test("duplicateClusters: pointer jumping converges a 64-node chain in " +
+      "far fewer rounds than its diameter") {
+    // path graph 0-1-2-…-63: neighbor-min alone needs ~63 rounds; with
+    // the label-of-label shortcut ~log2(64)+slack. maxIters=10 would
+    // produce WRONG labels without jumping.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(chain, maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 64)
+    assert(out.values.forall(_ == 0L), s"chain not fully converged: " +
+      s"${out.filter(_._2 != 0L).take(5)}")
+  }
 }
