@@ -188,6 +188,26 @@ object Similarity {
       .agg(avg(col("d2"))).head().getDouble(0)
   }
 
+  /** Nearest-`keep` cell assignment (broadcast argmax over centroids):
+    * the shared primitive behind [[ivfTopK]]'s corpus assignment, query
+    * probing, and the streaming vector index. Output carries the doubled
+    * vector + norm so downstream scoring never re-reads the source. */
+  def cellAssignments(side: DataFrame, centroids: DataFrame, keep: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sN = withNorm(side, idCol, vecCol)
+    val cent = withNorm(centroids, idCol, vecCol)
+      .select(col("vec_id").as("cid"), col("e"), col("nrm"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    sN.as("q").join(broadcast(cent.as("c")), lit(true))
+      .select(col("q.vec_id").as("qid"), col("c.cid").as("cid"),
+        round(cosineWithNorms(col("q.e"), col("c.e"), col("q.nrm"), col("c.nrm")), 6)
+          .as("cos"),
+        col("q.e").as("e"), col("q.nrm").as("nrm"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= keep)
+      .select(col("qid").as("vec_id"), col("cid"), col("e"), col("nrm"))
+  }
+
   def planeCoefs(nPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(nPlanes, dim) { (p, d) =>
       (Hashing.hash60Local(s"$p:$d") % 2001 - 1000) / 1000.0

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 import graft.ops.{Dedup, DedupIndex}
 
 class DedupIndexSpec extends SparkTestBase {
@@ -82,5 +84,34 @@ class DedupIndexSpec extends SparkTestBase {
     val pairs = spark.read.parquet(pairsDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("vector index: batched ingest equals one-shot IVF; probes prune partitions") {
+    import graft.streaming.VectorIndex
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("vecidx")
+    val idx = dir.resolve("index").toString
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = embs.filter(col("vec_id") < 16)
+    val q = embs.filter(col("vec_id") < 10)
+    // two batches cover the corpus
+    VectorIndex.appendBatch(embs.filter(col("vec_id") % 2 === 0), centroids, idx, 0L)
+    VectorIndex.appendBatch(embs.filter(col("vec_id") % 2 === 1), centroids, idx, 1L)
+    val got = VectorIndex.queryTopK(spark, idx, q, centroids)
+    val expected = Similarity.ivfTopK(embs, q, centroids)
+    assert(got.collect().toSeq == expected.collect().toSeq,
+      "indexed query must equal the one-shot IVF result")
+    // replay of batch 1 (at-least-once) must not duplicate index rows
+    VectorIndex.appendBatch(embs.filter(col("vec_id") % 2 === 1), centroids, idx, 1L)
+    assert(VectorIndex.queryTopK(spark, idx, q, centroids).collect().toSeq ==
+      expected.collect().toSeq)
+    // the scan prunes to the probed cells' directories
+    val probedPlan = {
+      val df = VectorIndex.queryTopK(spark, idx, q, centroids)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(probedPlan.contains("PartitionFilters: ["), probedPlan)
+    assert(probedPlan.contains("cid#"), probedPlan)
   }
 }
