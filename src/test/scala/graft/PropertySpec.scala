@@ -137,4 +137,62 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  private val changeGen: Gen[List[(Long, Option[Int], String, Long)]] =
+    Gen.listOfN(60, for {
+      k <- Gen.choose(0L, 12L)
+      v <- Gen.option(Gen.choose(0, 99))
+      op <- Gen.oneOf("I", "U", "D")
+      seq <- Gen.choose(1L, 5L)
+    } yield (k, v, op, seq))
+
+  test("Merge.applyChangeLog: idempotent, and last change per key decides") {
+    import graft.ops.Merge
+    forAll(changeGen, Gen.choose(0L, 12L)) { (changes, baseMax) =>
+      whenever(changes.nonEmpty) {
+        val base = (0L to baseMax).map(k => (k, Some(k.toInt * 10)))
+          .toDF("k", "v")
+        // one change per (k, seq): latest-wins needs a deterministic pick
+        val cl = changes.distinctBy(c => (c._1, c._4))
+          .toDF("k", "v", "op", "seq")
+        val once = Merge.applyChangeLog(base, cl, Seq("k"), "op", col("seq"))
+        val twice = Merge.applyChangeLog(once, cl, Seq("k"), "op", col("seq"))
+        assert(once.orderBy("k").collect().toSeq ==
+          twice.orderBy("k").collect().toSeq, "apply must be idempotent")
+        // independent reference: fold the change log per key in seq order
+        val finalByKey = changes.distinctBy(c => (c._1, c._4))
+          .groupBy(_._1).view.mapValues(_.maxBy(_._4)).toMap
+        val expected = ((0L to baseMax).map(k => k -> Some(k.toInt * 10)).toMap
+          .++(finalByKey.view.mapValues(c => c._2).toMap) -- 
+          finalByKey.filter(_._2._3 == "D").keys).toSeq.sortBy(_._1)
+        val got = once.orderBy("k").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSeq
+        assert(got == expected, s"got $got\nexp $expected")
+      }
+    }
+  }
+
+  test("IncrementalAgg: any partition of the rows merges to the same state") {
+    import graft.ops.IncrementalAgg
+    val valGen = Gen.listOfN(80, for {
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-500, 500)
+    } yield (k, v / 7.0))
+    forAll(valGen, Gen.choose(2, 5)) { (rows, nParts) =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex
+          .map { case ((k, v), i) => (k, v, i.toLong) }.toDF("k", "v", "id")
+        val oneShot = IncrementalAgg.finalize(
+          IncrementalAgg.state(df, Seq("k"), "v"), Seq("k"))
+          .orderBy("k").collect().toSeq
+        val parts = (0 until nParts).map(r =>
+          IncrementalAgg.state(df.filter(col("id") % nParts === r), Seq("k"), "v"))
+        val merged = IncrementalAgg.finalize(
+          IncrementalAgg.merge(parts, Seq("k")), Seq("k"))
+          .orderBy("k").collect().toSeq
+        assert(merged == oneShot, s"nParts=$nParts disagrees with one-shot")
+      }
+    }
+  }
 }
