@@ -31,7 +31,14 @@ object Merge {
       opCol: String,
       seqCol: Column): DataFrame = {
     val payload = base.columns.toSeq
-    val latest = Upsert.latestByKey(changes, keys, seqCol)
+    // seq ties must resolve DETERMINISTICALLY (a replayed feed can carry
+    // U and D at the same seq): op descending (U beats I beats D — a
+    // write wins over a delete), then a payload hash as the total-order
+    // tie-break so equal-seq equal-op rows pick the same winner on every
+    // run and partitioning.
+    val latest = Upsert.latestByKey(changes, keys, seqCol,
+        tieBreak = Seq(col(opCol),
+          xxhash64((payload :+ opCol).map(col): _*)))
       .select((payload :+ opCol).map(col): _*)
     val b = base.as("b")
     val c = latest.as("c")

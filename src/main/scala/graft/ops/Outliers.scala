@@ -27,7 +27,10 @@ object Outliers {
       as: String): DataFrame = {
     val wRank = Window.partitionBy(key).orderBy(col(v), col(id))
     val wAll = Window.partitionBy(key)
-    df.select(col(key), col(v),
+    // percentile_disc is defined over NON-NULL values: unfiltered, nulls
+    // would rank first and shift (or null out) the median
+    df.filter(col(v).isNotNull)
+      .select(col(key), col(v),
         row_number().over(wRank).as("rn"), count(lit(1)).over(wAll).as("n"))
       .groupBy(key)
       .agg(min(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),

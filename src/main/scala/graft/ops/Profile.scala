@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   *
   * One scan, two aggregates, no sort:
   *
-  *   1. melt: explode a 6-literal gid array (Generate, codegen'd) and
+  *   1. melt: explode a gid literal array (Generate, codegen'd) and
   *      null out every column except the gid's own — the same shape
   *      Spark's multi-distinct Expand produces, built by hand;
   *   2. `groupBy(gid, cols…).count()` — the ONLY aggregation that sees
@@ -28,20 +28,33 @@ import org.apache.spark.sql.functions._
   * expanded table (measured 3.4s → this plan 0.6s at sf0.1; at 100 TB
   * that sort IS the query). The table is still read exactly once —
   * the profile spec asserts one leaf AND zero Sort nodes.
+  *
+  * Name handling: the input is positionally renamed to synthetic
+  * `__cN` names up front (`toDF` — no identifier parsing), so columns
+  * with dots/spaces/quotes profile fine; user names appear only as
+  * string LITERALS in the output.
   */
 object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val positions = cols.map { c =>
+      val i = df.columns.indexOf(c)
+      require(i >= 0, s"no such column: $c")
+      i
+    }
+    val d = df.toDF(df.columns.indices.map(i => s"__c$i"): _*)
+    val safe = positions.map(i => s"__c$i")
     val n = cols.size
-    // (gid, c_0…c_{n-1}) with only column gid non-null on each melted row
-    val melted = df
+
+    // (gid, v_0…v_{n-1}) with only column gid non-null on each melted row
+    val melted = d
       .select(explode(array((0 until n).map(i => lit(i)): _*)).as("gid") +:
-        cols.map(col): _*)
-      .select(col("gid") +: cols.zipWithIndex.map { case (c, i) =>
+        safe.map(col): _*)
+      .select(col("gid") +: safe.zipWithIndex.map { case (c, i) =>
         when(col("gid") === i, col(c)).as(c) }: _*)
-    val dist = melted.groupBy(col("gid") +: cols.map(col): _*)
+    val dist = melted.groupBy(col("gid") +: safe.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
-    val aggs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
+    val aggs: Seq[Column] = safe.zipWithIndex.flatMap { case (c, i) =>
       val own = col("gid") === i
       Seq(
         sum(when(own, col("cnt"))).as(s"${c}__n"),
@@ -51,12 +64,18 @@ object Profile {
         max(col(c)).cast("string").as(s"${c}__max"))
     }
     val row = dist.agg(aggs.head, aggs.tail: _*)
-    // the sums are NULL (not 0) over an empty relation — coalesce at the edge
-    val stackArgs = cols.map(c =>
-      s"'$c', coalesce(${c}__n, 0), coalesce(${c}__nulls, 0), ${c}__nd, ${c}__min, ${c}__max")
-      .mkString(", ")
-    row.selectExpr(
-      s"stack($n, $stackArgs) " +
-        "as (col_name, n, n_nulls, n_distinct, min_s, max_s)")
+    // the sums are NULL (not 0) over an empty relation — coalesce at the
+    // edge; the melt-back is explode-of-structs (pure DF API, nothing to
+    // parse), costing nothing on a one-row input
+    val entries = array(safe.zip(cols).map { case (c, name) =>
+      struct(
+        lit(name).as("col_name"),
+        coalesce(col(s"${c}__n"), lit(0L)).as("n"),
+        coalesce(col(s"${c}__nulls"), lit(0L)).as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_s"),
+        col(s"${c}__max").as("max_s"))
+    }: _*)
+    row.select(explode(entries).as("p")).select(col("p.*"))
   }
 }

@@ -36,10 +36,16 @@ object Resample {
       stepSql: String = "interval 1 hour"): DataFrame = {
     import graft.functions.Exact.dec
 
+    // mean over NON-NULL readings (count(valCol), not count(*)): a null
+    // record in a cell must not deflate the mean; an all-null cell
+    // yields v = null and is treated as a hole like any missing hour.
+    // (Not Exact.exactAvg — that helper's count(*) denominator is the
+    // right semantic for money aggregates, the wrong one here.)
     val base = df
       .groupBy(col(key), date_trunc(unit, col(tsCol)).as("h"))
-      .agg(round(sum(dec(col(valCol))).cast("double") / count(lit(1)), 6)
+      .agg(round(sum(dec(col(valCol))).cast("double") / count(col(valCol)), 6)
         .as("v"))
+      .filter(col("v").isNotNull) // all-null cell = hole, not a grid anchor
     val grid = base.groupBy(col(key))
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(col(key), explode(sequence(col("h0"), col("h1"), expr(stepSql)))

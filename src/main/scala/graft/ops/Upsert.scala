@@ -64,9 +64,11 @@ object Upsert {
       keys: Seq[String],
       version: Column,
       partitionCol: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(root))
+    // resolve the filesystem FROM the table path (the cluster-default FS
+    // may be a different scheme than the lake)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(rootPath)
     val resolved =
       if (!exists) latestByKey(incoming, keys, version)
       else {

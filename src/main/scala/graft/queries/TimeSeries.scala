@@ -18,8 +18,8 @@ object TimeSeries extends QueryPack {
     Some("""
       WITH base AS (
         SELECT event_type, date_trunc('hour', ts) AS h,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS v
-        FROM events GROUP BY 1, 2),
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS v
+        FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0),
       grid AS (
         SELECT event_type, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
         FROM base GROUP BY event_type),

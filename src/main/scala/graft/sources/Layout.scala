@@ -18,13 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** List the data files under `root` as a (path, bytes) DataFrame. */
+  /** List the data files under `root` (recursively — micro-batch sinks
+    * and partitioned tables nest) as a (path, bytes) DataFrame. The
+    * filesystem is resolved FROM THE PATH, not the cluster default —
+    * `FileSystem.get(conf)` would bind hdfs:// and throw on an s3a://
+    * lake path. */
   def listFiles(spark: SparkSession, root: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(root))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.toString, s.getLen))
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val files = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet"))
+        files += ((s.getPath.toString, s.getLen))
+    }
     import spark.implicits._
     files.toSeq.toDF("path", "bytes")
   }
@@ -53,14 +61,23 @@ object Layout {
       targetBytes: Long, lanes: Int = 32): Long = {
     val plan = planBins(listFiles(spark, root), targetBytes, lanes)
     val nBins = plan.select("bin").distinct().count()
-    // join on the basename: input_file_name() renders a file:/// URI,
-    // FileStatus.getPath a file:/ one — the name is the stable key
-    val base = (c: Column) => regexp_extract(c, "[^/]+$", 0)
+    // join on the scheme-normalized FULL path: input_file_name() renders
+    // file:///p, FileStatus.getPath file:/p — same path, different
+    // scheme spelling. Basenames are NOT a safe key (part-00000.parquet
+    // recurs in every nested partition directory).
+    val canon = (c: Column) => regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
     val routed = spark.read.parquet(root)
-      .withColumn("__fname", base(input_file_name()))
-      .join(broadcast(plan.select(base(col("path")).as("__fname"), col("bin"))),
-        "__fname")
-      .drop("__fname")
+      .withColumn("__path", canon(input_file_name()))
+      .join(broadcast(plan.select(canon(col("path")).as("__path"), col("bin"))),
+        "__path")
+      .drop("__path")
+    // the inner join would SILENTLY DROP rows whose file the plan missed
+    // (a listing/normalization gap) — for a maintenance op that replaces
+    // the table, fail loudly instead. One extra count against a rewrite-
+    // sized job is noise.
+    val (inRows, outRows) = (spark.read.parquet(root).count(), routed.count())
+    require(outRows == inRows,
+      s"compaction would lose rows: $inRows in root, $outRows routed")
     routed.repartition(nBins.toInt.max(1), col("bin"))
       .write.mode("overwrite").partitionBy("bin").parquet(out)
     nBins
@@ -105,19 +122,19 @@ object Layout {
         // boundaries (256 per dim, scaled to the 16-bit grid) — linear
         // scaling would crowd a heavy tail into a handful of cells and
         // the z-curve would degenerate to a 1-D sort on the other dim.
-        // approxQuantile is one pass over a sample; boundaries ship as a
-        // literal array, bucket id = #boundaries ≤ x (a 256-element
-        // codegen'd HOF per row — write-path cost only).
-        def boundaries(c: String): Seq[Double] =
-          df.stat.approxQuantile(c, (1 until 256).map(_ / 256.0).toArray, 0.01)
-            .toSeq
-        def bucket(c: String, bs: Seq[Double]): Column = {
-          val arr = array(bs.map(lit): _*)
-          (size(filter(arr, b => b <= col(c).cast("double"))).cast("long")
+        // ONE multi-column approxQuantile pass computes both dimensions'
+        // boundaries; they ship as a literal array, bucket id =
+        // #boundaries ≤ x (a 256-element codegen'd HOF per row —
+        // write-path cost only).
+        val bs = df.stat.approxQuantile(Array(cA, cB),
+          (1 until 256).map(_ / 256.0).toArray, 0.01)
+        def bucket(c: String, b: Array[Double]): Column = {
+          val arr = array(b.toSeq.map(lit): _*)
+          (size(filter(arr, x => x <= col(c).cast("double"))).cast("long")
             * lit(256L))
         }
         df.withColumn("__z", zInterleave(
-          bucket(cA, boundaries(cA)), bucket(cB, boundaries(cB))))
+          bucket(cA, bs(0)), bucket(cB, bs(1))))
       }
     zd.repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -31,8 +31,13 @@ object StreamingRollup {
     * for the spec's replay test). */
   def foldBatch(batch: DataFrame, batchId: Long, keys: Seq[String],
       valCol: String, stateDir: String, keepVersions: Int = 3): Unit = {
+    // a retried batch merges from the newest version BELOW its id — with
+    // fewer than 2 retained versions that predecessor may already be
+    // deleted and the replay would silently reset the rollup
+    require(keepVersions >= 2, s"keepVersions=$keepVersions breaks replay")
     val spark = batch.sparkSession
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prev = versions(fs, stateDir).filter(_ < batchId)
     val batchState = IncrementalAgg.state(batch, keys, valCol)
     val merged =
@@ -59,7 +64,8 @@ object StreamingRollup {
   /** The current rollup, finalized to dashboard statistics. */
   def current(spark: SparkSession, stateDir: String, keys: Seq[String])
       : DataFrame = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = versions(fs, stateDir)
     require(vs.nonEmpty, s"no rollup state at $stateDir")
     IncrementalAgg.finalize(

@@ -58,8 +58,9 @@ object VectorIndex {
         idCol, vecCol)
       .select(col("vec_id").as("query_id"), col("cid"),
         col("e").as("qe"), col("nrm").as("qn"))
+    // untyped get: centroid ids are whatever type idCol carries
     val probedCells = probes.select("cid").distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(_.get(0)).toSeq
     val index = spark.read.option("basePath", indexDir).parquet(indexDir)
       .filter(col("cid").isin(probedCells: _*)) // partition pruning
       .select(col("vec_id"), col("cid"), col("e").as("ce"), col("nrm").as("cn"))

@@ -109,4 +109,44 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(p.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 &&
       r.getLong(3) == 0 && r.isNullAt(4) && r.isNullAt(5)))
   }
+
+  test("review regressions: nulls in values, hostile column names, nested compact") {
+    // gapfill: null readings don't deflate a cell mean; all-null cell is a hole
+    val withNulls = Seq(
+      ("k", ts(0), Some(2.0)), ("k", ts(0, 30), None),
+      ("k", ts(1), None),                       // all-null hour → hole
+      ("k", ts(2), Some(6.0))).toDF("k", "t", "x")
+    val g = Resample.gapfillLinear(withNulls, "k", "t", "x")
+      .orderBy("h").collect()
+    assert(g.map(_.getAs[Double]("v_filled")).toSeq == Seq(2.0, 4.0, 6.0))
+    assert(g.map(_.getAs[String]("src")).toSeq ==
+      Seq("observed", "interpolated", "observed"))
+
+    // outliers: nulls neither shift the median nor appear as outliers
+    val nv = (Seq.fill(3)(Option.empty[Double]) ++
+      (1 to 9).map(d => Some(d.toDouble)) :+ Some(100.0)).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("k", "id", "x")
+    val flagged = graft.ops.Outliers.robustZ(nv, "k", "x", "id", 3.0).collect()
+    assert(flagged.length == 1 && flagged.head.getAs[Double]("x") == 100.0)
+    assert(flagged.head.getAs[Double]("med") == 5.0) // as if nulls absent
+
+    // profile: dotted/spaced column names survive (no identifier parsing)
+    val weird = Seq((1L, "a"), (2L, "b")).toDF("the key", "v.alue")
+    val p = graft.ops.Profile.profile(weird, Seq("the key", "v.alue"))
+      .orderBy("col_name").collect()
+    assert(p.map(_.getString(0)).toSeq == Seq("the key", "v.alue"))
+    assert(p.forall(_.getLong(1) == 2))
+
+    // compact: nested (partitioned) source layout, duplicate basenames
+    val dir = java.nio.file.Files.createTempDirectory("nestedcompact")
+    val root = dir.resolve("t").toString
+    val out = dir.resolve("o").toString
+    val src = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0), (4L, "y", 4.0))
+      .toDF("id", "part", "v")
+    src.write.partitionBy("part").parquet(root) // part-*.parquet recurs per dir
+    graft.sources.Layout.compact(spark, root, out, targetBytes = 1L << 30, lanes = 1)
+    val back = spark.read.parquet(out).select("id", "part", "v")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(back.toSeq == Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0), (4L, "y", 4.0)))
+  }
 }
