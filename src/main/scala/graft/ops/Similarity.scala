@@ -177,7 +177,13 @@ object Similarity {
   def distortion(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
     val c = withNorm(corpus, idCol, vecCol)
-    val cent = centroids.select(col("cid"), col("e").as("ke"))
+    // accept either [[kmeansRefine]] output (cid, e) or a plain
+    // embedding table shaped like idCol/vecCol advertise
+    val cent =
+      if (centroids.columns.toSeq == Seq("cid", "e"))
+        centroids.select(col("cid"), col("e").as("ke"))
+      else withNorm(centroids, idCol, vecCol)
+        .select(col("vec_id").as("cid"), col("e").as("ke"))
     val w = Window.partitionBy("vid").orderBy(col("d2"), col("cid"))
     c.as("v").join(broadcast(cent), lit(true))
       .select(col("vec_id").as("vid"),

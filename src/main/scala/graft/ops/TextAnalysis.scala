@@ -36,7 +36,9 @@ object TextAnalysis {
       col(idCol) +: stopwords.map { case (l, ws) => stopScore(tk, ws).as(s"s_$l") }: _*)
     val m = greatest(stopwords.map(l => col(s"s_${l._1}")): _*)
     scored.withColumn("pred_lang",
-      when(m === 0, "und")
+      // m.isNull (null text): every branch below would be NULL-skipped
+      // and the row would fall through to "fr" — unknown, not French
+      when(m.isNull || m === 0, "und")
         .when(col("s_de") === m, "de")
         .when(col("s_en") === m, "en")
         .when(col("s_es") === m, "es")
@@ -114,14 +116,18 @@ object TextAnalysis {
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(
         sum("c").as("n_bigrams"), count(lit(1)).as("n_distinct_bg"))
-    uni.join(big, Seq(idCol))
+    // LEFT join: a one-token doc has no bigram group at all — an inner
+    // join would drop the doc and its unigram signals with it; its
+    // duplicate-bigram fraction is 0 by convention (no bigrams to dup)
+    uni.join(big, Seq(idCol), "left")
       .select(
         col(idCol),
         col("n_words").cast("long").as("n_words"),
         round(col("n_distinct") / col("n_words").cast("double"), 6).as("distinct_frac"),
         round(col("top_c") / col("n_words").cast("double"), 6).as("top_token_frac"),
-        round(lit(1.0) - col("n_distinct_bg") / col("n_bigrams").cast("double"), 6)
-          .as("dup_bigram_frac"))
+        coalesce(
+          round(lit(1.0) - col("n_distinct_bg") / col("n_bigrams").cast("double"), 6),
+          lit(0.0)).as("dup_bigram_frac"))
   }
 
   /** Benchmark-contamination check: for every corpus document, the

@@ -99,6 +99,7 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     e.injectOptimizerRule(_ => WindowTopKRewrite)
     e.injectOptimizerRule(_ => TopKJoinPushdown)
+    e.injectOptimizerRule(_ => FilterThroughTopK)
   }
 }
 

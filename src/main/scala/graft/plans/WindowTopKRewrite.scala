@@ -145,8 +145,14 @@ object TopKJoinPushdown extends Rule[LogicalPlan] {
   */
 object FilterThroughTopK extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // Soundness requires every key to be a BARE attribute: only then is
+    // a predicate over the key references constant within each group.
+    // With an expression key (e.g. partition by year(ts)), a predicate
+    // on ts varies INSIDE a group — filtering before the rank changes
+    // which rows fill the top k. Those shapes are left alone.
     case f @ Filter(cond, t @ TopKPerKeyNode(keys, _, _, child))
-        if cond.deterministic &&
+        if keys.forall(_.isInstanceOf[AttributeReference]) &&
+          cond.deterministic &&
           cond.references.subsetOf(AttributeSet(keys.flatMap(_.references))) &&
           cond.references.subsetOf(child.outputSet) =>
       t.withNewChildren(Seq(Filter(cond, child)))

@@ -36,7 +36,8 @@ object TrainingData extends QueryPack {
         CAST(len(list_filter(tk, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr
        FROM (SELECT doc_id, string_split_regex(text,'\\s+') AS tk FROM documents))
       SELECT doc_id, s_en, s_de, s_es, s_fr,
-       CASE WHEN greatest(s_en,s_de,s_es,s_fr) = 0 THEN 'und'
+       CASE WHEN greatest(s_en,s_de,s_es,s_fr) IS NULL
+              OR greatest(s_en,s_de,s_es,s_fr) = 0 THEN 'und'
             WHEN s_de = greatest(s_en,s_de,s_es,s_fr) THEN 'de'
             WHEN s_en = greatest(s_en,s_de,s_es,s_fr) THEN 'en'
             WHEN s_es = greatest(s_en,s_de,s_es,s_fr) THEN 'es'
@@ -355,8 +356,8 @@ object TrainingData extends QueryPack {
       SELECT ua.doc_id, CAST(n_words AS BIGINT) AS n_words,
         ROUND(n_distinct / CAST(n_words AS DOUBLE), 6) AS distinct_frac,
         ROUND(top_c / CAST(n_words AS DOUBLE), 6) AS top_token_frac,
-        ROUND(1.0 - n_distinct_bg / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac
-      FROM ua JOIN ba ON ua.doc_id = ba.doc_id ORDER BY ua.doc_id""".trim)) { (spark, dir) =>
+        COALESCE(ROUND(1.0 - n_distinct_bg / CAST(n_bigrams AS DOUBLE), 6), 0.0) AS dup_bigram_frac
+      FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id ORDER BY ua.doc_id""".trim)) { (spark, dir) =>
     TextAnalysis.repetitionSignals(Tables.documents(spark, dir)).orderBy("doc_id")
   }
 

@@ -45,10 +45,15 @@ object FetchEventStream {
     raw
       .withColumn("e", from_json(col("raw"), fetchEventSchema))
       .withColumn("valid",
-        col("e").isNotNull &&
-        col("e.fetch_id").isNotNull && col("e.source").isNotNull &&
-        col("e.status").isin(FetchStatus.Pending, FetchStatus.Error,
-          FetchStatus.Success))
+        // coalesce: a null/missing status makes the isin() NULL, and a
+        // NULL valid flag would vanish from BOTH the valid feed and the
+        // dead-letter feed (filter(v) and filter(!v) each drop NULL)
+        coalesce(
+          col("e").isNotNull &&
+          col("e.fetch_id").isNotNull && col("e.source").isNotNull &&
+          col("e.status").isin(FetchStatus.Pending, FetchStatus.Error,
+            FetchStatus.Success),
+          lit(false)))
       .select(col("raw"), col("valid"), col("e.*"))
       .withColumn("finished_at", timestamp_millis(col("finished_at")))
 
