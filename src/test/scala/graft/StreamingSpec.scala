@@ -231,4 +231,22 @@ class StreamingSpec extends SparkTestBase {
       assert(u2.length == 1 && u2.head.getAs[Long]("n_events") == 1)
     } finally q.stop()
   }
+
+  test("events with null/missing status land in the dead-letter feed, not limbo") {
+    val in = tmp("nullstatus")
+    Files.writeString(in.resolve("b0.json"),
+      Seq(
+        """{"fetch_id":"ok","source":"s","status":"success","path":"p","params":{},"finished_at":1}""",
+        """{"fetch_id":"nostatus","source":"s","path":"p","params":{},"finished_at":2}""").mkString("\n"))
+    val parsed = FetchEventStream.parseEvents(
+      FetchEventStream.readRaw(spark, in.toString))
+    val q = parsed.writeStream.format("memory").queryName("nullstatus")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("nullstatus")
+    assert(rows.count() == 2)
+    assert(FetchEventStream.validEvents(rows).count() == 1)
+    // the missing-status event must be AUDITABLE, not silently dropped
+    assert(FetchEventStream.deadLetters(rows).count() == 1)
+  }
 }

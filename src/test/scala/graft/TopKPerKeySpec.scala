@@ -131,4 +131,30 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(valFiltered.orderBy("event_id").collect().toSeq ==
       expectedVal.orderBy("event_id").collect().toSeq)
   }
+
+  test("FilterThroughTopK does NOT push when the key is an expression " +
+      "(predicate varies within a group)") {
+    import spark.implicits._
+    // partition by year(ts): a ts predicate references the key's inputs
+    // but is NOT constant per group — pushing would change results
+    val df = Seq(
+      ("2020-01-01 00:00:00", 9.0), ("2020-07-01 00:00:00", 5.0),
+      ("2021-03-01 00:00:00", 7.0))
+      .toDF("ts_s", "v").selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    val topk = graft.plans.TopK.perKey(
+      df.withColumn("yr", expr("year(ts)")), Seq("yr"),
+      Seq(col("v").desc), k = 1)
+    // keys here are bare attributes (yr) — pushing a yr filter is fine;
+    // build the unsafe shape via the window rewrite on an expression key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(expr("year(ts)")).orderBy(col("v").desc)
+    val ranked = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1).drop("rn")
+      .filter(col("ts") >= "2020-06-01")
+    // original semantics: year 2020's top row (v=9, Jan) is filtered out
+    // AFTER ranking → only 2021 survives. A bad pushdown would emit the
+    // July row instead.
+    val got = ranked.collect().map(_.getAs[Double]("v")).toSeq.sorted
+    assert(got == Seq(7.0), s"filter-through-topk changed results: $got")
+  }
 }

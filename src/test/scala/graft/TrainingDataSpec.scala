@@ -556,4 +556,18 @@ class TrainingDataSpec extends SparkTestBase {
     assert(out.values.forall(_ == 0L), s"chain not fully converged: " +
       s"${out.filter(_._2 != 0L).take(5)}")
   }
+
+  test("clean corpus: zero near-dup pairs clusters to an empty table, no crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(empty).count() == 0)
+  }
+
+  test("repetitionSignals keeps one-token docs with zero dup-bigram fraction") {
+    val out = TextAnalysis.repetitionSignals(docs((1L, "hello"), (2L, "a b a b")))
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_words") == 1 &&
+      out(0).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(out(1).getAs[Double]("dup_bigram_frac") > 0.0)
+  }
 }
