@@ -100,6 +100,7 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
     e.injectOptimizerRule(_ => WindowTopKRewrite)
     e.injectOptimizerRule(_ => TopKJoinPushdown)
     e.injectOptimizerRule(_ => FilterThroughTopK)
+    e.injectOptimizerRule(_ => MergeFilterPushdown)
   }
 }
 
@@ -120,6 +121,9 @@ object TopK {
     if (!spark.experimental.extraOptimizations.contains(FilterThroughTopK))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FilterThroughTopK
+    if (!spark.experimental.extraOptimizations.contains(MergeFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MergeFilterPushdown
   }
 
   /** Top `k` rows per `keyCols` group under `sortCols` (use `.desc`/

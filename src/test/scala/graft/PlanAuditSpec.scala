@@ -155,4 +155,61 @@ class PlanAuditSpec extends SparkTestBase {
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
+
+  test("MergeFilterPushdown: merged-view key predicate prunes BOTH the " +
+      "base and the changes scan; payload predicates stay above the join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-push").toString
+    val base = Tables.orders(spark, sfDir)
+    base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      .withColumn("op",
+        when(col("o_orderkey") % 3 === 0, lit("D")).otherwise(lit("U")))
+      .withColumn("seq", lit(1L))
+      .write.mode("overwrite").parquet(s"$dir/changes")
+    val changes = spark.read.parquet(s"$dir/changes")
+    val merged = graft.ops.Merge.applyChangeLog(
+      base, changes, Seq("o_orderkey"), "op", col("seq"))
+
+    val keyFiltered = merged.filter(col("o_orderkey") < 500)
+    val got = keyFiltered.collect()
+    val plan = keyFiltered.queryExecution.executedPlan.toString
+    val pushedCount = "LessThan\\(o_orderkey,500\\)".r.findAllIn(plan).size
+    assert(pushedCount >= 2,
+      s"merged key predicate reached $pushedCount scans, want both:\n$plan")
+    // ground truth: filter applied to the un-filtered merge result
+    val expected = merged.collect().filter(_.getAs[Long]("o_orderkey") < 500)
+    assert(got.map(_.toString).sorted.toSeq ==
+      expected.map(_.toString).sorted.toSeq)
+
+    // payload predicate references both sides outside a key coalesce —
+    // must NOT be pushed into either scan
+    val payFiltered = merged.filter(col("o_totalprice") > 1000.0)
+    payFiltered.collect()
+    val payPlan = payFiltered.queryExecution.executedPlan.toString
+    assert(!payPlan.contains("GreaterThan(o_totalprice"),
+      s"payload predicate must not reach a scan:\n$payPlan")
+    val expectedPay = merged.collect()
+      .filter(_.getAs[Double]("o_totalprice") > 1000.0)
+    assert(payFiltered.collect().map(_.toString).sorted.toSeq ==
+      expectedPay.map(_.toString).sorted.toSeq)
+  }
+
+  test("MergeFilterPushdown preserves NULL-key and IS NULL semantics " +
+      "on a raw coalesce-keyed full-outer join") {
+    import spark.implicits._
+    val l = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "lnull"))
+      .toDF("lk", "lv")
+    val r = Seq[(java.lang.Long, String)]((2L, "x"), (3L, "y"), (null, "rnull"))
+      .toDF("rk", "rv")
+    val joined = l.join(r, col("lk") === col("rk"), "full_outer")
+      .select(coalesce(col("rk"), col("lk")).as("k"), col("lv"), col("rv"))
+    for (pred <- Seq(col("k") === 2L, col("k").isNull, col("k") >= 2L)) {
+      val got = joined.filter(pred).collect().map(_.toString).sorted.toSeq
+      val want = joined.collect()
+        .zip(joined.select(pred).collect())
+        .collect { case (row, p) if !p.isNullAt(0) && p.getBoolean(0) => row }
+        .map(_.toString).sorted.toSeq
+      assert(got == want, s"pred $pred: got $got want $want")
+    }
+  }
 }
