@@ -227,4 +227,31 @@ object TextAnalysis {
           regexp_replace(col(textCol), piiEmail, "<EMAIL>"),
           piiId, "<ID>"),
         piiNumber, "<NUM>").as("masked"))
+
+  /** Unicode/whitespace normalization pipeline (C4/CCNet-style cleanup):
+    * curly quotes → ASCII quotes, en/em dashes → '-', NBSP → space,
+    * control characters stripped, whitespace runs collapsed, trimmed.
+    *
+    * Every pattern is RE2-compatible (`\x{...}` escapes — `\uXXXX` is
+    * Java-only) so the exact same regex pipeline runs in any RE2-based
+    * engine; narrow per-row work, no shuffle. */
+  def cleanText(text: Column): Column = {
+    val quotes  = regexp_replace(text, "[\\x{2018}\\x{2019}]", "'")
+    val dquotes = regexp_replace(quotes, "[\\x{201C}\\x{201D}]", "\"")
+    val dashes  = regexp_replace(dquotes, "[\\x{2013}\\x{2014}]", "-")
+    val nbsp    = regexp_replace(dashes, "\\x{00A0}", " ")
+    val ctrl    = regexp_replace(nbsp,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    trim(regexp_replace(ctrl, "\\s+", " "))
+  }
+
+  /** [[cleanText]] over a corpus: cleaned text plus before/after sizes
+    * (the removed-byte fraction is the curation signal). */
+  def clean(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_raw"),
+      cleanText(col(textCol)).as("clean_text"))
+      .withColumn("n_clean", length(col("clean_text")).cast("long"))
 }

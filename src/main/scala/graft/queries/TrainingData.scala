@@ -457,6 +457,35 @@ object TrainingData extends QueryPack {
     TextAnalysis.maskPii(Tables.documents(spark, dir)).orderBy("doc_id")
   }
 
+  /** Unicode/whitespace normalization — the cleanup pass before any
+    * tokenize/shingle/hash stage. Oracle replays the identical
+    * RE2-compatible regex pipeline (`\x{...}` escapes work in both
+    * engines; every replace is global). */
+  val textClean = GraftQuery(
+    "text_clean",
+    Some("""
+      SELECT doc_id, CAST(len(text) AS BIGINT) AS n_raw,
+        trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(text,
+          '[\x{2018}\x{2019}]', '''', 'g'),
+          '[\x{201C}\x{201D}]', '"', 'g'),
+          '[\x{2013}\x{2014}]', '-', 'g'),
+          '\x{00A0}', ' ', 'g'),
+          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          '\s+', ' ', 'g')) AS clean_text,
+        CAST(len(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(text,
+          '[\x{2018}\x{2019}]', '''', 'g'),
+          '[\x{201C}\x{201D}]', '"', 'g'),
+          '[\x{2013}\x{2014}]', '-', 'g'),
+          '\x{00A0}', ' ', 'g'),
+          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          '\s+', ' ', 'g'))) AS BIGINT) AS n_clean
+      FROM documents ORDER BY doc_id""".trim)) { (spark, dir) =>
+    TextAnalysis.clean(Tables.documents(spark, dir))
+      .select("doc_id", "n_raw", "clean_text", "n_clean").orderBy("doc_id")
+  }
+
   /** Two-stage ANN: PQ/ADC candidates re-ranked by exact cosine. */
   val annPqRerank = GraftQuery(
     "ann_pq_rerank",
@@ -548,7 +577,7 @@ object TrainingData extends QueryPack {
 
   override def all: Seq[GraftQuery] = Seq(
     fuzzyVocab, vocabStats,
-    langId, quality, tokensQ, fingerprintQ, textPii,
+    langId, quality, tokensQ, fingerprintQ, textPii, textClean,
     textRepetition, textContamination, textTfidf, dataQuota,
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding,

@@ -456,6 +456,23 @@ class TrainingDataSpec extends SparkTestBase {
     assert(r2.getAs[String]("masked") == "no pii here, just 123 and 9999 short runs")
   }
 
+  test("clean normalizes unicode punctuation, strips control chars, collapses whitespace") {
+    val df = docs(
+      (1L, "“curly” ‘quotes’ – and—dashes nbsp"),
+      (2L, "ctrlcharshere\t tabs \n  and   runs  "),
+      (3L, "already clean"))
+    val out = TextAnalysis.clean(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") ==
+      "\"curly\" 'quotes' - and-dashes nbsp")
+    assert(out(1).getAs[String]("clean_text") == "ctrlcharshere tabs and runs")
+    assert(out(2).getAs[String]("clean_text") == "already clean")
+    // sizes: n_raw counts the original, n_clean the normalized text
+    assert(out(2).getAs[Long]("n_raw") == 13L &&
+      out(2).getAs[Long]("n_clean") == 13L)
+    assert(out(1).getAs[Long]("n_clean") <
+      out(1).getAs[Long]("n_raw"))
+  }
+
   test("pqRerankTopK: exact rerank beats coarse PQ recall, scores are exact") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = embs.filter(col("vec_id") < 10)
