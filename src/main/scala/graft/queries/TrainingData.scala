@@ -543,18 +543,19 @@ object TrainingData extends QueryPack {
       SELECT r.term, CAST(r.freq AS BIGINT) AS freq, CAST(r.rank AS BIGINT) AS rank,
         ROUND(CAST(r.cum AS DOUBLE) / t.total, 6) AS cum_share
       FROM r, t ORDER BY rank""".trim)) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val f = Tables.documents(spark, dir)
       .select(explode(graft.functions.Hashing.tokens(col("text"))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("freq"))
-    val w = Window.orderBy(col("freq").desc, col("term"))
-    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // two-phase distributed ranking: a partitionless Window.orderBy here
+    // would funnel the whole vocabulary (billions of terms at corpus
+    // scale) through one task — Ranking.globalRankCumsum keeps the sort
+    // range-parallel and only ever single-tasks the per-range totals
+    val ranked = graft.ops.Ranking.globalRankCumsum(
+      f, Seq(col("freq").desc, col("term")), col("freq"))
     // total via a 1-row broadcast, not a second scan of the corpus
     val total = f.agg(sum(col("freq")).as("total"))
-    f.withColumn("rank", row_number().over(w))
-      .withColumn("cum", sum(col("freq")).over(cumW))
-      .crossJoin(broadcast(total))
+    ranked.crossJoin(broadcast(total))
       .select(col("term"), col("freq").cast("long").as("freq"),
         col("rank").cast("long").as("rank"),
         round(col("cum").cast("double") / col("total"), 6).as("cum_share"))

@@ -194,6 +194,53 @@ class PlanAuditSpec extends SparkTestBase {
       expectedPay.map(_.toString).sorted.toSeq)
   }
 
+  test("text_vocab_stats: global rank is two-phase — vocab window is " +
+      "partitioned by range id, never a single-task sort of the corpus") {
+    val df = SparkEntry.queries("text_vocab_stats")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // phase 2 runs partitioned by the range id (parallel across ranges)
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"pid-partitioned vocab window missing:\n$plan")
+    // no window orders the full vocabulary without a partition key
+    assert(!plan.contains("windowspecdefinition(freq"),
+      s"partitionless vocab window back in the plan:\n$plan")
+    // single-partition steps are allowed only over aggregate outputs
+    // (the 1-row corpus total and the <= numShufflePartitions-row range
+    // offsets); the vocabulary itself must never collapse to one task
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
+          s"single-partition exchange over non-aggregated data at line $i:\n$plan")
+      }
+    assert(plan.contains("rangepartitioning(freq"),
+      s"vocab must be range-partitioned on the sort key:\n$plan")
+  }
+
+  test("Ranking.globalRankCumsum equals the partitionless window on a " +
+      "multi-partition input (ties, nulls in value col exercised)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = spark.range(10000).select(
+      (col("id") % 97).as("k"),
+      ((col("id") * 31) % 1000).as("v"))
+      .groupBy("k").agg(count(lit(1)).as("freq"), sum("v").as("w"))
+      .repartition(7)
+    val got = graft.ops.Ranking.globalRankCumsum(
+        df, Seq(col("freq").desc, col("k")), col("w"), numRanges = 5)
+      .select(col("k"), col("rank"), col("cum"))
+      .collect().map(_.toString).sorted.toSeq
+    val w = Window.orderBy(col("freq").desc, col("k"))
+    val want = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("w").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("k"), col("rank"), col("cum"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
   test("MergeFilterPushdown preserves NULL-key and IS NULL semantics " +
       "on a raw coalesce-keyed full-outer join") {
     import spark.implicits._
