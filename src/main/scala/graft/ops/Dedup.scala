@@ -280,8 +280,29 @@ object Dedup {
     * driver only evaluates a has-anything-changed probe per round, never
     * the data.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  /** @param checkpointDir when set, iteration state is checkpointed
+    *   RELIABLY (HDFS/object store) instead of executor-locally. On a
+    *   real cluster localCheckpoint ties the computation to executor
+    *   liveness — one lost executor makes every later round
+    *   unrecoverable; reliable checkpoints survive executor loss at the
+    *   cost of a distributed write per round. Local mode / tests can
+    *   leave it None. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // checkpoint in BOTH modes (not just persist): the jump step below
+    // self-joins the round's result, so lineage would DOUBLE per round —
+    // the analyzed plan grows 2^rounds and planning itself OOMs. Cutting
+    // lineage keeps the per-round plan constant-size.
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val spark = pairs.sparkSession
+        if (spark.sparkContext.getCheckpointDir.isEmpty ||
+            !spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
+          spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
     // symmetrize in ONE pass over the (possibly expensive) pair plan —
     // a self-union would evaluate it once per branch
     val edges = pairs
@@ -290,13 +311,8 @@ object Dedup {
         struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().persist(MEMORY_AND_DISK)
-    // localCheckpoint (not just persist): the jump step below self-joins
-    // the round's result, so lineage would DOUBLE per round — the
-    // analyzed plan grows 2^rounds and planning itself OOMs. Cutting
-    // lineage keeps the per-round plan constant-size. (On a cluster with
-    // unreliable executors, use reliable checkpoint(dir) instead.)
-    var labels = edges.select(col("u")).distinct()
-      .withColumn("label", col("u")).localCheckpoint(true)
+    var labels = cut(edges.select(col("u")).distinct()
+      .withColumn("label", col("u")))
     // min-propagation only ever lowers labels, so the label sum is
     // strictly decreasing until the fixpoint — one cheap aggregate per
     // round detects convergence (no join against the previous labels)
@@ -319,13 +335,12 @@ object Dedup {
       // the reach each round, so rounds fall to O(log diameter). The
       // fixpoint is unchanged (labels only ever decrease toward the
       // component minimum).
-      val half = stepped.localCheckpoint(true) // jump self-join: 2 refs
-      val updated = half.as("a")
+      val half = cut(stepped) // jump self-join: 2 refs
+      val updated = cut(half.as("a")
         .join(half.select(col("u").as("label"), col("label").as("l2")).as("b"),
           Seq("label"), "left")
         .select(col("u"),
-          least(col("label"), coalesce(col("l2"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("l2"), col("label"))).as("label")))
       val newSum = updated.agg(coalesce(sum(col("label")), lit(0L)))
         .head().getLong(0)
       converged = newSum == prevSum

@@ -574,6 +574,21 @@ class TrainingDataSpec extends SparkTestBase {
       s"${out.filter(_._2 != 0L).take(5)}")
   }
 
+  test("duplicateClusters with a reliable checkpointDir is result-" +
+      "identical to the localCheckpoint path on the 64-node chain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(chain, maxIters = 10,
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 64 && out.values.forall(_ == 0L),
+      s"reliable-checkpoint run diverged: ${out.filter(_._2 != 0L).take(5)}")
+    // reliable checkpoints actually landed in the requested directory
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, "no reliable checkpoint files written")
+  }
+
   test("clean corpus: zero near-dup pairs clusters to an empty table, no crash") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.duplicateClusters(empty).count() == 0)
