@@ -57,10 +57,15 @@ object Multimodal {
   }
 
   /** Real-codec stub: the deployment point for an actual decoder.
-    * Deliberately unimplemented in this environment. */
+    * Deliberately unimplemented in this environment (equivalent to `???`
+    * but with a pointed message, so a misconfigured pipeline fails loud
+    * and attributable — never silently decodes garbage). */
   class NativeCodecDecoder extends Decoder {
     override def decode(bytes: Array[Byte], meta: MediaMeta): Array[Double] =
-      ??? // real image/audio codec goes here (not available in-container)
+      throw new NotImplementedError(
+        "NativeCodecDecoder is a deployment stub: link a real image/audio " +
+        "codec at this extension point (none is available in-container); " +
+        "tests use DeterministicFakeDecoder")
   }
 
   /** Decode/feature-extract as a batched mapPartitions stage. The

@@ -84,4 +84,15 @@ class MultimodalSpec extends SparkTestBase {
     // all payload bytes survive the rebalance
     assert(perPart.sum == rows.map(_._2.length.toLong).sum)
   }
+
+  test("NativeCodecDecoder stays an explicit stub: decode throws " +
+      "NotImplementedError with a deployment-pointed message") {
+    val ex = intercept[NotImplementedError] {
+      new graft.ops.Multimodal.NativeCodecDecoder()
+        .decode(Array[Byte](1, 2, 3),
+          graft.ops.Multimodal.MediaMeta("image", 2, 2, 0, 0L))
+    }
+    assert(ex.getMessage.contains("deployment stub"),
+      s"stub must fail loud and attributable, got: ${ex.getMessage}")
+  }
 }
