@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Global 1-based row_number over `sortCols`, no running sum. Same
+    * two-phase plan as [[globalRankCumsum]]. A per-GROUP rank with few
+    * distinct groups (e.g. 3 return flags over a 100 TB fact table)
+    * should NOT use `Window.partitionBy(group)` — parallelism collapses
+    * to the group count; instead rank globally with the group leading
+    * the sort key and subtract the group's broadcast start offset. */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+      rankCol: String = "rank", numRanges: Int = 0): DataFrame =
+    globalRankCumsum(df, sortCols, lit(0L), rankCol, "__cum_unused",
+      numRanges).drop("__cum_unused")
+
   /** Adds `rankCol` (global 1-based row_number over `sortCols`) and
     * `cumCol` (running sum of `valueCol` in that order). `sortCols` must
     * be a total order (ties across range boundaries would make local

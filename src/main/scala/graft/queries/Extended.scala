@@ -88,15 +88,25 @@ object Extended extends QueryPack {
                                   MIN(CASE WHEN rn = lo + 1 THEN x END))
                          - MIN(CASE WHEN rn = lo + 1 THEN x END)), 6) AS quantile
       FROM j GROUP BY flag, p ORDER BY flag, p""".stripMargin.trim)) { (spark, dir) =>
-    val w = Window.partitionBy("flag")
-      .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
-    val wn = Window.partitionBy("flag")
-    val v = Tables.lineitem(spark, dir)
+    // per-flag rank WITHOUT Window.partitionBy(flag): only 3 distinct
+    // flags, so a flag-partitioned window sorts the whole fact table in
+    // 3 tasks (r2 bench showed the resulting scheduling variance; at
+    // 100 TB it's a stall). Rank globally with flag leading the sort
+    // key (two-phase, range-parallel), then rn = global rank − the
+    // flag's broadcast start offset; n comes off the same tiny table.
+    val base = Tables.lineitem(spark, dir)
       .select(col("l_returnflag").as("flag"),
         col("l_extendedprice").cast("double").as("x"),
         col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
+    val wf = Window.orderBy("flag")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stats = base.groupBy("flag").agg(count(lit(1)).as("n"))
+      .withColumn("r0", coalesce(sum(col("n")).over(wf), lit(0L)) + 1)
+    val v = graft.ops.Ranking.globalRank(base,
+        Seq(col("flag"), col("x"), col("l_orderkey"), col("l_linenumber")),
+        rankCol = "grank")
+      .join(broadcast(stats), "flag")
+      .withColumn("rn", col("grank") - col("r0") + 1)
     val j = v
       .withColumn("p", explode(array(lit(0.25), lit(0.5), lit(0.75))))
       .withColumn("lo", floor((col("n") - 1) * col("p")).cast("long"))

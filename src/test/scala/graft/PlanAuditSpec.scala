@@ -218,6 +218,44 @@ class PlanAuditSpec extends SparkTestBase {
       s"vocab must be range-partitioned on the sort key:\n$plan")
   }
 
+  test("q15_quantiles: per-flag ranks come from the range-parallel " +
+      "global rank, not a 3-task flag-partitioned window sort") {
+    val df = SparkEntry.queries("q15_quantiles")(spark, sfDir)
+    val got = df.collect().map(_.toString).sorted.toSeq
+    val plan = df.queryExecution.executedPlan.toString
+    // no window PARTITIONED by flag anywhere near the fact table (a
+    // partition column renders bare before the comma; the 3-row offset
+    // table's orderBy(flag) renders `flag#n ASC` and is fine)
+    assert("windowspecdefinition\\(flag#\\d+,".r.findFirstIn(plan).isEmpty,
+      s"fact-table window collapsed to per-flag tasks:\n$plan")
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"two-phase rank missing:\n$plan")
+    // result identical to the straightforward per-flag window formula
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("flag")
+      .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+    val v = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("double").as("x"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+      .withColumn("p", explode(array(lit(0.25), lit(0.5), lit(0.75))))
+      .withColumn("lo", floor((col("n") - 1) * col("p")).cast("long"))
+      .withColumn("frac",
+        (col("n") - 1) * col("p") - floor((col("n") - 1) * col("p")))
+      .filter(col("rn") === col("lo") + 1 || col("rn") === col("lo") + 2)
+      .groupBy("flag", "p")
+      .agg(min(when(col("rn") === col("lo") + 1, col("x"))).as("xlo"),
+        min(when(col("rn") === col("lo") + 2, col("x"))).as("xhi"),
+        min(col("frac")).as("f"))
+      .select(col("flag"), col("p"),
+        round(col("xlo") + col("f") *
+          (coalesce(col("xhi"), col("xlo")) - col("xlo")), 6).as("quantile"))
+    val want = v.collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
   test("Ranking.globalRankCumsum equals the partitionless window on a " +
       "multi-partition input (ties, nulls in value col exercised)") {
     import org.apache.spark.sql.expressions.Window
