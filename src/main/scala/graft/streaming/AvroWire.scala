@@ -1,0 +1,162 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.avro.util.Utf8
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Avro wire format for the fetch-event stream lane.
+  *
+  * The reference's stream transport is Avro over Kafka
+  * (streaming/consumer.py, streaming/schemas/fetch_event.avsc); the
+  * JSON file-source lane in [[FetchEventStream]] mirrors the schema but
+  * not the encoding. This object closes the format gap with the core
+  * Apache Avro library (the spark-avro module is not on the classpath
+  * in this environment): binary-encoded `FetchEvent` records — the
+  * payload bytes a Kafka `value` column would carry — encoded and
+  * decoded per partition with reused codec buffers.
+  *
+  * Wire schema is built programmatically, field-for-field with
+  * fetch_event.avsc: fetch_id string, source string, status
+  * enum{pending,error,success}, path union{null,string} (default null),
+  * params map<union{string,float}>, finished_at timestamp-millis.
+  * Spark-side, params flatten to map<string,string> (the ledger's
+  * representation, MeteoSchemas.FetchTransition): encode writes the
+  * string branch; decode accepts BOTH branches and renders floats to
+  * strings, so payloads from float-writing producers survive.
+  *
+  * Scale/streaming notes: both directions are narrow mapPartitions
+  * stages (no shuffle, streaming-safe); codec objects are instantiated
+  * once per task, not per row; a record that fails to decode becomes a
+  * `valid = false` row carrying its raw bytes — the consumer's
+  * skip-on-SerializationError path ([[FetchEventStream.parseEvents]]
+  * contract), made auditable instead of silent.
+  */
+object AvroWire {
+
+  /** fetch_event.avsc as a builder-constructed schema (single source of
+    * truth for the wire contract; spec-checked against the reference
+    * .avsc file for parity). */
+  val fetchEventAvro: Schema = {
+    val status = SchemaBuilder.enumeration("FetchStatus")
+      .namespace("meteo.weather").symbols("pending", "error", "success")
+    val paramValue = SchemaBuilder.unionOf()
+      .stringType().and().floatType().endUnion()
+    val tsMillis = LogicalTypes.timestampMillis()
+      .addToSchema(Schema.create(Schema.Type.LONG))
+    SchemaBuilder.record("FetchEvent").namespace("meteo.weather")
+      .fields()
+      .requiredString("fetch_id")
+      .requiredString("source")
+      .name("status").`type`(status).noDefault()
+      .name("path")
+      .`type`(SchemaBuilder.unionOf().nullType().and().stringType().endUnion())
+      .withDefault(null)
+      .name("params").`type`(SchemaBuilder.map().values(paramValue)).noDefault()
+      .name("finished_at").`type`(tsMillis).noDefault()
+      .endRecord()
+  }
+
+  /** Schema ships to executors as its canonical JSON (avro Schema
+    * serializability is version-dependent; the JSON round-trip is not). */
+  private val schemaJson: String = fetchEventAvro.toString
+
+  case class WireEvent(fetch_id: String, source: String,
+      status: String, path: Option[String], params: Map[String, String],
+      finished_at: Long)
+
+  case class WireBytes(key: String, value: Array[Byte])
+
+  case class DecodedEvent(raw: Array[Byte], valid: Boolean,
+      fetch_id: Option[String], source: Option[String],
+      status: Option[String], path: Option[String],
+      params: Option[Map[String, String]], finished_at: Option[Long])
+
+  /** Typed fetch events → Avro-binary wire rows `(key = fetch_id,
+    * value = encoded record)` — the shape a Kafka sink consumes.
+    * `finished_at` may be timestamp or long millis. */
+  def encodeFetchEvents(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val normalized = events.select(
+      col("fetch_id"), col("source"), col("status"), col("path"),
+      col("params"),
+      (events.schema("finished_at").dataType.typeName match {
+        case "timestamp" => unix_millis(col("finished_at"))
+        case _ => col("finished_at").cast("long")
+      }).as("finished_at"))
+    normalized.as[WireEvent].mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val statusSchema = schema.getField("status").schema()
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val buf = new ByteArrayOutputStream(256)
+      var encoder = EncoderFactory.get().binaryEncoder(buf, null)
+      rows.map { e =>
+        val rec = new GenericData.Record(schema)
+        rec.put("fetch_id", e.fetch_id)
+        rec.put("source", e.source)
+        rec.put("status", new GenericData.EnumSymbol(statusSchema, e.status))
+        rec.put("path", e.path.orNull)
+        val m = new java.util.HashMap[String, AnyRef]()
+        e.params.foreach { case (k, v) => m.put(k, v) }
+        rec.put("params", m)
+        rec.put("finished_at", java.lang.Long.valueOf(e.finished_at))
+        buf.reset()
+        encoder = EncoderFactory.get().binaryEncoder(buf, encoder)
+        writer.write(rec, encoder)
+        encoder.flush()
+        WireBytes(e.fetch_id, buf.toByteArray)
+      }
+    }.toDF("key", "value")
+  }
+
+  /** Avro-binary `value` column → parsed fetch events in the exact
+    * [[FetchEventStream.parseEvents]] output shape (`raw` carries the
+    * original bytes; `valid = false` rows are the dead-letter feed, so
+    * [[FetchEventStream.validEvents]]/`deadLetters` compose unchanged). */
+  def decodeFetchEvents(wire: DataFrame): DataFrame = {
+    val spark = wire.sparkSession
+    import spark.implicits._
+    val decoded = wire.select(col("value")).as[Array[Byte]]
+      .mapPartitions { rows =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        val reader = new GenericDatumReader[GenericRecord](schema)
+        var decoder: org.apache.avro.io.BinaryDecoder = null
+        rows.map { bytes =>
+          try {
+            decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
+            val rec = reader.read(null, decoder)
+            def str(f: String): Option[String] =
+              Option(rec.get(f)).map(_.toString)
+            val params = rec.get("params")
+              .asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+            val sm = scala.collection.mutable.Map[String, String]()
+            params.forEach { (k, v) =>
+              // union{string,float}: Utf8 and Float both render to string
+              sm.put(k.toString, v match {
+                case u: Utf8 => u.toString
+                case f: java.lang.Float => f.toString
+                case other => other.toString
+              })
+            }
+            DecodedEvent(bytes, valid = true, str("fetch_id"), str("source"),
+              str("status"), str("path"), Some(sm.toMap),
+              Some(rec.get("finished_at").asInstanceOf[Long]))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              DecodedEvent(bytes, valid = false, None, None, None, None,
+                None, None)
+          }
+        }
+      }
+    decoded.toDF()
+      .select(col("raw"), col("valid"), col("fetch_id"), col("source"),
+        col("status"), col("path"), col("params"),
+        timestamp_millis(col("finished_at")).as("finished_at"))
+  }
+}
