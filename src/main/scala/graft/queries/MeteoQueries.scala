@@ -223,7 +223,65 @@ object MeteoQueries extends QueryPack {
     IncrementalAgg.finalize(merged, Seq("event_type")).orderBy("event_type")
   }
 
+  /** Extract-error taxonomy end-to-end (etl/app.py:168-198): events
+    * viewed as fetch attempts with deterministic fault injection —
+    * event_id mod 10 picks transport faults (500/404/429), slot 3
+    * truncates the payload to malformed JSON, slot 4 on an 'error'
+    * event models a sink LoadError — classified through
+    * [[graft.meteo.ExtractErrors.classify]] and rolled up by
+    * (error_kind, response_status). */
+  val errorRollup = GraftQuery(
+    "meteo_error_rollup",
+    Some("""
+      WITH att AS (
+        SELECT CAST(event_id AS VARCHAR) AS fetch_id,
+          CASE WHEN event_id % 10 = 0 THEN 500
+               WHEN event_id % 10 = 1 THEN 404
+               WHEN event_id % 10 = 2 THEN 429 ELSE 200 END AS http_status,
+          CASE WHEN event_id % 10 = 3 THEN substr(props, 1, 4)
+               ELSE props END AS body,
+          (event_type = 'error' AND event_id % 10 = 4) AS load_error
+        FROM events),
+      cls AS (
+        SELECT fetch_id, http_status, body, load_error,
+          CASE WHEN http_status >= 400 THEN 'http'
+               WHEN NOT json_valid(body) THEN 'invalid_json'
+               WHEN load_error THEN 'load' END AS error_kind,
+          CASE WHEN http_status >= 400 THEN http_status
+               ELSE 200 END AS response_status,
+          CASE WHEN http_status >= 400 THEN body
+               WHEN NOT json_valid(body) THEN '{"error":"Invalid JSON"}'
+               WHEN load_error THEN '{"error":"Load error"}' END AS error_data
+        FROM att)
+      SELECT error_kind, CAST(response_status AS INTEGER) AS response_status,
+        CAST(COUNT(*) AS BIGINT) AS n_jobs, MIN(error_data) AS sample_error
+      FROM cls WHERE error_kind IS NOT NULL
+      GROUP BY error_kind, response_status
+      ORDER BY error_kind, response_status
+    """.stripMargin.trim)) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val attempts = ev.select(
+      col("event_id").cast("string").as("fetch_id"),
+      when(col("event_id") % 10 === 0, 500)
+        .when(col("event_id") % 10 === 1, 404)
+        .when(col("event_id") % 10 === 2, 429)
+        .otherwise(200).as("http_status"),
+      when(col("event_id") % 10 === 3, substring(col("props"), 1, 4))
+        .otherwise(col("props")).as("body"),
+      (col("event_type") === "error" && col("event_id") % 10 === 4)
+        .as("load_error"))
+    // PERMISSIVE from_json yields a null-FIELDED struct for malformed
+    // input (never a null struct), so json validity = the corrupt-record
+    // column staying null — the Spark twin of DuckDB's json_valid()
+    val parsed = from_json(col("body"),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, _corrupt STRING"),
+      Map("columnNameOfCorruptRecord" -> "_corrupt"))
+    graft.meteo.ExtractErrors.errorRollup(
+      graft.meteo.ExtractErrors.classify(attempts, parsed("_corrupt").isNull))
+  }
+
   override def all: Seq[GraftQuery] = Seq(
     normalize, upsertLatest, ledger, countLocations, tableCounts,
-    lastStatus, recent, describeQ, profileQ, rollupIncremental)
+    lastStatus, recent, describeQ, profileQ, rollupIncremental, errorRollup)
 }

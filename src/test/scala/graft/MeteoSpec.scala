@@ -118,6 +118,61 @@ class MeteoSpec extends SparkTestBase {
       Map("error" -> 1L, "success" -> 1L))
   }
 
+  test("extract-error taxonomy end-to-end: corrupt payload file -> " +
+      "classified ledger transitions with response_status + error_data " +
+      "-> dead-letter parquet") {
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2026-01-01 00:01:00")
+    val url = "https://api.example/v1"
+    // four attempts: clean, HTTP 404 (html body), truncated payload
+    // (transport fine, body cut mid-object), sink LoadError
+    val dir = Files.createTempDirectory("graft-extract-err")
+    val goodBody = payloadJson(1.0, 2.0, 2)
+    val corruptBody = goodBody.substring(0, goodBody.length / 3)
+    Files.writeString(dir.resolve("f3.json"), corruptBody)
+    val attempts = Seq(
+      ("f1", 200, goodBody, false),
+      ("f2", 404, "<html>not found</html>", false),
+      ("f3", 200, Files.readString(dir.resolve("f3.json")), false),
+      ("f4", 200, goodBody, true)
+    ).toDF("fetch_id", "http_status", "body", "load_error")
+    val classified = ExtractErrors.classify(attempts,
+      from_json(col("body"), MeteoSchemas.payloadSchema).isNotNull &&
+        from_json(col("body"), MeteoSchemas.payloadSchema)("latitude").isNotNull)
+
+    // ledger: pending rows then the classified outcomes as transitions
+    val ledger = FetchLedger.finish(
+      FetchLedger.begin(spark,
+        Seq("f1", "f2", "f3", "f4").map(id => (id, url, Map("q" -> id))), t0),
+      ExtractErrors.toTransitions(classified, lit(1L), lit(t1), lit(url),
+        typedLit(Map.empty[String, String]), concat(lit("/bronze/"),
+          col("fetch_id"))))
+    val state = FetchLedger.currentState(ledger).collect()
+      .map(r => r.getAs[String]("fetch_id") ->
+        (r.getAs[String]("status"), Option(r.getAs[Integer]("response_status")),
+          Option(r.getAs[String]("error_data")))).toMap
+    assert(state("f1") == (("success", Some(200), None)))
+    assert(state("f1") != null &&
+      FetchLedger.currentState(ledger).filter(col("fetch_id") === "f1")
+        .head().getAs[String]("payload_path") == "/bronze/f1")
+    assert(state("f2") == (("error", Some(404),
+      Some("<html>not found</html>"))))
+    assert(state("f3") == (("error", Some(200),
+      Some("""{"error":"Invalid JSON"}"""))))
+    assert(state("f4") == (("error", Some(200),
+      Some("""{"error":"Load error"}"""))))
+
+    // dead-letter parquet: the three failures park with raw bodies
+    val dlDir = dir.resolve("dead").toString
+    ExtractErrors.deadLetters(classified).write.parquet(dlDir)
+    val dl = spark.read.parquet(dlDir)
+    assert(dl.count() == 3)
+    assert(dl.filter(col("fetch_id") === "f3").head()
+      .getAs[String]("body") == corruptBody)
+    assert(dl.columns.toSet ==
+      Set("fetch_id", "error_kind", "response_status", "body"))
+  }
+
   test("bronze lake: date-partitioned write, partition-pruned read") {
     val root = Files.createTempDirectory("bronze").toString
     val df = Seq(
