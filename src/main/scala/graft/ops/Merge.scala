@@ -13,17 +13,40 @@ import org.apache.spark.sql.functions._
   * payload (including explicit update-to-NULL), keys without changes
   * pass through.
   *
+  * Plan shape: a DISJOINT UNION, not a full-outer join. With the change
+  * log reduced to one row per key and the base a snapshot (unique per
+  * key — the precondition MERGE itself needs to be well-defined), the
+  * merged table is exactly
+  *
+  *   (surviving changes: latest op ≠ D, full change payload)
+  *   ∪ (base rows whose key has NO change: anti-join on the key)
+  *
+  * which beats the equivalent `full_outer` + coalesce/when projection
+  * everywhere that matters at scale:
+  *  - rows stay NARROW: the anti-join carries base columns only, never
+  *    a both-sides-wide outer row;
+  *  - built-in pushdown works UNAIDED: key predicates, PAYLOAD
+  *    predicates (sound here — every output row's payload comes wholly
+  *    from one branch, where the join form could not push payload
+  *    predicates at all), and column pruning all reach both scans
+  *    through Union/anti-join;
+  *  - aggregates over the merged view map-side combine straight off the
+  *    union (no wide outer-join row assembly first), and the anti-join
+  *    preserves the base side's partitioning where FullOuter reports
+  *    unknown partitioning and forces a re-shuffle of merged-width rows.
+  *
   * Scale shape: one window pass over the change log (shuffled on key —
-  * a day's CDC feed, orders of magnitude smaller than base), then ONE
-  * full-outer shuffle join on the key. AQE broadcasts the reduced
-  * change set when it's small; at lake scale pair this with
-  * [[Upsert.mergePartitioned]]'s partition pruning so only touched
-  * partitions rewrite.
+  * a day's CDC feed, orders of magnitude smaller than base), one
+  * anti-join of base against the reduced change keys (AQE broadcasts
+  * the key set when small, so base often avoids shuffling entirely);
+  * at lake scale pair this with [[Upsert.mergePartitioned]]'s partition
+  * pruning so only touched partitions rewrite.
   */
 object Merge {
 
   /** Apply `changes` (base schema + `opCol` ∈ {I,U,D} + a sequence
-    * column) to `base`. Keys must be non-null on both sides. */
+    * column) to `base`. Keys must be non-null on both sides, and `base`
+    * must be unique per key (it is a snapshot). */
   def applyChangeLog(
       base: DataFrame,
       changes: DataFrame,
@@ -40,17 +63,12 @@ object Merge {
         tieBreak = Seq(col(opCol),
           xxhash64((payload :+ opCol).map(col): _*)))
       .select((payload :+ opCol).map(col): _*)
-    val b = base.as("b")
-    val c = latest.as("c")
-    val cond = keys.map(k => col(s"b.$k") === col(s"c.$k")).reduce(_ && _)
-    val changePresent = col(s"c.${keys.head}").isNotNull
-    b.join(c, cond, "full_outer")
-      .filter(!(changePresent && col(s"c.$opCol") === "D"))
-      .select(payload.map { cn =>
-        val v: Column =
-          if (keys.contains(cn)) coalesce(col(s"c.$cn"), col(s"b.$cn"))
-          else when(changePresent, col(s"c.$cn")).otherwise(col(s"b.$cn"))
-        v.as(cn)
-      }: _*)
+    val survivingChanges = latest.filter(col(opCol) =!= "D")
+      .select(payload.map(col): _*)
+    // anti-join against ALL latest-change keys (deletes included): any
+    // change on a key supersedes the base row, surviving or not
+    val untouchedBase = base.join(
+      latest.select(keys.map(col): _*), keys, "left_anti")
+    survivingChanges.unionByName(untouchedBase)
   }
 }

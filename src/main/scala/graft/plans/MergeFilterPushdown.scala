@@ -6,7 +6,10 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule: predicate pushdown through a coalesce-keyed outer
-  * merge (the CDC-apply / full-outer upsert shape, `Merge.applyChangeLog`).
+  * merge (the classic hand-written CDC-apply / full-outer upsert shape;
+  * `Merge.applyChangeLog` itself now plans as a disjoint union where
+  * built-in pushdown suffices, so this rule serves user-constructed
+  * full-outer merges).
   *
   * A merged view projects its key columns as `coalesce(c.k, b.k)` over a
   * full-outer equi-join on `b.k = c.k`. Catalyst substitutes a user

@@ -130,6 +130,37 @@ class ExtendedSpec extends SparkTestBase {
     assert(byK(5L).getString(1) == "e" && byK(5L).getDouble(2) == 50.0)
   }
 
+  test("disjoint-union merge is row-identical to the full-outer join " +
+      "formulation on the q33 workload") {
+    val o = Tables.orders(spark, sfDir)
+    val changes = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      .withColumn("op",
+        when(col("o_orderkey") % 3 === 0, lit("D")).otherwise(lit("U")))
+      .withColumn("seq", lit(1L))
+    val got = graft.ops.Merge
+      .applyChangeLog(o, changes, Seq("o_orderkey"), "op", col("seq"))
+      .collect().map(_.toString).sorted.toSeq
+    // the classic coalesce-keyed full-outer formulation as ground truth
+    val payload = o.columns.toSeq
+    val latest = graft.ops.Upsert.latestByKey(changes, Seq("o_orderkey"),
+        col("seq"), tieBreak = Seq(col("op"),
+          xxhash64((payload :+ "op").map(col): _*)))
+      .select((payload :+ "op").map(col): _*)
+    val b = o.as("b")
+    val c = latest.as("c")
+    val present = col("c.o_orderkey").isNotNull
+    val want = b.join(c, col("b.o_orderkey") === col("c.o_orderkey"),
+        "full_outer")
+      .filter(!(present && col("c.op") === "D"))
+      .select(payload.map { cn =>
+        (if (cn == "o_orderkey") coalesce(col(s"c.$cn"), col(s"b.$cn"))
+         else when(present, col(s"c.$cn")).otherwise(col(s"b.$cn"))).as(cn)
+      }: _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
   test("built-in session_window agrees with the custom sessionizer on real data") {
     import graft.streaming.StatefulSessions
     val ev = Tables.events(spark, sfDir).select("user_id", "ts")

@@ -156,8 +156,9 @@ class PlanAuditSpec extends SparkTestBase {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
-  test("MergeFilterPushdown: merged-view key predicate prunes BOTH the " +
-      "base and the changes scan; payload predicates stay above the join") {
+  test("merged-view predicates prune scans: key predicate reaches both " +
+      "sides; payload predicate pushes too (sound under the disjoint-" +
+      "union merge — each output row's payload is wholly one branch's)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-merge-push").toString
     val base = Tables.orders(spark, sfDir)
     base.filter(col("o_orderkey") % 7 === 0)
@@ -181,17 +182,43 @@ class PlanAuditSpec extends SparkTestBase {
     assert(got.map(_.toString).sorted.toSeq ==
       expected.map(_.toString).sorted.toSeq)
 
-    // payload predicate references both sides outside a key coalesce —
-    // must NOT be pushed into either scan
+    // payload predicate: the union form makes pushing it SOUND, and it
+    // must actually reach the scans (both branches carry the column)
     val payFiltered = merged.filter(col("o_totalprice") > 1000.0)
     payFiltered.collect()
     val payPlan = payFiltered.queryExecution.executedPlan.toString
-    assert(!payPlan.contains("GreaterThan(o_totalprice"),
-      s"payload predicate must not reach a scan:\n$payPlan")
+    assert("GreaterThan\\(o_totalprice".r.findAllIn(payPlan).size >= 2,
+      s"payload predicate should prune both branch scans:\n$payPlan")
     val expectedPay = merged.collect()
       .filter(_.getAs[Double]("o_totalprice") > 1000.0)
     assert(payFiltered.collect().map(_.toString).sorted.toSeq ==
       expectedPay.map(_.toString).sorted.toSeq)
+  }
+
+  test("q33 merge-CDC: aggregate over the merged view map-side combines " +
+      "off the disjoint union — no wide full-outer row assembly first") {
+    val df = SparkEntry.queries("q33_merge_cdc")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FullOuter"),
+      s"merge must plan as disjoint union, not full-outer join:\n$plan")
+    assert(plan.contains("Union"), s"union branches missing:\n$plan")
+
+    // aggregate over the merged view: partial agg before the shuffle,
+    // and column pruning reaches the base scan through union+anti-join
+    val merged = SparkEntry.queries("q33_merge_cdc")(spark, sfDir)
+    val agg = merged.groupBy("o_orderstatus")
+      .agg(sum("o_totalprice").as("t"), count(lit(1)).as("n"))
+    agg.collect()
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("partial_sum") || aggPlan.contains("partial_count"),
+      s"no map-side combine over the merged view:\n$aggPlan")
+    val baseScan = aggPlan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("orders.parquet"))
+      .toSeq
+    assert(baseScan.nonEmpty, s"orders scan missing:\n$aggPlan")
+    assert(baseScan.forall(!_.contains("o_comment")),
+      s"aggregate's column pruning did not reach the base scan:\n$aggPlan")
   }
 
   test("text_vocab_stats: global rank is two-phase — vocab window is " +
