@@ -48,6 +48,125 @@ object VectorIndex {
       }
       .start()
 
+  /** Compact the batch-structured streaming index into a plain
+    * cid-partitioned layout (one directory per cell, no batch dimension)
+    * — the layout [[refresh]] maintains in place. Run off the hot path
+    * (the streaming sink keeps appending batches to `indexDir`). */
+  def compact(spark: SparkSession, indexDir: String, compactDir: String): Unit =
+    spark.read.option("basePath", indexDir).parquet(indexDir)
+      .select("vec_id", "cid", "e", "nrm")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(compactDir)
+
+  /** Periodic index maintenance: re-train the centroids on the indexed
+    * corpus (Lloyd iterations seeded by the CURRENT centroids) and
+    * re-assign vectors — rewriting ONLY the cells whose membership
+    * changed.
+    *
+    * An ingest-time IVF index decays as the distribution drifts: new
+    * vectors pile into the stale cells nearest them, cells grow lopsided
+    * and recall at a fixed nProbe drops. Refreshing fixes the centroids;
+    * the cost model keeps it cheap:
+    *  - re-training is the standard broadcast-argmax Lloyd loop over the
+    *    index (cost ∝ corpus per iteration, k·dim driver state);
+    *  - the re-assignment CANDIDATE set is provably small: a vector's
+    *    cell can only change if its own cell's centroid moved, or a
+    *    MOVED centroid now scores at-or-above its own (an unmoved
+    *    centroid that lost before still loses — its score is unchanged
+    *    while the own-cell score is too). Both tests are narrow
+    *    broadcast passes;
+    *  - parquet IO is bounded to AFFECTED cells: only partitions that
+    *    gain or lose a vector are rewritten (dynamic partition
+    *    overwrite), emptied cells are dropped, untouched cells' files
+    *    are never opened for write.
+    *
+    * Returns the refreshed centroids in `(idCol, vecCol)` shape, ready
+    * for [[queryTopK]] / the next [[ingest]] generation. */
+  def refresh(spark: SparkSession, compactDir: String, centroids: DataFrame,
+      iters: Int = 2, driftTol: Double = 1e-9, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps
+    // partition-column inference may narrow cid (e.g. long ids read back
+    // as int) — normalize to the centroid id type so joins/sets line up
+    val index = spark.read.option("basePath", compactDir).parquet(compactDir)
+      .select(col("vec_id"),
+        col("cid").cast(centroids.schema(idCol).dataType).as("cid"),
+        col("e"), col("nrm"))
+    val refined = Similarity.kmeansRefine(
+      index.select(col("vec_id").as(idCol), col("e").as(vecCol)),
+      centroids, iters, idCol, vecCol) // (cid, e: array<double>)
+    val asCentroids = refined.select(col("cid").as(idCol), col("e").as(vecCol))
+
+    val oldE = centroids.select(col(idCol).as("cid"),
+      (centroids.schema(vecCol).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => col(vecCol)
+        case _ => VectorOps.toDouble(col(vecCol))
+      }).as("eo"))
+    // squared centroid displacement; > tol² = the cell "drifted"
+    val drifted = refined.join(oldE, "cid")
+      .select(col("cid"),
+        (VectorOps.dot(col("e"), col("e")) + VectorOps.dot(col("eo"), col("eo"))
+          - lit(2.0) * VectorOps.dot(col("e"), col("eo"))).as("d2"))
+      .filter(col("d2") > driftTol * driftTol)
+      .select("cid").collect().map(_.get(0)).toSeq
+    if (drifted.isEmpty) return asCentroids
+
+    val newC = refined.withColumn("nrm", VectorOps.norm(col("e")))
+    val own = index.as("v")
+      .join(broadcast(newC.as("k")), col("v.cid") === col("k.cid"))
+      .select(col("v.vec_id").as("vec_id"), col("v.cid").as("cid"),
+        col("v.e").as("e"), col("v.nrm").as("nrm"),
+        round(cosineWithNorms(col("v.e"), col("k.e"),
+          col("v.nrm"), col("k.nrm")), 6).as("cos_own"))
+    val dC = newC.filter(col("cid").isin(drifted: _*))
+    val bestDrift = own.as("v")
+      .join(broadcast(dC.as("k")), lit(true))
+      .select(col("v.vec_id").as("vec_id"),
+        round(cosineWithNorms(col("v.e"), col("k.e"),
+          col("v.nrm"), col("k.nrm")), 6).as("cos_d"))
+      .groupBy("vec_id").agg(max(col("cos_d")).as("best_d"))
+    // >= not >: at a tie the global argmax may still flip on the cid
+    // tie-break, so ties go through the exact re-assignment
+    val candidates = own.join(bestDrift, Seq("vec_id"), "left")
+      .filter(col("cid").isin(drifted: _*) ||
+        coalesce(col("best_d") >= col("cos_own"), lit(false)))
+      .select(col("vec_id"), col("cid").as("old_cid"), col("e"))
+    val changed = Similarity.cellAssignments(
+        candidates.select(col("vec_id").as(idCol), col("e").as(vecCol)),
+        asCentroids, keep = 1, idCol, vecCol)
+      .select(col("vec_id"), col("cid").as("new_cid"))
+      .join(candidates.select("vec_id", "old_cid"), "vec_id")
+      .filter(col("new_cid") =!= col("old_cid"))
+      .select("vec_id", "old_cid", "new_cid")
+    val moves = changed.collect() // bounded by the drift horizon
+    if (moves.isEmpty) return asCentroids
+
+    val affected = (moves.map(_.get(1)) ++ moves.map(_.get(2))).distinct.toSeq
+    val newCidByVec = changed.select("vec_id", "new_cid")
+    // new content of the affected cells; localCheckpoint materializes it
+    // BEFORE the dynamic overwrite below rewrites the very files the
+    // scan would read (affected-cells-sized, never the whole index)
+    val updated = index.filter(col("cid").isin(affected: _*))
+      .join(newCidByVec, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("new_cid"), col("cid")).as("cid"),
+        col("e"), col("nrm"))
+      .localCheckpoint(true)
+    updated.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid").parquet(compactDir)
+    // dynamic overwrite only replaces partitions it writes: a cell whose
+    // last member moved away must be dropped explicitly
+    val stillThere = updated.select("cid").distinct().collect()
+      .map(_.get(0)).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(stillThere).foreach { cid =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$compactDir/cid=$cid"), true)
+    }
+    asCentroids
+  }
+
   /** Top-k neighbors for `queries` against the indexed corpus. The
     * probed cell ids are a driver-side list bounded by
     * |queries|·nProbe — they become a partition-pruning IN filter. */

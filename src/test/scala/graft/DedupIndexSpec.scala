@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 
@@ -113,5 +114,99 @@ class DedupIndexSpec extends SparkTestBase {
     }
     assert(probedPlan.contains("PartitionFilters: ["), probedPlan)
     assert(probedPlan.contains("cid#"), probedPlan)
+  }
+
+  test("index refresh: drifted cells re-train, one vector provably " +
+      "migrates, and the converged cell's files are never rewritten") {
+    import graft.streaming.VectorIndex
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("vecrefresh")
+    val idx = dir.resolve("index").toString
+    val cidx = dir.resolve("compact").toString
+    def f(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // cell 100 is exactly converged (members symmetric about the seed);
+    // cell 101's mean drifts toward member 30; cell 102's seed is off
+    // its members' mean. Member 30 starts in 101 (cos .722 vs .692) but
+    // after one Lloyd round the refreshed 102 centroid wins (.760 vs
+    // .745) — the one designed migration.
+    val vecs = (Seq(
+      1L -> f(1, 0.25, 0, 0), 2L -> f(1, -0.25, 0, 0),
+      30L -> f(0, 0.72, 0.69, 0)) ++
+      (10L until 30L).map(i => i -> f(0, 1, 0, 0)) ++
+      (40L until 44L).map(i => i -> f(0, 0.1, 1, 0)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq(
+      100L -> f(1, 0, 0, 0), 101L -> f(0, 1, 0, 0), 102L -> f(0, 0, 1, 0))
+      .toDF("vec_id", "embedding")
+    VectorIndex.appendBatch(vecs, centroids, idx, 0L)
+    VectorIndex.compact(spark, idx, cidx)
+
+    def listing(cid: Long): Seq[(String, Long, Long)] = {
+      val d = java.nio.file.Paths.get(cidx, s"cid=$cid")
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).sorted
+      finally s.close()
+    }
+    val before100 = listing(100L)
+    assert(before100.nonEmpty)
+
+    val newCent = VectorIndex.refresh(spark, cidx, centroids, iters = 1)
+    // converged cell: byte-identical files, never opened for write
+    assert(listing(100L) == before100,
+      "undrifted cell was rewritten during refresh")
+    // the migrating vector landed in cell 102; every vector exactly once
+    // (partition-column inference reads cid back as int — normalize)
+    val after = spark.read.option("basePath", cidx).parquet(cidx)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    assert(after.count() == vecs.count())
+    assert(after.select("vec_id").distinct().count() == vecs.count())
+    assert(after.filter(col("vec_id") === 30L).head().getAs[Long]("cid") == 102L)
+    // post-refresh cells equal the exact one-shot assignment against the
+    // refreshed centroids
+    val want = Similarity.cellAssignments(vecs, newCent, keep = 1)
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = after.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("index refresh under distribution drift: recall at fixed nProbe " +
+      "is non-decreasing vs the stale-centroid index") {
+    import graft.streaming.VectorIndex
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("vecdrift")
+    val idx = dir.resolve("index").toString
+    val cidx = dir.resolve("compact").toString
+    val rng = new scala.util.Random(7)
+    val dim = 8
+    def noisy(axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(d =>
+        ((if (d == axis) 1.0 else 0.0) + rng.nextGaussian() * 0.1).toFloat)
+    // first half clusters on axes 0/1 (what the centroids saw), second
+    // half drifts to axes 4/5 (unseen region)
+    val vecs = ((0L until 32L).map(i => i -> noisy((i % 2).toInt)) ++
+      (32L until 64L).map(i => i -> noisy(4 + (i % 2).toInt)))
+      .toDF("vec_id", "embedding")
+    val stale = vecs.filter(col("vec_id") < 4)
+    VectorIndex.appendBatch(vecs, stale, idx, 0L)
+    VectorIndex.compact(spark, idx, cidx)
+
+    val queries = vecs.filter(col("vec_id") % 8 === 0)
+    val brute = Similarity.bruteForceTopK(vecs, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val got = VectorIndex.queryTopK(spark, cidx, queries, centroids,
+          nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    val staticRecall = recall(stale)
+    val refreshed = VectorIndex.refresh(spark, cidx, stale, iters = 3)
+    val newRecall = recall(refreshed)
+    assert(newRecall >= staticRecall - 1e-9,
+      s"refresh hurt recall: $staticRecall -> $newRecall")
+    assert(newRecall > 0.5, s"refreshed recall unreasonably low: $newRecall")
   }
 }
