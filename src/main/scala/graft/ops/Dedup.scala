@@ -373,4 +373,51 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .orderBy("id_a", "id_b")
   }
+
+  /** SemDeDup-style semantic deduplication (cluster-bounded embedding
+    * near-dup removal, per the public SemDeDup recipe: k-means cluster
+    * the embeddings, search duplicates only WITHIN a cluster, and of
+    * each duplicate pair keep the example farther from the centroid —
+    * prototypical redundancy goes, boundary examples stay).
+    *
+    * Scale shape: assignment is the IVF broadcast argmax
+    * ([[Similarity.cellAssignments]]); pair generation is an equi-join
+    * on the cluster id, so candidates are bounded by Σ cluster_size²
+    * (pick k so clusters fit the budget; centroids come from
+    * [[Similarity.kmeansRefine]]) — never corpus². The verdict join
+    * back is an id equi-join.
+    *
+    * Output: every vector with its `cid`, rounded `cent_cos`, and the
+    * `is_dup` verdict (duplicates flagged, not silently dropped — the
+    * caller decides; `filter(!is_dup)` is the curated corpus).
+    * Deterministic: the pair rule drops the higher-centroid-cosine
+    * member, equal-cosine ties drop the higher id. */
+  def semanticDedup(embs: DataFrame, centroids: DataFrame,
+      threshold: Double = 0.35, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = Similarity.cellAssignments(embs, centroids, keep = 1,
+      idCol, vecCol) // (vec_id, cid, e, nrm)
+    val cN = Similarity.withNorm(centroids, idCol, vecCol)
+      .select(col("vec_id").as("cid"), col("e").as("ce"),
+        col("nrm").as("cnrm"))
+    val scored = assigned.join(broadcast(cN), "cid")
+      .select(col("vec_id"), col("cid"), col("e"), col("nrm"),
+        round(VectorOps.cosineWithNorms(col("e"), col("ce"),
+          col("nrm"), col("cnrm")), 6).as("cent_cos"))
+    val dropped = scored.as("a")
+      .join(scored.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(VectorOps.cosineWithNorms(col("a.e"), col("b.e"),
+        col("a.nrm"), col("b.nrm")), 6) >= threshold)
+      .select(
+        when(col("a.cent_cos") > col("b.cent_cos"), col("a.vec_id"))
+          .when(col("b.cent_cos") > col("a.cent_cos"), col("b.vec_id"))
+          .otherwise(greatest(col("a.vec_id"), col("b.vec_id")))
+          .as("vec_id"))
+      .distinct()
+    scored
+      .join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("cent_cos"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
 }

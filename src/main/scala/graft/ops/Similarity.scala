@@ -26,7 +26,7 @@ object Similarity {
     * reused across every pair score). Repartitioned on the id so pair
     * scoring parallelism follows the session, not the input file layout
     * (a single-row-group parquet scan is one task). */
-  private def withNorm(embs: DataFrame, idCol: String, vecCol: String) = {
+  private[graft] def withNorm(embs: DataFrame, idCol: String, vecCol: String) = {
     // accept float vectors (parquet embeddings) or double vectors
     // (e.g. Multimodal.decodeFeatures output) alike
     val e = embs.schema(vecCol).dataType match {

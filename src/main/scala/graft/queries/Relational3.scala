@@ -223,19 +223,29 @@ object Relational3 extends QueryPack {
       FROM pct p JOIN md m ON p.event_type = m.event_type
       ORDER BY p.event_type""".stripMargin.trim)) { (spark, dir) =>
     val ev = Tables.events(spark, dir)
-    val wVal = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-    val wAll = Window.partitionBy("event_type")
-    val r = ev.select(col("event_type"), col("value"),
-      row_number().over(wVal).as("rn"), count(lit(1)).over(wAll).as("n"))
+    // per-type rank WITHOUT Window.partitionBy(event_type): a handful of
+    // event types means the whole table would sort in as many tasks.
+    // Same shape as q15: range-parallel global rank with the type
+    // leading the sort key, minus the type's broadcast start offset.
+    val base = ev.select(col("event_type"), col("value"), col("event_id"))
+    val wOff = Window.orderBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stats = base.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("r0", coalesce(sum(col("n")).over(wOff), lit(0L)) + 1)
+    val r = graft.ops.Ranking.globalRank(base,
+        Seq(col("event_type"), col("value"), col("event_id")),
+        rankCol = "grank")
+      .join(broadcast(stats), "event_type")
+      .withColumn("rn", col("grank") - col("r0") + 1)
     def pAt(p: Double, as: String) =
       min(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("value"))).as(as)
     val pct = r.groupBy("event_type")
       .agg(pAt(0.25, "p25"), pAt(0.50, "p50"), pAt(0.95, "p95"))
-    val wMode = Window.partitionBy("event_type")
-      .orderBy(col("cnt").desc, col("user_id"))
-    val md = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
-      .withColumn("mr", row_number().over(wMode))
-      .filter(col("mr") === 1)
+    // mode = top-1 per type: the bounded-heap operator, not a sort of
+    // the per-user count table in |event_type| tasks
+    val md = graft.plans.TopK.perKey(
+        ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt")),
+        Seq("event_type"), Seq(col("cnt").desc, col("user_id")), 1)
       .select(col("event_type"), col("user_id").as("mode_user"))
     pct.join(md, "event_type")
       .select(col("event_type"), round(col("p25"), 6).as("p25"),

@@ -507,6 +507,34 @@ object TrainingData extends QueryPack {
       embs.filter(col("vec_id") >= 16 && col("vec_id") < 32))
   }
 
+  /** SemDeDup-style cluster-bounded semantic dedup: IVF assignment to
+    * fixed centroids, in-cluster pair scan, keep the boundary member of
+    * each near-dup pair (drop the higher centroid-cosine one). */
+  val dedupSemantic = GraftQuery(
+    "dedup_semantic",
+    Some(s"""
+      WITH $NORM,
+      c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM m WHERE vec_id < 8),
+      asg AS (SELECT vec_id, e, nrm, cid, cent_cos FROM (
+          SELECT m.vec_id, m.e, m.nrm, c.cid,
+            ROUND(list_sum(list_transform(range(1,65), i -> m.e[i]*c.ce[i])) / (m.nrm*c.cnrm), 6) AS cent_cos,
+            ROW_NUMBER() OVER (PARTITION BY m.vec_id
+              ORDER BY ROUND(list_sum(list_transform(range(1,65), i -> m.e[i]*c.ce[i])) / (m.nrm*c.cnrm), 6) DESC, c.cid) AS rn
+          FROM m, c) t WHERE rn = 1),
+      drp AS (SELECT DISTINCT CASE
+            WHEN a.cent_cos > b.cent_cos THEN a.vec_id
+            WHEN b.cent_cos > a.cent_cos THEN b.vec_id
+            ELSE greatest(a.vec_id, b.vec_id) END AS vec_id
+          FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE ROUND(list_sum(list_transform(range(1,65), i -> a.e[i]*b.e[i])) / (a.nrm*b.nrm), 6) >= 0.35)
+      SELECT a.vec_id, a.cid, a.cent_cos, (d.vec_id IS NOT NULL) AS is_dup
+      FROM asg a LEFT JOIN drp d USING (vec_id)
+      ORDER BY a.vec_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Dedup.semanticDedup(embs, embs.filter(col("vec_id") < 8))
+      .orderBy("vec_id")
+  }
+
   /** Chunk-granular duplication signal (paragraph dedup analog). */
   val dedupParagraph = GraftQuery(
     "dedup_paragraph",
@@ -581,7 +609,7 @@ object TrainingData extends QueryPack {
     langId, quality, tokensQ, fingerprintQ, textPii, textClean,
     textRepetition, textContamination, textTfidf, dataQuota,
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
-    dedupEmbedding,
+    dedupEmbedding, dedupSemantic,
     dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,
     annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, dedupParagraph)
 }

@@ -283,6 +283,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("q30: percentile ranks are range-parallel and the mode is a " +
+      "bounded heap — no per-event-type sort of the events table") {
+    val df = SparkEntry.queries("q30_percentile_disc_mode")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(event_type#\\d+,".r.findFirstIn(plan).isEmpty,
+      s"window collapsed to per-event-type tasks:\n$plan")
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"two-phase rank missing:\n$plan")
+    assert(plan.contains("TopKPerKey"), s"mode should use the heap:\n$plan")
+  }
+
   test("Ranking.globalRankCumsum equals the partitionless window on a " +
       "multi-partition input (ties, nulls in value col exercised)") {
     import org.apache.spark.sql.expressions.Window

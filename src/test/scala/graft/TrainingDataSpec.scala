@@ -589,6 +589,34 @@ class TrainingDataSpec extends SparkTestBase {
     assert(files > 0, "no reliable checkpoint files written")
   }
 
+  test("semanticDedup: in-cluster dups flagged, boundary member kept, " +
+      "cross-cluster near-dups ignored by design") {
+    def f(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // centroids on axes 0 / 1; cluster A holds a tight dup pair where
+    // id 11 is MORE central (higher centroid cos) than id 12 → 11 drops;
+    // id 13 is far from both A members (below threshold); ids 20/21 sit
+    // in DIFFERENT clusters though mutually similar → not a pair
+    val centroids = Seq(100L -> f(1, 0, 0, 0), 101L -> f(0, 1, 0, 0))
+      .toDF("vec_id", "embedding")
+    val embs = Seq(
+      11L -> f(1, 0.05, 0, 0),    // A, near-centroid
+      12L -> f(1, 0.25, 0, 0),    // A, boundary — dup with 11
+      13L -> f(0.3, 0.1, 0.95, 0), // A (barely), orthogonal-ish to 11/12
+      20L -> f(0.8, 0.7, 0, 0),   // A side of the diagonal
+      21L -> f(0.7, 0.8, 0, 0)    // B side — similar to 20, different cell
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Dedup.semanticDedup(embs, centroids, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out.size == 5)
+    assert(out(11L)._2, "more-central dup member must be flagged")
+    assert(!out(12L)._2, "boundary member must survive")
+    assert(!out(13L)._2, "sub-threshold cluster member must survive")
+    assert(out(20L)._1 == 100L && out(21L)._1 == 101L)
+    assert(!out(20L)._2 && !out(21L)._2,
+      "cross-cluster pairs are out of scope by design")
+  }
+
   test("clean corpus: zero near-dup pairs clusters to an empty table, no crash") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.duplicateClusters(empty).count() == 0)
