@@ -78,6 +78,46 @@ object Splits {
       .limit(k)
   }
 
+  /** Temperature-scaled source mixing: resample the corpus to `budget`
+    * rows with per-source shares w_s/Σw where w_s = `weightOfCount`(n_s)
+    * — the standard multilingual/source-rebalancing sampler (a concave
+    * weight, e.g. `sqrt`, upweights low-resource sources relative to
+    * proportional sampling). Per-source quotas are `min(n_s,
+    * floor(budget·share))` with the share rounded to 6 decimals so
+    * every engine computes the identical integer; within a source the
+    * selection keeps the smallest id-hashes ([[quota]]'s stability
+    * contract: uniform, reproducible, append-stable).
+    *
+    * Scale shape: source cardinality is SMALL (languages/domains), so
+    * the per-source rank must not come from `Window.partitionBy(source)`
+    * — that sorts the corpus in |sources| tasks. Rank via the
+    * range-parallel global rank (source leads the sort key) minus each
+    * source's broadcast start offset; quotas live on a tiny broadcast
+    * table. NOTE for the weight choice: `sqrt` is IEEE-correctly-rounded
+    * and therefore engine-reproducible; `pow(x, α)` is NOT guaranteed
+    * bit-identical across libm implementations — prefer chains of
+    * sqrt/division for cross-engine determinism. */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+      budget: Long, weightOfCount: Column => Column = sqrt(_),
+      salt: String = "mix"): DataFrame = {
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+    val total = counts.select(sum(weightOfCount(col("n"))).as("wtot"))
+    val wOff = Window.orderBy(sourceCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val takes = counts.crossJoin(broadcast(total))
+      .withColumn("share", round(weightOfCount(col("n")) / col("wtot"), 6))
+      .withColumn("take",
+        least(col("n"), floor(lit(budget) * col("share")).cast("long")))
+      .withColumn("r0", coalesce(sum(col("n")).over(wOff), lit(0L)) + 1)
+      .select(sourceCol, "take", "r0")
+    val h = hash60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val ranked = Ranking.globalRank(df.withColumn("__h", h),
+      Seq(col(sourceCol), col("__h"), col(idCol)), rankCol = "__grank")
+    ranked.join(broadcast(takes), sourceCol)
+      .filter(col("__grank") - col("r0") + 1 <= col("take"))
+      .drop("__h", "__grank", "r0")
+  }
+
   /** Sequence packing for training: assign documents to fixed token
     * budgets (context windows). Documents are spread over `buckets`
     * independent lanes by id-hash; within a lane, packs fill in id order

@@ -507,6 +507,30 @@ object TrainingData extends QueryPack {
       embs.filter(col("vec_id") >= 16 && col("vec_id") < 32))
   }
 
+  /** Temperature-scaled source mixing (sqrt weights — concave, so
+    * low-resource sources gain share vs proportional sampling): quota
+    * per source from the rounded share, smallest-hash selection. */
+  val dataMix = GraftQuery(
+    "data_mix_temperature",
+    Some("""
+      WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+      t AS (SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS wtot FROM c),
+      tk AS (SELECT source, n,
+          LEAST(n, CAST(floor(200 * ROUND(sqrt(CAST(n AS DOUBLE)) / t.wtot, 6)) AS BIGINT)) AS take
+        FROM c, t),
+      r AS (SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+            ('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT, doc_id) AS rn
+        FROM documents)
+      SELECT r.doc_id, r.source, tk.take
+      FROM r JOIN tk USING (source) WHERE rn <= take ORDER BY doc_id""".trim)) { (spark, dir) =>
+    graft.ops.Splits.temperatureMix(
+        Tables.documents(spark, dir).select("doc_id", "source"),
+        "doc_id", "source", budget = 200L)
+      .select("doc_id", "source", "take")
+      .orderBy("doc_id")
+  }
+
   /** SemDeDup-style cluster-bounded semantic dedup: IVF assignment to
     * fixed centroids, in-cluster pair scan, keep the boundary member of
     * each near-dup pair (drop the higher centroid-cosine one). */
@@ -607,7 +631,7 @@ object TrainingData extends QueryPack {
   override def all: Seq[GraftQuery] = Seq(
     fuzzyVocab, vocabStats,
     langId, quality, tokensQ, fingerprintQ, textPii, textClean,
-    textRepetition, textContamination, textTfidf, dataQuota,
+    textRepetition, textContamination, textTfidf, dataQuota, dataMix,
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding, dedupSemantic,
     dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,

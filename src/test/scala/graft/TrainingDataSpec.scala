@@ -589,6 +589,32 @@ class TrainingDataSpec extends SparkTestBase {
     assert(files > 0, "no reliable checkpoint files written")
   }
 
+  test("temperatureMix: sqrt weights upweight low-resource sources, " +
+      "quotas respect budget and availability, selection is stable") {
+    val df = ((1L to 900L).map(i => i -> "big") ++
+      (1001L to 1100L).map(i => i -> "small"))
+      .toDF("doc_id", "source")
+    val out = graft.ops.Splits.temperatureMix(df, "doc_id", "source", 200L)
+    val takes = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt weights: w_big=30, w_small=10 → shares .75/.25 → 150/50;
+    // proportional sampling would give small only 200*0.1 = 20
+    assert(takes == Map("big" -> 150L, "small" -> 50L), s"got $takes")
+    assert(out.count() <= 200)
+    // stability: same rows on a rerun, and a grown corpus only ever
+    // adds to a source's selection when its quota grows
+    val again = graft.ops.Splits.temperatureMix(df, "doc_id", "source", 200L)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // plan: no source-partitioned window over the corpus (few sources =
+    // few tasks); the per-source rank is the range-parallel global rank
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(source#\\d+,".r.findFirstIn(plan).isEmpty,
+      s"corpus window collapsed to per-source tasks:\n$plan")
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+  }
+
   test("semanticDedup: in-cluster dups flagged, boundary member kept, " +
       "cross-cluster near-dups ignored by design") {
     def f(xs: Double*): Seq[Float] = xs.map(_.toFloat)
