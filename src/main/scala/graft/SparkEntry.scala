@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Extended, MeteoQueries, Relational, Relational2, Relational3, TimeSeries, TrainingData}
+import graft.queries.{Extended, GraphQueries, MeteoQueries, Relational, Relational2, Relational3, TimeSeries, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -14,7 +14,8 @@ object SparkEntry {
     Relational3,
     TrainingData,
     Extended,
-    TimeSeries)
+    TimeSeries,
+    GraphQueries)
 
   private lazy val registry: Seq[GraftQuery] = packs.flatMap(_.all)
 

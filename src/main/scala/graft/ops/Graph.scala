@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over event logs: transition-graph extraction and a
+  * deterministic fixed-point PageRank.
+  *
+  * The scale split mirrors the Markov-chain-over-states shape: deriving
+  * the weighted edge list from the raw log is the 100 TB part (one lag
+  * window per user partition + one map-side-combined count — both
+  * key-partitioned, no global sort), while the iteration runs over the
+  * aggregated transition graph (|states|² rows at most), so per-round
+  * cost is graph-sized, not log-sized.
+  *
+  * All PageRank arithmetic is INTEGER fixed-point (scale 1e6): a float
+  * PageRank sums contributions in shuffle arrival order, which is
+  * fold-order-nondeterministic in double and engine-divergent; integer
+  * sums are exact, so the same graph produces bit-identical ranks on
+  * every run and every engine (the DuckDB oracle unrolls the identical
+  * recurrence). Teleport and damping use the exact rational 15/100 and
+  * 85/100 — divisions floor, all operands non-negative, so Spark `div`
+  * and DuckDB `//` agree.
+  */
+object Graph {
+
+  /** Weighted directed transition edges (prev event_type → event_type)
+    * from a per-user event stream, ordered by time with an id
+    * tie-break so the lag is total and reproducible. */
+  def transitionEdges(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("src", lag(col(typeCol), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col(typeCol).as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Fixed-point weighted PageRank over a (src, dst, w) edge list.
+    *
+    * rank₀(v) = SCALE div N;
+    * rankᵢ₊₁(v) = (15·SCALE) div (100·N)
+    *            + (85 · Σ_{u→v} (rankᵢ(u)·w(u,v)) div out(u)) div 100.
+    *
+    * Dangling mass (nodes with no out-edges) is dropped rather than
+    * redistributed — the standard simplification; deterministic either
+    * way. Node count rides a 1-row broadcast; each round is one
+    * broadcast join (graph-sized) + one aggregation. Returns
+    * (node, rank_fp) with rank_fp in millionths. */
+  def pagerank(edges: DataFrame, iterations: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 0)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val outd = edges.groupBy("src").agg(sum("w").as("outw"))
+    val e = edges.join(outd, "src")
+    var rank = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), expr(s"$scale div n").as("rank_fp"))
+    for (_ <- 0 until iterations) {
+      val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank_fp * w div outw")).as("c"))
+      rank = nodes.join(contrib, Seq("node"), "left").crossJoin(broadcast(nn))
+        .select(col("node"),
+          (expr(s"(15 * $scale) div (100 * n)") +
+            expr("85 * coalesce(c, 0L) div 100")).as("rank_fp"))
+    }
+    rank
+  }
+}

@@ -279,7 +279,44 @@ object Similarity {
     * fold is identical in Spark and the DuckDB oracle. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
       m: Int = 8, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rankTopK(adcScores(corpus, queries, codebook, m, idCol, vecCol, None), k)
+
+  /** IVF-PQ: the standard billion-scale composition — IVF coarse cells
+    * bound WHICH vectors a query scores (only those assigned to its
+    * `nProbe` nearest cells), PQ/ADC bounds WHAT a score costs (m table
+    * lookups against the compressed codes; raw corpus vectors are never
+    * read at query time). Query cost ∝ (probed corpus fraction) × m,
+    * independent of both corpus size and vector width.
+    *
+    * Scale shape: cell assignment and probing are broadcast-centroid
+    * argmax joins; the candidate (query, vector) pair set comes from an
+    * equi-join on the cell id (each vector lives in exactly one cell, so
+    * no pair dedup is needed); ADC then joins candidates to codes and
+    * the per-query LUT on (query_id, s, cid). Same determinism contract
+    * as [[pqTopK]] — fixed centroids + codebook make the whole pipeline
+    * oracle-expressible, unlike LSH. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, nProbe: Int = 4, m: Int = 8, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assign = cellAssignments(corpus, centroids, 1, idCol, vecCol)
+      .select(col("vec_id"), col("cid"))
+    val probes = cellAssignments(queries, centroids, nProbe, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val cand = probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    rankTopK(adcScores(corpus, queries, codebook, m, idCol, vecCol, Some(cand)), k)
+  }
+
+  /** ADC-scored (query, neighbor) pairs — the shared core of [[pqTopK]]
+    * (all pairs) and [[ivfPqTopK]] (`cand` restricts pairs to probed
+    * cells). The m=8 per-subspace terms are pivoted into fixed columns
+    * and summed in one written expression order, so the float fold is
+    * identical in Spark and the DuckDB oracle. */
+  private def adcScores(corpus: DataFrame, queries: DataFrame,
+      codebook: DataFrame, m: Int, idCol: String, vecCol: String,
+      cand: Option[DataFrame]): DataFrame = {
     require(m == 8, "pivoted fold is written for m = 8")
     val subDim = 64 / m
     val q = withNorm(queries, idCol, vecCol)
@@ -297,17 +334,21 @@ object Similarity {
       .select(col("query_id"), col("qn"), col("s"), col("cid"),
         dot(col("qs"), col("cs")).as("dq"), col("sqc"))
     val codes = pqEncode(corpus, codebook, m, idCol, vecCol)
+    val joined = cand match {
+      case Some(pairs) => codes.join(pairs, "vec_id")
+        .join(lut, Seq("query_id", "s", "cid"))
+      case None => codes.join(lut, Seq("s", "cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+    }
     def at(c: String, s: Int) = min(when(col("s") === s, col(c))).as(s"${c}$s")
-    val terms = codes.join(lut, Seq("s", "cid"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val terms = joined
       .groupBy("query_id", "vec_id")
       .agg(max(col("qn")).as("qn"),
         (0 until m).flatMap(s => Seq(at("dq", s), at("sqc", s))): _*)
     val sdot = (0 until m).map(s => col(s"dq$s")).reduce(_ + _)
     val ssq = (0 until m).map(s => col(s"sqc$s")).reduce(_ + _)
-    val scored = terms.select(col("query_id"), col("vec_id").as("neighbor_id"),
+    terms.select(col("query_id"), col("vec_id").as("neighbor_id"),
       round(sdot / (col("qn") * sqrt(ssq)), 6).as("cosine"))
-    rankTopK(scored, k)
   }
 
   /** LSH top-k: queries only score corpus vectors in nearby buckets.

@@ -118,6 +118,44 @@ object Splits {
       .drop("__h", "__grank", "r0")
   }
 
+  /** Curriculum phase assignment: order the corpus easy→hard by
+    * `scoreCol` (descending — higher score = easier/cleaner) and cut it
+    * into `phases` contiguous, near-equal blocks: `phase = ((rank−1) ·
+    * phases) div n + 1`, pure integer arithmetic, so block sizes differ
+    * by at most one and every engine draws the identical boundaries (a
+    * float `rank/n` cut flips rows at exact-multiple boundaries).
+    *
+    * The global order comes from [[Ranking.globalRank]] (range-parallel
+    * two-phase rank), NOT `Window.orderBy` — a curriculum over a 100 TB
+    * corpus cannot single-task its sort; `n` rides a 1-row broadcast.
+    * Ties break on `idCol`, so assignment is total and reproducible. */
+  def curriculum(df: DataFrame, idCol: String, scoreCol: String,
+      phases: Int = 4): DataFrame = {
+    require(phases >= 1, s"phases $phases must be >= 1")
+    val ranked = Ranking.globalRank(df,
+      Seq(col(scoreCol).desc, col(idCol)), rankCol = "curriculum_rank")
+    val total = df.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("phase",
+        expr(s"(curriculum_rank - 1) * $phases div __n + 1"))
+      .drop("__n")
+  }
+
+  /** Deterministic per-epoch corpus shuffle: every epoch is a
+    * pseudo-random permutation `position = rank of hash60("epoch<e>:" ++
+    * id)` — uniform hash order is indistinguishable from a random
+    * shuffle for training purposes, but reproducible (same epoch → same
+    * order on every run/cluster/retry) and seekable (a resumed job
+    * re-derives positions instead of replaying a recorded permutation).
+    * The rank is the range-parallel two-phase one — a 100 TB epoch
+    * cannot single-task its sort; id breaks (astronomically unlikely)
+    * hash ties so the order is total. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame =
+    Ranking.globalRank(df,
+      Seq(hash60(concat(lit(s"epoch$epoch:"), col(idCol).cast("string"))),
+        col(idCol)),
+      rankCol = "position")
+
   /** Sequence packing for training: assign documents to fixed token
     * budgets (context windows). Documents are spread over `buckets`
     * independent lanes by id-hash; within a lane, packs fill in id order

@@ -188,6 +188,101 @@ object TextAnalysis {
         col("df").cast("long").as("df"), col("score"))
   }
 
+  /** Unigram-surprisal quality signal — the engine-portable stand-in
+    * for a unigram-LM perplexity score: each token instance gets an
+    * INTEGER surprisal bucket floor(log₂(N/tf)) (corpus token count N
+    * over the token's corpus frequency tf — rare tokens land in high
+    * buckets), computed exactly as `length(bin(N div tf)) - 1` so no
+    * `log`/`pow` call (neither is correctly-rounded, and a float SUM
+    * over shuffled rows is fold-order-dependent anyway) ever enters the
+    * aggregate; the only float op is one rounded division for the
+    * per-doc mean. High mean = rare-token-dense text (jargon, noise,
+    * other-language); low mean = common-word text — both tails are
+    * curation signals.
+    *
+    * Scale shape: per-(doc,term) counts first (map-side combined), so
+    * the tf join moves distinct pairs, not token instances; the corpus
+    * frequency table is vocabulary-sized. The join key is the term —
+    * stopwords make it skew-heavy at corpus scale, which is exactly the
+    * shape AQE skew-join splits (see the PlanAudit skew spec). */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pairs = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    val tf = pairs.groupBy("t").agg(sum(col("c")).as("tf"))
+    val n = tf.agg(sum(col("tf")).as("n_total"))
+    pairs.join(tf, "t").crossJoin(broadcast(n))
+      .withColumn("bucket",
+        (length(bin(expr("n_total div tf"))) - 1).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        sum(col("bucket") * col("c")).cast("long").as("sum_surprisal"),
+        max(col("bucket")).as("max_surprisal"))
+      .withColumn("mean_surprisal",
+        round(col("sum_surprisal") / col("n_tokens").cast("double"), 6))
+  }
+
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the retrieval scorer of a corpus search / RAG-retrieval lane.
+    *
+    * Engine-portable by construction: the idf is the RATIONAL
+    * (N − df + 0.5)/(df + 0.5) (Robertson's idf without the log — log
+    * is not correctly-rounded in either engine; the rational form is
+    * monotone in the same variable, so ranking order is preserved), and
+    * the per-doc score folds the per-term contributions in WRITTEN
+    * order over fixed pivoted columns — never a float SUM over shuffled
+    * rows. The whole scorer is one narrow pass over the corpus plus a
+    * 1-row broadcast of (N, Σdl, df₀..dfₖ): per-term tf comes from a
+    * codegen'd array filter on the token array, so no explode, no
+    * (doc,term) shuffle — the 100 TB shape is scan + broadcast.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "fixed small query-term set")
+    val tk = tokens(col(textCol))
+    val base = docs.select(
+      col(idCol) +: size(tk).cast("long").as("dl") +:
+        terms.indices.map(i =>
+          size(filter(tk, t => t === lit(terms(i)))).cast("long").as(s"tf$i")): _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    def term(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val idf = (col("n_docs") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5))
+      idf * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("sum_dl") / col("n_docs").cast("double"))))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"),
+        round(terms.indices.map(term).reduce(_ + _), 6).as("bm25"))
+  }
+
+  /** Inverted index build: term → document frequency + the first
+    * `maxPostings` doc ids (by id order) as a canonical comma-joined
+    * postings string. The per-term posting cap is applied BEFORE the
+    * aggregation buffer (row_number over the term partition), so no
+    * executor ever holds an unbounded postings list — a stopword's
+    * group at corpus scale costs a window over its partition, not an
+    * OOM; df still counts the full group. */
+  def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxPostings: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val rn = row_number().over(Window.partitionBy("term").orderBy(col(idCol)))
+    pairs.withColumn("__rn", rn)
+      .groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"),
+        concat_ws(",", sort_array(collect_list(
+          when(col("__rn") <= maxPostings, col(idCol))))
+          .cast("array<string>")).as("postings"))
+  }
+
   /** Document fingerprint: bottom-k sketch of the 60-bit hashes of the
     * document's 3-word shingles (a winnowing-style content signature —
     * two documents sharing most shingles share most of the sketch).

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.ops.Graph
+
+/** SURVEY.md §2.9 — graph analytics over the event log: the weighted
+  * event-type transition graph (a Markov chain over states, aggregated
+  * from the raw per-user stream) and a deterministic integer fixed-point
+  * PageRank over it. Both oracle-gated: counts are exact integers, and
+  * the PageRank recurrence is pure integer arithmetic (see
+  * `graft.ops.Graph`), so the DuckDB oracle unrolls the identical
+  * computation with bit-equal results.
+  */
+object GraphQueries extends QueryPack {
+
+  /** Shared oracle CTEs: the lag-derived weighted edge list, node set,
+    * node count and out-degree table. */
+  private val EDGES =
+    """e AS (SELECT prev AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      |        FROM (SELECT user_id, event_type,
+      |                LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |              FROM events)
+      |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |      nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+      |      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      |      outd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src)""".stripMargin
+
+  /** The transition matrix itself — per (prev state, state) event-count
+    * weights. The 100 TB work is here (one per-user lag window + one
+    * map-side-combined count); everything downstream is graph-sized. */
+  val graphTransitions = GraftQuery(
+    "graph_transitions",
+    Some(s"""
+      WITH $EDGES
+      SELECT src, dst, w FROM e ORDER BY src, dst""".trim)) { (spark, dir) =>
+    Graph.transitionEdges(Tables.events(spark, dir)).orderBy("src", "dst")
+  }
+
+  /** Integer fixed-point PageRank, 3 iterations, unrolled in the oracle
+    * as r0 → (c1,r1) → (c2,r2) → (c3,r3) with the identical recurrence
+    * (`//` floors like Spark's `div` on the non-negative operands). */
+  val graphPagerank = GraftQuery(
+    "graph_pagerank",
+    Some {
+      val iters = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, CAST(SUM((r.rank_fp * e.w) // o.outw) AS BIGINT) AS c
+           |        FROM e JOIN r${i - 1} r ON r.node = e.src JOIN outd o ON o.src = e.src
+           |        GROUP BY e.dst),
+           |      r$i AS (SELECT nodes.node,
+           |          (15 * 1000000) // (100 * n) + (85 * COALESCE(c.c, 0)) // 100 AS rank_fp
+           |        FROM nodes CROSS JOIN nn LEFT JOIN c$i c ON c.node = nodes.node)"""
+          .stripMargin }
+        .mkString(",\n      ")
+      s"""
+      WITH $EDGES,
+      r0 AS (SELECT node, 1000000 // n AS rank_fp FROM nodes CROSS JOIN nn),
+      $iters
+      SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r3 ORDER BY node""".trim
+    }) { (spark, dir) =>
+    Graph.pagerank(Graph.transitionEdges(Tables.events(spark, dir)))
+      .select(col("node"), col("rank_fp").cast("long").as("rank_fp"))
+      .orderBy("node")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(graphTransitions, graphPagerank)
+}

@@ -294,10 +294,11 @@ object TrainingData extends QueryPack {
     * fold order (per-subspace terms summed in one written expression). */
   /** Shared oracle CTE chain: the full PQ pipeline (queries, codebook,
     * subspace slices, encode argmin, per-query LUT, pivoted ADC terms)
-    * ending in p(query_id, neighbor_id, cosine). Reused by ann_pq and
-    * ann_pq_rerank. Assumes WITH $NORM precedes it. */
-  private val PQ =
-    """q AS (SELECT * FROM m WHERE vec_id < 10),
+    * ending in p(query_id, neighbor_id, cosine). Reused by ann_pq,
+    * ann_pq_rerank and (with `candCtes`/`candJoin` supplying an IVF
+    * cell restriction) ann_ivfpq. Assumes WITH $NORM precedes it. */
+  private def pqChain(candCtes: String, candJoin: String): String =
+    s"""q AS (SELECT * FROM m WHERE vec_id < 10),$candCtes
       |      cw AS (SELECT vec_id AS cid, e AS ce FROM m WHERE vec_id >= 16 AND vec_id < 32),
       |      sg AS (SELECT unnest(range(0, 8)) AS s),
       |      cws AS (SELECT cid, s, list_slice(ce, s*8+1, s*8+8) AS cs,
@@ -322,13 +323,38 @@ object TrainingData extends QueryPack {
       |          MIN(CASE WHEN l.s=5 THEN l.dq END) AS dq5, MIN(CASE WHEN l.s=5 THEN l.sqc END) AS sqc5,
       |          MIN(CASE WHEN l.s=6 THEN l.dq END) AS dq6, MIN(CASE WHEN l.s=6 THEN l.sqc END) AS sqc6,
       |          MIN(CASE WHEN l.s=7 THEN l.dq END) AS dq7, MIN(CASE WHEN l.s=7 THEN l.sqc END) AS sqc7
-      |        FROM asg a JOIN lut l ON l.s = a.s AND l.cid = a.cid
+      |        FROM asg a JOIN lut l ON l.s = a.s AND l.cid = a.cid$candJoin
       |        WHERE a.vec_id != l.query_id
       |        GROUP BY l.query_id, a.vec_id),
       |      p AS (SELECT query_id, vec_id AS neighbor_id,
       |          ROUND((dq0+dq1+dq2+dq3+dq4+dq5+dq6+dq7) /
       |                (qn * sqrt(sqc0+sqc1+sqc2+sqc3+sqc4+sqc5+sqc6+sqc7)), 6) AS cosine
       |        FROM terms)""".stripMargin
+
+  private val PQ = pqChain("", "")
+
+  /** IVF cell restriction spliced into [[pqChain]] for ann_ivfpq: fixed
+    * centroids (vec_id < 16), corpus assigned to its argmax-cosine cell,
+    * queries probe their 4 nearest cells — identical formulation to the
+    * ann_ivf oracle, distinct CTE names (the PQ chain owns `asg`). */
+  private val IVF_CAND_CTES = """
+      |      cent AS (SELECT vec_id AS cid, e, nrm FROM m WHERE vec_id < 16),
+      |      ivfasg AS (SELECT vec_id, cid FROM (
+      |        SELECT v.vec_id, c.cid,
+      |          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      |            ROUND(list_sum(list_transform(range(1,65), i -> v.e[i]*c.e[i])) / (v.nrm*c.nrm), 6) DESC, c.cid) AS rn
+      |        FROM m v CROSS JOIN cent c) t WHERE rn = 1),
+      |      ivfprobes AS (SELECT query_id, cid FROM (
+      |        SELECT q.vec_id AS query_id, c.cid,
+      |          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) DESC, c.cid) AS rn
+      |        FROM q CROSS JOIN cent c) t WHERE rn <= 4),
+      |      cand AS (SELECT pr.query_id, a.vec_id AS neighbor_id
+      |        FROM ivfprobes pr JOIN ivfasg a ON a.cid = pr.cid AND a.vec_id != pr.query_id),""".stripMargin
+
+  private val IVF_CAND_JOIN =
+    "\n      |        JOIN cand ON cand.query_id = l.query_id AND cand.neighbor_id = a.vec_id"
+      .stripMargin
 
   val annPq = GraftQuery(
     "ann_pq",
@@ -341,6 +367,142 @@ object TrainingData extends QueryPack {
     val embs = Tables.embeddings(spark, dir)
     Similarity.pqTopK(embs, embs.filter(col("vec_id") < 10),
       embs.filter(col("vec_id") >= 16 && col("vec_id") < 32))
+  }
+
+  /** IVF-PQ composed: probed cells bound WHICH vectors are scored, ADC
+    * bounds WHAT a score costs. Fixed centroids (vec_id < 16) + fixed
+    * codebook (16..31) keep the whole pipeline deterministic, so unlike
+    * LSH it is oracle-expressible end to end. */
+  val annIvfPq = GraftQuery(
+    "ann_ivfpq",
+    Some(s"""
+      WITH $NORM,
+      ${pqChain(IVF_CAND_CTES, IVF_CAND_JOIN)}
+      SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM p) t
+      WHERE rn <= 5 ORDER BY query_id, neighbor_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10),
+      embs.filter(col("vec_id") < 16),
+      embs.filter(col("vec_id") >= 16 && col("vec_id") < 32))
+  }
+
+  /** Unigram-surprisal quality signal (perplexity proxy): integer
+    * log₂ buckets via bin()-length, so the aggregate never folds floats
+    * (see TextAnalysis.unigramSurprisal for the determinism argument). */
+  val textSurprisal = GraftQuery(
+    "text_surprisal",
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS t FROM documents),
+      pairs AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+      tf AS (SELECT t, SUM(c) AS tf FROM pairs GROUP BY t),
+      n AS (SELECT SUM(tf) AS n_total FROM tf),
+      s AS (SELECT doc_id, c, len(bin(n_total // tf)) - 1 AS bucket
+            FROM pairs JOIN tf USING (t) CROSS JOIN n)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(SUM(bucket * c) AS BIGINT) AS sum_surprisal,
+        CAST(MAX(bucket) AS BIGINT) AS max_surprisal,
+        ROUND(SUM(bucket * c) / CAST(SUM(c) AS DOUBLE), 6) AS mean_surprisal
+      FROM s GROUP BY doc_id ORDER BY doc_id""".trim)) { (spark, dir) =>
+    TextAnalysis.unigramSurprisal(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
+  /** Curriculum phases: quality-ranked corpus cut into 4 contiguous
+    * near-equal blocks with pure integer boundary math; the global rank
+    * is the range-parallel two-phase one, never a single-task sort. */
+  val dataCurriculum = GraftQuery(
+    "data_curriculum",
+    Some("""
+      WITH m AS (SELECT doc_id,
+        CAST(len(text) AS BIGINT) AS n_chars,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+        CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS n_stop
+       FROM (SELECT doc_id, text, string_split_regex(text,'\s+') AS tk FROM documents)),
+      q AS (SELECT doc_id,
+        ROUND(0.4*least(n_words/100.0, 1.0) + 0.3*(1.0 - n_punct/CAST(n_chars AS DOUBLE))
+              + 0.3*least(5.0*n_stop/CAST(n_words AS DOUBLE), 1.0), 6) AS quality
+       FROM m),
+      r AS (SELECT doc_id, quality,
+        ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS curriculum_rank,
+        COUNT(*) OVER () AS n
+       FROM q)
+      SELECT doc_id, quality, CAST(curriculum_rank AS BIGINT) AS curriculum_rank,
+        CAST((curriculum_rank - 1) * 4 // n + 1 AS BIGINT) AS phase
+      FROM r ORDER BY doc_id""".trim)) { (spark, dir) =>
+    val scored = TextAnalysis.qualityScore(Tables.documents(spark, dir))
+      .select("doc_id", "quality")
+    graft.ops.Splits.curriculum(scored, "doc_id", "quality", phases = 4)
+      .select(col("doc_id"), col("quality"),
+        col("curriculum_rank").cast("long").as("curriculum_rank"),
+        col("phase").cast("long").as("phase"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 retrieval scoring against a fixed query-term set. The oracle
+    * mirrors the Spark expression tree operation-for-operation in
+    * DOUBLE arithmetic (every fractional literal is forced into a
+    * double context — a DuckDB DECIMAL literal meeting a BIGINT stays
+    * exact decimal and diverges from Spark's double fold; see the
+    * `CAST(... AS DOUBLE)` placements), with the per-term contributions
+    * summed in written order over pivoted columns, never across rows. */
+  private val bm25Terms = Seq("spark", "join", "vector", "the")
+
+  val textBm25 = GraftQuery(
+    "text_bm25",
+    Some {
+      val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf$i" }
+        .mkString(",\n        ")
+      val dfs = bm25Terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+        .mkString(", ")
+      val terms = bm25Terms.indices.map { i =>
+        s"""((n_docs - df$i + 0.5) / (df$i + 0.5) * (CAST(tf$i AS DOUBLE) * 2.2)) /
+           |        (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
+          .stripMargin }
+        .mkString("\n        + ")
+      s"""
+      WITH base AS (SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS dl,
+        $tfs
+       FROM (SELECT doc_id, string_split_regex(text,'\\s+') AS tk FROM documents)),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(dl) AS BIGINT) AS sum_dl, $dfs FROM base)
+      SELECT doc_id, dl, ROUND(
+        $terms, 6) AS bm25
+      FROM base CROSS JOIN stats ORDER BY doc_id""".trim
+    }) { (spark, dir) =>
+    TextAnalysis.bm25(Tables.documents(spark, dir), bm25Terms).orderBy("doc_id")
+  }
+
+  /** Inverted-index build: term → df + capped canonical postings. */
+  val textInvertedIndex = GraftQuery(
+    "text_inverted_index",
+    Some("""
+      WITH pairs AS (SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS term FROM documents)),
+      r AS (SELECT doc_id, term,
+        ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM pairs)
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        array_to_string(list_transform(list_sort(list(doc_id) FILTER (rn <= 20)),
+          x -> CAST(x AS VARCHAR)), ',') AS postings
+      FROM r GROUP BY term ORDER BY term""".trim)) { (spark, dir) =>
+    TextAnalysis.invertedIndex(Tables.documents(spark, dir)).orderBy("term")
+  }
+
+  /** Deterministic epoch-2 corpus shuffle: hash-order permutation via
+    * the range-parallel global rank (see Splits.epochShuffle). */
+  val dataEpochShuffle = GraftQuery(
+    "data_epoch_shuffle",
+    Some("""
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY
+        ('0x'||substr(md5('epoch2:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT, doc_id)
+        AS BIGINT) AS position
+      FROM documents ORDER BY doc_id""".trim)) { (spark, dir) =>
+    graft.ops.Splits.epochShuffle(Tables.documents(spark, dir), "doc_id", epoch = 2)
+      .select(col("doc_id"), col("position"))
+      .orderBy("doc_id")
   }
 
   /** Gopher-style repetition/boilerplate signals per document. */
@@ -631,9 +793,12 @@ object TrainingData extends QueryPack {
   override def all: Seq[GraftQuery] = Seq(
     fuzzyVocab, vocabStats,
     langId, quality, tokensQ, fingerprintQ, textPii, textClean,
-    textRepetition, textContamination, textTfidf, dataQuota, dataMix,
+    textRepetition, textContamination, textTfidf, textSurprisal,
+    textBm25, textInvertedIndex,
+    dataQuota, dataMix, dataCurriculum, dataEpochShuffle,
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding, dedupSemantic,
     dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,
-    annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, dedupParagraph)
+    annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, annIvfPq,
+    dedupParagraph)
 }

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+/** Specs for the transition-graph + PageRank operators (SURVEY §2.9). */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  private def events(rows: (Long, Int, Long, String)*) =
+    rows.map { case (id, m, u, t) => (id, ts(m), u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+
+  test("transitionEdges: per-user lag with ts order and event_id " +
+      "tie-break, weighted by count") {
+    val e = events(
+      (1L, 1, 1L, "A"), (2L, 2, 1L, "B"), (3L, 3, 1L, "C"),
+      (4L, 1, 2L, "A"), (5L, 2, 2L, "B"),
+      // same ts for user 3: event_id breaks the tie → A before B
+      (6L, 1, 3L, "A"), (7L, 1, 3L, "B"))
+    val got = Graph.transitionEdges(e).orderBy("src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("A", "B", 3L), ("B", "C", 1L)))
+  }
+
+  test("pagerank: integer fixed-point recurrence, hand-computed 3-node " +
+      "chain, bit-exact") {
+    // Graph: A→B (w=2), B→C (w=1). N=3, SCALE=1e6.
+    // r0 = 333333 each; teleport = 15e6 div 300 = 50000.
+    // r1: A=50000, B=50000+(85*333333)div 100=333333, C=333333.
+    // r2: A=50000, B=50000+(85*((50000*2) div 2)) div 100=92500, C=333333.
+    // r3: A=50000, B=92500, C=50000+(85*92500) div 100=128625.
+    val edges = Seq(("A", "B", 2L), ("B", "C", 1L)).toDF("src", "dst", "w")
+    val got = Graph.pagerank(edges, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> 50000L, "B" -> 92500L, "C" -> 128625L), got)
+    // total rank never exceeds the injected mass
+    assert(got.values.sum <= 3L * 1000000L)
+  }
+
+  test("pagerank: deterministic across runs (integer arithmetic has no " +
+      "fold-order dependence)") {
+    val e = Tables.events(spark, sfDir)
+    val edges = Graph.transitionEdges(e)
+    val a = Graph.pagerank(edges).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Graph.pagerank(edges.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b, "rank depends on physical partitioning")
+    assert(a.nonEmpty)
+  }
+}

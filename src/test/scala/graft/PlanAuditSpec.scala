@@ -318,6 +318,37 @@ class PlanAuditSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective " +
+      "shuffle join (the 100 TB fact⋈filtered-dim shape)") {
+    // At scale, a fact⋈dim join where the dim carries a selective
+    // predicate should not shuffle the full fact side: Spark's
+    // InjectRuntimeFilter builds a bloom filter from the dim keys and
+    // applies it below the fact side's exchange. Thresholds here only
+    // compensate for test-sized inputs (prod defaults: 10 GB scan /
+    // 10 MB creation side); the assertion is the plan shape.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val li = Tables.lineitem(spark, sfDir)
+      val ord = Tables.orders(spark, sfDir)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000)
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter on the fact side:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("MergeFilterPushdown preserves NULL-key and IS NULL semantics " +
       "on a raw coalesce-keyed full-outer join") {
     import spark.implicits._

@@ -656,4 +656,119 @@ class TrainingDataSpec extends SparkTestBase {
       out(0).getAs[Double]("dup_bigram_frac") == 0.0)
     assert(out(1).getAs[Double]("dup_bigram_frac") > 0.0)
   }
+
+  test("ivfPqTopK: probing every cell equals plain PQ; restricted probes " +
+      "stay inside probed cells with sane recall") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val q = embs.filter(col("vec_id") < 5)
+    val cents = embs.filter(col("vec_id") < 16)
+    val codebook = embs.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nProbe = nCells removes the IVF restriction → identical to pqTopK
+    val all = pairs(Similarity.ivfPqTopK(embs, q, cents, codebook, nProbe = 16))
+    val pq = pairs(Similarity.pqTopK(embs, q, codebook))
+    assert(all == pq, "probing every cell must equal unrestricted PQ/ADC")
+    // restricted probing: every returned neighbor must live in one of
+    // the query's probed cells (the IVF contract)
+    val probed = Similarity.cellAssignments(q, cents, keep = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val assigned = Similarity.cellAssignments(embs, cents, keep = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = pairs(Similarity.ivfPqTopK(embs, q, cents, codebook, nProbe = 4))
+    assert(got.forall { case (qid, nid) => probed((qid, assigned(nid))) },
+      "a neighbor outside the query's probed cells leaked through")
+    val exact = pairs(Similarity.bruteForceTopK(embs, q, k = 5))
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.04, // IVF restriction × coarse PQ on near-random
+      s"recall $recall collapsed — cell routing or ADC broken")
+  }
+
+  test("unigramSurprisal: integer log2 buckets from corpus frequencies, " +
+      "exact on a hand-computed corpus") {
+    // tf: a=6, b=2, z=1, q=1 → N=10; buckets: floor(log2(10 div tf)):
+    // a → 10 div 6 = 1 → 0; b → 5 → 2; z,q → 10 → 3
+    val out = TextAnalysis.unigramSurprisal(docs(
+        (1L, "a a a a"), (2L, "a a b b"), (3L, "z q")))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out(1L) == ((4L, 0L, 0L, 0.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((4L, 4L, 2L, 1.0)), s"got ${out(2L)}")
+    assert(out(3L) == ((2L, 6L, 3L, 3.0)), s"got ${out(3L)}")
+  }
+
+  test("curriculum: contiguous near-equal phases, ordered easy-first, " +
+      "integer boundaries; rank is range-parallel") {
+    val df = Seq( // scores with ties — doc_id breaks them
+      (1L, 0.9), (2L, 0.9), (3L, 0.8), (4L, 0.7), (5L, 0.7),
+      (6L, 0.6), (7L, 0.5), (8L, 0.4), (9L, 0.4), (10L, 0.1))
+      .toDF("doc_id", "score")
+    val out = graft.ops.Splits.curriculum(df, "doc_id", "score", phases = 4)
+    val rows = out.orderBy("curriculum_rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Long]("curriculum_rank"), r.getAs[Long]("phase")))
+    // rank order: score desc, id asc; phase sizes 3,2,3,2 (n=10, p=4)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L))
+    assert(rows.map(_._4).toSeq ==
+      Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L, 3L, 4L, 4L))
+    // phases are contiguous in rank and monotone in difficulty
+    val byPhase = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+    assert(byPhase.forall { case (_, rs) => rs.max - rs.min + 1 == rs.length })
+    // no single-task sort: the global rank comes from the two-phase plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+  }
+
+  test("bm25: exact against a hand-evaluated formula; zero-match doc " +
+      "scores 0; higher tf at equal dl scores higher") {
+    val d = docs((1L, "a a b x"), (2L, "x y"), (3L, "b b b a"))
+    val out = TextAnalysis.bm25(d, Seq("a", "b"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // mirror of the operator's written fold (N=3, sum_dl=10, df_a=df_b=2;
+    // avgdl term written exactly as the operator: sum_dl / n_docs)
+    def s(tf: Long, dl: Long, df: Long): Double = {
+      val idf = (3L - df + 0.5) / (df + 0.5)
+      idf * (tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * (0.25 + (0.75 * dl) / (10L / 3.0)))
+    }
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L) == 0.0, s"doc without query terms must score 0: ${out(2L)}")
+    assert(out(1L) == rnd(s(2, 4, 2) + s(1, 4, 2)), out)
+    assert(out(3L) == rnd(s(1, 4, 2) + s(3, 4, 2)), out)
+    assert(out(3L) > out(1L), "tf(b)=3 must outrank tf(b)=1 at equal dl")
+  }
+
+  test("invertedIndex: df counts the full group, postings are capped, " +
+      "sorted and canonical") {
+    val d = docs((1L, "a b"), (2L, "b c"), (3L, "b a"), (10L, "b"))
+    val full = TextAnalysis.invertedIndex(d).orderBy("term").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(full("a") == ((2L, "1,3")))
+    assert(full("b") == ((4L, "1,2,3,10")), "numeric sort, not string sort")
+    assert(full("c") == ((1L, "2")))
+    val capped = TextAnalysis.invertedIndex(d, maxPostings = 2)
+      .filter(col("term") === "b").collect().head
+    assert(capped.getLong(1) == 4L, "df must still count the full group")
+    assert(capped.getString(2) == "1,2", "postings capped to first 2 ids")
+  }
+
+  test("epochShuffle: a permutation per epoch, epochs differ, plan is " +
+      "range-parallel") {
+    val d = docs((1L to 40L).map(i => (i, s"doc $i")): _*)
+    val e1 = graft.ops.Splits.epochShuffle(d, "doc_id", 1)
+    val p1 = e1.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("position")).toMap
+    val p2 = graft.ops.Splits.epochShuffle(d, "doc_id", 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("position")).toMap
+    assert(p1.values.toSeq.sorted == (1L to 40L), "epoch 1 not a permutation")
+    assert(p2.values.toSeq.sorted == (1L to 40L), "epoch 2 not a permutation")
+    assert(p1 != p2, "different epochs must produce different orders")
+    // rerun is bit-identical (pure function of epoch + id)
+    val p1b = graft.ops.Splits.epochShuffle(d, "doc_id", 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("position")).toMap
+    assert(p1 == p1b)
+    val plan = e1.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+  }
 }
