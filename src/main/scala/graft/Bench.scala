@@ -22,7 +22,13 @@ object Bench {
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
     // two timed runs per query, report the min: absorbs one-off JIT/GC/IO
     // hiccups so run-to-run numbers are comparable
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter for focused local iteration
+    // (driver leaves it unset → full run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -113,6 +113,31 @@ case class StableHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** `Double.doubleToLongBits` as a native expression — the IEEE-754 bit
+  * pattern of a double as a long. Used for ORDER-PRESERVING bucketing
+  * without knowing the value domain (rank-selection histograms, see
+  * [[graft.ops.Quantiles]]): for x ≥ 0 the bits ascend with the value,
+  * for x < 0 the magnitude bits ascend as the value descends, so
+  * `bits >= 0 ? bits : -(bits & Long.MaxValue)` is monotone over all
+  * doubles and its high bits are a domain-free bucket id. Engine-
+  * internal only (never oracle-compared). */
+case class DoubleBits(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_double_bits"
+
+  override def nullSafeEval(a: Any): Any =
+    java.lang.Double.doubleToLongBits(a.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = Double.doubleToLongBits($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): DoubleBits =
+    copy(child = newChild)
+}
+
 /** 60-bit SimHash over an array of 60-bit token hashes: bit b of the
   * result is set iff a strict majority of tokens have bit b set (ties →
   * 0). One generated call per document instead of a 60-iteration

@@ -88,38 +88,17 @@ object Extended extends QueryPack {
                                   MIN(CASE WHEN rn = lo + 1 THEN x END))
                          - MIN(CASE WHEN rn = lo + 1 THEN x END)), 6) AS quantile
       FROM j GROUP BY flag, p ORDER BY flag, p""".stripMargin.trim)) { (spark, dir) =>
-    // per-flag rank WITHOUT Window.partitionBy(flag): only 3 distinct
-    // flags, so a flag-partitioned window sorts the whole fact table in
-    // 3 tasks (r2 bench showed the resulting scheduling variance; at
-    // 100 TB it's a stall). Rank globally with flag leading the sort
-    // key (two-phase, range-parallel), then rn = global rank − the
-    // flag's broadcast start offset; n comes off the same tiny table.
+    // distributed rank-selection (see graft.ops.Quantiles): no sort of
+    // the fact table AT ALL — a histogram locates each target rank's
+    // value bucket, and only those few buckets are ranked. Replaces the
+    // r2 range-parallel full rank, which still shuffle-sorted the whole
+    // fact; selection reads it twice and shuffles only histograms.
     val base = Tables.lineitem(spark, dir)
       .select(col("l_returnflag").as("flag"),
         col("l_extendedprice").cast("double").as("x"),
         col("l_orderkey"), col("l_linenumber"))
-    val wf = Window.orderBy("flag")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val stats = base.groupBy("flag").agg(count(lit(1)).as("n"))
-      .withColumn("r0", coalesce(sum(col("n")).over(wf), lit(0L)) + 1)
-    val v = graft.ops.Ranking.globalRank(base,
-        Seq(col("flag"), col("x"), col("l_orderkey"), col("l_linenumber")),
-        rankCol = "grank")
-      .join(broadcast(stats), "flag")
-      .withColumn("rn", col("grank") - col("r0") + 1)
-    val j = v
-      .withColumn("p", explode(array(lit(0.25), lit(0.5), lit(0.75))))
-      .withColumn("lo", floor((col("n") - 1) * col("p")).cast("long"))
-      .withColumn("frac", (col("n") - 1) * col("p") - floor((col("n") - 1) * col("p")))
-      .filter(col("rn") === col("lo") + 1 || col("rn") === col("lo") + 2)
-    j.groupBy("flag", "p")
-      .agg(
-        min(when(col("rn") === col("lo") + 1, col("x"))).as("xlo"),
-        min(when(col("rn") === col("lo") + 2, col("x"))).as("xhi"),
-        min(col("frac")).as("f"))
-      .select(col("flag"), col("p"),
-        round(col("xlo") + col("f") * (coalesce(col("xhi"), col("xlo")) - col("xlo")), 6)
-          .as("quantile"))
+    graft.ops.Quantiles.groupQuantiles(base, "flag", "x",
+        Seq("l_orderkey", "l_linenumber"), Seq(0.25, 0.5, 0.75))
       .orderBy("flag", "p")
   }
 

@@ -245,18 +245,22 @@ class PlanAuditSpec extends SparkTestBase {
       s"vocab must be range-partitioned on the sort key:\n$plan")
   }
 
-  test("q15_quantiles: per-flag ranks come from the range-parallel " +
-      "global rank, not a 3-task flag-partitioned window sort") {
+  test("q15_quantiles: rank-selection plan — the fact table is never " +
+      "sorted, only target histogram buckets are ranked") {
     val df = SparkEntry.queries("q15_quantiles")(spark, sfDir)
     val got = df.collect().map(_.toString).sorted.toSeq
     val plan = df.queryExecution.executedPlan.toString
-    // no window PARTITIONED by flag anywhere near the fact table (a
-    // partition column renders bare before the comma; the 3-row offset
-    // table's orderBy(flag) renders `flag#n ASC` and is fine)
-    assert("windowspecdefinition\\(flag#\\d+,".r.findFirstIn(plan).isEmpty,
+    // no window partitioned by flag ALONE (3 tasks for the whole fact);
+    // the probe pass's (flag, bucket) window renders `flag#n, __b#n`
+    // and partitions by thousands of keys over a few thousand rows
+    assert("windowspecdefinition\\(flag#\\d+, [a-z]".r.findFirstIn(plan).isEmpty,
       s"fact-table window collapsed to per-flag tasks:\n$plan")
-    assert(plan.contains("windowspecdefinition(__pid"),
-      s"two-phase rank missing:\n$plan")
+    assert(plan.contains("__b"), s"histogram bucket column missing:\n$plan")
+    // selection never range-repartitions the fact on its value column
+    // (the only rangepartitioning allowed is the 9-row presentation
+    // sort on (flag, p))
+    assert("rangepartitioning\\([^)]*\\bx#".r.findFirstIn(plan).isEmpty,
+      s"rank-selection must not sort the fact table:\n$plan")
     // result identical to the straightforward per-flag window formula
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("flag")
