@@ -351,6 +351,51 @@ object Similarity {
       round(sdot / (col("qn") * sqrt(ssq)), 6).as("cosine"))
   }
 
+  /** ColBERT-style multi-vector late-interaction (MaxSim) scoring:
+    * documents and queries are SETS of vectors (grouped by `docCol`);
+    * score(q, d) = Σ_{qv∈q} max_{dv∈d} cosine(qv, dv) — each query
+    * vector picks its best-matching doc vector, the per-query-vector
+    * maxima sum.
+    *
+    * Cross-engine determinism: each cosine is rounded to 6 places
+    * FIRST; max over rounded values is fold-order-free, and the final
+    * per-(q,d) sum runs in DECIMAL (exact, shuffle-order-independent) —
+    * cast back to double only at the edge. So the whole score is
+    * oracle-expressible despite being a float pipeline.
+    *
+    * This is the exhaustive baseline (every query vector × every doc
+    * vector — the oracle formulation, same role as
+    * [[Dedup.embeddingCosine]]); at lake scale the inner max runs only
+    * over ANN candidates (compose the per-vector pair set with
+    * [[lshBuckets]] or the IVF cell path — MaxSim degrades gracefully:
+    * a missed candidate can only lower a max, never corrupt one). */
+  def maxSimScores(corpus: DataFrame, queries: DataFrame,
+      docCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def prep(df: DataFrame, p: String) = {
+      val e = df.schema(vecCol).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => col(vecCol)
+        case _ => toDouble(col(vecCol))
+      }
+      df.select(col(docCol).cast("long").as(s"${p}doc"),
+          col(idCol).as(s"${p}vec"), e.as(s"${p}e"))
+        .withColumn(s"${p}n", norm(col(s"${p}e")))
+    }
+    val q = prep(queries, "q_").repartition(col("q_doc"))
+    val c = prep(corpus, "c_")
+    q.crossJoin(c)
+      .select(col("q_doc"), col("c_doc"), col("q_vec"),
+        round(cosineWithNorms(col("q_e"), col("c_e"), col("q_n"), col("c_n")), 6)
+          .as("cos"))
+      .groupBy("q_doc", "c_doc", "q_vec")
+      .agg(max(col("cos")).as("m"))
+      .groupBy("q_doc", "c_doc")
+      .agg(sum(col("m").cast("decimal(18,6)")).as("s"))
+      .select(col("q_doc"), col("c_doc"),
+        round(col("s").cast("double"), 6).as("maxsim"))
+  }
+
   /** LSH top-k: queries only score corpus vectors in nearby buckets.
     * `nProbe` is the probing depth: the query searches every bucket
     * within Hamming distance `nProbe` of its own (0 = own bucket only;

@@ -283,6 +283,28 @@ object TextAnalysis {
           .cast("array<string>")).as("postings"))
   }
 
+  /** Top-k adjacent-token merge candidates — the counting step of one
+    * BPE/WordPiece tokenizer-induction round over the corpus: every
+    * adjacent token pair, corpus-wide counts, highest-count pairs win
+    * (deterministic (t1, t2) tie-break). Positions explode through the
+    * same codegen'd element_at pairing as [[repetitionSignals]] (no
+    * interpreted HOF), the pair count is map-side combined, and the
+    * global top-k is a bounded heap (TakeOrdered), never a full sort —
+    * the shuffled state is (distinct pairs, count), vocabulary²-bounded
+    * in theory, Zipf-tiny in practice. */
+  def bpeMerges(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 20): DataFrame = {
+    val tk = col("tk")
+    docs.select(tokens(col(textCol)).as("tk"))
+      .select(tk, explode(when(size(tk) >= 2, sequence(lit(1), size(tk) - 1))
+        .otherwise(array().cast("array<int>"))).as("i"))
+      .select(element_at(tk, col("i")).as("t1"),
+        element_at(tk, col("i") + 1).as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
   /** Document fingerprint: bottom-k sketch of the 60-bit hashes of the
     * document's 3-word shingles (a winnowing-style content signature —
     * two documents sharing most shingles share most of the sketch).

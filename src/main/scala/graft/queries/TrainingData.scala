@@ -505,6 +505,40 @@ object TrainingData extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** BPE/WordPiece merge counting: top-20 adjacent-token pairs. */
+  val textBpeMerges = GraftQuery(
+    "text_bpe_merges",
+    Some("""
+      WITH tok AS (SELECT string_split_regex(text,'\s+') AS tk FROM documents),
+      prs AS (SELECT tk[i] AS t1, tk[i+1] AS t2
+              FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tok))
+      SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM prs GROUP BY t1, t2 ORDER BY cnt DESC, t1, t2 LIMIT 20""".trim)) {
+    (spark, dir) =>
+    TextAnalysis.bpeMerges(Tables.documents(spark, dir))
+  }
+
+  /** MaxSim late-interaction scores between label-grouped multi-vector
+    * "documents": rounded-then-max cosines, DECIMAL per-pair sums (both
+    * fold-order-free), so the float pipeline is bit-reproducible. */
+  val annMaxSim = GraftQuery(
+    "ann_maxsim",
+    Some(s"""
+      WITH $NORM,
+      ml AS (SELECT m.vec_id, m.e, m.nrm, CAST(b.label AS BIGINT) AS doc
+             FROM m JOIN embeddings b ON b.vec_id = m.vec_id),
+      cos AS (SELECT q.doc AS q_doc, c.doc AS c_doc, q.vec_id AS q_vec,
+          ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cos
+        FROM ml q CROSS JOIN ml c),
+      mx AS (SELECT q_doc, c_doc, q_vec, MAX(cos) AS m FROM cos GROUP BY q_doc, c_doc, q_vec)
+      SELECT q_doc, c_doc,
+        ROUND(CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE), 6) AS maxsim
+      FROM mx GROUP BY q_doc, c_doc ORDER BY q_doc, c_doc""".trim)) {
+    (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.maxSimScores(embs, embs).orderBy("q_doc", "c_doc")
+  }
+
   /** Gopher-style repetition/boilerplate signals per document. */
   val textRepetition = GraftQuery(
     "text_repetition",
@@ -794,11 +828,11 @@ object TrainingData extends QueryPack {
     fuzzyVocab, vocabStats,
     langId, quality, tokensQ, fingerprintQ, textPii, textClean,
     textRepetition, textContamination, textTfidf, textSurprisal,
-    textBm25, textInvertedIndex,
+    textBm25, textInvertedIndex, textBpeMerges,
     dataQuota, dataMix, dataCurriculum, dataEpochShuffle,
     dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding, dedupSemantic,
     dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,
     annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, annIvfPq,
-    dedupParagraph)
+    annMaxSim, dedupParagraph)
 }

@@ -720,6 +720,45 @@ class TrainingDataSpec extends SparkTestBase {
     assert(plan.contains("windowspecdefinition(__pid"), plan)
   }
 
+  test("bpeMerges: adjacent pairs counted corpus-wide, count-desc with " +
+      "pair tie-break, one-token docs contribute nothing") {
+    val out = TextAnalysis.bpeMerges(docs(
+        (1L, "a b a b c"), (2L, "a b"), (3L, "x"), (4L, "c a b")), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // pairs: doc1: (a,b)(b,a)(a,b)(b,c); doc2: (a,b); doc4: (c,a)(a,b)
+    assert(out.toSeq == Seq(("a", "b", 4L), ("b", "a", 1L), ("b", "c", 1L)))
+  }
+
+  test("maxSimScores: hand-computed on orthogonal/parallel unit vectors; " +
+      "deterministic under repartition") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("label", IntegerType)))
+    def vec(x: Double, y: Double) = Array(x, y)
+    // doc 0: e_x, e_y; doc 1: e_x only; doc 2: diagonal
+    val rows = Seq(
+      Row(1L, vec(1, 0).toSeq, 0), Row(2L, vec(0, 1).toSeq, 0),
+      Row(3L, vec(2, 0).toSeq, 1),
+      Row(4L, vec(1, 1).toSeq, 2))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    val got = Similarity.maxSimScores(df, df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // score(0,0): qx→max(1,0)=1, qy→max(0,1)=1 → 2.0
+    assert(got((0L, 0L)) == 2.0)
+    // score(0,1): qx→1, qy→0 → 1.0 ; score(1,0): x→1 → 1.0
+    assert(got((0L, 1L)) == 1.0 && got((1L, 0L)) == 1.0)
+    // score(0,2): each axis vector vs diagonal = cos 45° = 0.707107
+    assert(got((0L, 2L)) == 1.414214)
+    // score(2,0): diagonal picks either axis → 0.707107
+    assert(got((2L, 0L)) == 0.707107)
+    val again = Similarity.maxSimScores(df.repartition(5), df.repartition(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == again, "maxsim must not depend on physical layout")
+  }
+
   test("bm25: exact against a hand-evaluated formula; zero-match doc " +
       "scores 0; higher tf at equal dl scores higher") {
     val d = docs((1L, "a a b x"), (2L, "x y"), (3L, "b b b a"))
