@@ -29,23 +29,32 @@ object Dashboard {
     * aggregate-and-union would scan the table once per metric, which at
     * lake scale turns a dashboard tile into k full-table reads. */
   def describe(df: DataFrame, metrics: Seq[String]): DataFrame = {
-    val melted = df
-      .select(explode(array(metrics.map(m =>
-        struct(lit(m).as("metric"), col(m).cast("double").as("v"))): _*)).as("mv"))
-      .select(col("mv.metric").as("metric"), col("mv.v").as("v"))
-      .filter(col("v").isNotNull)
-    melted.groupBy("metric").agg(
-        count(lit(1)).as("n"),
-        sum(dec(col("v"))).cast("double").as("_s"),
-        sum(dec(col("v")) * dec(col("v"))).cast("double").as("_ss"),
-        min(col("v")).as("min_v"),
-        max(col("v")).as("max_v"))
+    // ONE pass, 5 aggregates per metric, no explode: melting first
+    // multiplies the fact |metrics|-fold before the partial aggregation
+    // sees it; aggregating columns side by side reads each value once
+    // and melts only the single result row. count(v)/sum/min/max all
+    // skip NULLs, matching the per-metric NOT NULL filter of the melted
+    // form (an all-NULL metric now yields an n=0 row like the SQL
+    // formulation, instead of vanishing).
+    val aggs = metrics.flatMap { m =>
+      val v = col(m).cast("double")
+      Seq(count(v).as(s"n_$m"),
+        sum(dec(v)).cast("double").as(s"s_$m"),
+        sum(dec(v) * dec(v)).cast("double").as(s"ss_$m"),
+        min(v).as(s"min_$m"), max(v).as(s"max_$m"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(metrics.map(m => struct(
+        lit(m).as("metric"), col(s"n_$m").as("n"),
+        col(s"s_$m").as("_s"), col(s"ss_$m").as("_ss"),
+        col(s"min_$m").as("min_v"), col(s"max_$m").as("max_v"))): _*))
+        .as("r"))
       .select(
-        col("metric"), col("n"),
-        round(col("_s") / col("n"), 6).as("mean"),
-        round(sqrt((col("_ss") - col("_s") * col("_s") / col("n")) /
-          (col("n") - 1)), 6).as("std"),
-        col("min_v"), col("max_v"))
+        col("r.metric").as("metric"), col("r.n").as("n"),
+        round(col("r._s") / col("r.n"), 6).as("mean"),
+        round(sqrt((col("r._ss") - col("r._s") * col("r._s") / col("r.n")) /
+          (col("r.n") - 1)), 6).as("std"),
+        col("r.min_v").as("min_v"), col("r.max_v").as("max_v"))
       .orderBy("metric")
   }
 }

@@ -322,6 +322,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("dash_describe aggregates metric columns in one pass — the melt " +
+      "explode sits above the aggregate, not below it") {
+    // exploding (metric, value) structs BEFORE aggregating multiplies
+    // the fact |metrics|-fold; the one-pass shape aggregates columns
+    // side by side and melts only the single result row
+    val df = SparkEntry.queries("dash_describe")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val g = plan.indexOf("Generate")
+    val h = plan.indexOf("HashAggregate")
+    assert(g >= 0 && h >= 0 && g < h,
+      s"explode below the aggregation (fact-sized melt):\n$plan")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective " +
       "shuffle join (the 100 TB fact⋈filtered-dim shape)") {
     // At scale, a fact⋈dim join where the dim carries a selective
