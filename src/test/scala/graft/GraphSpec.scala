@@ -43,6 +43,44 @@ class GraphSpec extends SparkTestBase {
     assert(got.values.sum <= 3L * 1000000L)
   }
 
+  test("GraphMaintenance: incremental edges equal the one-shot operator " +
+      "on the union, cross-batch bridges counted, replay idempotent") {
+    import graft.streaming.GraphMaintenance
+    val root = java.nio.file.Files.createTempDirectory("graphidx")
+    val (stateDir, edgeDir) =
+      (root.resolve("state").toString, root.resolve("edges").toString)
+    def full(rows: (Long, Int, Long, String)*) = events(rows: _*)
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+
+    // batch 1: user 1 A→B, user 2 lone A
+    val b1 = full((1L, 1, 1L, "A"), (2L, 2, 1L, "B"), (3L, 1, 2L, "A"))
+    GraphMaintenance.foldBatch(b1, 1L, stateDir, edgeDir)
+    // batch 2: user 1 B(carry)→C, user 2 A(carry)→B, user 3 in-batch A→B
+    val b2 = full((4L, 3, 1L, "C"), (5L, 4, 2L, "B"),
+      (6L, 1, 3L, "A"), (7L, 2, 3L, "B"))
+    GraphMaintenance.foldBatch(b2, 2L, stateDir, edgeDir)
+
+    def edges() = GraphMaintenance.currentEdges(spark, edgeDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val got = edges()
+    val oneShot = Graph.transitionEdges(b1.unionByName(b2))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == oneShot, s"incremental $got != one-shot $oneShot")
+    assert(got.contains(("B", "C", 1L)) && got.contains(("A", "B", 3L)),
+      "cross-batch bridge transitions missing")
+
+    // at-least-once replay of batch 2: same edge table, not double counts
+    GraphMaintenance.foldBatch(b2, 2L, stateDir, edgeDir)
+    assert(edges() == got, "replay must be idempotent")
+
+    // ranks come straight off the maintained graph
+    val ranks = GraphMaintenance.currentRanks(spark, edgeDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Graph.pagerank(Graph.transitionEdges(b1.unionByName(b2)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks == direct)
+  }
+
   test("pagerank: deterministic across runs (integer arithmetic has no " +
       "fold-order dependence)") {
     val e = Tables.events(spark, sfDir)
