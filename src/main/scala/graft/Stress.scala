@@ -76,6 +76,39 @@ object Stress {
           Seq("event_type")),
         Seq("event_type")).count()
     }
+    // ---- round-3 operators ----
+    time("surprisal_10x") {
+      ops.TextAnalysis.unigramSurprisal(docs10).count()
+    }
+    time("bm25_10x") {
+      ops.TextAnalysis.bm25(docs10, Seq("spark", "join", "vector", "the"))
+        .count()
+    }
+    time("inverted_idx_10x") {
+      ops.TextAnalysis.invertedIndex(docs10).count()
+    }
+    time("bpe_merges_10x") {
+      ops.TextAnalysis.bpeMerges(docs10).count()
+    }
+    time("epoch_shuffle_10x") {
+      ops.Splits.epochShuffle(docs10, "doc_id", 1).count()
+    }
+    time("curriculum_10x") {
+      ops.Splits.curriculum(
+        ops.TextAnalysis.qualityScore(docs10).select("doc_id", "quality"),
+        "doc_id", "quality").count()
+    }
+    time("quantiles_10x") {
+      // 10× rows AND 10× groups via the replicated event types
+      ops.Quantiles.groupQuantiles(
+        ev10.select(col("event_type").as("k"),
+          col("value").cast("double").as("x"), col("event_id")),
+        "k", "x", Seq("event_id"), Seq(0.25, 0.5, 0.75)).count()
+    }
+    time("pagerank_10x") {
+      // 10× events; the replicated suffix keeps the graph 10× wider too
+      ops.Graph.pagerank(ops.Graph.transitionEdges(ev10)).count()
+    }
     spark.stop()
   }
 }
