@@ -54,11 +54,19 @@ object Graph {
   def pagerank(edges: DataFrame, iterations: Int = 3,
       scale: Long = 1000000L): DataFrame = {
     require(iterations >= 0)
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist the graph tables: every iteration references them, and
+    // without the (graph-sized) cache each round would re-run the
+    // log-sized edge derivation the caller handed in. The per-round
+    // plan nests linearly in `iterations` — modest counts (the usual
+    // 3–20) are fine; an unbounded power iteration would cut lineage
+    // per round like Dedup.duplicateClusters.
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
+      .persist(MEMORY_AND_DISK)
     val nn = nodes.agg(count(lit(1)).as("n"))
     val outd = edges.groupBy("src").agg(sum("w").as("outw"))
-    val e = edges.join(outd, "src")
+    val e = edges.join(outd, "src").persist(MEMORY_AND_DISK)
     var rank = nodes.crossJoin(broadcast(nn))
       .select(col("node"), expr(s"$scale div n").as("rank_fp"))
     for (_ <- 0 until iterations) {

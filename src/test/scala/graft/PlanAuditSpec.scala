@@ -322,6 +322,42 @@ class PlanAuditSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("text_bm25 is scan-shaped: one corpus pass, stats on a 1-row " +
+      "broadcast, no (doc, term) explode-shuffle") {
+    val plan = planOf("text_bm25")
+    assert(!plan.contains("Generate"),
+      s"bm25 must not explode tokens — per-term tf is an array filter:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"corpus stats must ride a broadcast, not a shuffle join:\n$plan")
+    // only the needed columns reach the scan
+    assert(!plan.contains("lang#"),
+      s"scan reads columns bm25 never touches:\n$plan")
+  }
+
+  test("text_inverted_index bounds its aggregation buffer: the posting " +
+      "cap is a rank filter BELOW the collect_list") {
+    val plan = planOf("text_inverted_index")
+    // the window (term-partitioned rank) must run before the final
+    // aggregate, so collect_list only ever sees <= maxPostings ids
+    val w = plan.indexOf("windowspecdefinition(term")
+    val aggAt = plan.indexOf("collect_list")
+    assert(w >= 0 && aggAt >= 0 && aggAt < w,
+      s"posting cap must precede the aggregation buffer:\n$plan")
+  }
+
+  test("graph_pagerank: the log-sized work happens once (lag window + " +
+      "count), iteration joins are graph-sized broadcasts") {
+    val plan = planOf("graph_pagerank")
+    // node count rides a broadcast into every iteration
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"no broadcast in iteration:\n$plan")
+    // the graph tables are cached: iterations read the in-memory
+    // relation, they never re-run the log-sized lag/count derivation
+    assert(plan.contains("InMemoryTableScan"),
+      s"iterations must reuse the persisted graph, not recompute it:\n$plan")
+  }
+
   test("dash_describe aggregates metric columns in one pass — the melt " +
       "explode sits above the aggregate, not below it") {
     // exploding (metric, value) structs BEFORE aggregating multiplies
