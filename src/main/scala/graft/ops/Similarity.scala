@@ -351,6 +351,39 @@ object Similarity {
       round(sdot / (col("qn") * sqrt(ssq)), 6).as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label (same-label hits are positives, not negatives — the highest-
+    * scoring wrong-label neighbors are exactly the "hard" negatives a
+    * triplet/InfoNCE batch wants). Same scale shape as
+    * [[bruteForceTopK]]: queries broadcast, corpus never shuffles until
+    * the bounded-heap top-k; the label inequality rides the join
+    * condition so pruned pairs are never scored. At lake scale the
+    * candidate set comes from [[lshBuckets]]/IVF cells first — mining
+    * only needs high-scoring candidates, which is what ANN returns. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    def prep(df: DataFrame, p: String) = {
+      val e = df.schema(vecCol).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => col(vecCol)
+        case _ => toDouble(col(vecCol))
+      }
+      df.select(col(idCol).as(s"${p}id"),
+          col(labelCol).cast("long").as(s"${p}lab"), e.as(s"${p}e"))
+        .withColumn(s"${p}n", norm(col(s"${p}e")))
+    }
+    val c = prep(corpus, "c_")
+    val q = prep(queries, "q_")
+    val scored = c.join(broadcast(q),
+        col("q_id") =!= col("c_id") && col("q_lab") =!= col("c_lab"))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        round(cosineWithNorms(col("q_e"), col("c_e"), col("q_n"), col("c_n")), 6)
+          .as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** ColBERT-style multi-vector late-interaction (MaxSim) scoring:
     * documents and queries are SETS of vectors (grouped by `docCol`);
     * score(q, d) = Σ_{qv∈q} max_{dv∈d} cosine(qv, dv) — each query

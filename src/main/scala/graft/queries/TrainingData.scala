@@ -518,6 +518,25 @@ object TrainingData extends QueryPack {
     TextAnalysis.bpeMerges(Tables.documents(spark, dir))
   }
 
+  /** Hard-negative mining: top-5 wrong-label neighbors per query
+    * vector (the contrastive-training batch builder). */
+  val annHardNegatives = GraftQuery(
+    "ann_hard_negatives",
+    Some(s"""
+      WITH $NORM,
+      ml AS (SELECT m.vec_id, m.e, m.nrm, CAST(b.label AS BIGINT) AS lab
+             FROM m JOIN embeddings b ON b.vec_id = m.vec_id),
+      q AS (SELECT * FROM ml WHERE vec_id < 10),
+      p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+       FROM q JOIN ml c ON c.vec_id != q.vec_id AND c.lab != q.lab)
+      SELECT query_id, neighbor_id, cosine FROM (
+       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM p) t
+      WHERE rn <= 5 ORDER BY query_id, neighbor_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(embs, embs.filter(col("vec_id") < 10))
+  }
+
   /** MaxSim late-interaction scores between label-grouped multi-vector
     * "documents": rounded-then-max cosines, DECIMAL per-pair sums (both
     * fold-order-free), so the float pipeline is bit-reproducible. */
@@ -834,5 +853,5 @@ object TrainingData extends QueryPack {
     dedupEmbedding, dedupSemantic,
     dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,
     annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, annIvfPq,
-    annMaxSim, dedupParagraph)
+    annMaxSim, annHardNegatives, dedupParagraph)
 }

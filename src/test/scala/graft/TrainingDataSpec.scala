@@ -720,6 +720,35 @@ class TrainingDataSpec extends SparkTestBase {
     assert(plan.contains("windowspecdefinition(__pid"), plan)
   }
 
+  test("hardNegatives: never returns self or a same-label neighbor, and " +
+      "equals brute-force top-k with same-label hits removed") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val q = embs.filter(col("vec_id") < 10)
+    val labels = embs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.hardNegatives(embs, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall { case (qid, nid, _) =>
+      nid != qid && labels(nid) != labels(qid) },
+      "a positive (same label or self) leaked into the negatives")
+    // reference: exhaustive scores, drop same-label, window top-5
+    import org.apache.spark.sql.expressions.Window
+    val big = Similarity.bruteForceTopK(embs, q, k = embs.count().toInt)
+      .withColumnRenamed("query_id", "qid")
+    val lab = embs.select(col("vec_id"), col("label"))
+    val want = big
+      .join(lab.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+        "neighbor_id")
+      .filter(col("ql") =!= col("nl"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("neighbor_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == want.toSet)
+  }
+
   test("bpeMerges: adjacent pairs counted corpus-wide, count-desc with " +
       "pair tie-break, one-token docs contribute nothing") {
     val out = TextAnalysis.bpeMerges(docs(
