@@ -14,28 +14,24 @@ import org.apache.spark.sql.functions._
   * is engine-reproducible where interpolating quantile built-ins are
   * not.
   *
-  * Scale shape: both window passes partition on the SAME key, so the
-  * plan shuffles once and reuses the partitioning for the second
-  * sort; the median/MAD tables are group-cardinality-sized and
-  * broadcast back onto the rows. For cardinalities where an exact
-  * per-key sort is too hot, the sketch path ([[Sketches]]) replaces
-  * the rank step; this operator is the exact, oracle-gated form.
+  * Scale shape: both medians come from RANK-SELECTION
+  * ([[Quantiles.groupDiscQuantile]] — histogram locate + bucket probe),
+  * so the fact is never sorted and parallelism never collapses to the
+  * group count (a `Window.partitionBy(key)` with a handful of keys
+  * sorts a 100 TB feed in a handful of tasks); the median/MAD tables
+  * are group-cardinality-sized and broadcast back onto the rows. For
+  * cardinalities where even exact selection is too hot, the sketch
+  * path ([[Sketches]]) replaces the rank step; this operator is the
+  * exact, oracle-gated form.
   */
 object Outliers {
 
+  // percentile_disc over NON-NULL values (rank ceil(n/2), id tie-break)
+  // — groupDiscQuantile filters nulls and matches the rank arithmetic
+  // of the oracle formulation exactly
   private def discMedian(df: DataFrame, key: String, v: String, id: String,
-      as: String): DataFrame = {
-    val wRank = Window.partitionBy(key).orderBy(col(v), col(id))
-    val wAll = Window.partitionBy(key)
-    // percentile_disc is defined over NON-NULL values: unfiltered, nulls
-    // would rank first and shift (or null out) the median
-    df.filter(col(v).isNotNull)
-      .select(col(key), col(v),
-        row_number().over(wRank).as("rn"), count(lit(1)).over(wAll).as("n"))
-      .groupBy(key)
-      .agg(min(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
-        col(v))).as(as))
-  }
+      as: String): DataFrame =
+    Quantiles.groupDiscQuantile(df, key, v, Seq(id), 0.5, as)
 
   /** Rows whose |value − median| exceeds `k` × MAD, with the per-group
     * robust statistics attached. */

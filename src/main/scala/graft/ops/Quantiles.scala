@@ -56,6 +56,47 @@ object Quantiles {
       shift)
   }
 
+  /** Exact per-group DISCRETE quantile (percentile_disc semantics: the
+    * value at rank ceil(p·n) over non-null values, ties ordered by
+    * `tieCols`) by the same histogram-locate + bucket-probe plan as
+    * [[groupQuantiles]] — one target rank per group, no interpolation,
+    * and the fact table is never sorted. Returns (key, outCol). */
+  def groupDiscQuantile(df: DataFrame, keyCol: String, valueCol: String,
+      tieCols: Seq[String], p: Double, outCol: String,
+      bucketShift: Int = 44): DataFrame = {
+    require(p > 0 && p <= 1)
+    val spark = df.sparkSession
+    val in = df.filter(col(valueCol).isNotNull)
+    val key = col(keyCol)
+    val x = col(valueCol)
+    val keyField = df.schema(keyCol)
+    val bucket = bitBucket(x, bucketShift)
+
+    val histRows = in.groupBy(key, bucket.as("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect()
+    val located = histRows.groupBy(_.get(0)).toSeq.map { case (k, rows) =>
+      val hs = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val before = hs.scanLeft(0L)(_ + _._2)
+      val t = math.ceil(p * before.last).toLong
+      val i = hs.indices.findLast(i => before(i) < t).get
+      Row(k, t, hs(i)._1, before(i))
+    }
+    val locSchema = StructType(Seq(keyField,
+      StructField("__t", LongType), StructField("__b", LongType),
+      StructField("__before", LongType)))
+    val locatedDf = spark.createDataFrame(
+      java.util.Arrays.asList(located: _*), locSchema)
+
+    in.withColumn("__b", bucket)
+      .join(broadcast(locatedDf), Seq(keyCol, "__b"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(key, col("__b"))
+          .orderBy(x +: tieCols.map(col): _*)))
+      .filter(col("__before") + col("__r") === col("__t"))
+      .select(key, x.as(outCol))
+  }
+
   def groupQuantiles(df: DataFrame, keyCol: String, valueCol: String,
       tieCols: Seq[String], ps: Seq[Double],
       bucketShift: Int = 44): DataFrame = {

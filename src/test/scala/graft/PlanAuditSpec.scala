@@ -95,10 +95,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!bigSort, s"expanded table is being sorted:\n$plan")
   }
 
-  test("q34 outliers: per-group stats broadcast back onto the fact rows") {
+  test("q34 outliers: per-group stats broadcast back onto the fact rows, " +
+      "medians are rank-selected — no per-group sort of the feed") {
     val plan = planOf("q34_outliers")
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), s"stats joins should broadcast:\n$plan")
+    // a Window.partitionBy(event_type) ALONE (few groups = few tasks at
+    // scale) must not exist; the selection probe's (key, bucket) window
+    // renders `event_type#n, __b#m`
+    assert("windowspecdefinition\\(event_type#\\d+, [a-z]".r
+      .findFirstIn(plan).isEmpty,
+      s"median still sorts the whole feed per group:\n$plan")
   }
 
   test("dedup_paragraph: census join reuses the chunk shuffle " +
