@@ -39,13 +39,31 @@ object Splits {
   def stratified(df: DataFrame, idCol: String, strataCol: String,
       fraction: Double, salt: String = "sample"): DataFrame = {
     require(fraction > 0 && fraction <= 1)
+    // strata cardinality is SMALL (sources/languages), so the per-group
+    // rank must not come from Window.partitionBy(strata) — that sorts
+    // the corpus in |strata| tasks. Same recipe as [[temperatureMix]]:
+    // range-parallel global rank with the stratum leading the sort key,
+    // minus each stratum's broadcast start offset.
     val h = hash60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
-    val w = Window.partitionBy(strataCol).orderBy(h, col(idCol))
-    val n = Window.partitionBy(strataCol)
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(n))
-      .filter(col("__rn") <= ceil(col("__n") * fraction))
-      .drop("__rn", "__n")
+    val (ranked, offsets) = strataRanked(df, idCol, strataCol, h)
+    ranked.join(broadcast(offsets), strataCol)
+      .filter(col("__grank") - col("__r0") + 1 <=
+        ceil(col("__n") * fraction))
+      .drop("__h", "__grank", "__n", "__r0")
+  }
+
+  /** Corpus ranked by (stratum, id-hash, id) via the two-phase global
+    * rank, plus the per-stratum (count, exclusive start offset) table —
+    * the shared machinery of [[stratified]] and [[quota]]. */
+  private def strataRanked(df: DataFrame, idCol: String, strataCol: String,
+      h: Column): (DataFrame, DataFrame) = {
+    val wOff = Window.orderBy(strataCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__r0", coalesce(sum(col("__n")).over(wOff), lit(0L)) + 1)
+    val ranked = Ranking.globalRank(df.withColumn("__h", h),
+      Seq(col(strataCol), col("__h"), col(idCol)), rankCol = "__grank")
+    (ranked, offsets)
   }
 
   /** Per-stratum quota: keep at most `cap` rows per `strataCol` group —
@@ -56,11 +74,12 @@ object Splits {
     * and stable under corpus growth. One shuffle on the strata key. */
   def quota(df: DataFrame, idCol: String, strataCol: String,
       cap: Int, salt: String = "quota"): DataFrame = {
+    // same range-parallel shape as [[stratified]] — see the note there
     val h = hash60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
-    val w = Window.partitionBy(strataCol).orderBy(h, col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= cap)
-      .drop("__rn")
+    val (ranked, offsets) = strataRanked(df, idCol, strataCol, h)
+    ranked.join(broadcast(offsets), strataCol)
+      .filter(col("__grank") - col("__r0") + 1 <= cap)
+      .drop("__h", "__grank", "__n", "__r0")
   }
 
   /** Deterministic weighted sample: priority = hash(id)/weight, keep the

@@ -329,6 +329,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("stratified sample and quota rank range-parallel — no " +
+      "per-source window sort of the corpus") {
+    for (name <- Seq("data_sample_stratified", "data_quota")) {
+      val plan = planOf(name)
+      assert("windowspecdefinition\\(source#\\d+, [a-z_]".r
+        .findFirstIn(plan).isEmpty,
+        s"$name sorts the corpus in |sources| tasks:\n$plan")
+      assert(plan.contains("windowspecdefinition(__pid"),
+        s"$name: two-phase rank missing:\n$plan")
+    }
+  }
+
   test("text_bm25 is scan-shaped: one corpus pass, stats on a 1-row " +
       "broadcast, no (doc, term) explode-shuffle") {
     val plan = planOf("text_bm25")
