@@ -351,6 +351,90 @@ object Similarity {
       round(sdot / (col("qn") * sqrt(ssq)), 6).as("cosine"))
   }
 
+  /** Trained PQ codebook: per-subspace Lloyd's k-means (m INDEPENDENT
+    * codebooks — the defining property of product quantization), run as
+    * ONE composite-keyed iteration: assignment is a broadcast argmin
+    * join keyed on the subspace, means are a map-side-combined
+    * (s, cid, pos) aggregation, so every subspace trains in the same
+    * two jobs per round. Codewords materialize as k full-width vectors
+    * (subspace s's codeword j = slice s of vector j) — the exact shape
+    * [[pqEncode]]/[[pqTopK]] consume, so a trained codebook drops in
+    * for the fixed one.
+    *
+    * Deterministic seeding (the k smallest-id corpus vectors) and
+    * deterministic empty-cell handling (keep the previous codeword);
+    * per-round state is k·dim, lineage cut per round. Float means make
+    * the trained values fold-order-sensitive in the last ulp, so the
+    * composed query is rows-only gated (like `ann_ivf_trained`), with
+    * quality spec-gated via [[pqDistortion]]. */
+  def pqTrain(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val subDim = 64 / m
+    val c = withNorm(corpus, idCol, vecCol)
+    val ss = explode(array((0 until m).map(lit): _*)).as("s")
+    val sub = c.select(col("vec_id"), ss, col("e"))
+      .withColumn("vs", slice(col("e"), col("s") * subDim + 1, lit(subDim)))
+      .select("vec_id", "s", "vs")
+      .persist(MEMORY_AND_DISK)
+    // seeds: the k smallest ids, densely re-numbered 0..k-1
+    val seedW = Window.orderBy("vec_id") // k rows — tiny presentation sort
+    val seeds = c.orderBy("vec_id").limit(k)
+      .withColumn("cid", row_number().over(seedW) - 1)
+    var cw = seeds.select(col("cid"), ss, col("e"))
+      .withColumn("cs", slice(col("e"), col("s") * subDim + 1, lit(subDim)))
+      .select("s", "cid", "cs")
+    for (_ <- 0 until iters) {
+      val scored = sub.join(broadcast(cw), Seq("s"))
+        .select(col("vec_id"), col("s"), col("cid"),
+          round(dot(col("cs"), col("cs")) -
+            lit(2.0) * dot(col("vs"), col("cs")), 6).as("d"))
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("d"), col("cid"))).getField("cid").as("cid"))
+      val means = sub.join(scored, Seq("vec_id", "s"))
+        .select(col("s"), col("cid"), posexplode(col("vs")).as(Seq("pos", "x")))
+        .groupBy("s", "cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("s", "cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("s"), col("cid"), expr("transform(pm, p -> p.m)").as("upd"))
+      val next = cw.join(means, Seq("s", "cid"), "left")
+        .select(col("s"), col("cid"), coalesce(col("upd"), col("cs")).as("cs"))
+        .persist(MEMORY_AND_DISK)
+      next.count() // materialize: flat lineage round to round
+      cw = next
+    }
+    sub.unpersist()
+    // package the m per-subspace codebooks as k full-width vectors
+    cw.groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("s"), col("cs")))).as("sc"))
+      .select(col("cid").cast("long").as(idCol),
+        expr("flatten(transform(sc, p -> p.cs))").as(vecCol))
+  }
+
+  /** Mean PQ reconstruction error (summed squared subspace residuals) of
+    * `corpus` under `codebook` — the product-quantization objective;
+    * specs assert training lowers it vs the untrained codebook. */
+  def pqDistortion(corpus: DataFrame, codebook: DataFrame, m: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    val subDim = 64 / m
+    val codes = pqEncode(corpus, codebook, m, idCol, vecCol)
+    val c = withNorm(corpus, idCol, vecCol)
+    val cw = withNorm(codebook, idCol, vecCol)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val sub = c.select(col("vec_id"),
+        explode(array((0 until m).map(lit): _*)).as("s"), col("e"))
+      .withColumn("vs", slice(col("e"), col("s") * subDim + 1, lit(subDim)))
+    sub.join(codes, Seq("vec_id", "s")).join(broadcast(cw), "cid")
+      .select(col("vec_id"),
+        (dot(col("vs"), col("vs")) -
+          lit(2.0) * dot(col("vs"),
+            slice(col("ce"), col("s") * subDim + 1, lit(subDim))) +
+          dot(slice(col("ce"), col("s") * subDim + 1, lit(subDim)),
+            slice(col("ce"), col("s") * subDim + 1, lit(subDim)))).as("r"))
+      .groupBy("vec_id").agg(sum(col("r")).as("err"))
+      .agg(avg(col("err"))).head().getDouble(0)
+  }
+
   /** Hard-negative mining for contrastive/embedding training: per query
     * vector, the top-k most-similar corpus vectors with a DIFFERENT
     * label (same-label hits are positives, not negatives — the highest-

@@ -518,6 +518,18 @@ object TrainingData extends QueryPack {
     TextAnalysis.bpeMerges(Tables.documents(spark, dir))
   }
 
+  /** PQ with a TRAINED codebook (per-subspace Lloyd, m independent
+    * codebooks — real product quantization rather than the fixed
+    * deterministic codebook of ann_pq). Rows-only by design like
+    * ann_ivf_trained: float k-means means are fold-order-sensitive in
+    * the last ulp, so quality is spec-gated (reconstruction distortion
+    * strictly below the untrained codebook's) instead of hash-gated. */
+  val annPqTrained = GraftQuery("ann_pq_trained", None) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.pqTopK(embs, embs.filter(col("vec_id") < 10),
+      Similarity.pqTrain(embs))
+  }
+
   /** Hard-negative mining: top-5 wrong-label neighbors per query
     * vector (the contrastive-training batch builder). */
   val annHardNegatives = GraftQuery(
@@ -853,5 +865,5 @@ object TrainingData extends QueryPack {
     dedupEmbedding, dedupSemantic,
     dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,
     annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, annIvfPq,
-    annMaxSim, annHardNegatives, dedupParagraph)
+    annPqTrained, annMaxSim, annHardNegatives, dedupParagraph)
 }

@@ -720,6 +720,24 @@ class TrainingDataSpec extends SparkTestBase {
     assert(plan.contains("windowspecdefinition(__pid"), plan)
   }
 
+  test("pqTrain: per-subspace training strictly lowers reconstruction " +
+      "distortion vs the fixed codebook; shape drops into pqTopK") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val fixed = embs.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+    val trained = Similarity.pqTrain(embs, iters = 2)
+    assert(trained.count() == 16)
+    assert(trained.select("embedding").head()
+      .getSeq[Double](0).length == 64, "codewords must repack to 64 dims")
+    val dFixed = Similarity.pqDistortion(embs, fixed)
+    val dTrained = Similarity.pqDistortion(embs, trained)
+    assert(dTrained < dFixed,
+      s"training must lower PQ distortion: trained=$dTrained fixed=$dFixed")
+    // the trained codebook drives the standard ADC top-k end to end
+    val topk = Similarity.pqTopK(embs, embs.filter(col("vec_id") < 5),
+      trained).collect()
+    assert(topk.length == 25, s"expected 5 queries x k=5, got ${topk.length}")
+  }
+
   test("hardNegatives: never returns self or a same-label neighbor, and " +
       "equals brute-force top-k with same-label hits removed") {
     val embs = Tables.embeddings(spark, sfDir)
