@@ -119,6 +119,31 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Asymmetric near-dup detection by shingle CONTAINMENT
+    * (|A∩B| / min(|A|,|B|), with both directions reported): a document
+    * pasted inside a larger one has LOW Jaccard (the union is big) but
+    * HIGH containment — the quote/subset-duplication case Jaccard
+    * dedup structurally misses. Same bucketed candidate shape as
+    * [[ngramJaccard]] (equality join on shared shingles, id_a < id_b —
+    * never all-pairs); threshold applies to max(cont_a, cont_b). */
+  def ngramContainment(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.8): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol)
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
+    val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
+    ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / col("na").cast("double"), 6).as("cont_a"),
+        round(col("inter") / col("nb").cast("double"), 6).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** DF-capped n-gram Jaccard: like [[ngramJaccard]], but shingles whose
     * document frequency exceeds `dfCap` are excluded from CANDIDATE
     * GENERATION. In a dup-heavy corpus a boilerplate shingle shared by

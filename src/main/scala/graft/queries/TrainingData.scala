@@ -112,6 +112,23 @@ object TrainingData extends QueryPack {
     Dedup.ngramJaccard(Tables.documents(spark, dir))
   }
 
+  /** Asymmetric containment near-dups: subset/quote duplication that
+    * Jaccard misses (low union overlap, high one-sided overlap). */
+  val dedupContainment = GraftQuery(
+    "dedup_containment",
+    Some(s"""
+      WITH $SH,
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+      j AS (SELECT id_a, id_b,
+         ROUND(len(list_intersect(x.s, y.s)) / CAST(len(x.s) AS DOUBLE), 6) AS cont_a,
+         ROUND(len(list_intersect(x.s, y.s)) / CAST(len(y.s) AS DOUBLE), 6) AS cont_b
+       FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+      SELECT * FROM j WHERE greatest(cont_a, cont_b) >= 0.8 ORDER BY id_a, id_b""".trim)) {
+    (spark, dir) =>
+    Dedup.ngramContainment(Tables.documents(spark, dir))
+  }
+
   val dedupNgramCapped = GraftQuery(
     "dedup_ngram_capped",
     Some(s"""
@@ -570,6 +587,76 @@ object TrainingData extends QueryPack {
     Similarity.maxSimScores(embs, embs).orderBy("q_doc", "c_doc")
   }
 
+  /** Per-document quality-classifier feature matrix: the composed
+    * featurization step of a curation pipeline — length/punct/stopword
+    * quality, unigram surprisal, repetition signals and language ID in
+    * one wide row per doc. All four branches re-key on doc_id, so the
+    * joins share one hash partitioning; each branch is the proven
+    * operator (and the proven oracle formulation) unchanged. */
+  val pipelineFeatures = GraftQuery(
+    "pipeline_features",
+    Some("""
+      WITH tkt AS (SELECT doc_id, text, string_split_regex(text,'\s+') AS tk FROM documents),
+      qm AS (SELECT doc_id,
+        CAST(len(text) AS BIGINT) AS n_chars,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+        CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS n_stop,
+        CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT) AS sum_tok
+       FROM tkt),
+      q AS (SELECT doc_id, n_chars, n_words,
+        ROUND(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+        ROUND(n_stop / CAST(n_words AS DOUBLE), 6) AS stop_ratio,
+        ROUND(sum_tok / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+        ROUND(0.4*least(n_words/100.0, 1.0) + 0.3*(1.0 - n_punct/CAST(n_chars AS DOUBLE))
+              + 0.3*least(5.0*n_stop/CAST(n_words AS DOUBLE), 1.0), 6) AS quality
+       FROM qm),
+      sp AS (SELECT doc_id, t, COUNT(*) AS c FROM (SELECT doc_id, unnest(tk) AS t FROM tkt) GROUP BY 1, 2),
+      stf AS (SELECT t, SUM(c) AS tf FROM sp GROUP BY t),
+      sn AS (SELECT SUM(tf) AS n_total FROM stf),
+      sb AS (SELECT doc_id, c, len(bin(n_total // tf)) - 1 AS bucket
+             FROM sp JOIN stf USING (t) CROSS JOIN sn),
+      su AS (SELECT doc_id, ROUND(SUM(bucket * c) / CAST(SUM(c) AS DOUBLE), 6) AS mean_surprisal
+             FROM sb GROUP BY doc_id),
+      ua AS (SELECT doc_id, SUM(c) AS n_words_u, COUNT(*) AS n_distinct, MAX(c) AS top_c FROM sp GROUP BY 1),
+      bgl AS (SELECT doc_id, list_transform(range(1, len(tk)), i -> tk[i]||' '||tk[i+1]) AS bg FROM tkt),
+      bb AS (SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, unnest(bg) AS g FROM bgl) GROUP BY 1, 2),
+      ba AS (SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct_bg FROM bb GROUP BY 1),
+      rep AS (SELECT ua.doc_id,
+        ROUND(n_distinct / CAST(n_words_u AS DOUBLE), 6) AS distinct_frac,
+        ROUND(top_c / CAST(n_words_u AS DOUBLE), 6) AS top_token_frac,
+        COALESCE(ROUND(1.0 - n_distinct_bg / CAST(n_bigrams AS DOUBLE), 6), 0.0) AS dup_bigram_frac
+       FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id),
+      lg AS (SELECT doc_id,
+        CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+        CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+        CAST(len(list_filter(tk, x -> x IN ('el','los','las','y','es'))) AS BIGINT) AS s_es,
+        CAST(len(list_filter(tk, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr
+       FROM tkt),
+      lid AS (SELECT doc_id,
+        CASE WHEN greatest(s_en,s_de,s_es,s_fr) IS NULL
+               OR greatest(s_en,s_de,s_es,s_fr) = 0 THEN 'und'
+             WHEN s_de = greatest(s_en,s_de,s_es,s_fr) THEN 'de'
+             WHEN s_en = greatest(s_en,s_de,s_es,s_fr) THEN 'en'
+             WHEN s_es = greatest(s_en,s_de,s_es,s_fr) THEN 'es'
+             ELSE 'fr' END AS pred_lang
+       FROM lg)
+      SELECT q.doc_id, n_chars, n_words, punct_ratio, stop_ratio, mean_word_len, quality,
+        mean_surprisal, distinct_frac, top_token_frac, dup_bigram_frac, pred_lang
+      FROM q JOIN su USING (doc_id) JOIN rep USING (doc_id) JOIN lid USING (doc_id)
+      ORDER BY doc_id""".trim)) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    TextAnalysis.qualityScore(docs)
+      .join(TextAnalysis.unigramSurprisal(docs)
+        .select("doc_id", "mean_surprisal"), "doc_id")
+      .join(TextAnalysis.repetitionSignals(docs)
+        .select("doc_id", "distinct_frac", "top_token_frac", "dup_bigram_frac"),
+        "doc_id")
+      .join(TextAnalysis.languageId(docs).select("doc_id", "pred_lang"),
+        "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition/boilerplate signals per document. */
   val textRepetition = GraftQuery(
     "text_repetition",
@@ -859,9 +946,10 @@ object TrainingData extends QueryPack {
     fuzzyVocab, vocabStats,
     langId, quality, tokensQ, fingerprintQ, textPii, textClean,
     textRepetition, textContamination, textTfidf, textSurprisal,
-    textBm25, textInvertedIndex, textBpeMerges,
+    textBm25, textInvertedIndex, textBpeMerges, pipelineFeatures,
     dataQuota, dataMix, dataCurriculum, dataEpochShuffle,
-    dedupExact, dedupNgram, dedupNgramCapped, dedupMinhash, dedupSimhash,
+    dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
+    dedupMinhash, dedupSimhash,
     dedupEmbedding, dedupSemantic,
     dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,
     annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, annIvfPq,

@@ -123,6 +123,23 @@ class TrainingDataSpec extends SparkTestBase {
     }
   }
 
+  test("ngramContainment flags a quoted/pasted subset that Jaccard " +
+      "misses, and reports both directions") {
+    val small = (1 to 10).map(i => s"w$i").mkString(" ")
+    val big = ((1 to 10).map(i => s"w$i") ++
+      (11 to 60).map(i => s"x$i")).mkString(" ")
+    val d = docs((1L, small), (2L, big), (3L, "totally different words here"))
+    // doc 1's shingles are a strict subset of doc 2's
+    val cont = Dedup.ngramContainment(d, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(cont.length == 1 && cont.head._1 == 1L && cont.head._2 == 2L)
+    assert(cont.head._3 == 1.0, "doc 1 fully contained in doc 2")
+    assert(cont.head._4 < 0.2, "doc 2 barely overlaps doc 1")
+    // Jaccard at its default threshold structurally misses this pair
+    val jac = Dedup.ngramJaccard(d, threshold = 0.5).collect()
+    assert(jac.isEmpty, "low-union subset pair must be invisible to Jaccard")
+  }
+
   test("ngramJaccardCapped drops only hot-shingle candidates; verify stays exact") {
     // docs 1..2: a genuine near-dup pair via RARE shingles.
     // docs 10..19: each unique EXCEPT a shared boilerplate sentence whose
