@@ -20,6 +20,41 @@ import org.apache.spark.sql.functions._
   */
 object Resample {
 
+  /** M4 downsampling: per (key, time-bucket) keep exactly the rows a
+    * line chart needs — the min-value, max-value, first and last points
+    * — so a billion-point series renders from 4 rows per pixel column
+    * with a pixel-perfect envelope (the M4 aggregation of Jugel et al.,
+    * VLDB'14).
+    *
+    * One map-side-combined shuffle: each extreme is a single
+    * `min/max(struct(...))` aggregate whose lexicographic field order
+    * (value-first for min/max, time-first for first/last, id last)
+    * doubles as the deterministic tie-break, so the selected rows are
+    * reproducible and oracle-expressible as rank-1 window rows. No
+    * window over the raw series, no per-key sort — the 100 TB feed
+    * aggregates straight onto (key × buckets). */
+  def m4Downsample(events: DataFrame, key: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value",
+      idCol: String = "event_id", bucketSeconds: Long = 3600L): DataFrame = {
+    val e = events.filter(col(valCol).isNotNull)
+      .select(col(key), col(tsCol).as("ts"), col(valCol).as("v"),
+        col(idCol).as("id"),
+        expr(s"unix_timestamp($tsCol) div $bucketSeconds").as("bucket"))
+    def pick(role: String, s: String) = struct(lit(role).as("role"),
+      col(s"$s.ts").as("ts"), col(s"$s.v").as("v"), col(s"$s.id").as("id"))
+    e.groupBy(col(key), col("bucket"))
+      .agg(
+        min(struct(col("v"), col("ts"), col("id"))).as("mn"),
+        max(struct(col("v"), col("ts"), col("id"))).as("mx"),
+        min(struct(col("ts"), col("id"), col("v"))).as("fst"),
+        max(struct(col("ts"), col("id"), col("v"))).as("lst"))
+      .select(col(key), col("bucket"),
+        explode(array(pick("min", "mn"), pick("max", "mx"),
+          pick("first", "fst"), pick("last", "lst"))).as("r"))
+      .select(col(key), col("bucket"), col("r.role").as("role"),
+        col("r.ts").as("ts"), col("r.v").as("v"), col("r.id").as("id"))
+  }
+
   /** Aggregate `valCol` onto a truncated-`unit` grid per `key` (exact
     * decimal mean, rounded to 6dp), fill every missing grid cell
     * between each key's first and last observation by linear

@@ -111,5 +111,33 @@ object TimeSeries extends QueryPack {
       .orderBy("event_type", "event_id")
   }
 
-  override def all: Seq[GraftQuery] = Seq(tsGapfill, q32, q34)
+  /** M4 chart downsampling: 4 rows per (series, hour bucket) render a
+    * pixel-perfect line-chart envelope of the whole feed; the oracle
+    * expresses each extreme as the rank-1 row under the exact tie-break
+    * order the struct aggregates encode. */
+  val tsM4 = GraftQuery(
+    "ts_m4_downsample",
+    Some("""
+      WITH e AS (SELECT event_type, ts, value AS v, event_id,
+          CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket
+        FROM events WHERE value IS NOT NULL),
+      r AS (SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY event_type, bucket ORDER BY v, ts, event_id) AS rmin,
+        ROW_NUMBER() OVER (PARTITION BY event_type, bucket ORDER BY v DESC, ts DESC, event_id DESC) AS rmax,
+        ROW_NUMBER() OVER (PARTITION BY event_type, bucket ORDER BY ts, event_id) AS rfst,
+        ROW_NUMBER() OVER (PARTITION BY event_type, bucket ORDER BY ts DESC, event_id DESC) AS rlst
+       FROM e)
+      SELECT event_type, bucket, 'min' AS role, ts, v, event_id AS id FROM r WHERE rmin = 1
+      UNION ALL
+      SELECT event_type, bucket, 'max', ts, v, event_id FROM r WHERE rmax = 1
+      UNION ALL
+      SELECT event_type, bucket, 'first', ts, v, event_id FROM r WHERE rfst = 1
+      UNION ALL
+      SELECT event_type, bucket, 'last', ts, v, event_id FROM r WHERE rlst = 1
+      ORDER BY event_type, bucket, role""".stripMargin.trim)) { (spark, dir) =>
+    graft.ops.Resample.m4Downsample(Tables.events(spark, dir))
+      .orderBy("event_type", "bucket", "role")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(tsGapfill, q32, q34, tsM4)
 }

@@ -149,4 +149,33 @@ class TimeSeriesSpec extends SparkTestBase {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     assert(back.toSeq == Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0), (4L, "y", 4.0)))
   }
+
+  test("m4Downsample: exactly the envelope rows per bucket, struct " +
+      "tie-breaks deterministic, no window over the raw series") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val e = Seq(
+      // bucket A: min(3.0@:10), max(9.0@:20), first(5.0@:05), last(7.0@:50)
+      (1L, ts("2024-01-01 00:05:00"), "a", 5.0),
+      (2L, ts("2024-01-01 00:10:00"), "a", 3.0),
+      (3L, ts("2024-01-01 00:20:00"), "a", 9.0),
+      (4L, ts("2024-01-01 00:50:00"), "a", 7.0),
+      // bucket B: equal values — id breaks the min/max tie
+      (5L, ts("2024-01-01 01:10:00"), "a", 4.0),
+      (6L, ts("2024-01-01 01:20:00"), "a", 4.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = graft.ops.Resample.m4Downsample(e)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(5))).toSet
+    val bA = ts("2024-01-01 00:00:00").getTime / 1000 / 3600
+    val bB = bA + 1
+    assert(out == Set(
+      (bA, "min", 2L), (bA, "max", 3L), (bA, "first", 1L), (bA, "last", 4L),
+      // ties: min picks the earlier (ts,id), max the later
+      (bB, "min", 5L), (bB, "max", 6L), (bB, "first", 5L), (bB, "last", 6L)))
+    // single aggregation — no window/sort over the raw series
+    val plan = graft.ops.Resample.m4Downsample(e)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      s"M4 must be a pure aggregation, not a window:\n$plan")
+  }
 }
