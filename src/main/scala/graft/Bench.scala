@@ -4,14 +4,31 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every SparkEntry query at the scale
   * factor in SPARK_GRAFT_SF_DIR, one JSON line on stdout.
   *
-  * A warm-up pass (the flagship query at sf0.001) runs first so the
-  * first timed query doesn't absorb JVM/codegen/parquet-footer warm-up;
-  * queries then run in name order for run-to-run comparability.
+  * Methodology (pinned so round-over-round deltas are attributable):
+  *  - A warm-up pass (the flagship query at sf0.001) runs first so the
+  *    first timed query doesn't absorb JVM/codegen/parquet-footer
+  *    warm-up.
+  *  - Queries run in name order; each gets SPARK_GRAFT_RUNS timed runs
+  *    (default 2) and reports the min — absorbs one-off JIT/GC/IO
+  *    hiccups.
+  *  - The session cache is CLEARED before each query's runs: several
+  *    operators persist intermediates internally (minHashLsh / simHash
+  *    signatures, semantic-dedup assignments) and a 95-query single-JVM
+  *    sweep would otherwise accumulate cached blocks, squeezing
+  *    execution memory for whichever shuffle-heavy queries happen to
+  *    run later in name order. (Root cause of the r2→r3 "unexplained"
+  *    regressions: round 3 added more persisting queries ahead of them
+  *    alphabetically.) Each query still benefits from its OWN persists
+  *    across its internal reuse — they just can't leak across timings.
+  *  - The full per-query raw times (not just the min) are appended to
+  *    SPARK_GRAFT_RAW (default scripts/bench_raw.json) for committed
+  *    provenance.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,8 +37,6 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopK.ensureRegistered(spark)
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
-    // two timed runs per query, report the min: absorbs one-off JIT/GC/IO
-    // hiccups so run-to-run numbers are comparable
     // optional comma-separated name filter for focused local iteration
     // (driver leaves it unset → full run)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -29,17 +44,30 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      spark.catalog.clearCache()
+      val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nRuns,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    // full raw provenance: every run of every query, committed per round
+    val rawPath = sys.env.getOrElse("SPARK_GRAFT_RAW", "scripts/bench_raw.json")
+    try {
+      val raw = results.map { case (k, v) =>
+        s"\"" + k + "\":" + v.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val line = s"""{"n":$nRuns,"cpus":$cpus,"sf":"$sfDir","raw":$raw}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(rawPath),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () } // provenance is best-effort
     spark.stop()
   }
 }

@@ -266,29 +266,47 @@ object Dedup {
     * the direct join and matches).
     */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 5): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 5,
+      cache: Boolean = true): DataFrame = {
     require(maxHamming <= 5, "6x10-bit banding guarantees recall only to Hamming 5")
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    val sim = docs
+    val simBase = docs
       .repartition(shufflePartitions(docs), col(idCol)) // compute parallelism (see shingleSets)
       .select(col(idCol).as("doc_id"),
         transform(tokens(col(textCol)), t => hash60(t)).as("hs"))
       .select(col("doc_id"),
         column(graft.functions.SimHash60(expression(col("hs")))).as("sh"))
+    // The signature pass (tokenize + 60-bit majority vote per doc) is
+    // the dominant cost and feeds BOTH sides of the band self-join.
+    // Exchange reuse does not always cover it: when AQE picks a
+    // broadcast for the self-join, the build side replays the whole
+    // scan+SimHash subtree. Persisting the signature table — 16 bytes a
+    // doc — computes it exactly once at any corpus size. Same caveat as
+    // minHashLsh: the cache outlives the call; long-lived multi-corpus
+    // sessions should pass cache=false.
+    val sim = if (cache)
+      simBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else simBase
     val banded = sim
       .select(col("doc_id"), col("sh"),
         explode(sequence(lit(0), lit(5))).as("band"))
       .withColumn("bval", expr("(sh >> (10 * band)) & 1023"))
-    val cand = banded.as("a").join(banded.as("b"),
+    // The Hamming verify runs INSIDE the join (extra non-equi condition
+    // evaluated as the buckets stream) rather than after the pair
+    // distinct: a hot band value shared by k docs emits C(k,2) candidate
+    // rows, nearly all false positives, and shuffling them into the
+    // distinct is the operator's quadratic hazard. Filtered here, the
+    // distinct only ever sees true near-dup pairs — output-sized, not
+    // candidate-sized. (The duplicate-pair collapse must still come
+    // AFTER verification; hamming is pair-determined, so distinct on
+    // (id_a, id_b, hamming) is the pair distinct.)
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("a.sh").as("sha"),
-        col("b.doc_id").as("id_b"), col("b.sh").as("shb"))
+          col("a.doc_id") < col("b.doc_id") &&
+          expr("bit_count(a.sh ^ b.sh)") <= maxHamming)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("CAST(bit_count(a.sh ^ b.sh) AS BIGINT)").as("hamming"))
       .distinct()
-    cand
-      .select(col("id_a"), col("id_b"),
-        expr("CAST(bit_count(sha ^ shb) AS BIGINT)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
   }
 
