@@ -31,9 +31,12 @@ import org.apache.spark.sql.types._
   * ranking), this never shuffle-sorts the fact: the full-table work is
   * two pruned columnar scans with partial aggregation. At 100 TB that
   * is the difference between re-laying-out the table and reading it
-  * twice. Group count is assumed dashboard-shaped (the histogram must
-  * collect — ≤ ~1e4 groups is comfortable); rows PER group are
-  * unbounded, which is the dimension that matters.
+  * twice. Group count is assumed dashboard-shaped — the histogram
+  * collect is HARD-GUARDED at [[MaxHistRows]] rows and fails with a
+  * pointer at [[quantilesSketch]] (the mergeable-sketch path with no
+  * driver collect and unbounded group cardinality) instead of OOMing.
+  * Rows PER group are unbounded in both paths, which is the dimension
+  * that matters.
   *
   * Selected values are exact: bucketing only routes rows — equal
   * values share a bucket by construction, the bucket id is monotone in
@@ -56,6 +59,86 @@ object Quantiles {
       shift)
   }
 
+  /** Ceiling on (group × occupied-bucket) histogram rows the exact
+    * paths will collect to the driver. ~2M rows ≈ tens of MB — far
+    * below driver heap, far above any dashboard-shaped group count.
+    * Beyond it the caller is pointed at [[quantilesSketch]] instead of
+    * OOMing the driver. */
+  val MaxHistRows: Int = 2 << 20
+
+  /** Collect the located histogram with a hard row guard: the limit
+    * executes on the executors (CollectLimit), so an over-sized
+    * histogram costs one aggregate and a clear error — never a
+    * driver-sized fetch of (groups × buckets) rows. */
+  private def guardedCollect(hist: DataFrame, maxRows: Int): Array[Row] = {
+    val rows = hist.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"exact rank-selection would collect > $maxRows (group × value-bucket) " +
+        "histogram rows to the driver; this group cardinality / value spread " +
+        "needs the mergeable-sketch path (Quantiles.quantilesSketch), which " +
+        "never collects")
+    rows
+  }
+
+  /** Per-group quantiles from Spark's native mergeable quantile sketch
+    * (`percentile_approx`, a Greenwald-Khanna summary): ONE pass, one
+    * map-side-combined aggregation, fixed-size per-group state, and —
+    * unlike the exact rank-selection paths — nothing ever reaches the
+    * driver, so group cardinality is unbounded. The returned value is
+    * an element of the data whose exact rank is within n/`accuracy` of
+    * the target rank ⌈p·n⌉.
+    *
+    * This is the 100 TB default; the exact paths below stay for
+    * dashboard-shaped group counts where bit-exact interpolated
+    * quantiles are wanted (and are what the oracle gates).
+    *
+    * Returns (key, p, q_approx, n) — one row per (group, percentile).
+    */
+  def quantilesSketch(df: DataFrame, keyCol: String, valueCol: String,
+      ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))
+    val x = col(valueCol)
+    val pArr = array(ps.map(lit): _*)
+    df.filter(x.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(percentile_approx(x, pArr, lit(accuracy)).as("__qs"),
+        count(lit(1)).as("n"))
+      .select(col(keyCol),
+        explode(arrays_zip(pArr.as("p"), col("__qs").as("q_approx"))).as("z"),
+        col("n"))
+      .select(col(keyCol), col("z.p").as("p"),
+        col("z.q_approx").as("q_approx"), col("n"))
+  }
+
+  /** Distributed error-bound audit of [[quantilesSketch]]: for every
+    * (group, p) the sketch value's EXACT rank interval is checked
+    * against the target rank ± n/`accuracy` — the sketch's published
+    * guarantee — entirely with joins and aggregates (no collect). The
+    * boolean is deterministic even though the sketch value itself may
+    * vary with partial-merge order, which is what makes this form
+    * oracle-gateable.
+    *
+    * Returns (key, p, n, within_bound).
+    */
+  def sketchRankCheck(df: DataFrame, keyCol: String, valueCol: String,
+      ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val sk = quantilesSketch(df, keyCol, valueCol, ps, accuracy)
+    val x = col(valueCol)
+    val in = df.filter(x.isNotNull).select(col(keyCol), x)
+    // one aggregated pass over the fact per sketch row set: the sketch
+    // table is (groups × |ps|) rows — broadcast it onto the fact
+    in.join(broadcast(sk), Seq(keyCol))
+      .groupBy(col(keyCol), col("p"), col("n"))
+      .agg(sum(when(x < col("q_approx"), 1L).otherwise(0L)).as("__lt"),
+        sum(when(x <= col("q_approx"), 1L).otherwise(0L)).as("__le"))
+      .select(col(keyCol), col("p"), col("n"),
+        // value occupies exact ranks (__lt+1 .. __le); target rank
+        // t = ceil(p·n); guarantee: interval overlaps t ± n/accuracy
+        (col("__le") >= ceil(col("p") * col("n")) - col("n") / accuracy - 1 &&
+          col("__lt") + 1 <= ceil(col("p") * col("n")) + col("n") / accuracy + 1)
+          .as("within_bound"))
+  }
+
   /** Exact per-group DISCRETE quantile (percentile_disc semantics: the
     * value at rank ceil(p·n) over non-null values, ties ordered by
     * `tieCols`) by the same histogram-locate + bucket-probe plan as
@@ -63,7 +146,7 @@ object Quantiles {
     * and the fact table is never sorted. Returns (key, outCol). */
   def groupDiscQuantile(df: DataFrame, keyCol: String, valueCol: String,
       tieCols: Seq[String], p: Double, outCol: String,
-      bucketShift: Int = 44): DataFrame = {
+      bucketShift: Int = 44, maxHistRows: Int = MaxHistRows): DataFrame = {
     require(p > 0 && p <= 1)
     val spark = df.sparkSession
     val in = df.filter(col(valueCol).isNotNull)
@@ -72,9 +155,9 @@ object Quantiles {
     val keyField = df.schema(keyCol)
     val bucket = bitBucket(x, bucketShift)
 
-    val histRows = in.groupBy(key, bucket.as("__b"))
-      .agg(count(lit(1)).as("__cnt"))
-      .collect()
+    val histRows = guardedCollect(
+      in.groupBy(key, bucket.as("__b")).agg(count(lit(1)).as("__cnt")),
+      maxHistRows)
     val located = histRows.groupBy(_.get(0)).toSeq.map { case (k, rows) =>
       val hs = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
       val before = hs.scanLeft(0L)(_ + _._2)
@@ -99,7 +182,7 @@ object Quantiles {
 
   def groupQuantiles(df: DataFrame, keyCol: String, valueCol: String,
       tieCols: Seq[String], ps: Seq[Double],
-      bucketShift: Int = 44): DataFrame = {
+      bucketShift: Int = 44, maxHistRows: Int = MaxHistRows): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
     val spark = df.sparkSession
     val key = col(keyCol)
@@ -107,10 +190,10 @@ object Quantiles {
     val keyField = df.schema(keyCol)
     val bucket = bitBucket(x, bucketShift)
 
-    // pass 1: histogram (collected: groups × occupied buckets)
-    val histRows = df.groupBy(key, bucket.as("__b"))
-      .agg(count(lit(1)).as("__cnt"))
-      .collect()
+    // pass 1: histogram (collected: groups × occupied buckets, guarded)
+    val histRows = guardedCollect(
+      df.groupBy(key, bucket.as("__b")).agg(count(lit(1)).as("__cnt")),
+      maxHistRows)
 
     // locate each target rank's bucket + exclusive prefix offset
     val located = histRows.groupBy(_.get(0)).toSeq.flatMap { case (k, rows) =>

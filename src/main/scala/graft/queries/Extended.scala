@@ -102,6 +102,29 @@ object Extended extends QueryPack {
       .orderBy("flag", "p")
   }
 
+  /** Mergeable-sketch quantiles at unbounded group cardinality: the
+    * sketch value itself varies with partial-merge order (so it can't
+    * be hash-compared), but its published rank-error bound is a
+    * deterministic, distributedly-checkable fact — the query emits the
+    * per-(group, p) audit verdict and the oracle asserts every bound
+    * holds. No driver collect anywhere (the exact q15 path's histogram
+    * guard points here when the group × bucket histogram is too big). */
+  val q36 = GraftQuery(
+    "q36_quantile_sketch",
+    Some("""
+      WITH q AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p)
+      SELECT l_returnflag AS flag, p, CAST(COUNT(*) AS BIGINT) AS n,
+        TRUE AS within_bound
+      FROM lineitem CROSS JOIN q
+      GROUP BY flag, p ORDER BY flag, p""".stripMargin.trim)) { (spark, dir) =>
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("double").as("x"))
+    graft.ops.Quantiles.sketchRankCheck(base, "flag", "x",
+        Seq(0.25, 0.5, 0.75))
+      .orderBy("flag", "p")
+  }
+
   /** End-to-end corpus curation: quality-gate the documents (length +
     * stopword-presence), drop near-duplicates (ngram-Jaccard pairs, the
     * higher id loses), report per-source survivor counts + token mass —
@@ -252,5 +275,5 @@ object Extended extends QueryPack {
       .orderBy("jt")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q13, q14, q15, curation, q31, q33, q35)
+  override def all: Seq[GraftQuery] = Seq(q13, q14, q15, q36, curation, q31, q33, q35)
 }

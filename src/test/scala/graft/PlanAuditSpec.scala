@@ -294,6 +294,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("q36 sketch quantiles: mergeable partial sketch aggregation, no " +
+      "sort of the fact, no data-dependent driver collect") {
+    val df = SparkEntry.queries("q36_quantile_sketch")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the GK sketch must PARTIAL-aggregate (fixed-size sketches cross
+    // the shuffle, not rows) — ObjectHashAggregate with a partial
+    // percentile_approx stage
+    assert(plan.contains("percentile_approx"), s"sketch agg missing:\n$plan")
+    assert("partial_percentile_approx|ObjectHashAggregate[^\\n]*partial"
+      .r.findFirstIn(plan).isDefined,
+      s"sketch aggregation is not map-side partial:\n$plan")
+    // fact table is never sorted/range-partitioned on the value column
+    assert("rangepartitioning\\([^)]*\\bx#".r.findFirstIn(plan).isEmpty,
+      s"sketch path must not sort the fact:\n$plan")
+    // the whole query is ONE DataFrame program: unlike the exact path
+    // there is no locate step, hence no LocalTableScan built from a
+    // driver-side collect of histogram rows
+    assert(!plan.contains("LocalTableScan"),
+      s"sketch path must not round-trip through the driver:\n$plan")
+  }
+
   test("q30: percentile ranks are range-parallel and the mode is a " +
       "bounded heap — no per-event-type sort of the events table") {
     val df = SparkEntry.queries("q30_percentile_disc_mode")(spark, sfDir)

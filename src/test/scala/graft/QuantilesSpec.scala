@@ -66,4 +66,40 @@ class QuantilesSpec extends SparkTestBase {
     }.toDF("k", "x", "id")
     assert(run(df, ps) == reference(df, ps))
   }
+
+  test("sketch path: every (group, p) value is an element of the group " +
+      "within the published rank-error bound; no collect in the plan") {
+    val ps = Seq(0.1, 0.5, 0.9)
+    val df = (1L to 20000L).map { i =>
+      val h = graft.functions.Hashing.hash60Local(s"sk:$i")
+      (s"g${i % 5}", (h % 1000000L).toDouble / 1000.0, i)
+    }.toDF("k", "x", "id")
+    val audit = Quantiles.sketchRankCheck(df, "k", "x", ps, accuracy = 1000)
+      .collect()
+    assert(audit.length == 5 * ps.length)
+    assert(audit.forall(_.getAs[Boolean]("within_bound")))
+    // and the raw sketch values really are data elements per group
+    val vals = df.groupBy("k").agg(collect_set("x").as("xs"))
+    val joined = Quantiles.quantilesSketch(df, "k", "x", ps)
+      .join(vals, "k")
+      .withColumn("is_member", array_contains(col("xs"), col("q_approx")))
+    assert(joined.collect().forall(_.getAs[Boolean]("is_member")))
+  }
+
+  test("exact path refuses an over-budget histogram with a pointer at " +
+      "the sketch path (guard, not a driver OOM)") {
+    val df = (1L to 3000L).map { i =>
+      (s"k$i", i.toDouble, i) // one group per row: histogram ~3000 rows
+    }.toDF("k", "x", "id")
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.groupQuantiles(df, "k", "x", Seq("id"), Seq(0.5),
+        maxHistRows = 100).collect()
+    }
+    assert(e.getMessage.contains("quantilesSketch"))
+    val e2 = intercept[IllegalArgumentException] {
+      Quantiles.groupDiscQuantile(df, "k", "x", Seq("id"), 0.5, "m",
+        maxHistRows = 100).collect()
+    }
+    assert(e2.getMessage.contains("quantilesSketch"))
+  }
 }
