@@ -125,7 +125,14 @@ object Dedup {
     * HIGH containment — the quote/subset-duplication case Jaccard
     * dedup structurally misses. Same bucketed candidate shape as
     * [[ngramJaccard]] (equality join on shared shingles, id_a < id_b —
-    * never all-pairs); threshold applies to max(cont_a, cont_b). */
+    * never all-pairs); threshold applies to max(cont_a, cont_b).
+    *
+    * HAZARD: candidates come from the RAW shingle join with no
+    * document-frequency cap, and containment corpora are exactly the
+    * boilerplate-heavy case — one shingle shared by k docs is C(k,2)
+    * candidate pairs. Dup-heavy corpora should use
+    * [[ngramContainmentCapped]], which bounds any shingle's
+    * contribution at C(dfCap,2) with the intersection still exact. */
   def ngramContainment(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.8): DataFrame = {
     val sh = shingleSets(docs, idCol, textCol)
@@ -169,6 +176,49 @@ object Dedup {
   def ngramJaccardCapped(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.5,
       dfCap: Int = 20, cache: Boolean = true): DataFrame = {
+    val pairs = cappedPairIntersections(docs, idCol, textCol, dfCap, cache)
+    pairs
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DF-capped CONTAINMENT twin of [[ngramJaccardCapped]] — the same
+    * capped candidate generation applied to [[ngramContainment]]'s
+    * asymmetric overlap. Containment corpora are exactly the
+    * boilerplate-heavy case (quotes, pasted subsets, templated docs),
+    * so the uncapped form's raw shingle join is at its most quadratic
+    * here: one shingle shared by k docs is C(k,2) candidate pairs. The
+    * cap bounds every shingle's contribution at C(dfCap,2); the emitted
+    * containment values stay EXACT (cold share counted off the join,
+    * hot share from tiny per-doc hot subsets). Recall caveat sharpens,
+    * though: a short doc fully contained in boilerplate has mostly-hot
+    * shingles, and if ALL its shingles are hot the pair is missed —
+    * corpora like that should raise `dfCap` (candidates grow as
+    * C(cap,2)·|hot|, still never corpus²). */
+  def ngramContainmentCapped(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.8,
+      dfCap: Int = 20, cache: Boolean = true): DataFrame = {
+    val pairs = cappedPairIntersections(docs, idCol, textCol, dfCap, cache)
+    pairs
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / col("na").cast("double"), 6).as("cont_a"),
+        round(col("inter") / col("nb").cast("double"), 6).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Shared engine of the DF-capped near-dup ops: candidate pairs from
+    * the COLD (df ≤ cap) shingle join, with the EXACT intersection size
+    * reassembled as cold share (counted straight off the join) + hot
+    * share (array-intersect of tiny per-doc hot-shingle subsets).
+    * Returns (id_a, id_b, inter, na, nb) — inter and the sizes are over
+    * FULL shingle sets, so any overlap measure computed from them is
+    * exact; only candidate RECALL is capped. */
+  private def cappedPairIntersections(docs: DataFrame, idCol: String,
+      textCol: String, dfCap: Int, cache: Boolean): DataFrame = {
     // cache=true persists the shingle table across its several uses
     // (measured ~3× on the sketch stage; ReusedExchange alone does not
     // cover the cross-key reuses). The cache is MEMORY_AND_DISK — LRU-
@@ -196,17 +246,13 @@ object Dedup {
     val inter = col("inter_cold") +
       size(array_intersect(coalesce(col("ha"), emptyArr),
         coalesce(col("hb"), emptyArr)))
-    val result = cold
+    cold
       .join(sh.select(col("doc_id").as("id_a"), size(col("s")).as("na")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), size(col("s")).as("nb")), "id_b")
       .join(docHot.select(col("doc_id").as("id_a"), col("hs").as("ha")), Seq("id_a"), "left")
       .join(docHot.select(col("doc_id").as("id_b"), col("hs").as("hb")), Seq("id_b"), "left")
-      .select(col("id_a"), col("id_b"),
-        round(inter / (col("na") + col("nb") - inter).cast("double"), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy("id_a", "id_b")
-    result
+      .select(col("id_a"), col("id_b"), inter.as("inter"),
+        col("na"), col("nb"))
   }
 
   /** (doc_id, band, bkey) band table for a shingle-set table — the

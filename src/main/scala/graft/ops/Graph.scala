@@ -78,6 +78,15 @@ object Graph {
           (expr(s"(15 * $scale) div (100 * n)") +
             expr("85 * coalesce(c, 0L) div 100")).as("rank_fp"))
     }
-    rank
+    // materialize the (node-sized) result, then release the graph-sized
+    // working caches — a long-lived session must not keep the edge table
+    // cached after the call returns. The returned frame stays persisted
+    // (same order as `nodes`, LRU-evictable); callers may unpersist it
+    // once consumed.
+    val result = rank.persist(MEMORY_AND_DISK)
+    result.count()
+    nodes.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    result
   }
 }

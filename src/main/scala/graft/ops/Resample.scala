@@ -39,7 +39,13 @@ object Resample {
     val e = events.filter(col(valCol).isNotNull)
       .select(col(key), col(tsCol).as("ts"), col(valCol).as("v"),
         col(idCol).as("id"),
-        expr(s"unix_timestamp($tsCol) div $bucketSeconds").as("bucket"))
+        // FLOOR division, not `div` (truncate-toward-zero): pre-1970
+        // timestamps have negative epochs, and truncation would put
+        // epoch −10 in bucket 0 while floor (and DuckDB's `//`, and any
+        // chart's pixel grid) puts it in bucket −1. Double division is
+        // exact here (|epoch| ≪ 2⁵³).
+        expr(s"CAST(floor(unix_timestamp($tsCol) / $bucketSeconds) AS BIGINT)")
+          .as("bucket"))
     def pick(role: String, s: String) = struct(lit(role).as("role"),
       col(s"$s.ts").as("ts"), col(s"$s.v").as("v"), col(s"$s.id").as("id"))
     e.groupBy(col(key), col("bucket"))

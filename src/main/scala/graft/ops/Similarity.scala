@@ -401,9 +401,17 @@ object Similarity {
         .select(col("s"), col("cid"), coalesce(col("upd"), col("cs")).as("cs"))
         .persist(MEMORY_AND_DISK)
       next.count() // materialize: flat lineage round to round
+      // release the superseded round's codewords — a long-lived session
+      // training many codebooks must not accumulate k·m rows per round
+      // (the first cw is seed-derived and never persisted; skip it)
+      if (cw.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        cw.unpersist(blocking = false)
       cw = next
     }
     sub.unpersist()
+    // NOTE: the FINAL round's cw stays cached — the returned plan reads
+    // it, and it is bounded (k·m codewords, not data-sized). It is
+    // LRU-evictable and freed by spark.catalog.clearCache().
     // package the m per-subspace codebooks as k full-width vectors
     cw.groupBy("cid")
       .agg(array_sort(collect_list(struct(col("s"), col("cs")))).as("sc"))

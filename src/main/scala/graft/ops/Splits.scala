@@ -19,6 +19,17 @@ object Splits {
   def bucket(id: Column, salt: String, buckets: Int = 100): Column =
     pmod(hash60(concat(lit(salt), lit(":"), id.cast("string"))), lit(buckets))
 
+  /** Broadcast-join per-stratum tables back onto the ranked corpus with
+    * NULL-SAFE key equality: a NULL stratum is a legitimate group (rows
+    * with an absent source form their own stratum and get sampled /
+    * capped like any other — the contract the old per-group window had),
+    * whereas a plain equi-join would silently drop every NULL-stratum
+    * row. */
+  private def joinStrata(ranked: DataFrame, strata: DataFrame,
+      key: String): DataFrame =
+    ranked.join(broadcast(strata.withColumnRenamed(key, "__k")),
+      col(key) <=> col("__k")).drop("__k")
+
   /** Assign 'train' / 'val' / 'test' by hash bucket with the given
     * percentage boundaries. */
   def assign(df: DataFrame, idCol: String, salt: String = "split",
@@ -46,7 +57,7 @@ object Splits {
     // minus each stratum's broadcast start offset.
     val h = hash60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
     val (ranked, offsets) = strataRanked(df, idCol, strataCol, h)
-    ranked.join(broadcast(offsets), strataCol)
+    joinStrata(ranked, offsets, strataCol)
       .filter(col("__grank") - col("__r0") + 1 <=
         ceil(col("__n") * fraction))
       .drop("__h", "__grank", "__n", "__r0")
@@ -77,7 +88,7 @@ object Splits {
     // same range-parallel shape as [[stratified]] — see the note there
     val h = hash60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
     val (ranked, offsets) = strataRanked(df, idCol, strataCol, h)
-    ranked.join(broadcast(offsets), strataCol)
+    joinStrata(ranked, offsets, strataCol)
       .filter(col("__grank") - col("__r0") + 1 <= cap)
       .drop("__h", "__grank", "__n", "__r0")
   }
@@ -132,7 +143,7 @@ object Splits {
     val h = hash60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
     val ranked = Ranking.globalRank(df.withColumn("__h", h),
       Seq(col(sourceCol), col("__h"), col(idCol)), rankCol = "__grank")
-    ranked.join(broadcast(takes), sourceCol)
+    joinStrata(ranked, takes, sourceCol)
       .filter(col("__grank") - col("r0") + 1 <= col("take"))
       .drop("__h", "__grank", "r0")
   }

@@ -144,6 +144,27 @@ object TrainingData extends QueryPack {
     Dedup.ngramJaccardCapped(Tables.documents(spark, dir))
   }
 
+  /** Capped-candidate containment: the boilerplate-heavy-corpus form of
+    * dedup_containment (see [[graft.ops.Dedup.ngramContainmentCapped]]).
+    * Oracle applies the identical df≤20 candidate cap, so the expected
+    * pair set is the capped one by construction. */
+  val dedupContainmentCapped = GraftQuery(
+    "dedup_containment_capped",
+    Some(s"""
+      WITH $SH,
+      ex AS (SELECT doc_id, g FROM (
+        SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df
+        FROM (SELECT doc_id, unnest(s) AS g FROM sh)) t WHERE df <= 20),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+      j AS (SELECT id_a, id_b,
+         ROUND(len(list_intersect(x.s, y.s)) / CAST(len(x.s) AS DOUBLE), 6) AS cont_a,
+         ROUND(len(list_intersect(x.s, y.s)) / CAST(len(y.s) AS DOUBLE), 6) AS cont_b
+       FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+      SELECT * FROM j WHERE greatest(cont_a, cont_b) >= 0.8 ORDER BY id_a, id_b""".trim)) {
+    (spark, dir) =>
+    Dedup.ngramContainmentCapped(Tables.documents(spark, dir))
+  }
+
   val dedupMinhash = GraftQuery(
     "dedup_minhash_lsh",
     Some(s"""
@@ -949,7 +970,7 @@ object TrainingData extends QueryPack {
     textBm25, textInvertedIndex, textBpeMerges, pipelineFeatures,
     dataQuota, dataMix, dataCurriculum, dataEpochShuffle,
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
-    dedupMinhash, dedupSimhash,
+    dedupContainmentCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding, dedupSemantic,
     dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,
     annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, annIvfPq,

@@ -178,4 +178,17 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(!plan.contains("windowspecdefinition"),
       s"M4 must be a pure aggregation, not a window:\n$plan")
   }
+
+  test("m4Downsample buckets pre-1970 timestamps with floor semantics " +
+      "(epoch −10 lands in bucket −1, matching SQL `//`)") {
+    import java.sql.Timestamp
+    val e = Seq(
+      (1L, new Timestamp(-10_000L), "a", 1.0),   // epoch −10 s
+      (2L, new Timestamp(10_000L), "a", 2.0))    // epoch +10 s
+      .toDF("event_id", "ts", "event_type", "value")
+    val buckets = graft.ops.Resample.m4Downsample(e)
+      .select("bucket").distinct().collect().map(_.getLong(0)).toSet
+    assert(buckets == Set(-1L, 0L),
+      s"truncating division would fold epoch −10 into bucket 0: $buckets")
+  }
 }

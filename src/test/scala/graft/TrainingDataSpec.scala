@@ -206,6 +206,48 @@ class TrainingDataSpec extends SparkTestBase {
       .collect().toSet)
   }
 
+  test("NULL stratum is its own group in stratified/quota/temperatureMix " +
+      "(null-safe join: absent-source rows are sampled, never dropped)") {
+    import graft.ops.Splits
+    val d = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) null else s"g${i % 3}")).toDF("doc_id", "grp")
+    val s = Splits.stratified(d, "doc_id", "grp", 0.1)
+    val counts = s.groupBy("grp").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(None, Some("g1"), Some("g2")))
+    assert(counts.values.forall(_ == 10)) // ceil(100 * 0.1), NULL included
+    val q = Splits.quota(d, "doc_id", "grp", 5)
+    val qCounts = q.groupBy("grp").count().collect().map(_.getLong(1))
+    assert(qCounts.length == 3 && qCounts.forall(_ == 5L))
+    val m = Splits.temperatureMix(d, "doc_id", "grp", 60L)
+    val mGroups = m.select("grp").distinct().collect()
+      .map(r => Option(r.getString(0))).toSet
+    assert(mGroups.contains(None), "NULL source must receive a mix quota")
+  }
+
+  test("ngramContainmentCapped: same pairs and exact values as the " +
+      "uncapped op when shared shingles are cold; boilerplate capped") {
+    val small = (1 to 10).map(i => s"w$i").mkString(" ")
+    val big = ((1 to 10).map(i => s"w$i") ++
+      (11 to 60).map(i => s"x$i")).mkString(" ")
+    // 30 filler docs sharing one boilerplate sentence (hot shingles, df>20)
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val filler = (10L to 39L).map(i => (i, s"unique u${i}a u${i}b u${i}c " + boiler))
+    val d = docs(Seq((1L, small), (2L, big), (3L, "totally different words here"))
+      ++ filler: _*)
+    val capped = Dedup.ngramContainmentCapped(d, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // the contained pair survives (its shingles are cold) with the
+    // identical exact values the uncapped op reports
+    val uncapped = Dedup.ngramContainment(d, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(capped.toSet == uncapped.toSet)
+    assert(capped.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    // and the boilerplate shingle generated no candidate blow-up: no
+    // filler-filler pair reaches the threshold output
+    assert(capped.forall(p => p._1 < 10L))
+  }
+
   test("duplicateClusters computes transitive closure with min-id canon") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L),          // chain 1-2-3 -> cluster 1
