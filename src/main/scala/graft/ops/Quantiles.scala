@@ -146,8 +146,24 @@ object Quantiles {
     * and the fact table is never sorted. Returns (key, outCol). */
   def groupDiscQuantile(df: DataFrame, keyCol: String, valueCol: String,
       tieCols: Seq[String], p: Double, outCol: String,
+      bucketShift: Int = 44, maxHistRows: Int = MaxHistRows): DataFrame =
+    groupDiscQuantiles(df, keyCol, valueCol, tieCols, Seq(p),
+      bucketShift, maxHistRows)
+      .select(col(keyCol), col("q_disc").as(outCol))
+
+  /** Exact per-group DISCRETE quantiles for SEVERAL percentiles from ONE
+    * histogram pass and ONE probe pass: every target rank ceil(p·n) is
+    * located on the same prefix-summed histogram, the fact is re-scanned
+    * once filtered to the union of target buckets, and each in-bucket
+    * rank match emits its (p, value) row. Returns (key, p, q_disc).
+    *
+    * This is the plan q30-shaped queries want: three percentiles cost
+    * one extra row in a broadcast locate table each — not three jobs,
+    * and never a rank of the whole fact. */
+  def groupDiscQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+      tieCols: Seq[String], ps: Seq[Double],
       bucketShift: Int = 44, maxHistRows: Int = MaxHistRows): DataFrame = {
-    require(p > 0 && p <= 1)
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))
     val spark = df.sparkSession
     val in = df.filter(col(valueCol).isNotNull)
     val key = col(keyCol)
@@ -158,26 +174,34 @@ object Quantiles {
     val histRows = guardedCollect(
       in.groupBy(key, bucket.as("__b")).agg(count(lit(1)).as("__cnt")),
       maxHistRows)
-    val located = histRows.groupBy(_.get(0)).toSeq.map { case (k, rows) =>
+    val located = histRows.groupBy(_.get(0)).toSeq.flatMap { case (k, rows) =>
       val hs = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
       val before = hs.scanLeft(0L)(_ + _._2)
-      val t = math.ceil(p * before.last).toLong
-      val i = hs.indices.findLast(i => before(i) < t).get
-      Row(k, t, hs(i)._1, before(i))
+      val n = before.last
+      ps.map { p =>
+        val t = math.ceil(p * n).toLong
+        val i = hs.indices.findLast(i => before(i) < t).get
+        Row(k, p, t, hs(i)._1, before(i))
+      }
     }
     val locSchema = StructType(Seq(keyField,
-      StructField("__t", LongType), StructField("__b", LongType),
-      StructField("__before", LongType)))
+      StructField("p", DoubleType), StructField("__t", LongType),
+      StructField("__b", LongType), StructField("__before", LongType)))
     val locatedDf = spark.createDataFrame(
       java.util.Arrays.asList(located: _*), locSchema)
+    val probeDf = spark.createDataFrame(
+      java.util.Arrays.asList(
+        located.map(r => Row(r.get(0), r.getLong(3))).distinct: _*),
+      StructType(Seq(keyField, StructField("__b", LongType))))
 
     in.withColumn("__b", bucket)
-      .join(broadcast(locatedDf), Seq(keyCol, "__b"))
+      .join(broadcast(probeDf), Seq(keyCol, "__b"))
       .withColumn("__r", row_number().over(
         Window.partitionBy(key, col("__b"))
           .orderBy(x +: tieCols.map(col): _*)))
+      .join(broadcast(locatedDf), Seq(keyCol, "__b"))
       .filter(col("__before") + col("__r") === col("__t"))
-      .select(key, x.as(outCol))
+      .select(key, col("p"), x.as("q_disc"))
   }
 
   def groupQuantiles(df: DataFrame, keyCol: String, valueCol: String,

@@ -223,24 +223,19 @@ object Relational3 extends QueryPack {
       FROM pct p JOIN md m ON p.event_type = m.event_type
       ORDER BY p.event_type""".stripMargin.trim)) { (spark, dir) =>
     val ev = Tables.events(spark, dir)
-    // per-type rank WITHOUT Window.partitionBy(event_type): a handful of
-    // event types means the whole table would sort in as many tasks.
-    // Same shape as q15: range-parallel global rank with the type
-    // leading the sort key, minus the type's broadcast start offset.
+    // rank SELECTION, not ranking (the q15 machinery generalized to
+    // several percentiles): a histogram locates each target rank
+    // ceil(p·n), only the few target buckets are re-scanned and ranked.
+    // The fact is never sorted — neither per-type windows (|types|
+    // tasks) nor a range-parallel global rank (which still shuffle-
+    // sorts the whole table) touch it.
     val base = ev.select(col("event_type"), col("value"), col("event_id"))
-    val wOff = Window.orderBy("event_type")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val stats = base.groupBy("event_type").agg(count(lit(1)).as("n"))
-      .withColumn("r0", coalesce(sum(col("n")).over(wOff), lit(0L)) + 1)
-    val r = graft.ops.Ranking.globalRank(base,
-        Seq(col("event_type"), col("value"), col("event_id")),
-        rankCol = "grank")
-      .join(broadcast(stats), "event_type")
-      .withColumn("rn", col("grank") - col("r0") + 1)
-    def pAt(p: Double, as: String) =
-      min(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("value"))).as(as)
-    val pct = r.groupBy("event_type")
-      .agg(pAt(0.25, "p25"), pAt(0.50, "p50"), pAt(0.95, "p95"))
+    val pct = graft.ops.Quantiles.groupDiscQuantiles(base,
+        "event_type", "value", Seq("event_id"), Seq(0.25, 0.50, 0.95))
+      .groupBy("event_type")
+      .agg(min(when(col("p") === 0.25, col("q_disc"))).as("p25"),
+        min(when(col("p") === 0.50, col("q_disc"))).as("p50"),
+        min(when(col("p") === 0.95, col("q_disc"))).as("p95"))
     // mode = top-1 per type: the bounded-heap operator, not a sort of
     // the per-user count table in |event_type| tasks
     val md = graft.plans.TopK.perKey(

@@ -316,15 +316,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"sketch path must not round-trip through the driver:\n$plan")
   }
 
-  test("q30: percentile ranks are range-parallel and the mode is a " +
-      "bounded heap — no per-event-type sort of the events table") {
+  test("q30: percentiles come from rank-selection (no sort of the " +
+      "events table at all) and the mode is a bounded heap") {
     val df = SparkEntry.queries("q30_percentile_disc_mode")(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert("windowspecdefinition\\(event_type#\\d+,".r.findFirstIn(plan).isEmpty,
+    // no window partitioned by event_type ALONE (the probe window is
+    // (event_type, __b) — thousands of keys over a few thousand rows)
+    assert("windowspecdefinition\\(event_type#\\d+, [a-z]".r.findFirstIn(plan).isEmpty,
       s"window collapsed to per-event-type tasks:\n$plan")
-    assert(plan.contains("windowspecdefinition(__pid"),
-      s"two-phase rank missing:\n$plan")
+    assert(plan.contains("__b"), s"histogram bucket column missing:\n$plan")
+    // selection never range-partitions the fact on the value column
+    assert("rangepartitioning\\([^)]*\\bvalue#".r.findFirstIn(plan).isEmpty,
+      s"rank-selection must not sort the events table:\n$plan")
     assert(plan.contains("TopKPerKey"), s"mode should use the heap:\n$plan")
   }
 
