@@ -496,6 +496,16 @@ object Similarity {
     * a missed candidate can only lower a max, never corrupt one). */
   def maxSimScores(corpus: DataFrame, queries: DataFrame,
       docCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    maxSimFromPartials(maxSimPartials(corpus, queries, docCol, idCol, vecCol))
+
+  /** Per (q_doc, c_doc, q_vec) best-match cosine against `corpus` — the
+    * MERGEABLE partial of [[maxSimScores]]: max is associative, so
+    * per-corpus-slice partials fold by max into exactly the one-shot
+    * state (the streaming lane's per-batch unit,
+    * [[graft.streaming.StreamingRetrieval]]). */
+  def maxSimPartials(corpus: DataFrame, queries: DataFrame,
+      docCol: String = "label", idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     def prep(df: DataFrame, p: String) = {
       val e = df.schema(vecCol).dataType match {
@@ -515,11 +525,16 @@ object Similarity {
           .as("cos"))
       .groupBy("q_doc", "c_doc", "q_vec")
       .agg(max(col("cos")).as("m"))
+  }
+
+  /** Finish [[maxSimPartials]] into per-(query doc, corpus doc) MaxSim
+    * scores: the per-query-vector maxima sum in exact decimal. */
+  def maxSimFromPartials(partials: DataFrame): DataFrame =
+    partials
       .groupBy("q_doc", "c_doc")
       .agg(sum(col("m").cast("decimal(18,6)")).as("s"))
       .select(col("q_doc"), col("c_doc"),
         round(col("s").cast("double"), 6).as("maxsim"))
-  }
 
   /** LSH top-k: queries only score corpus vectors in nearby buckets.
     * `nProbe` is the probing depth: the query searches every bucket

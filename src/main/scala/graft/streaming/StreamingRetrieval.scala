@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.VectorOps.cosineWithNorms
+import graft.ops.Similarity
+
+/** Streaming retrieval scoring over a corpus that arrives as a stream:
+  * hard-negative mining and MaxSim late-interaction scores that keep up
+  * with ingest, for a fixed query/anchor set (the training-loop shape:
+  * anchors are the current batch of training queries; the corpus is the
+  * ever-growing candidate pool).
+  *
+  * Both lanes are GraphMaintenance-style versioned folds composed with
+  * the [[VectorIndex]] ingest stage:
+  *  - per batch, ONLY the batch's vectors are scored (cost ∝ batch ×
+  *    queries, never corpus);
+  *  - the per-query state is MERGEABLE and output-sized — a k-item
+  *    top-k per query for hard negatives (top-k of unions = top-k of
+  *    top-ks), a per-(q_doc, c_doc, q_vec) running max for MaxSim (max
+  *    is associative) — so folding batch partials into the previous
+  *    state reproduces the one-shot operator on the union exactly
+  *    (spec-gated, the [[graft.ops.DedupIndex]] equivalence pattern);
+  *  - state versions land under `v=<batchId>` with overwrite, and a
+  *    batch always folds against the newest version STRICTLY BELOW its
+  *    own id — an at-least-once replay rebuilds its version from the
+  *    same predecessor instead of double-counting
+  *    ([[StreamingRollup]]'s replay recipe).
+  *
+  * Candidate pruning mirrors [[VectorIndex.queryTopK]]: hard-negative
+  * scoring joins the batch's cell assignments (the SAME assignment
+  * stage the index ingest computes — one shared pass serves both
+  * sinks) against the queries' `nProbe` probed cells, so per-batch work
+  * is the probed fraction. `nProbe` ≥ the centroid count makes the
+  * fold EXACT (= brute-force [[Similarity.hardNegatives]]); smaller
+  * probe budgets trade recall for cost exactly like the batch ANN
+  * ladder. MaxSim folds are always exact (a missed candidate can only
+  * lower a max — the batch scores every (query vec, batch vec) pair;
+  * the partial is what's bounded, not the candidate set).
+  */
+object StreamingRetrieval {
+
+  private def versions(fs: FileSystem, root: String): Seq[Long] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
+  private def latestBelow(spark: SparkSession, dir: String,
+      batchId: Long): Option[DataFrame] = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versions(fs, dir).filter(_ < batchId) match {
+      case Nil => None
+      case vs => Some(spark.read.parquet(s"$dir/v=${vs.max}"))
+    }
+  }
+
+  private def pruneVersions(spark: SparkSession, dir: String,
+      keepVersions: Int): Unit = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versions(fs, dir).sorted.dropRight(keepVersions)
+      .foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
+  }
+
+  /** Fold one corpus micro-batch into the per-query hard-negative
+    * top-k state. Returns the new state (query_id, neighbor_id,
+    * cosine) — read it back any time with [[hardNegativesCurrent]]. */
+  def foldHardNegatives(batch: DataFrame, batchId: Long, stateDir: String,
+      queries: DataFrame, centroids: DataFrame, k: Int = 5, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", keepVersions: Int = 3): DataFrame = {
+    require(keepVersions >= 2, s"keepVersions=$keepVersions breaks replay")
+    val spark = batch.sparkSession
+    // the same cell-assignment pass VectorIndex.appendBatch writes —
+    // share it at ingest (one computation, two sinks)
+    val asg = Similarity.cellAssignments(batch, centroids, keep = 1,
+        idCol, vecCol)
+      .join(batch.select(col(idCol).as("vec_id"),
+        col(labelCol).cast("long").as("c_lab")), "vec_id")
+    val probes = Similarity.cellAssignments(queries, centroids, nProbe,
+        idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("cid"),
+        col("e").as("qe"), col("nrm").as("qn"))
+      .join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("q_lab")), "query_id")
+    val scored = probes.join(asg, "cid")
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("c_lab") =!= col("q_lab"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineWithNorms(col("qe"), col("e"), col("qn"), col("nrm")), 6)
+          .as("cosine"))
+      // a vector probed via several cells scores once (cosine is
+      // cell-independent, so distinct is exact)
+      .distinct()
+    val merged = latestBelow(spark, stateDir, batchId) match {
+      case Some(st) => st.unionByName(scored)
+      case None => scored
+    }
+    val topk = graft.plans.TopK.perKey(merged, Seq("query_id"),
+      Seq(col("cosine").desc, col("neighbor_id")), k)
+    topk.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    pruneVersions(spark, stateDir, keepVersions)
+    hardNegativesCurrent(spark, stateDir)
+  }
+
+  /** The current hard-negative set: newest state version, presentation
+    * order matching [[Similarity.hardNegatives]]. */
+  def hardNegativesCurrent(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = versions(fs, stateDir).max
+    spark.read.parquet(s"$stateDir/v=$v")
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Fold one corpus micro-batch into the MaxSim running-max state
+    * ((q_doc, c_doc, q_vec) → m). Exact at any batch split: max is
+    * associative and each batch scores every (query vec, batch vec)
+    * pair. Read scores back with [[maxSimCurrent]]. */
+  def foldMaxSim(batch: DataFrame, batchId: Long, stateDir: String,
+      queries: DataFrame, docCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      keepVersions: Int = 3): Unit = {
+    require(keepVersions >= 2, s"keepVersions=$keepVersions breaks replay")
+    val spark = batch.sparkSession
+    val partials = Similarity.maxSimPartials(batch, queries,
+      docCol, idCol, vecCol)
+    val merged = latestBelow(spark, stateDir, batchId) match {
+      case Some(st) => st.unionByName(partials)
+        .groupBy("q_doc", "c_doc", "q_vec").agg(max(col("m")).as("m"))
+      case None => partials
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    pruneVersions(spark, stateDir, keepVersions)
+  }
+
+  /** Current MaxSim scores from the newest state version — identical to
+    * [[Similarity.maxSimScores]] over everything folded so far. */
+  def maxSimCurrent(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = versions(fs, stateDir).max
+    Similarity.maxSimFromPartials(spark.read.parquet(s"$stateDir/v=$v"))
+      .orderBy("q_doc", "c_doc")
+  }
+
+  /** Start a streaming sink folding corpus vectors into BOTH retrieval
+    * states (and optionally the vector index itself via
+    * [[VectorIndex.appendBatch]] — pass `indexDir`). */
+  def ingest(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
+      hnStateDir: String, msStateDir: String, checkpointDir: String,
+      indexDir: Option[String] = None, k: Int = 5, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          indexDir.foreach(d =>
+            VectorIndex.appendBatch(batch, centroids, d, batchId, idCol, vecCol))
+          foldHardNegatives(batch, batchId, hnStateDir, queries, centroids,
+            k, nProbe, idCol, vecCol, labelCol)
+          foldMaxSim(batch, batchId, msStateDir, queries, labelCol,
+            idCol, vecCol)
+        }
+        ()
+      }
+      .start()
+}

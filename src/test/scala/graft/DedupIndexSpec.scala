@@ -209,4 +209,71 @@ class DedupIndexSpec extends SparkTestBase {
       s"refresh hurt recall: $staticRecall -> $newRecall")
     assert(newRecall > 0.5, s"refreshed recall unreasonably low: $newRecall")
   }
+
+  test("streaming hard negatives: batched folds equal the one-shot " +
+      "operator on the union; replay is idempotent") {
+    import graft.streaming.StreamingRetrieval
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("sret")
+    val hn = dir.resolve("hn").toString
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = embs.filter(col("vec_id") < 16)
+      .select("vec_id", "embedding")
+    val nCells = centroids.count().toInt
+    val queries = embs.filter(col("vec_id") < 10)
+    val b1 = embs.filter(col("vec_id") % 2 === 0)
+    val b2 = embs.filter(col("vec_id") % 2 === 1)
+    // probe EVERY cell: the fold is then exact, so two batched folds
+    // must reproduce brute force over the full corpus
+    StreamingRetrieval.foldHardNegatives(b1, 1L, hn, queries, centroids,
+      k = 5, nProbe = nCells)
+    StreamingRetrieval.foldHardNegatives(b2, 2L, hn, queries, centroids,
+      k = 5, nProbe = nCells)
+    val got = StreamingRetrieval.hardNegativesCurrent(spark, hn)
+      .collect().toSeq
+    val want = Similarity.hardNegatives(embs, queries, k = 5)
+      .collect().toSeq
+    assert(got == want, "fold(b1); fold(b2) must equal one-shot(b1 ∪ b2)")
+    // at-least-once replay of batch 2 rebuilds the same state
+    StreamingRetrieval.foldHardNegatives(b2, 2L, hn, queries, centroids,
+      k = 5, nProbe = nCells)
+    assert(StreamingRetrieval.hardNegativesCurrent(spark, hn)
+      .collect().toSeq == want)
+    // a bounded probe budget returns a (per-query) subset-or-equal set
+    // with never-higher cosines — the ANN recall trade, not corruption
+    val hnP = dir.resolve("hnp").toString
+    StreamingRetrieval.foldHardNegatives(b1, 1L, hnP, queries, centroids,
+      k = 5, nProbe = 2)
+    StreamingRetrieval.foldHardNegatives(b2, 2L, hnP, queries, centroids,
+      k = 5, nProbe = 2)
+    val pruned = StreamingRetrieval.hardNegativesCurrent(spark, hnP)
+      .collect()
+    val bestExact = want.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getDouble(2)).max).toMap
+    assert(pruned.nonEmpty)
+    assert(pruned.forall(r => r.getDouble(2) <= bestExact(r.getLong(0)) + 1e-9))
+  }
+
+  test("streaming MaxSim: per-batch max-folds reproduce the one-shot " +
+      "scores exactly at any batch split") {
+    import graft.streaming.StreamingRetrieval
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("smax")
+    val ms = dir.resolve("ms").toString
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = embs.filter(col("label") < 3)
+    // split mid-document: vectors of one corpus doc span batches, the
+    // case where a per-doc (rather than per-vector) fold would break
+    val b1 = embs.filter(col("vec_id") % 3 =!= 0)
+    val b2 = embs.filter(col("vec_id") % 3 === 0)
+    StreamingRetrieval.foldMaxSim(b1, 1L, ms, queries)
+    StreamingRetrieval.foldMaxSim(b2, 2L, ms, queries)
+    val got = StreamingRetrieval.maxSimCurrent(spark, ms).collect().toSeq
+    val want = Similarity.maxSimScores(embs, queries)
+      .orderBy("q_doc", "c_doc").collect().toSeq
+    assert(got == want, "fold(b1); fold(b2) must equal one-shot(b1 ∪ b2)")
+    // replay idempotence
+    StreamingRetrieval.foldMaxSim(b2, 2L, ms, queries)
+    assert(StreamingRetrieval.maxSimCurrent(spark, ms).collect().toSeq == want)
+  }
 }
