@@ -443,6 +443,193 @@ object Similarity {
       .agg(avg(col("err"))).head().getDouble(0)
   }
 
+  // ---- IVFADC+R: per-cell residual product quantization -------------
+
+  /** (vec_id, cell, r, nrm) — every corpus vector with its coarse cell
+    * and the RESIDUAL r = v − centroid(cell). The defining move of
+    * IVFADC: residuals concentrate near the origin, so a codebook of
+    * the same size quantizes them with far less error than raw
+    * vectors. */
+  private def residuals(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val cent = withNorm(centroids, idCol, vecCol)
+      .select(col("vec_id").as("cell"), col("e").as("ce"))
+    cellAssignments(corpus, centroids, 1, idCol, vecCol)
+      .select(col("vec_id"), col("cid").as("cell"), col("e"), col("nrm"))
+      .join(broadcast(cent), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("e"), col("ce"), (a, b) => a - b).as("r"), col("nrm"))
+  }
+
+  /** Train PER-CELL residual PQ codebooks (the IVFADC layout): Lloyd's
+    * k-means over each cell's residual sub-vectors, for all (cell,
+    * subspace) pairs AT ONCE — the [[pqTrain]] composite-key trick with
+    * the cell joining the key, so however many cells the index has,
+    * every codebook trains in the same two jobs per round (assignment =
+    * one equi-join on (cell, s); means = one map-side-combined
+    * (cell, s, cid, pos) aggregation). Seeds are each cell's `k`
+    * smallest-id members (bounded-heap selection, no per-cell sort);
+    * cells with fewer than `k` members keep their seed count. Empty
+    * codewords persist unchanged (deterministic, like [[pqTrain]]).
+    *
+    * Returns (cell, s, cid, cs) — subspace `s`'s codeword `cid` for
+    * `cell`, as a `subDim`-float array. */
+  def residualTrain(corpus: DataFrame, centroids: DataFrame, m: Int = 8,
+      k: Int = 16, iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val subDim = 64 / m
+    val res = residuals(corpus, centroids, idCol, vecCol)
+    val ss = explode(array((0 until m).map(lit): _*)).as("s")
+    val sub = res.select(col("vec_id"), col("cell"), ss, col("r"))
+      .withColumn("vs", slice(col("r"), col("s") * subDim + 1, lit(subDim)))
+      .select("vec_id", "cell", "s", "vs")
+      .persist(MEMORY_AND_DISK)
+    // per-cell seeds: k smallest member ids, densely renumbered 0..k-1
+    // per cell via a bounded heap (never a per-cell corpus sort)
+    val seedRows = graft.plans.TopK.perKey(
+        res.select(col("vec_id"), col("cell")),
+        Seq("cell"), Seq(col("vec_id")), k)
+    val seedW = Window.partitionBy("cell").orderBy("vec_id") // ≤ k rows/cell
+    val seeds = seedRows
+      .withColumn("cid", row_number().over(seedW) - 1)
+    var cw = seeds.join(sub, Seq("vec_id", "cell"))
+      .select(col("cell"), col("s"), col("cid"), col("vs").as("cs"))
+    for (_ <- 0 until iters) {
+      val cwj = cw.withColumn("sqc", dot(col("cs"), col("cs")))
+      val scored = sub.join(cwj, Seq("cell", "s"))
+        .select(col("vec_id"), col("cell"), col("s"), col("cid"),
+          round(col("sqc") - lit(2.0) * dot(col("vs"), col("cs")), 6).as("d"))
+        .groupBy("vec_id", "cell", "s")
+        .agg(min(struct(col("d"), col("cid"))).getField("cid").as("cid"))
+      val means = sub.join(scored, Seq("vec_id", "cell", "s"))
+        .select(col("cell"), col("s"), col("cid"),
+          posexplode(col("vs")).as(Seq("pos", "x")))
+        .groupBy("cell", "s", "cid", "pos").agg(avg(col("x")).as("mu"))
+        .groupBy("cell", "s", "cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("cell"), col("s"), col("cid"),
+          expr("transform(pm, p -> p.mu)").as("upd"))
+      val next = cw.join(means, Seq("cell", "s", "cid"), "left")
+        .select(col("cell"), col("s"), col("cid"),
+          coalesce(col("upd"), col("cs")).as("cs"))
+        .persist(MEMORY_AND_DISK)
+      next.count() // flat lineage round to round
+      if (cw.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        cw.unpersist(blocking = false)
+      cw = next
+    }
+    sub.unpersist()
+    cw
+  }
+
+  /** Encode every corpus vector against its OWN cell's residual
+    * codebook: (vec_id, cell, s, cid). */
+  def residualEncode(corpus: DataFrame, centroids: DataFrame,
+      resCodebook: DataFrame, m: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val subDim = 64 / m
+    val res = residuals(corpus, centroids, idCol, vecCol)
+    val ss = explode(array((0 until m).map(lit): _*)).as("s")
+    val sub = res.select(col("vec_id"), col("cell"), ss, col("r"))
+      .withColumn("vs", slice(col("r"), col("s") * subDim + 1, lit(subDim)))
+    val cwj = resCodebook.withColumn("sqc", dot(col("cs"), col("cs")))
+    sub.join(cwj, Seq("cell", "s"))
+      .select(col("vec_id"), col("cell"), col("s"), col("cid"),
+        round(col("sqc") - lit(2.0) * dot(col("vs"), col("cs")), 6).as("d"))
+      .groupBy("vec_id", "cell", "s")
+      .agg(min(struct(col("d"), col("cid"))).getField("cid").as("cid"))
+  }
+
+  /** Multi-probe IVFADC top-k: queries probe their `nProbe` nearest
+    * cells and score ONLY those cells' members, via asymmetric distance
+    * against the per-cell residual codes — the raw corpus vectors are
+    * never read at query time.
+    *
+    * The cosine decomposes exactly over the reconstruction
+    * v̂ = centroid(cell) + rcode:
+    *   dot(q, v̂)  = dot(q, c) + Σ_s dot(q_s, rc_s)      (per-cell LUT)
+    *   |v̂|²       = |c|² + 2·Σ_s dot(c_s, rc_s) + Σ_s |rc_s|²
+    * where dot(c_s, rc_s) and |rc_s|² are query-independent per-cell
+    * codebook constants. All per-subspace terms pivot into fixed
+    * columns (written-order float fold, the [[pqTopK]] determinism
+    * recipe). Approximation error is the residual quantization error —
+    * strictly smaller than raw-vector PQ at the same codebook budget
+    * (spec-asserted via [[residualDistortion]]). */
+  def ivfAdcResidualTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, resCodebook: DataFrame, nProbe: Int = 4,
+      m: Int = 8, k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m == 8, "pivoted fold is written for m = 8")
+    val subDim = 64 / m
+    val cent = withNorm(centroids, idCol, vecCol)
+      .select(col("vec_id").as("cell"), col("e").as("ce"))
+    // query-independent codebook constants
+    val cbAug = resCodebook.join(broadcast(cent), "cell")
+      .select(col("cell"), col("s"), col("cid"), col("cs"),
+        dot(slice(col("ce"), col("s") * subDim + 1, lit(subDim)), col("cs"))
+          .as("cc"),
+        dot(col("cs"), col("cs")).as("csq"))
+    val codes = residualEncode(corpus, centroids, resCodebook, m, idCol, vecCol)
+    val probes = cellAssignments(queries, centroids, nProbe, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"),
+        col("e").as("qe"), col("nrm").as("qn"))
+      .join(broadcast(cent), "cell")
+      .withColumn("qdotc", dot(col("qe"), col("ce")))
+      .withColumn("cnsq", dot(col("ce"), col("ce")))
+      .select("query_id", "cell", "qe", "qn", "qdotc", "cnsq")
+    // per-(query, probed cell) LUT rows: nProbe·m·k per query
+    val lut = probes
+      .select(col("query_id"), col("cell"), col("qe"),
+        explode(array((0 until m).map(lit): _*)).as("s"))
+      .withColumn("qs", slice(col("qe"), col("s") * subDim + 1, lit(subDim)))
+      .join(cbAug, Seq("cell", "s"))
+      .select(col("query_id"), col("cell"), col("s"), col("cid"),
+        dot(col("qs"), col("cs")).as("dq"), col("cc"), col("csq"))
+    // candidates: probed cell members (each vector lives in ONE cell)
+    val joined = codes
+      .join(probes.select("query_id", "cell", "qn", "qdotc", "cnsq"), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(lut, Seq("query_id", "cell", "s", "cid"))
+    def at(c: String, s: Int) = min(when(col("s") === s, col(c))).as(s"${c}$s")
+    val aggs = Seq(max(col("qn")).as("qn"), max(col("qdotc")).as("qdotc"),
+      max(col("cnsq")).as("cnsq")) ++
+      (0 until m).flatMap(s => Seq(at("dq", s), at("cc", s), at("csq", s)))
+    val terms = joined
+      .groupBy("query_id", "vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+    val sdot = (0 until m).map(s => col(s"dq$s")).reduce(_ + _)
+    val scc = (0 until m).map(s => col(s"cc$s")).reduce(_ + _)
+    val ssq = (0 until m).map(s => col(s"csq$s")).reduce(_ + _)
+    val scored = terms.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      round((col("qdotc") + sdot) /
+        (col("qn") * sqrt(col("cnsq") + lit(2.0) * scc + ssq)), 6)
+        .as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Mean squared reconstruction error of the IVFADC layout
+    * (|v − centroid − rcode|², summed over subspaces) — directly
+    * comparable to [[pqDistortion]] at the same (m, k): the residual
+    * design wins exactly when this is smaller. */
+  def residualDistortion(corpus: DataFrame, centroids: DataFrame,
+      resCodebook: DataFrame, m: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Double = {
+    val subDim = 64 / m
+    val res = residuals(corpus, centroids, idCol, vecCol)
+    val ss = explode(array((0 until m).map(lit): _*)).as("s")
+    val sub = res.select(col("vec_id"), col("cell"), ss, col("r"))
+      .withColumn("vs", slice(col("r"), col("s") * subDim + 1, lit(subDim)))
+    val codes = residualEncode(corpus, centroids, resCodebook, m, idCol, vecCol)
+    sub.join(codes, Seq("vec_id", "cell", "s"))
+      .join(resCodebook, Seq("cell", "s", "cid"))
+      .select(col("vec_id"),
+        (dot(col("vs"), col("vs")) - lit(2.0) * dot(col("vs"), col("cs")) +
+          dot(col("cs"), col("cs"))).as("r2"))
+      .groupBy("vec_id").agg(sum(col("r2")).as("err"))
+      .agg(avg(col("err"))).head().getDouble(0)
+  }
+
   /** Hard-negative mining for contrastive/embedding training: per query
     * vector, the top-k most-similar corpus vectors with a DIFFERENT
     * label (same-label hits are positives, not negatives — the highest-

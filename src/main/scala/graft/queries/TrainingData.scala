@@ -568,6 +568,21 @@ object TrainingData extends QueryPack {
       Similarity.pqTrain(embs))
   }
 
+  /** Multi-probe IVFADC with per-cell residual codebooks: the complete
+    * billion-scale ANN recipe — coarse cells bound the candidates, the
+    * residual v − centroid is product-quantized against the vector's
+    * OWN cell's trained codebook (residuals concentrate near the
+    * origin, so the same codebook budget quantizes far tighter).
+    * Rows-only by design like ann_pq_trained (trained float means);
+    * quality spec-gated: residual distortion < raw-PQ distortion at the
+    * same (m, k), recall at fixed probe budget ≥ plain ivfPqTopK. */
+  val annIvfAdcR = GraftQuery("ann_ivfadc_r", None) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    val cents = embs.filter(col("vec_id") < 16)
+    Similarity.ivfAdcResidualTopK(embs, embs.filter(col("vec_id") < 10),
+      cents, Similarity.residualTrain(embs, cents))
+  }
+
   /** Hard-negative mining: top-5 wrong-label neighbors per query
     * vector (the contrastive-training batch builder). */
   val annHardNegatives = GraftQuery(
@@ -974,5 +989,5 @@ object TrainingData extends QueryPack {
     dedupEmbedding, dedupSemantic,
     dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,
     annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, annIvfPq,
-    annPqTrained, annMaxSim, annHardNegatives, dedupParagraph)
+    annPqTrained, annIvfAdcR, annMaxSim, annHardNegatives, dedupParagraph)
 }

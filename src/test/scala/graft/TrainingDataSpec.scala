@@ -354,6 +354,48 @@ class TrainingDataSpec extends SparkTestBase {
       s"recall $recall collapsed — encode or ADC scoring broken")
   }
 
+  test("IVFADC residual codebooks: tighter than raw-vector PQ at the " +
+      "same budget, recall at fixed probe not below plain IVF-PQ, and " +
+      "k ≥ cell-size probe-all is exact") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val q = embs.filter(col("vec_id") < 5)
+    val cents = embs.filter(col("vec_id") < 16)
+    val resCb = Similarity.residualTrain(embs, cents, m = 8, k = 16, iters = 2)
+    val plainCb = Similarity.pqTrain(embs, m = 8, k = 16, iters = 2)
+    // distortion: residual quantization must beat raw-vector PQ at the
+    // identical (m, k) budget — the defining property of IVFADC
+    val dRes = Similarity.residualDistortion(embs, cents, resCb)
+    val dPlain = Similarity.pqDistortion(embs, plainCb)
+    assert(dRes < dPlain,
+      s"residual codebooks must tighten reconstruction: $dRes !< $dPlain")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(embs, q, k = 5))
+    def recall(s: Set[(Long, Long)]) =
+      s.intersect(exact).size.toDouble / exact.size
+    val rRes = recall(pairs(
+      Similarity.ivfAdcResidualTopK(embs, q, cents, resCb, nProbe = 4)))
+    val rPlain = recall(pairs(
+      Similarity.ivfPqTopK(embs, q, cents, plainCb, nProbe = 4)))
+    assert(rRes >= rPlain,
+      s"residual ADC recall $rRes below plain IVF-PQ $rPlain at nProbe=4")
+    // exactness anchor: with k ≥ the largest cell's membership, every
+    // residual seeds its own codeword — zero distortion, and probing
+    // every cell reproduces brute force exactly
+    val subCorpus = embs.filter(col("vec_id") < 40)
+    val maxCell = Similarity.cellAssignments(subCorpus, cents, keep = 1)
+      .groupBy("cid").count().agg(max("count")).head().getLong(0).toInt
+    val cbX = Similarity.residualTrain(subCorpus, cents, m = 8,
+      k = maxCell, iters = 1)
+    val dX = Similarity.residualDistortion(subCorpus, cents, cbX)
+    assert(dX < 1e-9, s"k ≥ cell-size cells must quantize exactly: $dX")
+    val exactSub = pairs(Similarity.bruteForceTopK(subCorpus, q, k = 5))
+    val probeAll = pairs(Similarity.ivfAdcResidualTopK(subCorpus, q, cents,
+      cbX, nProbe = 16))
+    assert(probeAll == exactSub,
+      "zero-distortion probe-all residual ADC must equal brute force")
+  }
+
   test("lshTopK multi-probe: deeper probing is monotone in recall and " +
       "full-depth probing equals brute force") {
     val embs = Tables.embeddings(spark, sfDir)
