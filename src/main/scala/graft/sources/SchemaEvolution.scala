@@ -1,0 +1,146 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema evolution for silver parquet tables — the engine analog of
+  * the reference's alembic migration lane (`alembic/`, `alembic.ini`:
+  * versioned DDL against Postgres). A lake table has no ALTER TABLE;
+  * evolution is a READ-TIME policy plus an explicit conform step on the
+  * write path:
+  *
+  *  - **add column**: new generations carry it, old files simply lack
+  *    it — conformed reads surface a typed NULL for old rows. No
+  *    rewrite, ever.
+  *  - **type widen**: only LOSSLESS widenings are legal (integral
+  *    up-rank byte→short→int→long, float→double, integral→decimal-
+  *    with-room, decimal precision growth at equal-or-wider scale,
+  *    anything→its own type). Old files keep their narrow type on
+  *    disk; conformed reads up-cast. No rewrite.
+  *  - **anything else** (narrowing, integral→float, string↔number,
+  *    renames, drops): NOT evolution — fails fast with the offending
+  *    column named. The policy is an explicit rewrite migration (read
+  *    old generation, transform, write a new generation directory) so
+  *    the lossy/ambiguous step is a reviewed job, never an implicit
+  *    cast. (Parquet's own mergeSchema stops at the first of these
+  *    too — it unions columns but refuses conflicting types; this
+  *    module is mergeSchema plus the widening lattice plus the
+  *    policy error.)
+  *
+  * Composed with the upsert/CDC lane: [[conformedUnion]] aligns an old
+  * silver table and a new-schema batch onto their unified schema, after
+  * which [[graft.ops.Upsert.mergeByKey]] / last-write-wins semantics
+  * apply unchanged — spec-proven round-trips for add-column and widen
+  * through the upsert path.
+  */
+object SchemaEvolution {
+
+  private def intRank(dt: DataType): Option[Int] = dt match {
+    case ByteType => Some(0)
+    case ShortType => Some(1)
+    case IntegerType => Some(2)
+    case LongType => Some(3)
+    case _ => None
+  }
+
+  /** Is `from` → `to` a lossless widening (or identity)? */
+  def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (a, b) if intRank(a).isDefined && intRank(b).isDefined =>
+      intRank(a).get <= intRank(b).get
+    case (FloatType, DoubleType) => true
+    case (a, d: DecimalType) if intRank(a).isDefined =>
+      // an N-bit integral fits in decimal(p, s) iff p − s digits cover it
+      val needed = Seq(3, 5, 10, 20)(intRank(a).get)
+      d.precision - d.scale >= needed
+    case (a: DecimalType, b: DecimalType) =>
+      b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
+    case _ => false
+  }
+
+  /** The wider of two types, if either direction widens losslessly. */
+  private def widerOf(a: DataType, b: DataType): Option[DataType] =
+    if (canWiden(a, b)) Some(b)
+    else if (canWiden(b, a)) Some(a)
+    else None
+
+  /** Unified schema of a table generation sequence: union of columns,
+    * each at the widest of its appearances; nullable as soon as any
+    * generation lacks the column or has it nullable. Field order: first
+    * appearance wins (old columns first, additions append). Fails with
+    * the offending column named when two generations disagree
+    * non-losslessly. */
+  def unifiedSchema(schemas: Seq[StructType]): StructType = {
+    require(schemas.nonEmpty)
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    for (s <- schemas; f <- s.fields) {
+      order.get(f.name) match {
+        case None =>
+          // absent from any earlier generation ⇒ must be nullable
+          val everAbsent = schemas.exists(g => !g.fieldNames.contains(f.name))
+          order(f.name) = f.copy(nullable = f.nullable || everAbsent)
+        case Some(prev) =>
+          val wide = widerOf(prev.dataType, f.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"column '${f.name}': ${prev.dataType.simpleString} vs " +
+                s"${f.dataType.simpleString} is not a lossless widening — " +
+                "this is a rewrite migration, not schema evolution " +
+                "(see SchemaEvolution policy)"))
+          order(f.name) = prev.copy(dataType = wide,
+            nullable = prev.nullable || f.nullable)
+      }
+    }
+    StructType(order.values.toSeq)
+  }
+
+  /** Project `df` onto `target`: present columns up-cast (widenings
+    * only — anything else throws with the column named), absent columns
+    * appear as typed NULLs. */
+  def conform(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.schema.map(f => f.name -> f.dataType).toMap
+    val cols = target.fields.map { f =>
+      have.get(f.name) match {
+        case Some(dt) =>
+          require(canWiden(dt, f.dataType),
+            s"column '${f.name}': cannot conform ${dt.simpleString} to " +
+              s"${f.dataType.simpleString} losslessly")
+          col(f.name).cast(f.dataType).as(f.name)
+        case None =>
+          require(f.nullable,
+            s"column '${f.name}': absent from input but not nullable in target")
+          lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Align two generations (e.g. an existing silver table and a
+    * new-schema batch) onto their unified schema — the step that makes
+    * [[graft.ops.Upsert.mergeByKey]] / CDC apply unchanged across an
+    * evolution boundary. Returns (conformed old, conformed new). */
+  def conformedPair(old: DataFrame, nu: DataFrame): (DataFrame, DataFrame) = {
+    val target = unifiedSchema(Seq(old.schema, nu.schema))
+    (conform(old, target), conform(nu, target))
+  }
+
+  /** Read a generation-structured silver table (`gen=N` dirs under
+    * `root`), each
+    * generation written under the schema current at its write time,
+    * conformed onto the unified schema. Plain parquet mergeSchema
+    * handles added COLUMNS but refuses widened TYPES (int files + long
+    * files error out); reading generations separately and conforming
+    * handles both, and the per-generation scans remain ordinary pruned
+    * parquet scans. */
+  def readEvolved(spark: SparkSession, root: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .map(_.getPath.toString).sorted
+    require(gens.nonEmpty, s"no gen=* directories under $root")
+    val dfs = gens.map(spark.read.parquet(_))
+    val target = unifiedSchema(dfs.map(_.schema))
+    dfs.map(conform(_, target)).reduce(_.unionByName(_))
+  }
+}

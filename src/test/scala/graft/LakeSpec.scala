@@ -170,4 +170,65 @@ class LakeSpec extends SparkTestBase {
     val st = Layout.fileStats(spark, out, Seq("x", "y"))
     assert(Layout.pruneFraction(st, "x", 9000.0 * 9000.0) <= 0.5)
   }
+
+  test("schema evolution: add-column and type-widen round-trip through " +
+      "the upsert path; incompatible changes fail with the column named") {
+    import graft.sources.SchemaEvolution
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("evolve").resolve("obs").toString
+    // generation 0: the original silver schema (v is an int)
+    val gen0 = Seq((1L, 10, "a", 1L), (2L, 20, "b", 1L), (3L, 30, "c", 1L))
+      .toDF("id", "v", "name", "ver")
+      .withColumn("v", col("v").cast("int"))
+    gen0.write.parquet(s"$root/gen=0")
+    // the source evolved: v widened to long, a score column appeared
+    val batch = Seq((2L, 200L, "b2", Some(0.9), 2L), (5L, 500L, "e", None, 2L))
+      .toDF("id", "v", "name", "score", "ver")
+
+    val silver = spark.read.parquet(s"$root/gen=0")
+    val (oldC, newC) = SchemaEvolution.conformedPair(silver, batch)
+    val merged = Upsert.mergeByKey(oldC, newC, Seq("id"), col("ver"))
+    // schema evolved: v widened, score present and nullable
+    assert(merged.schema("v").dataType == LongType)
+    assert(merged.schema("score").dataType == DoubleType)
+    assert(merged.schema("score").nullable)
+    val byId = merged.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[Long]("v"), r.getAs[String]("name"),
+        Option(r.getAs[Any]("score")))).toMap
+    assert(byId(2L) == ((200L, "b2", Some(0.9))), "incoming must win on collision")
+    assert(byId(1L) == ((10L, "a", None)), "old rows surface a NULL score")
+    assert(byId(5L)._1 == 500L)
+    assert(byId.keySet == Set(1L, 2L, 3L, 5L))
+
+    // round-trip: the merged table lands as generation 1; an evolved
+    // read over BOTH generations (narrow-typed old files still on disk)
+    // returns the unified schema — plain mergeSchema refuses this mix
+    merged.write.parquet(s"$root/gen=1")
+    val evolved = SchemaEvolution.readEvolved(spark, root)
+    assert(evolved.schema("v").dataType == LongType)
+    assert(evolved.count() == gen0.count() + merged.count())
+    intercept[Exception] { // int files + long files: vanilla merge refuses
+      spark.read.option("mergeSchema", "true").parquet(root).collect()
+    }
+
+    // incompatible change: v arrives as a string — a rewrite migration,
+    // not evolution; the error names the column and the policy
+    val bad = Seq((6L, "oops", 3L)).toDF("id", "v", "ver")
+    val e = intercept[IllegalArgumentException] {
+      SchemaEvolution.conformedPair(silver, bad)
+    }
+    assert(e.getMessage.contains("'v'"))
+    assert(e.getMessage.contains("rewrite migration"))
+
+    // the widening lattice itself
+    assert(SchemaEvolution.canWiden(IntegerType, LongType))
+    assert(SchemaEvolution.canWiden(FloatType, DoubleType))
+    assert(SchemaEvolution.canWiden(IntegerType, DecimalType(12, 2)))
+    assert(SchemaEvolution.canWiden(DecimalType(10, 0), DecimalType(12, 2)))
+    assert(!SchemaEvolution.canWiden(LongType, IntegerType))
+    assert(!SchemaEvolution.canWiden(LongType, DecimalType(12, 2)))
+    assert(!SchemaEvolution.canWiden(DoubleType, FloatType))
+    assert(!SchemaEvolution.canWiden(StringType, LongType))
+    assert(!SchemaEvolution.canWiden(IntegerType, FloatType))
+  }
 }
