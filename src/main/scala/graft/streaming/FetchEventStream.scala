@@ -107,6 +107,16 @@ object FetchEventStream {
       .start()
   }
 
+  /** The consumer lane against a pluggable transport: valid events off
+    * `source` (any [[EventSource]]) feed the normalize-upsert graph.
+    * The graph itself never sees the transport — the property the
+    * [[EventSource]] boundary exists to guarantee. */
+  def consume(spark: SparkSession, source: EventSource, bronzeDir: String,
+      silverDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    normalizeToSilver(validEvents(source.events(spark)),
+      bronzeDir, silverDir, checkpointDir)
+
   /** Exactly-once event feed from an at-least-once publisher: drop
     * replayed fetch events by fetch_id. The reference's producer
     * (streaming/load.py) republishes on retry, so consumers see

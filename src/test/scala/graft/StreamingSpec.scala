@@ -232,6 +232,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transport independence: the same normalize-upsert graph from " +
+      "JSON-lines and Avro-wire sources yields identical silver tables") {
+    import graft.streaming.{AvroWire, AvroWireSource, JsonLinesSource}
+    val eventsDir = tmp("tiev"); val wireDir = tmp("tiwire")
+    val bronze = tmp("tibronze")
+    val silverA = tmp("tisA").resolve("obs"); val ckptA = tmp("tickA")
+    val silverB = tmp("tisB").resolve("obs"); val ckptB = tmp("tickB")
+
+    def payload(lat: Double, temp: Double): String =
+      s"""{"latitude":$lat,"longitude":9.0,"hourly":{"time":["2026-01-01T00:00"],
+         |"temperature_2m":[$temp],"precipitation":[0.0],
+         |"soil_temperature_18cm":[1.0],"soil_moisture_9_to_27cm":[0.1],
+         |"wind_speed_10m":[5.0],"wind_direction_10m":[90],"cloud_cover":[10]}}"""
+        .stripMargin.replace("\n", "")
+    Seq(("f1", payload(1.0, 20.0)), ("f2", payload(2.0, 25.0)))
+      .toDF("fetch_id", "payload")
+      .write.mode("overwrite").json(bronze.toString)
+    val lines = eventJson("f1", "success", 1000) + "\n" +
+      eventJson("f2", "success", 2000)
+    Files.writeString(eventsDir.resolve("b0.json"), lines)
+    // the SAME logical events as Kafka-shaped Avro wire frames
+    val batchEvents = FetchEventStream.parseEvents(
+      spark.read.text(eventsDir.toString).withColumnRenamed("value", "raw"))
+      .filter(col("valid"))
+      .select("fetch_id", "source", "status", "path", "params", "finished_at")
+    AvroWire.encodeFetchEvents(batchEvents)
+      .write.mode("overwrite").parquet(wireDir.toString)
+
+    // one graph, two transports — nothing downstream changes
+    val qA = FetchEventStream.consume(spark,
+      JsonLinesSource(eventsDir.toString),
+      bronze.toString, silverA.toString, ckptA.toString)
+    try qA.processAllAvailable() finally qA.stop()
+    val qB = FetchEventStream.consume(spark,
+      AvroWireSource(s => s.readStream
+        .schema("key STRING, value BINARY").parquet(wireDir.toString)),
+      bronze.toString, silverB.toString, ckptB.toString)
+    try qB.processAllAvailable() finally qB.stop()
+
+    def canon(dir: String): Seq[String] = {
+      val df = spark.read.parquet(dir)
+      df.select(df.columns.sorted.map(col).toSeq: _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val a = canon(silverA.toString)
+    assert(a.nonEmpty)
+    assert(a == canon(silverB.toString),
+      "transport must be invisible to the normalize-upsert graph")
+  }
+
   test("events with null/missing status land in the dead-letter feed, not limbo") {
     val in = tmp("nullstatus")
     Files.writeString(in.resolve("b0.json"),
