@@ -57,10 +57,7 @@ object Graph {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persist the graph tables: every iteration references them, and
     // without the (graph-sized) cache each round would re-run the
-    // log-sized edge derivation the caller handed in. The per-round
-    // plan nests linearly in `iterations` — modest counts (the usual
-    // 3–20) are fine; an unbounded power iteration would cut lineage
-    // per round like Dedup.duplicateClusters.
+    // log-sized edge derivation the caller handed in.
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .persist(MEMORY_AND_DISK)
@@ -69,7 +66,7 @@ object Graph {
     val e = edges.join(outd, "src").persist(MEMORY_AND_DISK)
     var rank = nodes.crossJoin(broadcast(nn))
       .select(col("node"), expr(s"$scale div n").as("rank_fp"))
-    for (_ <- 0 until iterations) {
+    for (i <- 0 until iterations) {
       val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank_fp * w div outw")).as("c"))
@@ -77,6 +74,14 @@ object Graph {
         .select(col("node"),
           (expr(s"(15 * $scale) div (100 * n)") +
             expr("85 * coalesce(c, 0L) div 100")).as("rank_fp"))
+      // the per-round plan would otherwise NEST linearly in the round
+      // count (and analysis itself becomes the bottleneck long before
+      // execution): cut lineage every few rounds, like
+      // Dedup.duplicateClusters, so an unbounded power iteration stays
+      // flat. Every 5th round only — a checkpoint is a graph-sized
+      // materialization, and the usual 3–20 iteration plans are cheap.
+      if ((i + 1) % 5 == 0 && i + 1 < iterations)
+        rank = rank.localCheckpoint(true)
     }
     // materialize the (node-sized) result, then release the graph-sized
     // working caches — a long-lived session must not keep the edge table

@@ -43,6 +43,28 @@ class GraphSpec extends SparkTestBase {
     assert(got.values.sum <= 3L * 1000000L)
   }
 
+  test("pagerank: unbounded power iteration stays flat — 23 rounds run, " +
+      "checkpoint cuts match the uncut recurrence bit-exactly") {
+    // a cycle so rank keeps circulating (no fixed point in few rounds)
+    val edges = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "A", 1L))
+      .toDF("src", "dst", "w")
+    // driver-side replica of the integer recurrence
+    def ref(iters: Int): Map[String, Long] = {
+      val scale = 1000000L
+      var r = Map("A" -> scale / 3, "B" -> scale / 3, "C" -> scale / 3)
+      val pred = Map("A" -> "C", "B" -> "A", "C" -> "B")
+      for (_ <- 0 until iters)
+        r = r.map { case (n, _) =>
+          n -> ((15L * scale) / (100L * 3) + 85L * r(pred(n)) / 100L)
+        }
+      r
+    }
+    // 23 crosses four checkpoint cuts (5/10/15/20) plus a tail
+    val got = Graph.pagerank(edges, iterations = 23)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == ref(23), s"checkpointed iteration diverged: $got vs ${ref(23)}")
+  }
+
   test("GraphMaintenance: incremental edges equal the one-shot operator " +
       "on the union, cross-batch bridges counted, replay idempotent") {
     import graft.streaming.GraphMaintenance
