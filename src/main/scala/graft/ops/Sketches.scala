@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hashing.hash60
+
 /** Approximate (sketch-based) aggregates: the constant-memory summary
   * path for lake-scale dashboard metrics.
   *
@@ -47,5 +49,86 @@ object Sketches {
         countDistinct(col(distinctCol)).as("exact_distinct"),
         percentile(col(valueCol), pctArr).as("exact_percentiles"),
         count(lit(1)).as("n"))
+  }
+
+  // ---- count-min sketch -----------------------------------------------
+
+  /** Count-min sketch of a key column's occurrence counts, built with
+    * plain aggregates: `depth` seeded 60-bit hashes route every
+    * occurrence to one bucket per row, and ONE map-side-combined
+    * aggregation reduces to the `depth × width` cell grid. The shuffle
+    * carries at most depth·width keys PER PARTITION regardless of key
+    * cardinality — this is the sketch's point at corpus scale, where an
+    * exact per-key count shuffles the whole vocabulary.
+    *
+    * Cells are mergeable by cell-wise addition ([[cmsMerge]]); estimates
+    * never undercount, and overcount ≤ ⌈e·N/width⌉ per row w.h.p. —
+    * [[cmsHeavyHitters]] exploits exactly that one-sided error.
+    *
+    * Returns (r, b, cnt): row r ∈ [0, depth), bucket b ∈ [0, width). */
+  def countMin(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1)
+    df.select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"),
+          (hash60(lit(r), col(keyCol)) % width).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise sum of two compatible sketches — the mergeability that
+    * makes the sketch a partial aggregate (per-split sketches combine
+    * to the corpus sketch without revisiting data). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("r", "b").agg(sum("cnt").as("cnt"))
+
+  /** Sparse (r, b, cnt) cells → one dense broadcastable row: `grid` is
+    * an array of `depth` arrays of `width` counts (absent cells 0). */
+  private def packCells(cells: DataFrame, depth: Int, width: Int): DataFrame =
+    cells.groupBy(col("r"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("cnt")))).as("m"))
+      .select(col("r"), transform(sequence(lit(0), lit(width - 1)),
+        b => coalesce(element_at(col("m"), b.cast("long")), lit(0L))).as("arr"))
+      .agg(array_sort(collect_list(struct(col("r"), col("arr")))).as("ra"))
+      .select(expr("transform(ra, x -> x.arr)").as("grid"))
+
+  /** Attach the sketch estimate (min over rows of the hashed cell) to
+    * every input row as `est` — a per-row expression against the
+    * broadcast dense grid: no shuffle, no per-key state. The row loop
+    * is unrolled into an explicit `least` (depth is a plan-time
+    * constant) so the probe stays inside whole-stage codegen — no
+    * interpreted higher-order function per occurrence. */
+  def cmsEstimate(df: DataFrame, keyCol: String, cells: DataFrame,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val probes = (0 until depth).map(r =>
+      element_at(element_at(col("grid"), r + 1),
+        (hash60(lit(r), col(keyCol)) % width + 1).cast("int")))
+    val est = if (depth == 1) probes.head else least(probes: _*)
+    df.crossJoin(broadcast(packCells(cells, depth, width)))
+      .withColumn("est", est)
+      .drop("grid")
+  }
+
+  /** Exact heavy hitters through a count-min prefilter: keys whose
+    * total occurrence count reaches `minCount`, as (key, cnt) with the
+    * EXACT count.
+    *
+    * Two passes, neither shuffling the vocabulary: (1) the sketch pass
+    * shuffles only the depth×width grid; (2) every occurrence probes
+    * the broadcast grid map-side and only occurrences of CANDIDATE keys
+    * (est ≥ minCount — a superset of the true heavy hitters, because
+    * estimates never undercount) reach the exact counting shuffle,
+    * whose key set the sketch has already cut to the candidates. The
+    * final exact filter removes the sketch's false positives, so the
+    * result is EXACT — the approximation only ever decides how much
+    * work the second pass does. */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, minCount: Long,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val cells = countMin(df, keyCol, depth, width)
+    cmsEstimate(df.select(col(keyCol)), keyCol, cells, depth, width)
+      .filter(col("est") >= minCount)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
   }
 }

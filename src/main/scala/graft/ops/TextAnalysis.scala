@@ -371,4 +371,47 @@ object TextAnalysis {
       length(col(textCol)).cast("long").as("n_raw"),
       cleanText(col(textCol)).as("clean_text"))
       .withColumn("n_clean", length(col("clean_text")).cast("long"))
+
+  /** Exact substring (repeated-span) detection: every `w`-word span
+    * that occurs in MORE THAN ONE document, with its occurrence counts
+    * and canonical first occurrence — the exact-substring flavor of
+    * training-data dedup (reference: puhrezAgain/meteo-etl has only
+    * whole-payload dedup; this is the span-level generalization a
+    * text corpus needs, cf. dedup_paragraph).
+    *
+    * Emits one row per repeated span: (span_hash, n_docs, n_occ,
+    * first_doc, first_pos), span_hash = the 60-bit content hash of the
+    * space-joined span.
+    *
+    * Scale shape: a document of t tokens emits t−w+1 spans (constant
+    * per input token), each reduced by ONE map-side-combined
+    * aggregation keyed on the span text — no pair join anywhere, so
+    * unlike similarity dedup there is no hot-key quadratic to cap: a
+    * span shared by a million documents is still one output row. The
+    * span STRING is the shuffle key (needed for exactness — 60-bit
+    * hashes are for the output, not the grouping, so hash collisions
+    * can't merge distinct spans); w bounds the key bytes. Cross-doc
+    * only (`n_docs >= 2`): within-doc repetition is
+    * [[repetitionSignals]]' job. */
+  def repeatedSpans(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"span width must be >= 2, got $w")
+    val tk = col("__tk")
+    docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), tk,
+        posexplode(when(size(tk) >= w, sequence(lit(1), size(tk) - (w - 1)))
+          .otherwise(array().cast("array<int>"))).as(Seq("__junk", "pos")))
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(tk, col("pos"), lit(w))).as("__span"))
+      .groupBy(col("__span"))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(struct(col(idCol), col("pos"))).as("__first"))
+      .filter(col("n_docs") >= 2)
+      .select(hash60(col("__span")).as("span_hash"),
+        col("n_docs"), col("n_occ"),
+        col("__first").getField(idCol).as("first_doc"),
+        col("__first").getField("pos").cast("long").as("first_pos"))
+  }
 }

@@ -162,6 +162,34 @@ object Extended extends QueryPack {
       .orderBy("source")
   }
 
+  /** Bloom-pruned fact join: lineitem pre-filtered by a broadcast Bloom
+    * filter over the selective order set before the join shuffle
+    * ([[graft.ops.BloomJoin]]). The bloom has false positives only, so
+    * the result equals the plain join — the oracle IS the plain join. */
+  val q37 = GraftQuery(
+    "q37_bloom_join",
+    Some("""
+      SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE) AS sum_qty,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 490000) o
+        ON l_orderkey = o_orderkey
+      GROUP BY flag ORDER BY flag""".stripMargin.trim)) { (spark, dir) =>
+    val small = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 490000)
+      .select(col("o_orderkey").as("l_orderkey"))
+    graft.ops.BloomJoin.bloomPrunedJoin(
+        Tables.lineitem(spark, dir), small, "l_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE)")
+          .as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .select(col("l_returnflag").as("flag"),
+        col("n_lines"), col("sum_qty"), col("n_orders"))
+      .orderBy("flag")
+  }
+
   /** Temporal band self-join: same-user event pairs within 600 s, via
     * [[graft.ops.BandJoin]]'s cell-bucketed candidate generation; the
     * oracle is the naive inequality join (per-key quadratic — viable in
@@ -275,5 +303,5 @@ object Extended extends QueryPack {
       .orderBy("jt")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q13, q14, q15, q36, curation, q31, q33, q35)
+  override def all: Seq[GraftQuery] = Seq(q13, q14, q15, q36, q37, curation, q31, q33, q35)
 }

@@ -964,6 +964,50 @@ object TrainingData extends QueryPack {
       .orderBy("rank")
   }
 
+  /** Exact substring dedup at span granularity: every 8-word span
+    * occurring in ≥ 2 documents, with occurrence counts and the
+    * canonical first occurrence — one aggregation keyed on the span,
+    * no pair join (see [[graft.ops.TextAnalysis.repeatedSpans]]). */
+  val textRepeatedSpans = GraftQuery(
+    "text_repeated_spans",
+    Some("""
+      WITH tk AS (SELECT doc_id, string_split_regex(text,'\s+') AS tk FROM documents),
+      g AS (SELECT doc_id, i AS pos, array_to_string(list_slice(tk, i, i+7), ' ') AS span
+            FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk)-6, 1))) AS i FROM tk)),
+      r AS (SELECT span,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(count(*) AS BIGINT) AS n_occ,
+          min(struct_pack(d := doc_id, p := pos)) AS f
+        FROM g GROUP BY span HAVING count(DISTINCT doc_id) >= 2)
+      SELECT ('0x'||substr(md5(span),1,15))::BIGINT AS span_hash,
+        n_docs, n_occ, CAST(f.d AS BIGINT) AS first_doc,
+        CAST(f.p AS BIGINT) AS first_pos
+      FROM r ORDER BY span_hash""".trim)) { (spark, dir) =>
+    TextAnalysis.repeatedSpans(Tables.documents(spark, dir))
+      .orderBy("span_hash")
+  }
+
+  /** Heavy hitters by count-min prefilter + exact verify: the sketch
+    * pass shuffles a fixed depth×width grid (never the vocabulary), the
+    * candidate filter runs map-side against the broadcast grid, and the
+    * exact pass counts only candidate occurrences — estimates never
+    * undercount, so the candidate set is a superset and the result
+    * EXACT (which is what makes a sketch-routed query oracle-gateable:
+    * the oracle just computes heavy hitters directly). */
+  val textHeavyHitters = GraftQuery(
+    "text_heavy_hitters",
+    Some("""
+      WITH t AS (SELECT unnest(string_split_regex(text,'\s+')) AS token FROM documents)
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM t WHERE len(token) > 0 GROUP BY token HAVING count(*) >= 900
+      ORDER BY token""".trim)) { (spark, dir) =>
+    val occ = Tables.documents(spark, dir)
+      .select(explode(graft.functions.Hashing.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    graft.ops.Sketches.cmsHeavyHitters(occ, "token", minCount = 900L)
+      .orderBy("token")
+  }
+
   /** Vocabulary fuzzy-join: token pairs within edit distance 2. */
   val fuzzyVocab = GraftQuery(
     "fuzzy_vocab_join",
@@ -982,7 +1026,8 @@ object TrainingData extends QueryPack {
     fuzzyVocab, vocabStats,
     langId, quality, tokensQ, fingerprintQ, textPii, textClean,
     textRepetition, textContamination, textTfidf, textSurprisal,
-    textBm25, textInvertedIndex, textBpeMerges, pipelineFeatures,
+    textBm25, textInvertedIndex, textBpeMerges, textRepeatedSpans,
+    textHeavyHitters, pipelineFeatures,
     dataQuota, dataMix, dataCurriculum, dataEpochShuffle,
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
     dedupContainmentCapped, dedupMinhash, dedupSimhash,

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{BloomJoin, Sketches, TextAnalysis}
+
+/** Round-4 additions: repeated-span substring dedup, count-min heavy
+  * hitters, bloom-pruned join. */
+class SketchOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // ---- repeatedSpans -------------------------------------------------
+
+  test("repeatedSpans: cross-doc spans only, occurrence counts, " +
+      "canonical first occurrence, hash parity") {
+    val d = docs(
+      1L -> "a b c d e f g h x",
+      2L -> "z a b c d e f g h",
+      // doc 3 repeats the span three times WITHIN itself; doc 4 makes
+      // it cross-doc. short doc 5 (< w tokens) emits no spans at all.
+      3L -> "p q r s t u v w p q r s t u v w p q r s t u v w",
+      4L -> "p q r s t u v w",
+      5L -> "too short")
+    val got = TextAnalysis.repeatedSpans(d, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val h = graft.functions.Hashing.hash60Local _
+    assert(got == Set(
+      (h("a b c d e f g h"), 2L, 2L, 1L, 1L),
+      (h("p q r s t u v w"), 2L, 4L, 3L, 1L)),
+      s"got $got")
+  }
+
+  test("repeatedSpans: a span shared by k docs is ONE row (no pair " +
+      "blowup) and within-doc-only repetition is excluded") {
+    val many = (1L to 30L).map(i => i -> "common words repeated across every doc here now")
+    val d = docs(many :+ (99L -> "self self self self self self self self self self"): _*)
+    val rows = TextAnalysis.repeatedSpans(d, w = 8).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(1) == 30L && rows.head.getLong(2) == 30L)
+  }
+
+  // ---- count-min sketch ----------------------------------------------
+
+  private val corpus = docs(
+    1L -> "x x x x x y y y z w",
+    2L -> "x x y y z z q q q q",
+    3L -> "x y z q r r r r r r")
+
+  private def occ = corpus
+    .select(explode(graft.functions.Hashing.tokens(col("text"))).as("token"))
+
+  test("countMin: estimates never undercount, and are exact when the " +
+      "grid is collision-free") {
+    val exact = occ.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val cells = Sketches.countMin(occ, "token", depth = 4, width = 1024)
+    val est = Sketches.cmsEstimate(exact, "token", cells,
+      depth = 4, width = 1024)
+    val rows = est.select("token", "cnt", "est")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, cnt, e) =>
+      assert(e >= cnt, s"undercount for $t: est $e < exact $cnt") }
+    // 6 tokens in 1024 buckets × 4 rows: no collisions — est is exact
+    rows.foreach { case (t, cnt, e) =>
+      assert(e == cnt, s"collision-free grid should be exact for $t") }
+  }
+
+  test("countMin: tiny width forces collisions — estimates still never " +
+      "undercount (the heavy-hitter superset property)") {
+    val exact = occ.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val cells = Sketches.countMin(occ, "token", depth = 2, width = 2)
+    val rows = Sketches.cmsEstimate(exact, "token", cells,
+        depth = 2, width = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (t, cnt, e) =>
+      assert(e >= cnt, s"undercount for $t: est $e < exact $cnt") }
+    assert(rows.exists { case (_, cnt, e) => e > cnt },
+      "width 2 over 6 tokens must collide somewhere")
+  }
+
+  test("countMin: sketches of disjoint halves merge to the full sketch " +
+      "(mergeable partial aggregate)") {
+    val a = corpus.filter(col("doc_id") % 2 === 0)
+    val b = corpus.filter(col("doc_id") % 2 === 1)
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = Sketches.countMin(
+      df.select(explode(graft.functions.Hashing.tokens(col("text"))).as("token")),
+      "token", depth = 4, width = 64)
+    val merged = Sketches.cmsMerge(cellsOf(a), cellsOf(b))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Sketches.countMin(occ, "token", depth = 4, width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == full)
+  }
+
+  test("cmsHeavyHitters: exact result through the sketch prefilter, " +
+      "even with a colliding grid") {
+    val exact = occ.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // width 2: nearly everything collides; the exact verify pass must
+    // still cut the candidate superset down to the true heavy hitters
+    val got = Sketches.cmsHeavyHitters(occ, "token", minCount = 5L,
+        depth = 2, width = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == exact, s"got $got want $exact")
+    assert(got == Set(("x", 8L), ("y", 6L), ("q", 5L), ("r", 6L)))
+  }
+
+  // ---- bloom-pruned join ---------------------------------------------
+
+  test("bloomPrunedJoin: result equals the plain join, prune filter " +
+      "sits on the big side before the join") {
+    val li = Tables.lineitem(spark, sfDir)
+    val small = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val pruned = BloomJoin.bloomPrunedJoin(li, small, "l_orderkey")
+      .select("l_orderkey", "l_linenumber")
+    val plain = li.join(small, "l_orderkey")
+      .select("l_orderkey", "l_linenumber")
+    assert(pruned.count() > 0)
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    // the membership test must appear as a big-side filter in the plan
+    // (prune BEFORE the join, not a post-join residual)
+    val plan = pruned.queryExecution.optimizedPlan.toString
+    assert(plan.contains("element_at"), plan)
+  }
+
+  test("bloomPrunedJoin: an undersized bitmap (guaranteed false " +
+      "positives) still yields the exact join; empty small side yields " +
+      "an empty join") {
+    val li = Tables.lineitem(spark, sfDir)
+    val small = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("l_orderkey"))
+    // 128 bits for ~hundreds of keys: the bloom is saturated — prunes
+    // nothing, changes nothing
+    val pruned = BloomJoin.bloomPrunedJoin(li, small, "l_orderkey",
+      numBits = 128, numHashes = 3)
+    val plain = li.join(small, "l_orderkey")
+    assert(pruned.count() == plain.count())
+    val none = BloomJoin.bloomPrunedJoin(li, small.filter(lit(false)),
+      "l_orderkey")
+    assert(none.count() == 0)
+  }
+}
