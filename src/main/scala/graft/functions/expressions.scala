@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -296,4 +296,260 @@ object StableHash60 {
     while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
     v >>> 4
   }
+}
+
+/** Argmin codeword assignment against a DRIVER-RESIDENT codebook (the
+  * Lloyd-training hot loop): for subspace `s` (second child), return the
+  * cid minimizing |c|² − 2·(vs·c) over `codebook(s)`, ties to the
+  * smallest cid. A compact generated loop (JIT-friendly, stays inside
+  * WSCG) — the unrolled `least(struct(...))` formulation it replaces
+  * generated a method past the JIT's size threshold and ran in the
+  * bytecode interpreter, ~100× slower. Distances compare exact-IEEE
+  * (no round-to-6): this path backs rows-only-gated trained codebooks,
+  * not the cross-engine-rounded oracle-gated [[graft.ops.Similarity]]
+  * `pqEncode` formulation. `sq` (per-codeword |c|²) is precomputed
+  * driver-side with the same sequential fold as `dot(c, c)`. */
+case class NearestCodeword(left: Expression, right: Expression,
+    codebook: Array[Array[Array[Double]]], sq: Array[Array[Double]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_codeword"
+
+  override def nullSafeEval(a: Any, sAny: Any): Any = {
+    val vs = a.asInstanceOf[ArrayData]
+    val s = sAny.asInstanceOf[Int]
+    val cws = codebook(s)
+    val sqs = sq(s)
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < cws.length) {
+      val cw = cws(j)
+      var acc = 0.0
+      var i = 0
+      val n = math.min(vs.numElements(), cw.length)
+      while (i < n) { acc += vs.getDouble(i) * cw(i); i += 1 }
+      val d = sqs(j) - 2.0 * acc
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val cbRef = ctx.addReferenceObj("codebook", codebook, "double[][][]")
+      val sqRef = ctx.addReferenceObj("sq", sq, "double[][]")
+      val cws = ctx.freshName("cws")
+      val sqs = ctx.freshName("sqs")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val cw = ctx.freshName("cw")
+      s"""
+         |final double[][] $cws = $cbRef[$s];
+         |final double[] $sqs = $sqRef[$s];
+         |int $best = 0;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $j = 0; $j < $cws.length; $j++) {
+         |  final double[] $cw = $cws[$j];
+         |  double $acc = 0.0;
+         |  final int $n = java.lang.Math.min($a.numElements(), $cw.length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $cw[$i];
+         |  }
+         |  final double $d = $sqs[$j] - 2.0 * $acc;
+         |  if ($d < $bestD) { $bestD = $d; $best = $j; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCodeword =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Argmin codeword assignment against a RUNTIME packed codebook column
+  * (array<struct<cid:int, cs:array<double>>>, cid-sorted — the
+  * per-(cell, subspace) broadcastable form): returns the entry's cid
+  * minimizing |cs|² − 2·(vs·cs), first-wins on ties (= smallest cid).
+  * Null for an empty array. Same compact-loop/exact-IEEE rationale as
+  * [[NearestCodeword]]; |cs|² is recomputed per row with the sequential
+  * `dot(cs, cs)` fold. */
+case class NearestPackedCodeword(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_packed"
+  // null on an EMPTY codebook array even when both inputs are
+  // non-nullable — without this the generated `isNull = true` branch
+  // targets the literal `false` and the whole projection falls back to
+  // the interpreter
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vs = a.asInstanceOf[ArrayData]
+    val cbk = b.asInstanceOf[ArrayData]
+    val m = cbk.numElements()
+    if (m == 0) return null
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var bestCid = -1
+    var j = 0
+    while (j < m) {
+      val entry = cbk.getStruct(j, 2)
+      val cs = entry.getArray(1)
+      val n = math.min(vs.numElements(), cs.numElements())
+      var sq = 0.0
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val c = cs.getDouble(i)
+        sq += c * c
+        acc += vs.getDouble(i) * c
+        i += 1
+      }
+      val d = sq - 2.0 * acc
+      if (d < bestD) { bestD = d; bestCid = entry.getInt(0) }
+      j += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sq = ctx.freshName("sq")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val c = ctx.freshName("c")
+      val entry = ctx.freshName("entry")
+      val cs = ctx.freshName("cs")
+      val bestD = ctx.freshName("bestD")
+      val bestCid = ctx.freshName("bestCid")
+      s"""
+         |final int $m = $b.numElements();
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |int $bestCid = -1;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  final InternalRow $entry = $b.getStruct($j, 2);
+         |  final ArrayData $cs = $entry.getArray(1);
+         |  final int $n = java.lang.Math.min($a.numElements(), $cs.numElements());
+         |  double $sq = 0.0;
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $c = $cs.getDouble($i);
+         |    $sq += $c * $c;
+         |    $acc += $a.getDouble($i) * $c;
+         |  }
+         |  final double $d = $sq - 2.0 * $acc;
+         |  if ($d < $bestD) { $bestD = $d; $bestCid = $entry.getInt(0); }
+         |}
+         |if ($m == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $bestCid;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestPackedCodeword =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ADC partial sums for one (query, candidate) pair in a single
+  * generated loop: given the query vector `qe` (m·subDim doubles), the
+  * candidate's packed code word `code` (m ints, subspace order), and its
+  * cell's packed codebook `cbk` (array<struct<s, cid, cs, cc, csq>>
+  * sorted by (s, cid) — entry for (s, cid) at index s·kc + cid, kc =
+  * entries/m), return [Σ_s q_s·cs, Σ_s cc, Σ_s csq] — the three
+  * query-dependent/-independent sums of the exact ADC cosine
+  * decomposition. The s-ascending loop performs the identical
+  * written-order IEEE double fold as the pivoted fixed-column
+  * formulation it replaces, with ×m fewer candidate rows and no wide
+  * pivot aggregate. */
+case class AdcPartials(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_adc_partials"
+
+  override def nullSafeEval(qAny: Any, codeAny: Any, cbkAny: Any): Any = {
+    val qe = qAny.asInstanceOf[ArrayData]
+    val code = codeAny.asInstanceOf[ArrayData]
+    val cbk = cbkAny.asInstanceOf[ArrayData]
+    val m = code.numElements()
+    val kc = cbk.numElements() / m
+    val subDim = qe.numElements() / m
+    var sdot = 0.0
+    var scc = 0.0
+    var ssq = 0.0
+    var s = 0
+    while (s < m) {
+      val e = cbk.getStruct(s * kc + code.getInt(s), 5)
+      val cs = e.getArray(2)
+      var acc = 0.0
+      var i = 0
+      while (i < subDim) {
+        acc += qe.getDouble(s * subDim + i) * cs.getDouble(i)
+        i += 1
+      }
+      sdot += acc
+      scc += e.getDouble(3)
+      ssq += e.getDouble(4)
+      s += 1
+    }
+    ArrayData.toArrayData(Array(sdot, scc, ssq))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, code, cbk) => {
+      val m = ctx.freshName("m")
+      val kc = ctx.freshName("kc")
+      val subDim = ctx.freshName("subDim")
+      val sdot = ctx.freshName("sdot")
+      val scc = ctx.freshName("scc")
+      val ssq = ctx.freshName("ssq")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val e = ctx.freshName("e")
+      val cs = ctx.freshName("cs")
+      s"""
+         |final int $m = $code.numElements();
+         |final int $kc = $cbk.numElements() / $m;
+         |final int $subDim = $q.numElements() / $m;
+         |double $sdot = 0.0;
+         |double $scc = 0.0;
+         |double $ssq = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  final InternalRow $e =
+         |    $cbk.getStruct($s * $kc + $code.getInt($s), 5);
+         |  final ArrayData $cs = $e.getArray(2);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $subDim; $i++) {
+         |    $acc += $q.getDouble($s * $subDim + $i) * $cs.getDouble($i);
+         |  }
+         |  $sdot += $acc;
+         |  $scc += $e.getDouble(3);
+         |  $ssq += $e.getDouble(4);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  new double[] { $sdot, $scc, $ssq });
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): AdcPartials =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -370,53 +370,56 @@ object Similarity {
   def pqTrain(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val subDim = 64 / m
     val c = withNorm(corpus, idCol, vecCol)
     val ss = explode(array((0 until m).map(lit): _*)).as("s")
-    val sub = c.select(col("vec_id"), ss, col("e"))
+    val sub = c.select(ss, col("e"))
       .withColumn("vs", slice(col("e"), col("s") * subDim + 1, lit(subDim)))
-      .select("vec_id", "s", "vs")
+      .select("s", "vs")
       .persist(MEMORY_AND_DISK)
-    // seeds: the k smallest ids, densely re-numbered 0..k-1
-    val seedW = Window.orderBy("vec_id") // k rows — tiny presentation sort
-    val seeds = c.orderBy("vec_id").limit(k)
-      .withColumn("cid", row_number().over(seedW) - 1)
-    var cw = seeds.select(col("cid"), ss, col("e"))
-      .withColumn("cs", slice(col("e"), col("s") * subDim + 1, lit(subDim)))
-      .select("s", "cid", "cs")
+    // The codebook lives on the DRIVER between rounds (k·64 doubles —
+    // the spark.ml-KMeans shape): assignment is a row-local unrolled
+    // argmin against the LITERAL codewords (whole-stage codegen, no
+    // join, no shuffle), so each Lloyd round is exactly ONE job — the
+    // map-side-combined elementwise-mean pass, whose k·m·subDim result
+    // is the only thing crossing to the driver. Absent (s, cid, pos)
+    // rows are empty cells: the codeword keeps its previous value
+    // (deterministic; no resampling randomness).
+    // seeds: the k smallest-id corpus vectors
+    val seedVecs = c.orderBy("vec_id").limit(k).select("e")
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seedVecs.length == k, s"corpus has fewer than $k vectors")
+    val cb = Array.tabulate(m, k)((s, j) =>
+      seedVecs(j).slice(s * subDim, (s + 1) * subDim))
     for (_ <- 0 until iters) {
-      val scored = sub.join(broadcast(cw), Seq("s"))
-        .select(col("vec_id"), col("s"), col("cid"),
-          round(dot(col("cs"), col("cs")) -
-            lit(2.0) * dot(col("vs"), col("cs")), 6).as("d"))
-        .groupBy("vec_id", "s")
-        .agg(min(struct(col("d"), col("cid"))).getField("cid").as("cid"))
-      val means = sub.join(scored, Seq("vec_id", "s"))
-        .select(col("s"), col("cid"), posexplode(col("vs")).as(Seq("pos", "x")))
-        .groupBy("s", "cid", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("s", "cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("s"), col("cid"), expr("transform(pm, p -> p.m)").as("upd"))
-      val next = cw.join(means, Seq("s", "cid"), "left")
-        .select(col("s"), col("cid"), coalesce(col("upd"), col("cs")).as("cs"))
-        .persist(MEMORY_AND_DISK)
-      next.count() // materialize: flat lineage round to round
-      // release the superseded round's codewords — a long-lived session
-      // training many codebooks must not accumulate k·m rows per round
-      // (the first cw is seed-derived and never persisted; skip it)
-      if (cw.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        cw.unpersist(blocking = false)
-      cw = next
+      val cid = literalArgmin(col("vs"), col("s"), cb)
+      sub.select(col("s"), cid.as("cid"),
+          posexplode(col("vs")).as(Seq("pos", "x")))
+        .groupBy("s", "cid", "pos").agg(avg(col("x")).as("mu"))
+        .collect()
+        .foreach(r => cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
     }
-    sub.unpersist()
-    // NOTE: the FINAL round's cw stays cached — the returned plan reads
-    // it, and it is bounded (k·m codewords, not data-sized). It is
-    // LRU-evictable and freed by spark.catalog.clearCache().
+    sub.unpersist(blocking = false)
     // package the m per-subspace codebooks as k full-width vectors
-    cw.groupBy("cid")
-      .agg(array_sort(collect_list(struct(col("s"), col("cs")))).as("sc"))
-      .select(col("cid").cast("long").as(idCol),
-        expr("flatten(transform(sc, p -> p.cs))").as(vecCol))
+    // (a plain literal table — nothing stays cached)
+    (0 until k).map(j => (j.toLong, (0 until m).flatMap(s => cb(s)(j).toSeq)))
+      .toDF(idCol, vecCol)
+  }
+
+  /** Row-local argmin of `vs` against subspace `s` of a driver-resident
+    * codebook — the native [[graft.functions.NearestCodeword]] loop
+    * (an unrolled `least(struct(...))` here generates a method past the
+    * JIT threshold and drops to the bytecode interpreter). Identical
+    * distance math and smallest-cid tie-break as the join+`min(struct)`
+    * formulation it replaces, but zero joins and zero shuffles. */
+  private def literalArgmin(vs: Column, s: Column,
+      cb: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    // per-codeword |c|², same sequential fold order as dot(c, c)
+    val sq = cb.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+    column(graft.functions.NearestCodeword(expression(vs), expression(s), cb, sq))
   }
 
   /** Mean PQ reconstruction error (summed squared subspace residuals) of
@@ -478,17 +481,54 @@ object Similarity {
       k: Int = 16, iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sub = resSub(residuals(corpus, centroids, idCol, vecCol), m)
+      .persist(MEMORY_AND_DISK)
+    val cw = residualTrainFromSub(sub, m, k, iters)
+    sub.unpersist(blocking = false)
+    cw
+  }
+
+  /** Residual rows sliced into per-subspace rows: (vec_id, cell, s, vs). */
+  private def resSub(res: DataFrame, m: Int): DataFrame = {
     val subDim = 64 / m
-    val res = residuals(corpus, centroids, idCol, vecCol)
     val ss = explode(array((0 until m).map(lit): _*)).as("s")
-    val sub = res.select(col("vec_id"), col("cell"), ss, col("r"))
+    res.select(col("vec_id"), col("cell"), ss, col("r"))
       .withColumn("vs", slice(col("r"), col("s") * subDim + 1, lit(subDim)))
       .select("vec_id", "cell", "s", "vs")
-      .persist(MEMORY_AND_DISK)
+  }
+
+  /** Each (cell, s)'s codewords packed into ONE cid-sorted array row —
+    * the broadcastable form that turns assignment into a row-local
+    * unrolled argmin (no per-candidate row blowup, no assignment
+    * shuffle, and the means pass needs no join back because `vs` never
+    * leaves its row). */
+  private def packCodebook(cw: DataFrame): DataFrame =
+    cw.groupBy("cell", "s")
+      .agg(array_sort(collect_list(struct(col("cid"), col("cs")))).as("cbk"))
+
+  /** Row-local argmin of `vs` against a packed codeword array column —
+    * the native [[graft.functions.NearestPackedCodeword]] loop, handling
+    * cells with any codeword count. Identical distance math and
+    * smallest-cid tie-break as the join+`min(struct)` formulation it
+    * replaces. */
+  private def packedArgmin(vs: Column, cbk: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.functions.NearestPackedCodeword(expression(vs), expression(cbk)))
+  }
+
+  /** [[residualTrain]] body over an already-sliced (ideally persisted)
+    * residual-subspace table — the composed train-and-serve path shares
+    * one residual pass between training and encoding. Per Lloyd round:
+    * pack+broadcast the (cell, s, cid) codebook, row-local argmin, ONE
+    * map-side-combined (cell, s, cid, pos) mean shuffle — the corpus is
+    * never joined against candidate rows and never shuffled whole. */
+  private[graft] def residualTrainFromSub(sub: DataFrame, m: Int, k: Int,
+      iters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // per-cell seeds: k smallest member ids, densely renumbered 0..k-1
     // per cell via a bounded heap (never a per-cell corpus sort)
     val seedRows = graft.plans.TopK.perKey(
-        res.select(col("vec_id"), col("cell")),
+        sub.filter(col("s") === 0).select("vec_id", "cell"),
         Seq("cell"), Seq(col("vec_id")), k)
     val seedW = Window.partitionBy("cell").orderBy("vec_id") // ≤ k rows/cell
     val seeds = seedRows
@@ -496,13 +536,10 @@ object Similarity {
     var cw = seeds.join(sub, Seq("vec_id", "cell"))
       .select(col("cell"), col("s"), col("cid"), col("vs").as("cs"))
     for (_ <- 0 until iters) {
-      val cwj = cw.withColumn("sqc", dot(col("cs"), col("cs")))
-      val scored = sub.join(cwj, Seq("cell", "s"))
-        .select(col("vec_id"), col("cell"), col("s"), col("cid"),
-          round(col("sqc") - lit(2.0) * dot(col("vs"), col("cs")), 6).as("d"))
-        .groupBy("vec_id", "cell", "s")
-        .agg(min(struct(col("d"), col("cid"))).getField("cid").as("cid"))
-      val means = sub.join(scored, Seq("vec_id", "cell", "s"))
+      val assigned = sub.join(broadcast(packCodebook(cw)), Seq("cell", "s"))
+        .select(col("cell"), col("s"),
+          packedArgmin(col("vs"), col("cbk")).as("cid"), col("vs"))
+      val means = assigned
         .select(col("cell"), col("s"), col("cid"),
           posexplode(col("vs")).as(Seq("pos", "x")))
         .groupBy("cell", "s", "cid", "pos").agg(avg(col("x")).as("mu"))
@@ -519,26 +556,28 @@ object Similarity {
         cw.unpersist(blocking = false)
       cw = next
     }
-    sub.unpersist()
+    // NOTE: the FINAL round's cw stays cached — the returned plan reads
+    // it, and it is bounded (cells·k·m codewords, not data-sized).
     cw
   }
 
   /** Encode every corpus vector against its OWN cell's residual
-    * codebook: (vec_id, cell, s, cid). */
+    * codebook: (vec_id, cell, s, cid). Broadcast packed codebook +
+    * row-local argmin — a narrow map over the residual pass, no
+    * shuffle at all. */
   def residualEncode(corpus: DataFrame, centroids: DataFrame,
       resCodebook: DataFrame, m: Int = 8, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val subDim = 64 / m
-    val res = residuals(corpus, centroids, idCol, vecCol)
-    val ss = explode(array((0 until m).map(lit): _*)).as("s")
-    val sub = res.select(col("vec_id"), col("cell"), ss, col("r"))
-      .withColumn("vs", slice(col("r"), col("s") * subDim + 1, lit(subDim)))
-    val cwj = resCodebook.withColumn("sqc", dot(col("cs"), col("cs")))
-    sub.join(cwj, Seq("cell", "s"))
-      .select(col("vec_id"), col("cell"), col("s"), col("cid"),
-        round(col("sqc") - lit(2.0) * dot(col("vs"), col("cs")), 6).as("d"))
-      .groupBy("vec_id", "cell", "s")
-      .agg(min(struct(col("d"), col("cid"))).getField("cid").as("cid"))
+      vecCol: String = "embedding"): DataFrame =
+    residualEncodeFromSub(
+      resSub(residuals(corpus, centroids, idCol, vecCol), m), resCodebook)
+
+  private[graft] def residualEncodeFromSub(sub: DataFrame,
+      resCodebook: DataFrame): DataFrame = {
+    // unroll bound: the codebook's own max cid (tiny, usually cached)
+    val k = resCodebook.agg(max(col("cid"))).head().getInt(0) + 1
+    sub.join(broadcast(packCodebook(resCodebook)), Seq("cell", "s"))
+      .select(col("vec_id"), col("cell"), col("s"),
+        packedArgmin(col("vs"), col("cbk")).as("cid"))
   }
 
   /** Multi-probe IVFADC top-k: queries probe their `nProbe` nearest
@@ -560,17 +599,73 @@ object Similarity {
       centroids: DataFrame, resCodebook: DataFrame, nProbe: Int = 4,
       m: Int = 8, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    require(m == 8, "pivoted fold is written for m = 8")
+    val codes = residualEncodePacked(
+      resSub(residuals(corpus, centroids, idCol, vecCol), m), resCodebook)
+    scoreResidualCodes(codes, queries, centroids, resCodebook, nProbe, m, k,
+      idCol, vecCol)
+  }
+
+  /** Train-and-serve composition of the IVFADC+R ladder: the residual
+    * pass (coarse assignment + v − centroid(cell)) is computed ONCE and
+    * shared by codebook training and corpus encoding — the standalone
+    * [[residualTrain]] + [[residualEncode]] calls each recompute it.
+    * The encoded index is materialized (it IS the serving artifact — m
+    * small ints per vector) and the corpus-sized residual cache is
+    * dropped before query-time scoring. */
+  def ivfAdcResidualSearch(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, nProbe: Int = 4, m: Int = 8, codeK: Int = 16,
+      trainIters: Int = 2, k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sub = resSub(residuals(corpus, centroids, idCol, vecCol), m)
+      .persist(MEMORY_AND_DISK)
+    val cb = residualTrainFromSub(sub, m, codeK, trainIters)
+    val codes = residualEncodePacked(sub, cb).persist(MEMORY_AND_DISK)
+    codes.count()
+    sub.unpersist(blocking = false)
+    scoreResidualCodes(codes, queries, centroids, cb, nProbe, m, k,
+      idCol, vecCol)
+  }
+
+  /** (vec_id, cell, code): each vector's m codeword ids packed into one
+    * subspace-ordered array — the serving layout (FAISS-style code
+    * words): a candidate is ONE row however many subspaces the
+    * quantizer has. The 8-element sort/transform runs once per vector
+    * at index-build time, not in the query path. */
+  private[graft] def residualEncodePacked(sub: DataFrame,
+      resCodebook: DataFrame): DataFrame =
+    residualEncodeFromSub(sub, resCodebook)
+      .groupBy("vec_id", "cell")
+      .agg(expr("transform(array_sort(collect_list(struct(s, cid))), x -> x.cid)")
+        .as("code"))
+
+  /** Query-time multi-probe ADC scoring over a packed-code corpus (see
+    * [[ivfAdcResidualTopK]] for the cosine decomposition). Per-cell
+    * codebooks (with the query-independent `cc`/`csq` constants) pack
+    * into ONE broadcastable row each; a candidate is ONE (query,
+    * vector) row whose three decomposition sums come from a single
+    * native loop ([[graft.functions.AdcPartials]] — identical
+    * written-order IEEE fold as the pivoted fixed-column formulation it
+    * replaces, ×m fewer candidate rows, no wide pivot aggregate). */
+  private def scoreResidualCodes(codesPacked: DataFrame, queries: DataFrame,
+      centroids: DataFrame, resCodebook: DataFrame, nProbe: Int,
+      m: Int, k: Int, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val subDim = 64 / m
     val cent = withNorm(centroids, idCol, vecCol)
       .select(col("vec_id").as("cell"), col("e").as("ce"))
-    // query-independent codebook constants
-    val cbAug = resCodebook.join(broadcast(cent), "cell")
+    // per-cell packed codebook with query-independent constants;
+    // array_sort on (s, cid, ...) structs puts entry (s, cid) at index
+    // s·kc + cid — the layout AdcPartials indexes directly
+    val cbk = resCodebook.join(broadcast(cent), "cell")
       .select(col("cell"), col("s"), col("cid"), col("cs"),
         dot(slice(col("ce"), col("s") * subDim + 1, lit(subDim)), col("cs"))
           .as("cc"),
         dot(col("cs"), col("cs")).as("csq"))
-    val codes = residualEncode(corpus, centroids, resCodebook, m, idCol, vecCol)
+      .groupBy("cell")
+      .agg(array_sort(collect_list(
+        struct(col("s"), col("cid"), col("cs"), col("cc"), col("csq"))))
+        .as("cbk"))
     val probes = cellAssignments(queries, centroids, nProbe, idCol, vecCol)
       .select(col("vec_id").as("query_id"), col("cid").as("cell"),
         col("e").as("qe"), col("nrm").as("qn"))
@@ -578,33 +673,20 @@ object Similarity {
       .withColumn("qdotc", dot(col("qe"), col("ce")))
       .withColumn("cnsq", dot(col("ce"), col("ce")))
       .select("query_id", "cell", "qe", "qn", "qdotc", "cnsq")
-    // per-(query, probed cell) LUT rows: nProbe·m·k per query
-    val lut = probes
-      .select(col("query_id"), col("cell"), col("qe"),
-        explode(array((0 until m).map(lit): _*)).as("s"))
-      .withColumn("qs", slice(col("qe"), col("s") * subDim + 1, lit(subDim)))
-      .join(cbAug, Seq("cell", "s"))
-      .select(col("query_id"), col("cell"), col("s"), col("cid"),
-        dot(col("qs"), col("cs")).as("dq"), col("cc"), col("csq"))
     // candidates: probed cell members (each vector lives in ONE cell)
-    val joined = codes
-      .join(probes.select("query_id", "cell", "qn", "qdotc", "cnsq"), "cell")
+    val partials = column(graft.functions.AdcPartials(
+      expression(col("qe")), expression(col("code")), expression(col("cbk"))))
+    val scored = codesPacked
+      .join(probes, "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .join(lut, Seq("query_id", "cell", "s", "cid"))
-    def at(c: String, s: Int) = min(when(col("s") === s, col(c))).as(s"${c}$s")
-    val aggs = Seq(max(col("qn")).as("qn"), max(col("qdotc")).as("qdotc"),
-      max(col("cnsq")).as("cnsq")) ++
-      (0 until m).flatMap(s => Seq(at("dq", s), at("cc", s), at("csq", s)))
-    val terms = joined
-      .groupBy("query_id", "vec_id")
-      .agg(aggs.head, aggs.tail: _*)
-    val sdot = (0 until m).map(s => col(s"dq$s")).reduce(_ + _)
-    val scc = (0 until m).map(s => col(s"cc$s")).reduce(_ + _)
-    val ssq = (0 until m).map(s => col(s"csq$s")).reduce(_ + _)
-    val scored = terms.select(col("query_id"), col("vec_id").as("neighbor_id"),
-      round((col("qdotc") + sdot) /
-        (col("qn") * sqrt(col("cnsq") + lit(2.0) * scc + ssq)), 6)
-        .as("cosine"))
+      .join(broadcast(cbk), "cell")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qn"), col("qdotc"), col("cnsq"), partials.as("p"))
+      .select(col("query_id"), col("neighbor_id"),
+        round((col("qdotc") + col("p").getItem(0)) /
+          (col("qn") * sqrt(col("cnsq") + lit(2.0) * col("p").getItem(1) +
+            col("p").getItem(2))), 6)
+          .as("cosine"))
     rankTopK(scored, k)
   }
 

@@ -579,8 +579,8 @@ object TrainingData extends QueryPack {
   val annIvfAdcR = GraftQuery("ann_ivfadc_r", None) { (spark, dir) =>
     val embs = Tables.embeddings(spark, dir)
     val cents = embs.filter(col("vec_id") < 16)
-    Similarity.ivfAdcResidualTopK(embs, embs.filter(col("vec_id") < 10),
-      cents, Similarity.residualTrain(embs, cents))
+    Similarity.ivfAdcResidualSearch(embs, embs.filter(col("vec_id") < 10),
+      cents)
   }
 
   /** Hard-negative mining: top-5 wrong-label neighbors per query
