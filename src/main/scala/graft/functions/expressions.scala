@@ -553,3 +553,89 @@ case class AdcPartials(first: Expression, second: Expression,
       newSecond: Expression, newThird: Expression): AdcPartials =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
+
+/** Greedy BPE merge application over a token array (the ENCODE side of
+  * the tokenizer-induction story — [[graft.ops.TextAnalysis.bpeMerges]]
+  * learns the merge table, this applies it). Standard BPE semantics:
+  * merges apply SEQUENTIALLY in priority order, each as one
+  * left-to-right non-overlapping pass ("x x x" under merge (x,x) →
+  * ["x x", "x"], never the overlapping middle pair), and a merged token
+  * is a first-class token for later merges (chaining: ("a b", c) can
+  * reference the output of (a, b)). The sequential priority fold is why
+  * this op has no SQL oracle: the oracle engine's list_reduce has no
+  * initial-value/list-accumulator form (DuckDB 1.0), so the operator is
+  * rows-only-gated with a spec-level reference-implementation parity
+  * check instead.
+  *
+  * The per-row loop is a static JVM method invoked from generated code
+  * (like Spark's own regexp machinery): the projection stays inside
+  * whole-stage codegen — no `CodegenFallback`, no interpreted
+  * higher-order functions — while the merge scan itself runs as
+  * JIT-compiled bytecode. Cost per row: O(tokens × merges) worst case,
+  * with an early subset guard per merge pass.
+  */
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_apply"
+
+  // driver-built UTF8String merge table, serialized with the expression
+  @transient private lazy val table: BpeApply.MergeTable =
+    BpeApply.MergeTable(
+      merges.map(m => UTF8String.fromString(m._1)).toArray,
+      merges.map(m => UTF8String.fromString(m._2)).toArray,
+      merges.map(m => UTF8String.fromString(m._1 + " " + m._2)).toArray)
+
+  override def nullSafeEval(a: Any): Any =
+    BpeApply.encode(a.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tbl = ctx.addReferenceObj("mergeTable", table,
+        classOf[BpeApply.MergeTable].getName)
+      s"${ev.value} = graft.functions.BpeApply.encode($a, $tbl);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApply =
+    copy(child = newChild)
+}
+
+object BpeApply {
+  /** Priority-ordered merge table in UTF8String form (t1, t2, merged =
+    * "t1 t2"), built once on the driver and shipped with the plan. */
+  final case class MergeTable(t1: Array[UTF8String], t2: Array[UTF8String],
+      merged: Array[UTF8String])
+
+  /** One sequential pass per merge, left-to-right non-overlapping;
+    * in-place array reuse between passes (the token count only ever
+    * shrinks). Static so generated code calls straight into JIT'd
+    * bytecode. */
+  def encode(tokens: ArrayData, tbl: MergeTable): ArrayData = {
+    var n = tokens.numElements()
+    if (n < 2 || tbl.t1.length == 0) return tokens
+    val buf = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { buf(i) = tokens.getUTF8String(i); i += 1 }
+    var m = 0
+    while (m < tbl.t1.length) {
+      val a = tbl.t1(m); val b = tbl.t2(m); val ab = tbl.merged(m)
+      var r = 0 // read
+      var w = 0 // write
+      while (r < n) {
+        if (r + 1 < n && buf(r) == a && buf(r + 1) == b) {
+          buf(w) = ab; r += 2
+        } else {
+          buf(w) = buf(r); r += 1
+        }
+        w += 1
+      }
+      n = w
+      m += 1
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = buf(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral/event analytics: cohort retention and ordered funnels.
+  * The product-analytics layer the reference's dashboard queries
+  * (dashboard/streamlit_app.py:54-91 — counts + recency) grow into.
+  *
+  * Scale shape: every per-user stage is a groupBy or equi-join keyed on
+  * the user column, so one hash partitioning of the fact table serves
+  * the whole pipeline (Catalyst reuses the exchange); event-type
+  * predicates push to the scan; post-aggregate outputs (cohort ×
+  * offset matrix, stage table) are tiny presentation sets.
+  */
+object Behavior {
+
+  /** Weekly cohort retention matrix. Users are cohorted by their
+    * first-ever event day; week-N retention of a cohort = distinct
+    * users with any event in days [7N, 7N+7) after their OWN first day,
+    * over cohort size. All bucketing is integer day math (epoch-anchored
+    * week index + floor division) — no calendar-week localization, no
+    * engine differences; the single float is one IEEE division rounded
+    * at the edge. Cohort size is read off the matrix's own offset-0 row
+    * (every user is active in their own week 0 by construction) — no
+    * second pass over the fact table.
+    *
+    * Output: (cohort_week, week_offset, n_active, cohort_size,
+    * retention), one row per non-empty cell.
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", anchor: String = "2024-01-01"): DataFrame = {
+    val first = events.groupBy(userCol)
+      .agg(min(to_date(col(tsCol))).as("first_day"))
+    val active = events.select(col(userCol), to_date(col(tsCol)).as("d"))
+      .join(first, userCol)
+      .select(col(userCol),
+        floor(datediff(col("first_day"), lit(anchor).cast("date")) / 7.0)
+          .as("cohort_week"),
+        floor(datediff(col("d"), col("first_day")) / 7.0).as("week_offset"))
+      .distinct()
+    val cells = active.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+  }
+
+  /** Ordered funnel over typed events: a user reaches stage k+1 only
+    * with a `steps(k)` event STRICTLY AFTER their stage-k time
+    * (first-touch attribution — stage 2 is the first `steps(1)` after
+    * the FIRST `steps(0)`, not after any). Monotone by construction:
+    * stage k+1 users ⊆ stage k users. Per-stage user counts plus
+    * step-over-step and overall conversion; the conversion windows run
+    * over the |steps|-row stage table, never the fact.
+    *
+    * Output: (stage, step, n_users, conv_overall, conv_step), one row
+    * per step in order.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      typeCol: String = "event_type", userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // fold: qualified(k) = per-user first qualifying time of step k
+    val qualified: Seq[DataFrame] = steps.zipWithIndex
+      .foldLeft(Vector.empty[DataFrame]) { case (acc, (step, i)) =>
+        val base = events.filter(col(typeCol) === step)
+          .select(col(userCol), col(tsCol).as("t"))
+        val staged =
+          if (i == 0) base
+          else base.join(acc.last.select(col(userCol), col("t").as("prev_t")),
+              Seq(userCol))
+            .filter(col("t") > col("prev_t"))
+            .select(col(userCol), col("t"))
+        acc :+ staged.groupBy(userCol).agg(min("t").as("t"))
+      }
+    def cnt(stage: Int, step: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(stage).as("stage"), lit(step).as("step"), col("n_users"))
+    val n = steps.zip(qualified).zipWithIndex
+      .map { case ((step, df), i) => cnt(i + 1, step, df) }
+      .reduce(_.unionByName(_))
+    val w = Window.orderBy("stage") // |steps|-row table — presentation window
+    n.select(col("stage"), col("step"), col("n_users"),
+        round(col("n_users") /
+          first(col("n_users")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"), 6).as("conv_overall"),
+        round(col("n_users") /
+          coalesce(lag(col("n_users"), 1).over(w), col("n_users"))
+            .cast("double"), 6).as("conv_step"))
+  }
+}

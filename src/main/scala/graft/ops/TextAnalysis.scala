@@ -305,6 +305,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Apply a learned merge table to every document — the ENCODE side of
+    * the [[bpeMerges]] tokenizer-induction story, and the missing piece
+    * between "count merge candidates" and "how many tokens does this
+    * corpus cost after tokenization". Standard BPE semantics via the
+    * native [[graft.functions.BpeApply]] loop (sequential priority
+    * order, left-to-right non-overlapping, merged tokens chainable);
+    * per-doc before/after token counts and the compression ratio (one
+    * IEEE division rounded at the edge). The merge table is a bounded
+    * driver-side list (k merges — tokenizer-sized, not data-sized),
+    * shipped with the plan like a broadcast literal; the scan stays a
+    * narrow single pass, no shuffle at all. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val applied = column(graft.functions.BpeApply(
+      expression(tokens(col(textCol))), merges))
+    docs.select(col(idCol), tokens(col(textCol)).as("tk"),
+        applied.as("enc"))
+      .select(col(idCol), size(col("tk")).cast("long").as("n_tokens"),
+        size(col("enc")).cast("long").as("n_bpe_tokens"))
+      .withColumn("n_merged", col("n_tokens") - col("n_bpe_tokens"))
+      .withColumn("ratio",
+        round(col("n_bpe_tokens") /
+          when(col("n_tokens") === 0, 1L).otherwise(col("n_tokens"))
+            .cast("double"), 6))
+  }
+
   /** Document fingerprint: bottom-k sketch of the 60-bit hashes of the
     * document's 3-word shingles (a winnowing-style content signature —
     * two documents sharing most shingles share most of the sketch).

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+
+/** SURVEY.md §2.9 — behavioral/event analytics over the `events` stream
+  * table: cohort retention and ordered funnel conversion
+  * ([[graft.ops.Behavior]]). The product-analytics queries the
+  * reference's dashboard lane (dashboard/streamlit_app.py:54-91 —
+  * counts and recency) grows into.
+  */
+object Behavior extends QueryPack {
+
+  /** Weekly cohort retention matrix — see
+    * [[graft.ops.Behavior.cohortRetention]]. */
+  val q38 = GraftQuery(
+    "q38_retention",
+    Some("""
+      WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+                 FROM events GROUP BY user_id),
+      a AS (SELECT DISTINCT e.user_id,
+              CAST(FLOOR(datediff('day', DATE '2024-01-01', f.first_day) / 7.0) AS BIGINT) AS cohort_week,
+              CAST(FLOOR(datediff('day', f.first_day, CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset
+            FROM events e JOIN f ON e.user_id = f.user_id),
+      c AS (SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+            FROM a GROUP BY cohort_week, week_offset),
+      s AS (SELECT cohort_week, n_active AS cohort_size FROM c WHERE week_offset = 0)
+      SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+        CAST(ROUND(c.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS DOUBLE) AS retention
+      FROM c JOIN s ON c.cohort_week = s.cohort_week
+      ORDER BY c.cohort_week, c.week_offset""".stripMargin.trim)) { (spark, dir) =>
+    graft.ops.Behavior.cohortRetention(Tables.events(spark, dir))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Ordered funnel view → click → purchase — see
+    * [[graft.ops.Behavior.funnel]]. */
+  val q39 = GraftQuery(
+    "q39_funnel",
+    Some("""
+      WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+            JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+            JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+      n AS (SELECT 1 AS stage, 'view' AS step,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_users
+        UNION ALL SELECT 2, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+        UNION ALL SELECT 3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM p))
+      SELECT stage, step, n_users,
+        CAST(ROUND(n_users / CAST(FIRST_VALUE(n_users) OVER (ORDER BY stage) AS DOUBLE), 6) AS DOUBLE) AS conv_overall,
+        CAST(ROUND(n_users / CAST(LAG(n_users, 1, n_users) OVER (ORDER BY stage) AS DOUBLE), 6) AS DOUBLE) AS conv_step
+      FROM n ORDER BY stage""".stripMargin.trim)) { (spark, dir) =>
+    graft.ops.Behavior.funnel(Tables.events(spark, dir),
+        Seq("view", "click", "purchase"))
+      .orderBy("stage")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q38, q39)
+}

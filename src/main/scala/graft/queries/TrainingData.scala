@@ -556,6 +556,23 @@ object TrainingData extends QueryPack {
     TextAnalysis.bpeMerges(Tables.documents(spark, dir))
   }
 
+  /** BPE ENCODE with the corpus's own learned merge table: train top-20
+    * merges ([[graft.ops.TextAnalysis.bpeMerges]] — the collect is the
+    * tokenizer artifact, 20 rows, bounded by construction), apply them
+    * to every document with the native sequential-priority loop, report
+    * per-doc token cost before/after. Rows-only by design: the
+    * sequential merge fold (priority order, left-to-right
+    * non-overlapping, chainable merged tokens) has no initial-value
+    * fold in the oracle engine's SQL subset (DuckDB 1.0 `list_reduce`);
+    * correctness is spec-gated against an independent reference
+    * implementation (TrainingDataSpec). */
+  val textBpeEncode = GraftQuery("text_bpe_encode", None) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val merges = TextAnalysis.bpeMerges(docs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id")
+  }
+
   /** PQ with a TRAINED codebook (per-subspace Lloyd, m independent
     * codebooks — real product quantization rather than the fixed
     * deterministic codebook of ann_pq). Rows-only by design like
@@ -1026,7 +1043,8 @@ object TrainingData extends QueryPack {
     fuzzyVocab, vocabStats,
     langId, quality, tokensQ, fingerprintQ, textPii, textClean,
     textRepetition, textContamination, textTfidf, textSurprisal,
-    textBm25, textInvertedIndex, textBpeMerges, textRepeatedSpans,
+    textBm25, textInvertedIndex, textBpeMerges, textBpeEncode,
+    textRepeatedSpans,
     textHeavyHitters, pipelineFeatures,
     dataQuota, dataMix, dataCurriculum, dataEpochShuffle,
     dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.Behavior
+
+class BehaviorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("cohortRetention: cohorts by own first day, integer week buckets") {
+    // cohort A (week 0 of anchor): u1 active weeks 0,1; u2 week 0 only.
+    // cohort B (week 1 of anchor): u3 active weeks 0,2 — and u3's day-13
+    // event is still that user's week 1 (12 days after THEIR first day).
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-09 10:00:00")),
+      (2L, t("2024-01-02 10:00:00")),
+      (3L, t("2024-01-08 10:00:00")), (3L, t("2024-01-20 10:00:00")),
+      (3L, t("2024-01-21 23:00:00"))
+    ).toDF("user_id", "ts")
+    val r = Behavior.cohortRetention(ev)
+      .orderBy("cohort_week", "week_offset").collect()
+    val rows = r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getLong(3), x.getDouble(4))).toSeq
+    assert(rows == Seq(
+      (0L, 0L, 2L, 2L, 1.0),   // u1+u2 in week 0
+      (0L, 1L, 1L, 2L, 0.5),   // only u1 returns
+      (1L, 0L, 1L, 1L, 1.0),   // u3's own week 0
+      (1L, 1L, 1L, 1L, 1.0)))  // u3 day 12 AND 13 → one week-1 cell
+  }
+
+  test("funnel: strictly-after ordering, first-touch attribution, monotone") {
+    val ev = Seq(
+      // u1 completes in order: view < click < purchase
+      (1L, "view", t("2024-01-01 10:00:00")),
+      (1L, "click", t("2024-01-01 10:05:00")),
+      (1L, "purchase", t("2024-01-01 10:10:00")),
+      // u2: click BEFORE first view — not a stage-2 conversion; the
+      // purchase after the view without a qualifying click doesn't count
+      (2L, "click", t("2024-01-01 09:00:00")),
+      (2L, "view", t("2024-01-01 10:00:00")),
+      (2L, "purchase", t("2024-01-01 11:00:00")),
+      // u3: view then click, no purchase
+      (3L, "view", t("2024-01-01 08:00:00")),
+      (3L, "click", t("2024-01-01 08:30:00")),
+      // u4: purchase only — never enters the funnel
+      (4L, "purchase", t("2024-01-01 07:00:00")),
+      // u5: first-touch trap — purchase sits between first view and
+      // first qualifying click, so it must NOT count (strictly after
+      // the stage-2 time)
+      (5L, "view", t("2024-01-01 10:00:00")),
+      (5L, "purchase", t("2024-01-01 10:30:00")),
+      (5L, "click", t("2024-01-01 11:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Behavior.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("stage").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(4L, 3L, 1L)) // views, clicks, purchases
+    assert(r.map(_.getString(1)).toSeq == Seq("view", "click", "purchase"))
+    assert(r(0).getDouble(3) == 1.0 && r(0).getDouble(4) == 1.0)
+    assert(r(1).getDouble(4) == 0.75)          // 3/4 step conversion
+    assert(r(2).getDouble(3) == 0.25)          // 1/4 overall
+    assert(math.abs(r(2).getDouble(4) - 0.333333) < 1e-9) // 1/3 step, round 6
+  }
+
+  test("funnel is monotone on real data and retention week0 is 1.0") {
+    val ev = Tables.events(spark, sfDir)
+    val f = Behavior.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("stage").collect()
+    assert(f.map(_.getLong(2)).toSeq.reverse.sorted.sameElements(
+      f.map(_.getLong(2)).toSeq.reverse))
+    val ret = Behavior.cohortRetention(ev).collect()
+    assert(ret.filter(_.getLong(1) == 0L).forall(_.getDouble(4) == 1.0))
+    assert(ret.forall(r => r.getLong(2) <= r.getLong(3)))
+  }
+}

@@ -958,4 +958,74 @@ class TrainingDataSpec extends SparkTestBase {
     val plan = e1.queryExecution.executedPlan.toString
     assert(plan.contains("windowspecdefinition(__pid"), plan)
   }
+
+  // independent reference implementation of sequential-priority BPE:
+  // for each merge in order, one left-to-right non-overlapping pass
+  private def bpeRef(toks: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(toks) { case (cur, (a, b)) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < cur.length) {
+        if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+          out += (a + " " + b); i += 2
+        } else { out += cur(i); i += 1 }
+      }
+      out.toSeq
+    }
+
+  test("bpeEncode: priority order, overlap, chaining — matches reference") {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import graft.functions.{BpeApply, Hashing}
+    def enc(text: String, merges: Seq[(String, String)]): Seq[String] = {
+      val df = Seq(text).toDF("text")
+      df.select(column(BpeApply(
+          expression(Hashing.tokens(col("text"))), merges)).as("e"))
+        .head().getSeq[String](0)
+    }
+    // overlap: "x x x" under (x,x) merges the FIRST pair only
+    assert(enc("x x x", Seq(("x", "x"))) == Seq("x x", "x"))
+    // priority: (b,c) outranks (a,b) — "a b c" must become a | b c
+    assert(enc("a b c", Seq(("b", "c"), ("a", "b"))) == Seq("a", "b c"))
+    // chaining: a later merge can reference an earlier merged token
+    assert(enc("a b c", Seq(("a", "b"), ("a b", "c"))) == Seq("a b c"))
+    // no merge applicable → unchanged
+    assert(enc("p q r", Seq(("x", "y"))) == Seq("p", "q", "r"))
+    // randomized-ish corpus parity against the reference implementation
+    val merges = Seq(("the", "dog"), ("dog", "dog"), ("the", "the"),
+      ("the dog", "barks"))
+    val texts = Seq(
+      "the dog barks at the dog dog dog",
+      "the the the dog barks",
+      "dog dog dog dog",
+      "the dog barks the dog barks the dog barks",
+      "a b the dog")
+    for (t <- texts)
+      assert(enc(t, merges) == bpeRef(t.split("\\s+").toSeq, merges), t)
+  }
+
+  test("bpeEncode: counts conserve and the query path runs on real docs") {
+    val d = Tables.documents(spark, sfDir)
+    val merges = graft.ops.TextAnalysis.bpeMerges(d).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(merges.length <= 20 && merges.nonEmpty)
+    val e = graft.ops.TextAnalysis.bpeEncode(d, merges)
+    val rows = e.collect()
+    assert(rows.length == d.count())
+    // n_merged = tokens removed; each merge application removes exactly 1
+    assert(rows.forall(r => r.getAs[Long]("n_merged") ==
+      r.getAs[Long]("n_tokens") - r.getAs[Long]("n_bpe_tokens")))
+    assert(rows.forall(r => r.getAs[Long]("n_bpe_tokens") >= 1 ||
+      r.getAs[Long]("n_tokens") == 0))
+    // the learned top-1 merge must actually fire somewhere in the corpus
+    assert(rows.map(_.getAs[Long]("n_merged")).sum > 0)
+    // spot-check three docs against the reference implementation
+    val sample = d.orderBy("doc_id").limit(3).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("n_bpe_tokens")).toMap
+    for (r <- sample) {
+      val toks = r.getAs[String]("text").trim.split("\\s+")
+        .filter(_.nonEmpty).toSeq
+      assert(byId(r.getAs[Long]("doc_id")) == bpeRef(toks, merges).length)
+    }
+  }
 }
