@@ -639,3 +639,59 @@ object BpeApply {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** The AllPairs/PPJoin PREFIX of a string array under the engine's
+  * global 60-bit-hash order, in one native call: the `plen` elements
+  * with the smallest (hash60(g), g) — the only shingles that need to
+  * enter prefix-filtered candidate generation
+  * ([[graft.ops.Dedup.ngramJaccardPrefix]]). Computing the prefix as a
+  * narrow per-row selection (instead of explode → doc-keyed window
+  * rank) keeps the operator at ONE shuffle total — the candidate join
+  * itself. Ties on the hash break by the string, so the prefix is a
+  * total-order slice — deterministic across runs and partitionings. */
+case class PrefixByHash(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_prefix_by_hash"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PrefixByHash.prefix(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PrefixByHash.prefix($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PrefixByHash =
+    copy(left = newLeft, right = newRight)
+}
+
+object PrefixByHash {
+  /** plen smallest elements by (hash60, value); static so generated
+    * code calls straight into JIT'd bytecode. */
+  def prefix(s: ArrayData, plen: Int): ArrayData = {
+    val n = s.numElements()
+    if (plen <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    if (plen >= n) return s
+    val elems = new Array[UTF8String](n)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      elems(i) = s.getUTF8String(i)
+      hs(i) = StableHash60.hash(elems(i))
+      i += 1
+    }
+    val idx = Array.range(0, n)
+    // full sort: documents are small (n ≤ a few hundred shingles);
+    // a partial selection would save little here
+    val ordered = idx.sortWith { (x, y) =>
+      if (hs(x) != hs(y)) hs(x) < hs(y)
+      else elems(x).compareTo(elems(y)) < 0
+    }
+    val out = new Array[Any](plen)
+    i = 0
+    while (i < plen) { out(i) = elems(ordered(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

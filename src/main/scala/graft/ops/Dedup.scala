@@ -119,6 +119,47 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Prefix-filtered n-gram Jaccard (AllPairs/PPJoin candidate
+    * generation — Bayardo, Ma & Srikant, WWW 2007): IDENTICAL result to
+    * [[ngramJaccard]], strictly fewer candidate pairs. Under any fixed
+    * global shingle order, two sets with Jaccard ≥ t must share an
+    * element within their first |X| − ⌈t·|X|⌉ + 1 shingles (if the
+    * smallest shared shingle sat past A's prefix, A would hold ≥
+    * |A| − ⌈t|A|⌉ + 1 unshared shingles, forcing |A∩B| ≤ ⌈t|A|⌉ − 1 <
+    * ⌈t|A|⌉ ≤ |A∩B|) — so the candidate join explodes only PREFIXES:
+    * at t = 0.5 roughly half the shingle rows, and pairs overlapping
+    * only outside both prefixes never become candidates at all.
+    *
+    * Global order = 60-bit shingle hash (engine-stable, no extra corpus
+    * pass; frequency-ascending order — classic AllPairs — prunes more
+    * but costs a DF count). The prefix is a NARROW per-row selection
+    * (native [[graft.functions.PrefixByHash]] — the plen hash-smallest
+    * shingles straight off the shingle array), so the operator keeps
+    * the family's one-shuffle contract: the candidate join is the only
+    * exchange. Verification is the shared exact [[verifyJaccard]] over
+    * full shingle sets on the REDUCED candidate set — per-pair work
+    * only where a prefix collision exists. Threshold equality is
+    * exact: Jaccard here is a rational with denominator ≤ |A|+|B|, so
+    * at document-sized sets no pair can round across the 6-decimal
+    * edge the verify filter uses.
+    */
+  def ngramJaccardPrefix(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val sh = shingleSets(docs, idCol, textCol)
+    val pfxLen = (size(col("s")) - ceil(lit(threshold) * size(col("s"))) + 1)
+      .cast("int")
+    val prefix = sh.select(col("doc_id"),
+        explode(column(graft.functions.PrefixByHash(
+          expression(col("s")), expression(pfxLen)))).as("g"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Asymmetric near-dup detection by shingle CONTAINMENT
     * (|A∩B| / min(|A|,|B|), with both directions reported): a document
     * pasted inside a larger one has LOW Jaccard (the union is big) but

@@ -112,6 +112,25 @@ object TrainingData extends QueryPack {
     Dedup.ngramJaccard(Tables.documents(spark, dir))
   }
 
+  /** Prefix-filtered Jaccard (AllPairs/PPJoin candidate generation):
+    * IDENTICAL output contract to `dedup_ngram_jaccard` — the oracle is
+    * the same full-join formulation, which is exactly the point: the
+    * prefix filter is a pure candidate-pruning optimization whose
+    * correctness (no false negatives) the oracle gate proves. See
+    * [[graft.ops.Dedup.ngramJaccardPrefix]]. */
+  val dedupNgramPrefix = GraftQuery(
+    "dedup_ngram_prefix",
+    Some(s"""
+      WITH $SH,
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+      j AS (SELECT id_a, id_b,
+         ROUND(len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
+       FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+      SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".trim)) { (spark, dir) =>
+    Dedup.ngramJaccardPrefix(Tables.documents(spark, dir))
+  }
+
   /** Asymmetric containment near-dups: subset/quote duplication that
     * Jaccard misses (low union overlap, high one-sided overlap). */
   val dedupContainment = GraftQuery(
@@ -1047,7 +1066,7 @@ object TrainingData extends QueryPack {
     textRepeatedSpans,
     textHeavyHitters, pipelineFeatures,
     dataQuota, dataMix, dataCurriculum, dataEpochShuffle,
-    dedupExact, dedupNgram, dedupNgramCapped, dedupContainment,
+    dedupExact, dedupNgram, dedupNgramPrefix, dedupNgramCapped, dedupContainment,
     dedupContainmentCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding, dedupSemantic,
     dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,

@@ -123,6 +123,36 @@ class TrainingDataSpec extends SparkTestBase {
     }
   }
 
+  test("ngramJaccardPrefix equals the full-join variant exactly") {
+    // planted near-dups at several overlap levels straddling t = 0.5,
+    // plus unrelated docs — prefix filtering must drop candidates, not
+    // results
+    val d = docs(
+      (Seq(
+        1L -> baseWords.mkString(" "),
+        2L -> perturbed(20),            // high-Jaccard pair with 1
+        3L -> perturbed(5),             // and with each other
+        4L -> (baseWords.take(20) ++ (1 to 20).map(i => s"z$i")).mkString(" "),
+        5L -> (200 to 240).map(i => s"w$i").mkString(" ")) ++
+        (10L to 29L).map(i =>
+          i -> (0 to 35).map(j => s"d${i}t$j").mkString(" "))): _*)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val full = Dedup.ngramJaccard(d, threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pfx = Dedup.ngramJaccardPrefix(d, threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pfx == full, s"threshold $t")
+      if (t == 0.5) assert(full.exists(_._1 == 1L))
+    }
+    // and on the real sf0.001 corpus
+    val real = Tables.documents(spark, sfDir)
+    val fullR = Dedup.ngramJaccard(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pfxR = Dedup.ngramJaccardPrefix(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pfxR == fullR)
+  }
+
   test("ngramContainment flags a quoted/pasted subset that Jaccard " +
       "misses, and reports both directions") {
     val small = (1 to 10).map(i => s"w$i").mkString(" ")
