@@ -208,6 +208,42 @@ object Extended extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  /** Interval-overlap join ([[graft.ops.BandJoin.intervalOverlapJoin]]):
+    * shipping windows [shipdate, shipdate + (qty mod 30) + 1 days] from
+    * two disjoint lineitem subsets, all overlapping cross pairs with
+    * overlap length. The oracle is the naive inequality join (per-pair
+    * quadratic — viable in DuckDB at sf0.01, which is why the
+    * cell-bucketed engine op exists); integer day coordinates anchored
+    * at 1992-01-01 on both sides. */
+  val q40 = GraftQuery(
+    "q40_interval_join",
+    Some("""
+      WITH iv AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+          datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS s,
+          datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+            + (CAST(l_quantity AS INT) % 30) + 1 AS e,
+          l_orderkey AS k FROM lineitem),
+      a AS (SELECT id AS id_a, s AS sa, e AS ea FROM iv WHERE k % 97 = 0),
+      b AS (SELECT id AS id_b, s AS sb, e AS eb FROM iv WHERE k % 89 = 1)
+      SELECT id_a, id_b,
+        CAST(LEAST(ea, eb) - GREATEST(sa, sb) + 1 AS BIGINT) AS overlap
+      FROM a JOIN b ON sa <= eb AND sb <= ea
+      ORDER BY id_a, id_b, overlap""".stripMargin.trim)) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        datediff(col("l_shipdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("s"),
+        col("l_orderkey").as("k"), col("l_quantity").cast("int").as("q"))
+      .withColumn("e", col("s") + (col("q") % 30) + 1)
+    val a = li.filter(col("k") % 97 === 0)
+    val b = li.filter(col("k") % 89 === 1)
+    graft.ops.BandJoin.intervalOverlapJoin(a, b)
+      .select(col("id_a"), col("id_b"), col("overlap").cast("long").as("overlap"))
+      // the synthetic lineitem carries duplicate (orderkey, linenumber)
+      // rows, so (id_a, id_b) can tie — overlap completes the sort key
+      .orderBy("id_a", "id_b", "overlap")
+  }
+
   /** Full MERGE / CDC apply: a deterministic change log derived from
     * orders (updates, deletes, inserts, and a later change overriding an
     * earlier delete) applied via [[graft.ops.Merge]]; the oracle is the
@@ -303,5 +339,6 @@ object Extended extends QueryPack {
       .orderBy("jt")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q13, q14, q15, q36, q37, curation, q31, q33, q35)
+  override def all: Seq[GraftQuery] =
+    Seq(q13, q14, q15, q36, q37, q40, curation, q31, q33, q35)
 }

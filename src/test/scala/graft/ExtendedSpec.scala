@@ -34,6 +34,34 @@ class ExtendedSpec extends SparkTestBase {
     assert(r(3).getAs[Timestamp]("qts") == t("2026-01-01 11:00:00"))
   }
 
+  test("intervalOverlapJoin: exactly-once across cells, endpoints inclusive") {
+    val a = Seq((1L, 0L, 100L),    // spans 4 cells at W=32
+      (2L, 50L, 55L), (3L, 200L, 210L)).toDF("id", "s", "e")
+    val b = Seq((10L, 90L, 130L),  // overlaps 1 across a cell boundary
+      (11L, 55L, 60L),             // touches 2 at exactly one day
+      (12L, 300L, 310L),           // disjoint from everything
+      (13L, 40L, 45L)              // nested inside 1
+    ).toDF("id", "s", "e")
+    val r = graft.ops.BandJoin.intervalOverlapJoin(a, b)
+      .orderBy("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 10L, 11L), (1L, 11L, 6L), (1L, 13L, 6L),
+      (2L, 11L, 1L)))
+    // parity with the naive formulation on a denser random-ish set
+    val xs = (1L to 80L).map(i => (i, i * 7 % 200, i * 7 % 200 + i % 40))
+      .toDF("id", "s", "e")
+    val ys = (101L to 180L).map(i => (i, i * 11 % 200, i * 11 % 200 + i % 25))
+      .toDF("id", "s", "e")
+    val fast = graft.ops.BandJoin.intervalOverlapJoin(xs, ys, cellWidth = 16)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val naive = xs.as("a").join(ys.as("b"),
+        col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.id"), col("b.id"),
+        (least(col("a.e"), col("b.e")) - greatest(col("a.s"), col("b.s")) + 1))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
+
   test("saltedInner equals the plain join and replicates the small side") {
     // one pathological hot key (0) plus normal keys
     val big = (1 to 10000).map(i => (if (i % 2 == 0) 0L else i.toLong % 50, i))
