@@ -81,7 +81,11 @@ object Stress100 {
       }
     }
 
+    // optional comma-separated op filter for focused local iteration
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def time(name: String, f: Int)(action: => Long): Double = {
+      if (!only.forall(_.contains(name))) return -1.0
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = action
@@ -123,9 +127,25 @@ object Stress100 {
       results(("semantic_dedup", f)) = time("semantic_dedup", f) {
         ops.Dedup.semanticDedup(embsF, centsF).count()
       }
+      // prefix-filtered Jaccard: same output as the full shingle join,
+      // candidate join bounded by prefix collisions — the pruning is
+      // exactly what must hold up when the corpus (and its boilerplate)
+      // scales
+      results(("ngram_prefix", f)) = time("ngram_prefix", f) {
+        ops.Dedup.ngramJaccardPrefix(docsF).count()
+      }
+      // composed residual-ADC search: train + encode share one residual
+      // pass; with k ∝ N cells the per-cell codebooks multiply while
+      // members-per-cell stay flat — the train shuffle is (cells·m·k)
+      // state, the serve join stays probe-bounded
+      results(("ivfadc_r", f)) = time("ivfadc_r", f) {
+        ops.Similarity.ivfAdcResidualSearch(embsF, queries, centsF,
+          trainIters = 1).count()
+      }
     }
     for (op <- Seq("minhash_lsh", "ivfpq_k_scaled", "ivfpq_k_fixed",
-        "semantic_dedup")) {
+        "semantic_dedup", "ngram_prefix", "ivfadc_r")
+        if only.forall(_.contains(op))) {
       val r10 = results((op, 100)) / results((op, 10))
       val r1 = results((op, 100)) / results((op, 1))
       println(f"LINEARITY $op%-16s t(100x)/t(10x)=$r10%7.2f  " +

@@ -640,58 +640,88 @@ object BpeApply {
   }
 }
 
-/** The AllPairs/PPJoin PREFIX of a string array under the engine's
-  * global 60-bit-hash order, in one native call: the `plen` elements
-  * with the smallest (hash60(g), g) — the only shingles that need to
-  * enter prefix-filtered candidate generation
-  * ([[graft.ops.Dedup.ngramJaccardPrefix]]). Computing the prefix as a
-  * narrow per-row selection (instead of explode → doc-keyed window
-  * rank) keeps the operator at ONE shuffle total — the candidate join
-  * itself. Ties on the hash break by the string, so the prefix is a
-  * total-order slice — deterministic across runs and partitionings. */
-case class PrefixByHash(left: Expression, right: Expression)
+/** The document's shingle set as an ASCENDING-sorted array of 60-bit
+  * hashes — the compact form the prefix-filtered dedup path joins and
+  * verifies on (8-byte elements instead of ~25-byte shingle strings;
+  * the sort IS the global prefix order). Intra-document hash collisions
+  * (distinct shingles, equal hash60) collapse — at 2^-60 per pair they
+  * are beyond negligible, and the family already keys shingles by
+  * hash60 corpus-wide (paragraph census, minhash). */
+case class SortedHash60Array(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sorted_hash60"
+
+  override def nullSafeEval(a: Any): Any =
+    SortedHash60Array.sortedHash(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SortedHash60Array.sortedHash($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedHash60Array =
+    copy(child = newChild)
+}
+
+object SortedHash60Array {
+  // NOT named `eval`: the case class inherits Expression.eval, which
+  // suppresses the companion's static forwarder and breaks the
+  // generated static call
+  def sortedHash(s: ArrayData): ArrayData = {
+    val n = s.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = StableHash60.hash(s.getUTF8String(i)); i += 1 }
+    java.util.Arrays.sort(hs)
+    // drop (beyond-negligible) intra-doc collisions so the array is
+    // strictly increasing — a set, like the shingle set it encodes
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(if (w == n) hs else java.util.Arrays.copyOf(hs, w))
+  }
+}
+
+/** |A ∩ B| of two ascending-sorted long arrays in one merge pass — the
+  * verify kernel of the prefix-filtered dedup path: per candidate pair
+  * one linear merge over 8-byte elements, no string comparisons, no
+  * interpreted HOF. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "graft_prefix_by_hash"
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect"
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    PrefixByHash.prefix(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+    SortedLongIntersectCount.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.PrefixByHash.prefix($a, $b);")
+      s"${ev.value} = graft.functions.SortedLongIntersectCount.count($a, $b);")
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): PrefixByHash =
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
     copy(left = newLeft, right = newRight)
 }
 
-object PrefixByHash {
-  /** plen smallest elements by (hash60, value); static so generated
-    * code calls straight into JIT'd bytecode. */
-  def prefix(s: ArrayData, plen: Int): ArrayData = {
-    val n = s.numElements()
-    if (plen <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    if (plen >= n) return s
-    val elems = new Array[UTF8String](n)
-    val hs = new Array[Long](n)
+object SortedLongIntersectCount {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
     var i = 0
-    while (i < n) {
-      elems(i) = s.getUTF8String(i)
-      hs(i) = StableHash60.hash(elems(i))
-      i += 1
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
     }
-    val idx = Array.range(0, n)
-    // full sort: documents are small (n ≤ a few hundred shingles);
-    // a partial selection would save little here
-    val ordered = idx.sortWith { (x, y) =>
-      if (hs(x) != hs(y)) hs(x) < hs(y)
-      else elems(x).compareTo(elems(y)) < 0
-    }
-    val out = new Array[Any](plen)
-    i = 0
-    while (i < plen) { out(i) = elems(ordered(i)); i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    c
   }
 }

@@ -130,33 +130,62 @@ object Dedup {
     * at t = 0.5 roughly half the shingle rows, and pairs overlapping
     * only outside both prefixes never become candidates at all.
     *
-    * Global order = 60-bit shingle hash (engine-stable, no extra corpus
-    * pass; frequency-ascending order — classic AllPairs — prunes more
-    * but costs a DF count). The prefix is a NARROW per-row selection
-    * (native [[graft.functions.PrefixByHash]] — the plen hash-smallest
-    * shingles straight off the shingle array), so the operator keeps
-    * the family's one-shuffle contract: the candidate join is the only
-    * exchange. Verification is the shared exact [[verifyJaccard]] over
-    * full shingle sets on the REDUCED candidate set — per-pair work
-    * only where a prefix collision exists. Threshold equality is
-    * exact: Jaccard here is a rational with denominator ≤ |A|+|B|, so
-    * at document-sized sets no pair can round across the 6-decimal
-    * edge the verify filter uses.
+    * Global order = ascending 60-bit shingle hash (engine-stable, no
+    * extra corpus pass; frequency-ascending order — classic AllPairs —
+    * prunes boilerplate-heavy corpora harder but costs a DF pass).
+    * Everything runs on SORTED HASH ARRAYS (native
+    * [[graft.functions.SortedHash60Array]], a narrow per-row map): join
+    * keys and verify payloads are 8-byte longs, never shingle strings.
+    * Two more PPJoin prunes fire INSIDE the candidate join, before the
+    * distinct or any verify work:
+    *  - size filter: J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t;
+    *  - positional filter: a match at 1-based sorted positions (ra, rb)
+    *    bounds |A∩B| ≤ min(na−ra, nb−rb) + 1 for the pair's FIRST
+    *    shared prefix element, and J ≥ t needs |A∩B| ≥
+    *    ⌈t(na+nb)/(1+t)⌉; later shared elements only shrink the bound,
+    *    so per-row filtering keeps a pair iff its first match passes.
+    * Verification is one linear merge per surviving pair
+    * ([[graft.functions.SortedLongIntersectCount]]) — exact set
+    * intersection (modulo 2^-60 hash collisions, the family-wide
+    * shingle-key convention). Threshold equality is exact: Jaccard is
+    * a rational with denominator ≤ |A|+|B|, so document-sized sets
+    * cannot round across the 6-decimal verify edge; the prune bounds
+    * subtract 1e-9 before ceil/compare so a boundary-exact pair is
+    * never pruned.
     */
   def ngramJaccardPrefix(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val t = threshold
     val sh = shingleSets(docs, idCol, textCol)
-    val pfxLen = (size(col("s")) - ceil(lit(threshold) * size(col("s"))) + 1)
-      .cast("int")
-    val prefix = sh.select(col("doc_id"),
-        explode(column(graft.functions.PrefixByHash(
-          expression(col("s")), expression(pfxLen)))).as("g"))
+      .select(col("doc_id"),
+        column(graft.functions.SortedHash60Array(expression(col("s"))))
+          .as("hs"))
+      .withColumn("n", size(col("hs")))
+    val pfxLen = (col("n") - ceil(lit(t) * col("n")) + 1).cast("int")
+    val prefix = sh.select(col("doc_id"), col("n"),
+        posexplode(slice(col("hs"), lit(1), pfxLen)).as(Seq("i", "hg")))
+      .select(col("doc_id"), col("n"), (col("i") + 1).as("r"), col("hg"))
+    val oMin = ceil((lit(t) / (1 + t)) * (col("a.n") + col("b.n")) - 1e-9)
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.hg") === col("b.hg") && col("a.doc_id") < col("b.doc_id") &&
+        col("b.n") >= lit(t) * col("a.n") - 1e-9 &&
+        col("a.n") >= lit(t) * col("b.n") - 1e-9 &&
+        (least(col("a.n") - col("a.r"), col("b.n") - col("b.r")) + 1) >= oMin)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold)
+    val inter = column(graft.functions.SortedLongIntersectCount(
+      expression(col("ha")), expression(col("hb"))))
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("hs").as("ha"),
+        col("n").as("na")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hb"),
+        col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), inter.as("i"), col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i") / (col("na") + col("nb") - col("i")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= t)
       .orderBy("id_a", "id_b")
   }
 

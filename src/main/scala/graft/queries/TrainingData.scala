@@ -665,6 +665,61 @@ object TrainingData extends QueryPack {
     * one wide row per doc. All four branches re-key on doc_id, so the
     * joins share one hash partitioning; each branch is the proven
     * operator (and the proven oracle formulation) unchanged. */
+  /** Cross-split leakage audit: after the deterministic train/val/test
+    * assignment ([[graft.ops.Splits.assign]] — same salted-hash buckets
+    * as `data_split`), find every eval (val/test) document that is a
+    * near-duplicate of a TRAIN document — the benchmark-contamination
+    * check a training pipeline must run before the eval numbers mean
+    * anything. Near-dup pairs come from the prefix-filtered Jaccard
+    * path ([[graft.ops.Dedup.ngramJaccardPrefix]] — the scale-safe
+    * candidate generator), then one broadcast-sized join tags each side
+    * with its split; pairs with exactly one train side are leaks
+    * (val↔test cross-pairs are benign for training and excluded).
+    * Composes three oracle-gated operators end to end — the oracle
+    * re-derives the identical composition in SQL. */
+  val pipelineSplitLeakage = GraftQuery(
+    "pipeline_split_leakage",
+    Some(s"""
+      WITH $SH,
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+      j AS (SELECT id_a, id_b,
+         ROUND(len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
+       FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b),
+      pairs AS (SELECT * FROM j WHERE jaccard >= 0.5),
+      sp AS (SELECT doc_id,
+          CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+          ('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS bk
+          FROM documents)),
+      tagged AS (SELECT p.id_a, p.id_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+        FROM pairs p JOIN sp sa ON sa.doc_id = p.id_a JOIN sp sb ON sb.doc_id = p.id_b)
+      SELECT CASE WHEN split_a = 'train' THEN id_b ELSE id_a END AS leak_id,
+        CASE WHEN split_a = 'train' THEN split_b ELSE split_a END AS leak_split,
+        CASE WHEN split_a = 'train' THEN id_a ELSE id_b END AS train_id,
+        jaccard
+      FROM tagged
+      WHERE (split_a = 'train') != (split_b = 'train')
+      ORDER BY leak_id, train_id""".stripMargin.trim)) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val sp = graft.ops.Splits.assign(docs, "doc_id")
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.ngramJaccardPrefix(docs)
+    pairs
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter((col("split_a") === "train") =!= (col("split_b") === "train"))
+      .select(
+        when(col("split_a") === "train", col("id_b")).otherwise(col("id_a"))
+          .as("leak_id"),
+        when(col("split_a") === "train", col("split_b")).otherwise(col("split_a"))
+          .as("leak_split"),
+        when(col("split_a") === "train", col("id_a")).otherwise(col("id_b"))
+          .as("train_id"),
+        col("jaccard"))
+      .orderBy("leak_id", "train_id")
+  }
+
   val pipelineFeatures = GraftQuery(
     "pipeline_features",
     Some("""
@@ -1064,7 +1119,7 @@ object TrainingData extends QueryPack {
     textRepetition, textContamination, textTfidf, textSurprisal,
     textBm25, textInvertedIndex, textBpeMerges, textBpeEncode,
     textRepeatedSpans,
-    textHeavyHitters, pipelineFeatures,
+    textHeavyHitters, pipelineFeatures, pipelineSplitLeakage,
     dataQuota, dataMix, dataCurriculum, dataEpochShuffle,
     dedupExact, dedupNgram, dedupNgramPrefix, dedupNgramCapped, dedupContainment,
     dedupContainmentCapped, dedupMinhash, dedupSimhash,

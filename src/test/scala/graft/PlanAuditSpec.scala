@@ -448,6 +448,51 @@ class PlanAuditSpec extends SparkTestBase {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("dedup_ngram_prefix: sorted-hash arrays end to end — narrow " +
+      "native prefix map (no window rank), 8-byte join keys, native " +
+      "merge-intersect verify, positional prune inside the join") {
+    val plan = planOf("dedup_ngram_prefix")
+    assert(plan.contains("graft_sorted_hash60"),
+      s"native sorted-hash map missing:\n$plan")
+    assert(plan.contains("graft_sorted_intersect"),
+      s"native merge-intersect verify missing:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"prefix path fell back to an explode+window rank:\n$plan")
+  }
+
+  test("q38 retention: one user_id exchange feeds both the first-touch " +
+      "aggregate and the activity join (exchange reuse), type filter " +
+      "absent — full scan is intended; q39 funnel pushes its event-type " +
+      "predicates to the scan") {
+    val p38 = planOf("q38_retention")
+    // first-touch agg and activity join share the user_id partitioning:
+    // the repeated subtree must plan as a ReusedExchange
+    assert(p38.contains("ReusedExchange"),
+      s"no exchange reuse between first-touch agg and activity join:\n$p38")
+    val p39 = planOf("q39_funnel")
+    assert(p39.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)")
+      || p39.contains("EqualTo(event_type,view)"),
+      s"funnel stage predicate not pushed to scan:\n$p39")
+  }
+
+  test("q40 interval join: replicated-cell equi-join (SortMerge/Hash), " +
+      "never a broadcast nested loop over raw intervals") {
+    val plan = planOf("q40_interval_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to BNLJ:\n$plan")
+    assert(plan.contains("cell"), s"no cell key in the join:\n$plan")
+  }
+
+  test("bpe encode: merge application is a narrow native map (no " +
+      "shuffle, no HOF) over one scan") {
+    val df = SparkEntry.queries("text_bpe_encode")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bpe_apply"), s"native loop missing:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bpe encode should not shuffle:\n$plan")
+  }
+
   test("MergeFilterPushdown preserves NULL-key and IS NULL semantics " +
       "on a raw coalesce-keyed full-outer join") {
     import spark.implicits._

@@ -153,6 +153,43 @@ class TrainingDataSpec extends SparkTestBase {
     assert(pfxR == fullR)
   }
 
+  test("split leakage: a train/test near-dup pair is flagged, " +
+      "within-split and val/test dups are not") {
+    import graft.ops.Splits
+    // learn the deterministic split of candidate ids, then plant dups
+    val ids = (1L to 300L).toDF("doc_id")
+    val bySplit = Splits.assign(ids, "doc_id").collect()
+      .groupBy(_.getString(1)).map { case (k, v) =>
+        k -> v.map(_.getLong(0)).sorted.toSeq }
+    val (tr1, tr2) = (bySplit("train")(0), bySplit("train")(1))
+    val te = bySplit("test").head
+    val va = bySplit("val").head
+    val base = baseWords.mkString(" ")
+    val d = docs(
+      tr1 -> base, te -> perturbed(20),      // cross train/test → LEAK
+      tr2 -> perturbed(3),                   // train/train dup → not a leak
+      va -> perturbed(21),                   // val/test + val/train dups
+      999999L -> (500 to 540).map(i => s"q$i").mkString(" "))
+    val sp = Splits.assign(d, "doc_id").select(col("doc_id"), col("split"))
+    val pairs = Dedup.ngramJaccardPrefix(d)
+    val leaks = pairs
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter((col("split_a") === "train") =!= (col("split_b") === "train"))
+      .select(
+        when(col("split_a") === "train", col("id_b")).otherwise(col("id_a"))
+          .as("leak_id"),
+        when(col("split_a") === "train", col("id_a")).otherwise(col("id_b"))
+          .as("train_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every leak pairs an eval doc with a train doc
+    assert(leaks.contains((te, tr1)) && leaks.contains((te, tr2)))
+    assert(leaks.contains((va, tr1)) && leaks.contains((va, tr2)))
+    // train/train and val/test pairs are excluded
+    assert(!leaks.exists(p => p._1 == tr1 || p._1 == tr2))
+    assert(!leaks.exists(p => Set(p._1, p._2) == Set(va, te)))
+  }
+
   test("ngramContainment flags a quoted/pasted subset that Jaccard " +
       "misses, and reports both directions") {
     val small = (1 to 10).map(i => s"w$i").mkString(" ")
