@@ -63,6 +63,35 @@ class BehaviorSpec extends SparkTestBase {
     assert(math.abs(r(2).getDouble(4) - 0.333333) < 1e-9) // 1/3 step, round 6
   }
 
+  test("incremental retention: per-batch matrix equals one-shot on the " +
+      "union; a late-arriving earlier event re-cohorts its user; replay " +
+      "is idempotent") {
+    val root = java.nio.file.Files
+      .createTempDirectory("retention-index").toString
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val b1 = Seq(
+      (1L, t("2024-01-08 10:00:00")), (1L, t("2024-01-16 10:00:00")),
+      (2L, t("2024-01-09 10:00:00"))).toDF("user_id", "ts")
+    // u1's TRUE first event (Jan 1) arrives late, in batch 2 — u1 must
+    // move from the week-1 cohort to week 0 and its offsets must shift
+    val b2 = Seq(
+      (1L, t("2024-01-01 10:00:00")),
+      (3L, t("2024-01-17 10:00:00"))).toDF("user_id", "ts")
+    val b3 = Seq(
+      (2L, t("2024-01-23 10:00:00"))).toDF("user_id", "ts")
+    var union = b1
+    for ((b, id) <- Seq(b1 -> 0L, b2 -> 1L, b3 -> 2L)) {
+      union = if (id == 0L) b else union.unionByName(b)
+      val inc = Behavior.retentionAppend(spark, root, b, id)
+      assert(m(inc) == m(Behavior.cohortRetention(union)), s"batch $id")
+    }
+    // replaying batch 1 (same batchId) must not change the matrix
+    val replay = Behavior.retentionAppend(spark, root, b2, 1L)
+    assert(m(replay) == m(Behavior.cohortRetention(union)))
+  }
+
   test("funnel is monotone on real data and retention week0 is 1.0") {
     val ev = Tables.events(spark, sfDir)
     val f = Behavior.funnel(ev, Seq("view", "click", "purchase"))
