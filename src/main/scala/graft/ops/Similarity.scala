@@ -572,13 +572,10 @@ object Similarity {
       resSub(residuals(corpus, centroids, idCol, vecCol), m), resCodebook)
 
   private[graft] def residualEncodeFromSub(sub: DataFrame,
-      resCodebook: DataFrame): DataFrame = {
-    // unroll bound: the codebook's own max cid (tiny, usually cached)
-    val k = resCodebook.agg(max(col("cid"))).head().getInt(0) + 1
+      resCodebook: DataFrame): DataFrame =
     sub.join(broadcast(packCodebook(resCodebook)), Seq("cell", "s"))
       .select(col("vec_id"), col("cell"), col("s"),
         packedArgmin(col("vs"), col("cbk")).as("cid"))
-  }
 
   /** Multi-probe IVFADC top-k: queries probe their `nProbe` nearest
     * cells and score ONLY those cells' members, via asymmetric distance
@@ -834,4 +831,13 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     rankTopK(scored, k)
   }
+
+  // dev-only probes for the profiling scratchpad (thin forwarders)
+  private[graft] def resSubProbe(corpus: DataFrame, centroids: DataFrame,
+      m: Int = 8): DataFrame =
+    resSub(residuals(corpus, centroids, "vec_id", "embedding"), m)
+  private[graft] def scoreProbe(codes: DataFrame, queries: DataFrame,
+      centroids: DataFrame, cb: DataFrame): DataFrame =
+    scoreResidualCodes(codes, queries, centroids, cb, 4, 8, 5,
+      "vec_id", "embedding")
 }
