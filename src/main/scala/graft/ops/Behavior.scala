@@ -113,19 +113,25 @@ object Behavior {
     */
   def funnel(events: DataFrame, steps: Seq[String],
       typeCol: String = "event_type", userCol: String = "user_id",
-      tsCol: String = "ts"): DataFrame = {
+      tsCol: String = "ts", maxStepGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    // fold: qualified(k) = per-user first qualifying time of step k
+    // fold: qualified(k) = per-user first qualifying time of step k —
+    // strictly after stage k−1, and (with maxStepGapSeconds) within the
+    // conversion window of it ("clicked within 7 days of the view")
     val qualified: Seq[DataFrame] = steps.zipWithIndex
       .foldLeft(Vector.empty[DataFrame]) { case (acc, (step, i)) =>
         val base = events.filter(col(typeCol) === step)
           .select(col(userCol), col(tsCol).as("t"))
         val staged =
           if (i == 0) base
-          else base.join(acc.last.select(col(userCol), col("t").as("prev_t")),
-              Seq(userCol))
-            .filter(col("t") > col("prev_t"))
-            .select(col(userCol), col("t"))
+          else {
+            val inWindow = maxStepGapSeconds.fold(lit(true))(g =>
+              col("t") <= col("prev_t") + expr(s"INTERVAL $g SECONDS"))
+            base.join(acc.last.select(col(userCol), col("t").as("prev_t")),
+                Seq(userCol))
+              .filter(col("t") > col("prev_t") && inWindow)
+              .select(col(userCol), col("t"))
+          }
         acc :+ staged.groupBy(userCol).agg(min("t").as("t"))
       }
     def cnt(stage: Int, step: String, df: DataFrame) =

@@ -831,13 +831,4 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     rankTopK(scored, k)
   }
-
-  // dev-only probes for the profiling scratchpad (thin forwarders)
-  private[graft] def resSubProbe(corpus: DataFrame, centroids: DataFrame,
-      m: Int = 8): DataFrame =
-    resSub(residuals(corpus, centroids, "vec_id", "embedding"), m)
-  private[graft] def scoreProbe(codes: DataFrame, queries: DataFrame,
-      centroids: DataFrame, cb: DataFrame): DataFrame =
-    scoreResidualCodes(codes, queries, centroids, cb, 4, 8, 5,
-      "vec_id", "embedding")
 }

@@ -92,6 +92,24 @@ class BehaviorSpec extends SparkTestBase {
     assert(m(replay) == m(Behavior.cohortRetention(union)))
   }
 
+  test("funnel conversion window: a click outside maxStepGap does not " +
+      "convert; the first IN-WINDOW click does") {
+    val ev = Seq(
+      (1L, "view", t("2024-01-01 10:00:00")),
+      (1L, "click", t("2024-01-03 10:00:01")),  // > 2 days after view
+      (2L, "view", t("2024-01-01 10:00:00")),
+      (2L, "click", t("2024-01-02 09:00:00"))   // within 2 days
+    ).toDF("user_id", "event_type", "ts")
+    val gapped = Behavior.funnel(ev, Seq("view", "click"),
+        maxStepGapSeconds = Some(2L * 86400))
+      .orderBy("stage").collect()
+    assert(gapped.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+    // without a window both convert
+    val open = Behavior.funnel(ev, Seq("view", "click"))
+      .orderBy("stage").collect()
+    assert(open.map(_.getLong(2)).toSeq == Seq(2L, 2L))
+  }
+
   test("funnel is monotone on real data and retention week0 is 1.0") {
     val ev = Tables.events(spark, sfDir)
     val f = Behavior.funnel(ev, Seq("view", "click", "purchase"))
