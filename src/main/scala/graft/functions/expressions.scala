@@ -725,3 +725,78 @@ object SortedLongIntersectCount {
     c
   }
 }
+
+/** Top-`keep` nearest centroids of one vector against a broadcast
+  * packed centroid table, as one generated call — the IVF assignment
+  * primitive as a NARROW MAP. The join+window formulation it replaces
+  * materialized N·k (vector, centroid) rows and ranked them through a
+  * `Window.partitionBy(vector)` — an N·k-row exchange that inflates the
+  * corpus k-fold through a shuffle at exactly the scale IVF exists for.
+  * Here the centroids ride along as ONE broadcast row
+  * (array<struct<cid:long, ce:array<double>, cnrm:double>>, cid-sorted)
+  * and each vector row emits its `keep` cell ids with no exchange at
+  * all.
+  *
+  * Bit-parity with the window formulation (and the DuckDB oracles built
+  * on it): cosine = dot(e, ce) / (nrm · cnrm) with the same sequential
+  * fold, rounded via BigDecimal HALF_UP at 6 decimals exactly like
+  * Spark's `round`, ranked by (rounded cos DESC, cid ASC) with
+  * Double.compare ordering (NaN ranks first, as in Spark sort order).
+  */
+case class NearestCells(first: Expression, second: Expression,
+    third: Expression, keep: Int) extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  override def nullSafeEval(eAny: Any, nrmAny: Any, packAny: Any): Any =
+    NearestCells.topCells(eAny.asInstanceOf[ArrayData],
+      nrmAny.asInstanceOf[Double], packAny.asInstanceOf[ArrayData], keep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, nrm, pack) =>
+      s"${ev.value} = graft.functions.NearestCells.topCells($e, $nrm, $pack, $keep);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): NearestCells =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object NearestCells {
+  /** Spark `round(x, 6)` for doubles: BigDecimal HALF_UP. NaN/Inf pass
+    * through (BigDecimal.valueOf would throw; Spark never reaches it on
+    * finite-normed data and the comparator handles them like Spark's
+    * sort order does). */
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def topCells(e: ArrayData, nrm: Double, pack: ArrayData, keep: Int): ArrayData = {
+    val k = pack.numElements()
+    val cos = new Array[Double](k)
+    val cid = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val entry = pack.getStruct(j, 3)
+      val ce = entry.getArray(1)
+      val n = math.min(e.numElements(), ce.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += e.getDouble(i) * ce.getDouble(i); i += 1 }
+      cos(j) = round6(acc / (nrm * entry.getDouble(2)))
+      cid(j) = entry.getLong(0)
+      j += 1
+    }
+    // rank by (cos DESC with Spark sort semantics: NaN largest, cid ASC)
+    val idx = Array.range(0, k).sortWith { (x, y) =>
+      val c = java.lang.Double.compare(cos(x), cos(y))
+      if (c != 0) c > 0 else cid(x) < cid(y)
+    }
+    val m = math.min(keep, k)
+    val out = new Array[Long](m)
+    j = 0
+    while (j < m) { out(j) = cid(idx(j)); j += 1 }
+    ArrayData.toArrayData(out)
+  }
+}

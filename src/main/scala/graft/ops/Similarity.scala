@@ -194,24 +194,30 @@ object Similarity {
       .agg(avg(col("d2"))).head().getDouble(0)
   }
 
-  /** Nearest-`keep` cell assignment (broadcast argmax over centroids):
-    * the shared primitive behind [[ivfTopK]]'s corpus assignment, query
-    * probing, and the streaming vector index. Output carries the doubled
-    * vector + norm so downstream scoring never re-reads the source. */
+  /** Nearest-`keep` cell assignment as a NARROW MAP: the shared
+    * primitive behind [[ivfTopK]]'s corpus assignment, query probing,
+    * and the streaming vector index. The centroids ride along as ONE
+    * broadcast packed row and each vector emits its `keep` cell ids
+    * from a single native loop ([[graft.functions.NearestCells]] —
+    * identical fold/round/tie-break as the join+window formulation it
+    * replaces, which materialized N·k rows and pushed them through a
+    * per-vector window exchange: a k-fold shuffle inflation of the
+    * corpus at exactly the scale IVF exists for). Output carries the
+    * doubled vector + norm so downstream scoring never re-reads the
+    * source. */
   def cellAssignments(side: DataFrame, centroids: DataFrame, keep: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val sN = withNorm(side, idCol, vecCol)
-    val cent = withNorm(centroids, idCol, vecCol)
-      .select(col("vec_id").as("cid"), col("e"), col("nrm"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    sN.as("q").join(broadcast(cent.as("c")), lit(true))
-      .select(col("q.vec_id").as("qid"), col("c.cid").as("cid"),
-        round(cosineWithNorms(col("q.e"), col("c.e"), col("q.nrm"), col("c.nrm")), 6)
-          .as("cos"),
-        col("q.e").as("e"), col("q.nrm").as("nrm"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= keep)
-      .select(col("qid").as("vec_id"), col("cid"), col("e"), col("nrm"))
+    val packed = withNorm(centroids, idCol, vecCol)
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cid"),
+        col("e").as("ce"), col("nrm").as("cnrm")))).as("cpack"))
+    val cells = column(graft.functions.NearestCells(
+      expression(col("e")), expression(col("nrm")),
+      expression(col("cpack")), keep))
+    sN.crossJoin(broadcast(packed))
+      .select(col("vec_id"), explode(cells).as("cid"), col("e"), col("nrm"))
   }
 
   def planeCoefs(nPlanes: Int, dim: Int): Array[Array[Double]] =
