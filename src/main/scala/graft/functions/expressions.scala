@@ -800,3 +800,112 @@ object NearestCells {
     ArrayData.toArrayData(out)
   }
 }
+
+/** L2 twin of [[NearestCells]] for Lloyd assignment: top-`keep` cells
+  * by squared-distance surrogate d = |c|² − 2·(e·c) (the |e|² term is
+  * rank-invariant), rounded via BigDecimal HALF_UP at 6 like the
+  * join+window formulation it replaces, ranked (d ASC, cid ASC). The
+  * packed row is array<struct<cid:long, ce:array<double>>>. */
+case class NearestCellsL2(left: Expression, right: Expression, keep: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells_l2"
+
+  override def nullSafeEval(eAny: Any, packAny: Any): Any =
+    NearestCellsL2.topCells(eAny.asInstanceOf[ArrayData],
+      packAny.asInstanceOf[ArrayData], keep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, pack) =>
+      s"${ev.value} = graft.functions.NearestCellsL2.topCells($e, $pack, $keep);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCellsL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object NearestCellsL2 {
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def topCells(e: ArrayData, pack: ArrayData, keep: Int): ArrayData = {
+    val k = pack.numElements()
+    val dist = new Array[Double](k)
+    val cid = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val entry = pack.getStruct(j, 2)
+      val ce = entry.getArray(1)
+      val n = math.min(e.numElements(), ce.numElements())
+      var cc = 0.0
+      var i = 0
+      while (i < ce.numElements()) { val c = ce.getDouble(i); cc += c * c; i += 1 }
+      var acc = 0.0
+      i = 0
+      while (i < n) { acc += e.getDouble(i) * ce.getDouble(i); i += 1 }
+      dist(j) = round6(cc - 2.0 * acc)
+      cid(j) = entry.getLong(0)
+      j += 1
+    }
+    val idx = Array.range(0, k).sortWith { (x, y) =>
+      val c = java.lang.Double.compare(dist(x), dist(y))
+      if (c != 0) c < 0 else cid(x) < cid(y)
+    }
+    val m = math.min(keep, k)
+    val out = new Array[Long](m)
+    j = 0
+    while (j < m) { out(j) = cid(idx(j)); j += 1 }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** Minimum exact squared L2 distance of a vector to any packed centroid
+  * (array<struct<cid:long, ce:array<double>>>) — the k-means objective
+  * per row, as a narrow map (the cross-join+window it replaces shuffled
+  * N·k rows to find each row's minimum). Exact IEEE per-pair math:
+  * |e|² − 2·(e·ce) + |ce|², same sequential folds as the column form. */
+case class MinSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_min_sqdist"
+
+  override def nullSafeEval(eAny: Any, packAny: Any): Any =
+    MinSqDist.minD2(eAny.asInstanceOf[ArrayData], packAny.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, pack) =>
+      s"${ev.value} = graft.functions.MinSqDist.minD2($e, $pack);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinSqDist {
+  def minD2(e: ArrayData, pack: ArrayData): Double = {
+    val k = pack.numElements()
+    var ee = 0.0
+    var i = 0
+    while (i < e.numElements()) { val x = e.getDouble(i); ee += x * x; i += 1 }
+    var best = Double.PositiveInfinity
+    var j = 0
+    while (j < k) {
+      val ce = pack.getStruct(j, 2).getArray(1)
+      val n = math.min(e.numElements(), ce.numElements())
+      var acc = 0.0
+      var cc = 0.0
+      i = 0
+      while (i < ce.numElements()) { val c = ce.getDouble(i); cc += c * c; i += 1 }
+      i = 0
+      while (i < n) { acc += e.getDouble(i) * ce.getDouble(i); i += 1 }
+      val d2 = ee - 2.0 * acc + cc
+      if (d2 < best) best = d2
+      j += 1
+    }
+    best
+  }
+}

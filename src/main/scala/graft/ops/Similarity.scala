@@ -77,13 +77,16 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("e"), col("nrm"))
 
     def nearestCells(side: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-      side.as("q").join(broadcast(cent.as("c")), lit(true))
-        .select(col("q.vec_id").as("qid"), col("c.cid").as("cid"),
-          round(cosineWithNorms(col("q.e"), col("c.e"), col("q.nrm"), col("c.nrm")), 6)
-            .as("cos"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= keep).drop("__rn", "cos")
+      // narrow-map assignment — same shape as [[cellAssignments]]
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      val packed = cent.groupBy()
+        .agg(array_sort(collect_list(struct(col("cid"),
+          col("e").as("ce"), col("nrm").as("cnrm")))).as("cpack"))
+      val cells = column(graft.functions.NearestCells(
+        expression(col("e")), expression(col("nrm")),
+        expression(col("cpack")), keep))
+      side.crossJoin(broadcast(packed))
+        .select(col("vec_id").as("qid"), explode(cells).as("cid"))
     }
 
     val assign = nearestCells(c, 1).select(col("qid").as("vec_id"), col("cid"))
@@ -148,13 +151,15 @@ object Similarity {
     var cent = withNorm(seeds, idCol, vecCol)
       .select(col("vec_id").as("cid"), col("e"))
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy("vid").orderBy(col("d"), col("cid"))
-      val assign = c.as("v").join(broadcast(cent.as("k")), lit(true))
-        .select(col("v.vec_id").as("vid"), col("v.e").as("e"), col("k.cid"),
-          round(dot(col("k.e"), col("k.e")) -
-            lit(2.0) * dot(col("v.e"), col("k.e")), 6).as("d"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      // narrow-map Lloyd assignment (no N·k rows, no per-vector window)
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      val packed = cent.groupBy()
+        .agg(array_sort(collect_list(struct(col("cid"), col("e").as("ce"))))
+          .as("cpack"))
+      val assign = c.as("v").crossJoin(broadcast(packed))
+        .select(col("v.vec_id").as("vid"), col("v.e").as("e"),
+          explode(column(graft.functions.NearestCellsL2(
+            expression(col("v.e")), expression(col("cpack")), 1))).as("cid"))
       val means = assign
         .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
@@ -184,13 +189,14 @@ object Similarity {
         centroids.select(col("cid"), col("e").as("ke"))
       else withNorm(centroids, idCol, vecCol)
         .select(col("vec_id").as("cid"), col("e").as("ke"))
-    val w = Window.partitionBy("vid").orderBy(col("d2"), col("cid"))
-    c.as("v").join(broadcast(cent), lit(true))
-      .select(col("vec_id").as("vid"),
-        (dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("ke")) +
-          dot(col("ke"), col("ke"))).as("d2"), col("cid"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // narrow map: per-row min d² against the broadcast packed centroids
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val packed = cent.groupBy()
+      .agg(array_sort(collect_list(struct(col("cid"), col("ke").as("ce"))))
+        .as("cpack"))
+    c.crossJoin(broadcast(packed))
+      .select(column(graft.functions.MinSqDist(
+        expression(col("e")), expression(col("cpack")))).as("d2"))
       .agg(avg(col("d2"))).head().getDouble(0)
   }
 
