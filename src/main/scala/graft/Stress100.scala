@@ -134,6 +134,16 @@ object Stress100 {
       results(("ngram_prefix", f)) = time("ngram_prefix", f) {
         ops.Dedup.ngramJaccardPrefix(docsF).count()
       }
+      // coarse assignment at k ∝ N: flat is N·k dot products, the
+      // two-level quantizer is N·(√k + probe1·√k) — the FLOP ladder for
+      // the regime where assignment compute (not shuffle) dominates
+      results(("assign_flat", f)) = time("assign_flat", f) {
+        ops.Similarity.cellAssignments(embsF, centsF, keep = 1).count()
+      }
+      results(("assign_hier", f)) = time("assign_hier", f) {
+        ops.Similarity.hierarchicalCellAssignments(embsF, centsF,
+          keep = 1, probe1 = 2).count()
+      }
       // composed residual-ADC search: train + encode share one residual
       // pass; with k ∝ N cells the per-cell codebooks multiply while
       // members-per-cell stay flat — the train shuffle is (cells·m·k)
@@ -144,7 +154,8 @@ object Stress100 {
       }
     }
     for (op <- Seq("minhash_lsh", "ivfpq_k_scaled", "ivfpq_k_fixed",
-        "semantic_dedup", "ngram_prefix", "ivfadc_r")
+        "semantic_dedup", "ngram_prefix", "ivfadc_r", "assign_flat",
+        "assign_hier")
         if only.forall(_.contains(op))) {
       val r10 = results((op, 100)) / results((op, 10))
       val r1 = results((op, 100)) / results((op, 1))

@@ -909,3 +909,103 @@ object MinSqDist {
     best
   }
 }
+
+/** Two-level hierarchical cell assignment in one generated call — the
+  * billion-scale rung of the IVF ladder: with k cells, flat assignment
+  * is N·k dot products; routing through √k level-1 representatives
+  * costs N·(√k + probe1·√k) ≈ N·2√k. The packed row is ONE array of
+  * (gid, ge, gnrm, members) entries — level-1 representative vector +
+  * its member cells (cid, ce, cnrm) — so the whole two-level search is
+  * row-local: rank the representatives by rounded cosine (same
+  * fold/round/tie-break as [[NearestCells]]), then score ONLY the
+  * members of the top `probe1` groups and return the top `keep` cids.
+  * Probing every group (probe1 ≥ group count) degenerates to exactly
+  * the flat [[NearestCells]] ranking — the spec's exactness anchor. */
+case class NearestCellsHier(first: Expression, second: Expression,
+    third: Expression, probe1: Int, keep: Int) extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells_hier"
+
+  override def nullSafeEval(eAny: Any, nrmAny: Any, packAny: Any): Any =
+    NearestCellsHier.topCells(eAny.asInstanceOf[ArrayData],
+      nrmAny.asInstanceOf[Double], packAny.asInstanceOf[ArrayData],
+      probe1, keep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, nrm, pack) =>
+      s"${ev.value} = graft.functions.NearestCellsHier.topCells($e, $nrm, $pack, $probe1, $keep);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): NearestCellsHier =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object NearestCellsHier {
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def topCells(e: ArrayData, nrm: Double, pack: ArrayData,
+      probe1: Int, keep: Int): ArrayData = {
+    val g = pack.numElements()
+    // level 1: rank representatives
+    val gcos = new Array[Double](g)
+    val gidv = new Array[Long](g)
+    var j = 0
+    while (j < g) {
+      val entry = pack.getStruct(j, 4)
+      val ge = entry.getArray(1)
+      val n = math.min(e.numElements(), ge.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += e.getDouble(i) * ge.getDouble(i); i += 1 }
+      gcos(j) = round6(acc / (nrm * entry.getDouble(2)))
+      gidv(j) = entry.getLong(0)
+      j += 1
+    }
+    val gidx = Array.range(0, g).sortWith { (x, y) =>
+      val c = java.lang.Double.compare(gcos(x), gcos(y))
+      if (c != 0) c > 0 else gidv(x) < gidv(y)
+    }
+    // level 2: exact rounded cosine over probed groups' members
+    val nProbe = math.min(probe1, g)
+    var total = 0
+    var p = 0
+    while (p < nProbe) {
+      total += pack.getStruct(gidx(p), 4).getArray(3).numElements(); p += 1
+    }
+    val cos = new Array[Double](total)
+    val cid = new Array[Long](total)
+    var w = 0
+    p = 0
+    while (p < nProbe) {
+      val members = pack.getStruct(gidx(p), 4).getArray(3)
+      val m = members.numElements()
+      var q = 0
+      while (q < m) {
+        val entry = members.getStruct(q, 3)
+        val ce = entry.getArray(1)
+        val n = math.min(e.numElements(), ce.numElements())
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += e.getDouble(i) * ce.getDouble(i); i += 1 }
+        cos(w) = round6(acc / (nrm * entry.getDouble(2)))
+        cid(w) = entry.getLong(0)
+        w += 1
+        q += 1
+      }
+      p += 1
+    }
+    val idx = Array.range(0, total).sortWith { (x, y) =>
+      val c = java.lang.Double.compare(cos(x), cos(y))
+      if (c != 0) c > 0 else cid(x) < cid(y)
+    }
+    val m = math.min(keep, total)
+    val out = new Array[Long](m)
+    j = 0
+    while (j < m) { out(j) = cid(idx(j)); j += 1 }
+    ArrayData.toArrayData(out)
+  }
+}

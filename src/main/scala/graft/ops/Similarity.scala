@@ -226,6 +226,62 @@ object Similarity {
       .select(col("vec_id"), explode(cells).as("cid"), col("e"), col("nrm"))
   }
 
+  /** Two-level hierarchical cell assignment — the billion-scale rung of
+    * the coarse-quantizer ladder: with k cells a flat assignment is N·k
+    * dot products per pass; routing through ~√k level-1 representatives
+    * (trained by [[kmeansRefine]] over the CENTROID set — a k-row
+    * problem, corpus-size-independent) costs N·(√k + probe1·√k). Still
+    * a narrow map: one broadcast packed row carries (gid, ge, gnrm,
+    * members) and [[graft.functions.NearestCellsHier]] does both levels
+    * row-locally. APPROXIMATE for probe1 < #groups (a vector whose true
+    * cell lives in an unprobed group mis-assigns — the standard IVF
+    * trade); probing every group is EXACTLY [[cellAssignments]]
+    * (spec-anchored). Same output schema as [[cellAssignments]].
+    */
+  def hierarchicalCellAssignments(side: DataFrame, centroids: DataFrame,
+      keep: Int, probe1: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val sN = withNorm(side, idCol, vecCol)
+    val cent = withNorm(centroids, idCol, vecCol)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = cent.count()
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    // level-1 representatives: Lloyd over the centroid set itself,
+    // seeded by its k1 smallest cids (deterministic)
+    val seeds = cent.orderBy("cid").limit(k1)
+      .select(col("cid").as(idCol), col("ce").as(vecCol))
+    val reps = kmeansRefine(
+        cent.select(col("cid").as(idCol), col("ce").as(vecCol)), seeds,
+        iters = 2)
+      .select(col("cid").as("gid"), col("e").as("ge"))
+      .withColumn("gnrm", graft.functions.VectorOps.norm(col("ge")))
+    // group membership: each centroid to its nearest representative
+    val repsPack = reps.groupBy()
+      .agg(array_sort(collect_list(struct(col("gid").as("cid"),
+        col("ge").as("ce"), col("gnrm").as("cnrm")))).as("cpack"))
+    val grouped = cent.crossJoin(broadcast(repsPack))
+      .select(col("cid"), col("ce"), col("cnrm"),
+        explode(column(graft.functions.NearestCells(
+          expression(col("ce")), expression(col("cnrm")),
+          expression(col("cpack")), 1))).as("gid"))
+    val hpack = grouped.groupBy("gid")
+      .agg(array_sort(collect_list(struct(col("cid"), col("ce"),
+        col("cnrm")))).as("members"))
+      .join(reps, "gid")
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("gid"), col("ge"),
+        col("gnrm"), col("members")))).as("hpack"))
+    val cells = column(graft.functions.NearestCellsHier(
+      expression(col("e")), expression(col("nrm")),
+      expression(col("hpack")), probe1, keep))
+    val out = sN.crossJoin(broadcast(hpack))
+      .select(col("vec_id"), explode(cells).as("cid"), col("e"), col("nrm"))
+    cent.unpersist(blocking = false)
+    out
+  }
+
   def planeCoefs(nPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(nPlanes, dim) { (p, d) =>
       (Hashing.hash60Local(s"$p:$d") % 2001 - 1000) / 1000.0

@@ -699,6 +699,27 @@ class TrainingDataSpec extends SparkTestBase {
     assert(got.contains(("cart", "carts", 1L)))
   }
 
+  test("hierarchical assignment: probing all groups equals flat " +
+      "assignment exactly; probe1=2 agrees on most vectors at N*2*sqrt(k) cost") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = embs.filter(col("vec_id") < 16)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = asSet(Similarity.cellAssignments(embs, cents, keep = 1))
+    // k1 = ceil(sqrt(16)) = 4 groups; probing all 4 must degenerate to
+    // the flat ranking bit-for-bit (the exactness anchor)
+    val all = asSet(Similarity.hierarchicalCellAssignments(
+      embs, cents, keep = 1, probe1 = 4))
+    assert(all == flat)
+    // the standard approximate regime: most vectors keep their flat cell
+    val p2 = asSet(Similarity.hierarchicalCellAssignments(
+      embs, cents, keep = 1, probe1 = 2))
+    val agree = p2.intersect(flat).size.toDouble / flat.size
+    assert(agree >= 0.75, s"probe1=2 agreement $agree")
+    assert(p2.map(_._1) == flat.map(_._1), "every vector assigned")
+  }
+
   test("kmeansRefine: distortion non-increasing, trained cells beat seeds") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val seeds = embs.filter(col("vec_id") < 16)
