@@ -23,15 +23,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * natively. Read nanos as long and truncate to microseconds — the same
-    * truncation DuckDB applies when it surfaces the column as TIMESTAMP,
-    * keeping both engines bit-identical. */
+  /** `events.ts` arrives in whatever timestamp physical type the
+    * generator emitted — TIMESTAMP(NANOS) in some rounds (which Spark 4
+    * only reads via the nanos-as-long legacy conf), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) in others (which Spark surfaces as
+    * TIMESTAMP_NTZ). Normalize BY SCHEMA to the session-local TIMESTAMP
+    * type at microsecond precision — with the UTC session timezone the
+    * wall-clock values are identical to what DuckDB surfaces for the
+    * same file, keeping both engines bit-identical. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos read as long: truncate like DuckDB does
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // micros NTZ: same wall time under UTC
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
