@@ -94,4 +94,51 @@ object Graph {
     e.unpersist(blocking = false)
     result
   }
+
+  /** Exact triangle census over the undirected form of a (src, dst, …)
+    * edge list (direction/weights ignored, self-loops dropped).
+    *
+    * The naive three-way edge self-join enumerates every triangle 6×
+    * and — worse — builds wedges centered on the hottest node: a
+    * degree-d hub contributes d² wedge rows, which is the whole graph
+    * squared for power-law graphs. DEGREE ORIENTATION (the standard
+    * scale fix) points every edge at its (degree, id)-larger endpoint,
+    * so wedges extend only from the (degree, id)-SMALLER endpoint:
+    * out-degrees are bounded by O(√m) on any graph, hub-centered wedges
+    * never materialize, and each triangle {x,y,z} (orientation order
+    * x→y→z) is found exactly once as e₁=(x,y), e₂=(y,z) closed by
+    * e₃=(x,z) — no post-hoc dedup or /6. All three hops are plain
+    * equi-joins (shuffle keys: the wedge pivot, then the closing pair),
+    * so AQE handles residual skew.
+    *
+    * Returns one row per node: (node, deg, tri_cnt) — its undirected
+    * degree and the number of triangles it participates in (0 for
+    * triangle-free nodes). Global count = Σ tri_cnt / 3.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(when(uLower, col("u")).otherwise(col("v")).as("a"),
+        when(uLower, col("v")).otherwise(col("u")).as("b"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e2.a") === col("e1.b"))
+      .join(oriented.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+  }
 }

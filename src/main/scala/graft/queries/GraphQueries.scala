@@ -64,5 +64,41 @@ object GraphQueries extends QueryPack {
       .orderBy("node")
   }
 
-  override def all: Seq[GraftQuery] = Seq(graphTransitions, graphPagerank)
+  /** Degree-oriented exact triangle census over the undirected
+    * transition graph: per-node degree + triangle participation. The
+    * orientation (edges point at the (degree, id)-larger endpoint)
+    * bounds wedge generation by O(√m) out-degrees and finds each
+    * triangle exactly once — no /6, no distinct pass (see
+    * `graft.ops.Graph.triangles`). Oracle mirrors the orientation. */
+  val graphTriangles = GraftQuery(
+    "graph_triangles",
+    Some(s"""
+      WITH $EDGES,
+      und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM e WHERE src <> dst),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+              GROUP BY node),
+      o AS (SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+                        THEN u ELSE v END AS a,
+                   CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+                        THEN v ELSE u END AS b
+            FROM und JOIN deg d1 ON d1.node = u JOIN deg d2 ON d2.node = v),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM o e1 JOIN o e2 ON e2.a = e1.b
+                        JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+      pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+               FROM (SELECT x AS node FROM tri UNION ALL
+                     SELECT y AS node FROM tri UNION ALL
+                     SELECT z AS node FROM tri)
+               GROUP BY node)
+      SELECT d.node, d.deg, COALESCE(p.tri_cnt, 0) AS tri_cnt
+      FROM deg d LEFT JOIN pern p ON p.node = d.node
+      ORDER BY d.node""".trim)) { (spark, dir) =>
+    Graph.triangles(Graph.transitionEdges(Tables.events(spark, dir)))
+      .orderBy("node")
+  }
+
+  override def all: Seq[GraftQuery] =
+    Seq(graphTransitions, graphPagerank, graphTriangles)
 }

@@ -103,6 +103,35 @@ class GraphSpec extends SparkTestBase {
     assert(ranks == direct)
   }
 
+  test("triangles: exact census on crafted graphs — path-free, K4, " +
+      "hub wedge, duplicate/reversed/self-loop edges collapse") {
+    def tri(edges: (String, String)*) =
+      Graph.triangles(edges.map { case (s, d) => (s, d, 1L) }
+          .toDF("src", "dst", "w"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // a path has no triangles; every node still reported
+    assert(tri(("A", "B"), ("B", "C"), ("C", "D")) ==
+      Set(("A", 1L, 0L), ("B", 2L, 0L), ("C", 2L, 0L), ("D", 1L, 0L)))
+    // K4: 4 triangles, each node in C(3,2)=3 of them; duplicate,
+    // reversed and self-loop edges must not change the census
+    val k4 = for {
+      a <- Seq("A", "B", "C", "D"); b <- Seq("A", "B", "C", "D")
+      if a != b
+    } yield (a, b) // both directions + (via map below) self loops
+    val got = tri(k4 ++ Seq(("A", "A"), ("A", "B"), ("B", "A")): _*)
+    assert(got == Set(("A", 3L, 3L), ("B", 3L, 3L), ("C", 3L, 3L), ("D", 3L, 3L)))
+    // hub-and-spoke (star): many wedges at the hub in the naive
+    // formulation, zero triangles — and with degree orientation the hub
+    // (max degree) is never a wedge pivot, so no quadratic blowup
+    val star = (1 to 8).map(i => ("HUB", s"S$i"))
+    assert(tri(star: _*).forall(_._3 == 0L))
+    // one closed spoke pair → exactly one triangle, each node once
+    val got2 = tri(star :+ (("S1", "S2")): _*)
+    assert(got2.count(_._3 == 1L) == 3 &&
+      got2.filter(_._3 == 1L).map(_._1) == Set("HUB", "S1", "S2"))
+  }
+
   test("pagerank: deterministic across runs (integer arithmetic has no " +
       "fold-order dependence)") {
     val e = Tables.events(spark, sfDir)
