@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, QueryPack, Tables}
 import graft.functions.Exact._
-import graft.functions.Hashing.tokens
-import graft.ops.{AsOfJoin, Dedup, Upsert}
+import graft.functions.Hashing.{hash60, tokens}
+import graft.ops.{AsOfJoin, Dedup, Reconcile, Upsert}
 
 /** SURVEY.md §2.9 — extended relational + pipeline surface: as-of join,
   * pivot, exact interpolated quantiles, end-to-end corpus curation.
@@ -339,6 +339,50 @@ object Extended extends QueryPack {
       .orderBy("jt")
   }
 
+  /** Snapshot reconciliation between two versions of the orders table
+    * (simulated: the "old" snapshot lacks keys ≡0 mod 10, the "new"
+    * lacks ≡0 mod 7 and reprices keys ≡0 mod 5): per-status key counts
+    * + min/max key anchors. Both sides project to (key, 60-bit
+    * fingerprint) before the full-outer compare, so the shuffle rows
+    * are ~16 bytes regardless of table width; the double-typed price
+    * enters the fingerprint as the exact integer `floor(price·100)` —
+    * IEEE multiply + floor are bit-identical across engines, no
+    * decimal-rounding edge (see `graft.ops.Reconcile`). */
+  val q41 = GraftQuery(
+    "q41_snapshot_diff",
+    Some("""
+      WITH fpo AS (SELECT o_orderkey,
+              ('0x'||substr(md5(o_orderstatus||'|'||o_orderpriority||'|'||
+                CAST(CAST(floor(o_totalprice*100) AS BIGINT) AS VARCHAR)),1,15))::BIGINT AS fp_old
+            FROM orders WHERE o_orderkey % 10 <> 0),
+      n0 AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+              CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                   ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 0),
+      fpn AS (SELECT o_orderkey,
+              ('0x'||substr(md5(o_orderstatus||'|'||o_orderpriority||'|'||
+                CAST(CAST(floor(o_totalprice*100) AS BIGINT) AS VARCHAR)),1,15))::BIGINT AS fp_new
+            FROM n0),
+      d AS (SELECT COALESCE(fpo.o_orderkey, fpn.o_orderkey) AS k,
+              CASE WHEN fpo.o_orderkey IS NULL THEN 'added'
+                   WHEN fpn.o_orderkey IS NULL THEN 'removed'
+                   WHEN fp_old = fp_new THEN 'unchanged'
+                   ELSE 'changed' END AS status
+            FROM fpo FULL OUTER JOIN fpn ON fpo.o_orderkey = fpn.o_orderkey)
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             MIN(k) AS min_key, MAX(k) AS max_key
+      FROM d GROUP BY status ORDER BY status""".trim)) { (spark, dir) =>
+    val orders = Tables.orders(spark, dir)
+    val fp = hash60(concat_ws("|", col("o_orderstatus"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100).cast("string")))
+    val old = orders.filter(col("o_orderkey") % 10 =!= 0)
+    val nw = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    Reconcile.diffSummary(old, nw, "o_orderkey", fp).orderBy("status")
+  }
+
   override def all: Seq[GraftQuery] =
-    Seq(q13, q14, q15, q36, q37, q40, curation, q31, q33, q35)
+    Seq(q13, q14, q15, q36, q37, q40, curation, q31, q33, q35, q41)
 }

@@ -217,4 +217,23 @@ class ExtendedSpec extends SparkTestBase {
     assert(rows("e_semi") + rows("f_anti") == nCust)
     assert(rows("g_cross") == 125) // 5 regions x 25 nations
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; " +
+      "payload never rides the compare join") {
+    import graft.ops.Reconcile
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val nw = Seq((2L, "b", 20.0), (3L, "c", 31.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val fp = graft.functions.Hashing.hash60(
+      concat_ws("|", col("s"), floor(col("v") * 100).cast("string")))
+    val got = Reconcile.snapshotDiff(old, nw, Seq("k"), fp)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"), got)
+    val sum = Reconcile.diffSummary(old, nw, "k", fp)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(sum("added") == ((1L, 4L, 4L)) && sum("changed") == ((1L, 3L, 3L)))
+  }
 }

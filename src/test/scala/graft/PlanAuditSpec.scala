@@ -511,4 +511,14 @@ class PlanAuditSpec extends SparkTestBase {
       assert(got == want, s"pred $pred: got $got want $want")
     }
   }
+
+  test("q41_snapshot_diff: scans read only key + fingerprint inputs " +
+      "(narrow compare join), filters pushed, aggregation partial") {
+    val plan = planOf("q41_snapshot_diff")
+    assert(!plan.contains("o_orderdate") && !plan.contains("o_custkey"),
+      s"compare join reads columns the fingerprint never touches:\n$plan")
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      s"summary must combine map-side:\n$plan")
+  }
 }
