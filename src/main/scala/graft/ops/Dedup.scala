@@ -426,6 +426,53 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo, SIGMOD'95
+    * merge/purge) — the third blocking paradigm next to shared-shingle
+    * joins and LSH/SimHash banding: docs sort by a normalization-robust
+    * blocking key, candidates are the pairs within `window` positions
+    * of each other in the GLOBAL sort order, verify is the family's
+    * exact shingle Jaccard.
+    *
+    * Candidate count is exactly N·window by construction — immune to
+    * hot shingles and hot bands (the blowup the capped/PPJoin variants
+    * exist to contain) at the price of recall limited to what the sort
+    * key co-locates; production merge/purge runs several passes with
+    * different keys and unions the pairs.
+    *
+    * Scale shape: the global order comes from [[Ranking.globalRank]]
+    * (range-parallel two-phase rank — the corpus is never sorted in one
+    * task), and the neighborhood join is the [[BandJoin]] cell trick on
+    * rank coordinates: each doc probes (cell, cell+1) of width-`window`
+    * rank cells, so a pair at rank distance ≤ window meets exactly once
+    * on the probe value equal to the higher rank's cell — no distinct
+    * pass, shuffle bounded by 2N rows of (rank, id).
+    */
+  def sortedNeighborhood(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    val keyed = docs.select(col(idCol).as("doc_id"),
+      substring(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""), 1, 24)
+        .as("bk"))
+    val ranked = Ranking.globalRank(keyed, Seq(col("bk"), col("doc_id")))
+      .select(col("doc_id"), col("rank"),
+        expr(s"rank div $window").as("cell"))
+    val probe = ranked.withColumn("jcell",
+      explode(array(col("cell"), col("cell") + 1)))
+    val cand = probe.as("a").join(ranked.as("b"),
+        col("a.jcell") === col("b.cell") &&
+          col("b.rank") - col("a.rank") >= 1 &&
+          col("b.rank") - col("a.rank") <= window)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+    // unlike the shingle-join families, candidates here need not share
+    // a shingle — two sub-3-token docs adjacent in sort order would hit
+    // the 0/0 Jaccard edge (engine-divergent); dropping empty shingle
+    // sets from the verify feed removes such pairs before the division
+    val sh = shingleSets(docs, idCol, textCol).filter(size(col("s")) > 0)
+    verifyJaccard(cand, sh, threshold).orderBy("id_a", "id_b")
+  }
+
   /** Connected components over a near-dup pair list: every doc that
     * appears in a pair gets the minimum doc id reachable through shared
     * pairs as its `cluster_id` (the canonical survivor). Pairs alone

@@ -112,6 +112,29 @@ object TrainingData extends QueryPack {
     Dedup.ngramJaccard(Tables.documents(spark, dir))
   }
 
+  /** Sorted-neighborhood blocking (merge/purge): candidates are rank
+    * neighbors under a normalized sort key — exactly N·window of them,
+    * immune to hot shingles/bands; global rank is the range-parallel
+    * two-phase plan, the neighborhood join is the rank-cell trick (see
+    * [[graft.ops.Dedup.sortedNeighborhood]]). Oracle ranks with a
+    * plain window (both engines sort the ASCII-normalized key
+    * bytewise, so ranks agree). */
+  val dedupSortedNeighborhood = GraftQuery(
+    "dedup_sorted_neighborhood",
+    Some(s"""
+      WITH $SH,
+      base AS (SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS bk FROM documents),
+      r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bk, doc_id) AS rnk FROM base),
+      cand AS (SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b
+               FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 4),
+      j AS (SELECT id_a, id_b,
+         ROUND(len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
+       FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+       WHERE len(x.s) > 0 AND len(y.s) > 0)
+      SELECT * FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".trim)) { (spark, dir) =>
+    Dedup.sortedNeighborhood(Tables.documents(spark, dir))
+  }
+
   /** Prefix-filtered Jaccard (AllPairs/PPJoin candidate generation):
     * IDENTICAL output contract to `dedup_ngram_jaccard` — the oracle is
     * the same full-join formulation, which is exactly the point: the
@@ -1121,7 +1144,8 @@ object TrainingData extends QueryPack {
     textRepeatedSpans,
     textHeavyHitters, pipelineFeatures, pipelineSplitLeakage,
     dataQuota, dataMix, dataCurriculum, dataEpochShuffle,
-    dedupExact, dedupNgram, dedupNgramPrefix, dedupNgramCapped, dedupContainment,
+    dedupExact, dedupNgram, dedupNgramPrefix, dedupSortedNeighborhood,
+    dedupNgramCapped, dedupContainment,
     dedupContainmentCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding, dedupSemantic,
     dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,

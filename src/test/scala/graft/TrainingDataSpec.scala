@@ -1116,4 +1116,35 @@ class TrainingDataSpec extends SparkTestBase {
       assert(byId(r.getAs[Long]("doc_id")) == bpeRef(toks, merges).length)
     }
   }
+
+  test("sortedNeighborhood: finds dups the sort key co-locates, misses " +
+      "beyond the window by design, sub-3-token rows never divide by 0") {
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val rows: Seq[(Long, String)] = Seq(
+      // same normalized prefix (case/punct differ) → rank-adjacent
+      1L -> s"Alpha Beta! $body",
+      2L -> s"alpha beta $body extra",
+      // same body as 1/2 but a sort key far from their neighborhood,
+      // with > window docs padded in between (keys c01..c09)
+      20L -> s"zz tail $body",
+      // sub-3-token docs, rank-adjacent to each other
+      21L -> "xy", 22L -> "xz") ++
+      (3L to 11L).map(i =>
+        i -> s"c0${i - 2} filler ${(1 to 30).map(j => s"f${i}x$j").mkString(" ")}")
+    val more = docs(rows: _*)
+    val pairs = Dedup.sortedNeighborhood(more, window = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"rank-adjacent near-dup missed: $pairs")
+    // 20 shares the body with 1/2 but sorts far away → not a candidate
+    assert(!pairs.exists(p => p._2 == 20L),
+      s"pair beyond the sort window should be missed by design: $pairs")
+    // the two sub-3-token docs are rank-adjacent ('xy' ~ 'xz') but must
+    // be dropped before the 0/0 Jaccard, not emitted as NaN/null
+    assert(!pairs.exists(p => p._1 == 21L || p._2 == 21L))
+
+    // exactly-once candidate generation: no pair can verify twice
+    val all = Dedup.sortedNeighborhood(more, window = 4, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.distinct.length, "duplicate candidate pairs")
+  }
 }
