@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -120,5 +120,47 @@ object Resample {
       .withColumn("src",
         when(col("v").isNotNull, lit("observed")).otherwise(lit("interpolated")))
       .select(col(key), col("h"), col("v_filled"), col("src"))
+  }
+
+  /** Exponentially weighted moving average over the per-key `unit` grid,
+    * with α = 1/2 and the window truncated at `lags` terms:
+    *
+    *   ewma_t = Σ_{j<lags} v_{t−j}·2⁻ʲ / Σ_{j present} 2⁻ʲ
+    *
+    * BIT-DETERMINISTIC across engines, not just approximately equal:
+    * the grid means are the round-6 doubles of [[gapfillLinear]]'s base
+    * pass, each weight 2⁻ʲ and each product v·2⁻ʲ is EXACT in binary
+    * floating point (exponent shift, no rounding), and both engines sum
+    * the terms through the same left-associated expression tree — a
+    * fixed lag-tree, NOT a windowed sum whose fold order an engine may
+    * choose. So no final rounding is needed (and none is applied; a
+    * round-half edge is the one thing engines disagree on). α = 1/2 is
+    * the one smoothing factor with this property; other α trade it for
+    * a rounded contract. Truncation at 2⁻⁸ leaves < 0.4% of the mass.
+    *
+    * Scale shape: the raw feed collapses to (key × unit) grid rows via
+    * one map-side-combined aggregation — the only full-table work; the
+    * lag window runs over the aggregated series (dashboard-sized), so
+    * `Window.partitionBy(key)` parallelism is bounded by series count
+    * on data orders of magnitude below the fact table.
+    */
+  def ewmaHalf(df: DataFrame, key: String, tsCol: String, valCol: String,
+      lags: Int = 8, unit: String = "day"): DataFrame = {
+    import graft.functions.Exact.dec
+    require(lags >= 1 && lags <= 30, "lags must be in [1, 30]")
+    val base = df
+      .groupBy(col(key), date_trunc(unit, col(tsCol)).as("d"))
+      .agg(round(sum(dec(col(valCol))).cast("double") / count(col(valCol)), 6)
+        .as("v"))
+      .filter(col("v").isNotNull)
+    val w = Window.partitionBy(key).orderBy("d")
+    def wj(j: Int) = lit(math.pow(0.5, j)) // 2^-j, exact
+    val num = (1 until lags)
+      .map(j => coalesce(lag(col("v"), j).over(w) * wj(j), lit(0.0)))
+      .foldLeft[Column](col("v"))(_ + _)
+    val den = (1 until lags)
+      .map(j => when(lag(col("v"), j).over(w).isNotNull, wj(j)).otherwise(lit(0.0)))
+      .foldLeft[Column](lit(1.0))(_ + _)
+    base.select(col(key), col("d"), col("v"), (num / den).as("ewma"))
   }
 }

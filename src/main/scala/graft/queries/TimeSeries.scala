@@ -51,6 +51,35 @@ object TimeSeries extends QueryPack {
       .orderBy("event_type", "h")
   }
 
+  /** Truncated-window EWMA (α = 1/2, 8 terms) over the per-type daily
+    * mean series. Bit-deterministic across engines WITHOUT a final
+    * round: every weight 2⁻ʲ and product v·2⁻ʲ is exact in IEEE double
+    * and both engines evaluate the same left-associated lag tree —
+    * never a windowed sum whose fold order the engine chooses (see
+    * `graft.ops.Resample.ewmaHalf`). The raw feed collapses to the
+    * (type × day) grid in one map-side-combined pass; the lag window
+    * runs over that dashboard-sized series. */
+  val tsEwma = GraftQuery(
+    "ts_ewma",
+    Some {
+      val num = (1 until 8)
+        .map(j => s"COALESCE(LAG(v,$j) OVER w * ${math.pow(0.5, j)}, 0.0)")
+        .mkString(" + ")
+      val den = (1 until 8)
+        .map(j => s"CASE WHEN LAG(v,$j) OVER w IS NOT NULL THEN ${math.pow(0.5, j)} ELSE 0.0 END")
+        .mkString(" + ")
+      s"""
+      WITH base AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS v
+           FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0)
+      SELECT event_type, d, v, (v + $num) / (1.0 + $den) AS ewma
+      FROM base WINDOW w AS (PARTITION BY event_type ORDER BY d)
+      ORDER BY event_type, d""".trim
+    }) { (spark, dir) =>
+    Resample.ewmaHalf(Tables.events(spark, dir), "event_type", "ts", "value")
+      .orderBy("event_type", "d")
+  }
+
   /** Calendar-RANGE rolling window: per customer, the exact 7-day
     * trailing spend and order count at each order (value-based frame —
     * peers with the same date share a result; decimal sum for
@@ -139,5 +168,5 @@ object TimeSeries extends QueryPack {
       .orderBy("event_type", "bucket", "role")
   }
 
-  override def all: Seq[GraftQuery] = Seq(tsGapfill, q32, q34, tsM4)
+  override def all: Seq[GraftQuery] = Seq(tsGapfill, tsEwma, q32, q34, tsM4)
 }

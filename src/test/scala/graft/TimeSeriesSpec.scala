@@ -191,4 +191,29 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(buckets == Set(-1L, 0L),
       s"truncating division would fold epoch −10 into bucket 0: $buckets")
   }
+
+  test("ewmaHalf: hand-computed series; short-history renormalization; " +
+      "bit-stable across repartitioning") {
+    def day(d: Int) = Timestamp.valueOf(f"2024-03-$d%02d 13:00:00")
+    // key a: daily means 8, 4, 2 (one reading per day)
+    val df = Seq(("a", day(1), 8.0), ("a", day(2), 4.0), ("a", day(3), 2.0))
+      .toDF("k", "t", "x")
+    val got = Resample.ewmaHalf(df, "k", "t", "x", lags = 8)
+      .orderBy("d").collect().map(_.getAs[Double]("ewma")).toSeq
+    // t1: 8/1; t2: (4 + 0.5*8)/(1.5) = 8/1.5; t3: (2 + 0.5*4 + 0.25*8)/1.75
+    assert(got == Seq(8.0, 8.0 / 1.5, 6.0 / 1.75), got)
+    // truncation: with lags=2 the third day forgets day 1 entirely
+    val t2 = Resample.ewmaHalf(df, "k", "t", "x", lags = 2)
+      .orderBy("d").collect().map(_.getAs[Double]("ewma")).toSeq
+    assert(t2 == Seq(8.0, 8.0 / 1.5, 4.0 / 1.5), t2)
+    // determinism: same bits whatever the input partitioning
+    val e = Tables.events(spark, sfDir)
+    val a = Resample.ewmaHalf(e, "event_type", "ts", "value")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val b = Resample.ewmaHalf(e.repartition(7), "event_type", "ts", "value")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(a == b && a.nonEmpty, "ewma bits depend on partitioning")
+  }
 }
