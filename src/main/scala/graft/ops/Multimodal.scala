@@ -128,6 +128,67 @@ object Multimodal {
       .drop("__pack")
   }
 
+  case class HashedRow(media_id: Long, kind: String, n_bytes: Long,
+      phash: Long)
+
+  /** 64-bit perceptual fingerprint (average-hash): bit i is set iff the
+    * decoder's cell-i intensity is ≥ the mean over all cells. Runs in
+    * the same once-per-partition decoder batch as [[decodeFeatures]];
+    * with a real image decoder the cells are the classic 8×8
+    * downsampled grayscale, with the deterministic fake they are its
+    * byte-window means — either way the fingerprint is stable across
+    * runs/partitionings, which is what the dedup contract needs. */
+  def perceptualHash(media: Dataset[MediaRow],
+      decoder: Decoder = new DeterministicFakeDecoder(64)): Dataset[HashedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      decoder.open()
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; decoder.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      rows.map { r =>
+        val cells = decoder.decode(r.media, r.meta)
+        var sum = 0.0
+        var i = 0
+        while (i < cells.length) { sum += cells(i); i += 1 }
+        val mean = if (cells.isEmpty) 0.0 else sum / cells.length
+        var h = 0L
+        i = 0
+        while (i < cells.length && i < 64) {
+          if (cells(i) >= mean) h |= (1L << i)
+          i += 1
+        }
+        HashedRow(r.media_id, r.meta.kind, r.media.length.toLong, h)
+      }
+    }
+  }
+
+  /** Near-duplicate media pairs within Hamming distance `maxHamming` of
+    * their perceptual hashes — the multimodal twin of text SimHash
+    * dedup, sharing its banding argument: 8 bands of 8 bits mean any
+    * pair within Hamming ≤ 7 agrees on at least one full band
+    * (pigeonhole), so band-bucket candidates + an in-join Hamming
+    * verify return EXACTLY the pairs a quadratic all-pairs Hamming scan
+    * would. The verify runs inside the join (before the distinct) so a
+    * hot band value's C(k,2) false-positive candidates are filtered as
+    * the buckets stream, never shuffled. */
+  def phashNearDup(hashed: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7, "8x8-bit banding guarantees recall only to Hamming 7")
+    val banded = hashed
+      .select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bval", expr("(phash >> (8 * band)) & 255"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id") &&
+          expr("bit_count(a.phash ^ b.phash)") <= maxHamming)
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("CAST(bit_count(a.phash ^ b.phash) AS BIGINT)").as("hamming"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
   /** Deterministic frame/chunk sampling over a binary payload: slice
     * `frameSize`-byte frames starting at `offset`, stepping `stride`
     * bytes, at most `maxFrames` per row; metadata rides along. Pure

@@ -95,4 +95,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(ex.getMessage.contains("deployment stub"),
       s"stub must fail loud and attributable, got: ${ex.getMessage}")
   }
+
+  test("perceptualHash + phashNearDup: stable fingerprints, banding " +
+      "equals the all-pairs Hamming join exactly, near-copy found") {
+    // id=2 is a near-copy of id=1 (3 bytes perturbed); 3..12 unrelated
+    val m1 = media(1, 800)
+    val m2bytes = m1.media.clone()
+    for (p <- Seq(50, 300, 700)) m2bytes(p) = (m2bytes(p) ^ 0x3).toByte
+    val ds = (MediaRow(2, m2bytes, m1.meta) +: m1 +:
+      (3L to 12L).map(i => media(i, 600 + i.toInt * 37))).toDS()
+    val hashed = Multimodal.perceptualHash(ds)
+    // fingerprints are partitioning-independent
+    val h1 = hashed.collect().map(r => r.media_id -> r.phash).toMap
+    val h2 = Multimodal.perceptualHash(ds.repartition(5)).collect()
+      .map(r => r.media_id -> r.phash).toMap
+    assert(h1 == h2, "phash depends on partitioning")
+    // identical payloads hash identically; the near-copy is close
+    assert(Multimodal.perceptualHash(Seq(m1, MediaRow(99L, m1.media, m1.meta))
+        .toDS()).collect().map(_.phash).distinct.length == 1)
+    val pairs = Multimodal.phashNearDup(hashed.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"near-copy pair missed: ${pairs.mkString(",")}")
+    // banding is an optimization, not an approximation: exact parity
+    // with the direct quadratic Hamming join at the same threshold
+    val hs = h1.toSeq
+    val direct = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (ia, ib, d.toLong)).toSet
+    assert(pairs.toSet == direct,
+      s"banding diverged from all-pairs: got ${pairs.toSet}, want $direct")
+  }
 }
