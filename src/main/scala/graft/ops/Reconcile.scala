@@ -49,4 +49,37 @@ object Reconcile {
       .groupBy("status")
       .agg(count(lit(1)).as("n_keys"),
         min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"))
+
+  /** Derive the CDC change feed that transforms `oldDf` into `newDf`:
+    * `op` = I for added keys (new payload), U for changed keys (new
+    * payload), D for removed keys (old payload, carried so the feed is
+    * self-describing). Keys with equal fingerprints emit NOTHING — the
+    * feed is minimal under the fingerprint's notion of change.
+    *
+    * This is the inverse of [[Merge.applyChangeLog]]:
+    * `applyChangeLog(old, changeFeed(old, new) + any seq, keys, "op")`
+    * reproduces `new` exactly (spec-proven) — the reconcile lane and
+    * the CDC lane are round-trip consistent, so a lake can diff two
+    * independently-produced snapshots and replay the result as an
+    * ordinary change log (e.g. to incrementally refresh downstream
+    * tables after a backfill).
+    *
+    * Scale shape: status resolution is the narrow (key, fingerprint)
+    * compare of [[snapshotDiff]]; payloads are fetched AFTER by two
+    * targeted joins on the (typically tiny) non-unchanged key sets —
+    * wide rows never ride the full-outer compare. */
+  def changeFeed(oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String], fingerprint: Column): DataFrame = {
+    val st = snapshotDiff(oldDf, newDf, keyCols, fingerprint)
+    val iu = newDf
+      .join(st.filter(col("status").isin("added", "changed")), keyCols)
+      .withColumn("op",
+        when(col("status") === "added", lit("I")).otherwise(lit("U")))
+      .drop("status")
+    val d = oldDf
+      .join(st.filter(col("status") === "removed"), keyCols)
+      .withColumn("op", lit("D"))
+      .drop("status")
+    iu.unionByName(d)
+  }
 }

@@ -236,4 +236,41 @@ class ExtendedSpec extends SparkTestBase {
       .toMap
     assert(sum("added") == ((1L, 4L, 4L)) && sum("changed") == ((1L, 3L, 3L)))
   }
+
+  test("changeFeed round-trips through applyChangeLog: diff of two " +
+      "snapshots replayed as CDC reproduces the new snapshot exactly") {
+    import graft.ops.{Merge, Reconcile}
+    def fp = graft.functions.Hashing.hash60(
+      concat_ws("|", col("s"), floor(col("v") * 100).cast("string")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "s", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (5L, "e", 50.0)).toDF("k", "s", "v")
+    val nw = Seq((2L, "b", 20.0), (3L, "c", 31.0), (4L, "d", 40.0),
+      (5L, "E", 50.0)).toDF("k", "s", "v")
+    val feed = Reconcile.changeFeed(old, nw, Seq("k"), fp)
+    val ops = feed.collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("op")).toMap
+    // minimal: unchanged key 2 emits nothing; I/U/D classified per key
+    assert(ops == Map(1L -> "D", 3L -> "U", 4L -> "I", 5L -> "U"), ops)
+    val replayed = Merge.applyChangeLog(old, feed.withColumn("seq", lit(1L)),
+      Seq("k"), "op", col("seq"))
+    assert(canon(replayed) == canon(nw), "round-trip diverged")
+    // identical snapshots produce an empty feed (idempotent refresh)
+    assert(Reconcile.changeFeed(old, old, Seq("k"), fp).count() == 0)
+    // and on real tables: orders vs its perturbed twin
+    val orders = Tables.orders(spark, sfDir)
+    val fpO = graft.functions.Hashing.hash60(concat_ws("|",
+      col("o_orderstatus"), floor(col("o_totalprice") * 100).cast("string")))
+    val perturbed = orders.filter(col("o_orderkey") % 9 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 4 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    val feedO = Reconcile.changeFeed(orders, perturbed, Seq("o_orderkey"), fpO)
+    val replayedO = Merge.applyChangeLog(orders,
+      feedO.withColumn("seq", lit(1L)), Seq("o_orderkey"), "op", col("seq"))
+    def canonO(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey").collect().map(_.toString).toSeq
+    assert(canonO(replayedO) == canonO(perturbed))
+  }
 }
