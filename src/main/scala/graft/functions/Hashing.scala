@@ -48,6 +48,13 @@ object Hashing {
     org.apache.spark.sql.GraftColumnBridge.column(
       Shingles3(org.apache.spark.sql.GraftColumnBridge.expression(tk)))
 
+  /** Non-distinct word bigrams of a token array, position order (native
+    * [[Bigrams2]]; empty for < 2 tokens, mirroring DuckDB
+    * `range(1, len)`). */
+  def bigrams2(tk: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Bigrams2(org.apache.spark.sql.GraftColumnBridge.expression(tk)))
+
   /** Built-in-only shingle formulation (parity testing only — the HOF
     * chain re-evaluates `tk` per element when `tk` is not a bare
     * attribute, so never use it in an operator). */

@@ -183,8 +183,45 @@ case class Shingles3(child: Expression)
     copy(child = newChild)
 }
 
+/** Word bigrams "prev next" of a token array — NON-distinct and in
+  * position order (a language-model census needs every occurrence,
+  * where the dedup shingle set wants each shingle once). Same native
+  * rationale as [[Shingles3]]: one call, no per-element lambda
+  * re-evaluation, nothing cloned into generated filters. */
+case class Bigrams2(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bigrams2"
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleUtil.bigrams2(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleUtil.bigrams2($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Bigrams2 =
+    copy(child = newChild)
+}
+
 object ShingleUtil {
   private val SPACE = UTF8String.fromString(" ")
+
+  /** Every adjacent token pair "prev next", in order, duplicates kept. */
+  def bigrams2(tk: ArrayData): ArrayData = {
+    val n = tk.numElements()
+    if (n < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.concatWs(SPACE,
+        tk.getUTF8String(i), tk.getUTF8String(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Static entry point shared by interpreted eval and generated code. */
   def shingles3(tk: ArrayData): ArrayData = {

@@ -222,6 +222,50 @@ object TextAnalysis {
         round(col("sum_surprisal") / col("n_tokens").cast("double"), 6))
   }
 
+  /** Bigram conditional surprisal (the LM-quality step above
+    * [[unigramSurprisal]]): per token-pair surprisal of `t` given its
+    * predecessor under add-one smoothing, P(t|prev) = (bf+1)/(cf+V),
+    * folded per doc. A doc of individually-common words in improbable
+    * ORDER (shuffled/garbled text, n-gram spam) scores high where the
+    * unigram signal sees nothing wrong.
+    *
+    * Determinism discipline as the unigram op: surprisal is the integer
+    * log₂ bucket `len(bin((cf+V) div (bf+1))) − 1` — every aggregate
+    * folds integers, the one float op is the rounded per-doc mean.
+    *
+    * Scale shape: bigram extraction is a narrow native map (one
+    * [[graft.functions.Bigrams2]] call per row); per-(doc, bigram)
+    * counts map-side combine before the join, so the frequency join
+    * moves distinct pairs, not token instances; the bigram table is
+    * bigram-vocabulary-sized, its context table folds off it (never
+    * re-scanning the corpus), and V rides a 1-row broadcast. Stopword
+    * contexts skew the join key exactly like the unigram tf join — the
+    * AQE skew-join shape. */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.Hashing.bigrams2
+    val tok = docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+    val pairs = tok
+      .select(col(idCol), explode(bigrams2(col("tk"))).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+    val bf = pairs.groupBy("bg").agg(sum(col("c")).as("bf"))
+    val cf = bf.groupBy(substring_index(col("bg"), " ", 1).as("ctx"))
+      .agg(sum(col("bf")).as("cf"))
+    val v = tok.select(explode(col("tk")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    pairs.join(bf, "bg")
+      .join(cf, substring_index(col("bg"), " ", 1) === col("ctx"))
+      .crossJoin(broadcast(v))
+      .withColumn("bucket",
+        (length(bin(expr("(cf + v) div (bf + 1)"))) - 1).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        sum(col("bucket") * col("c")).cast("long").as("sum_surprisal"),
+        max(col("bucket")).as("max_surprisal"))
+      .withColumn("mean_surprisal",
+        round(col("sum_surprisal") / col("n_bigrams").cast("double"), 6))
+  }
+
   /** BM25 relevance of every document against a fixed query-term set —
     * the retrieval scorer of a corpus search / RAG-retrieval lane.
     *

