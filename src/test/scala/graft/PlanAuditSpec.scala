@@ -512,6 +512,19 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_sorted_neighborhood: global rank is two-phase (pid window, " +
+      "no single-task sort of the corpus), neighborhood join is equi") {
+    val df = SparkEntry.queries("dedup_sorted_neighborhood")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"pid-partitioned rank window missing:\n$plan")
+    assert(!plan.contains("windowspecdefinition(bk"),
+      s"partitionless sort-key window back in the plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"neighborhood join must stay an equi-join on rank cells:\n$plan")
+  }
+
   test("q41_snapshot_diff: scans read only key + fingerprint inputs " +
       "(narrow compare join), filters pushed, aggregation partial") {
     val plan = planOf("q41_snapshot_diff")
