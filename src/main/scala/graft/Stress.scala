@@ -109,6 +109,39 @@ object Stress {
       // 10× events; the replicated suffix keeps the graph 10× wider too
       ops.Graph.pagerank(ops.Graph.transitionEdges(ev10)).count()
     }
+    // ---- round-4 (session 3) operators ----
+    time("sorted_nbhd_10x") {
+      // replicas are identical texts with shifted ids → every doc gains
+      // 9 sort-adjacent twins; candidates stay N·window by construction
+      ops.Dedup.sortedNeighborhood(docs10).count()
+    }
+    time("bigram_surp_10x") {
+      ops.TextAnalysis.bigramSurprisal(docs10).count()
+    }
+    time("grouped_hh_10x") {
+      val occ = docs10.select(col("source"),
+          explode(graft.functions.Hashing.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      ops.Sketches.groupedHeavyHitters(occ, "source", "token", 450L).count()
+    }
+    time("triangles_10x") {
+      ops.Graph.triangles(ops.Graph.transitionEdges(ev10)).count()
+    }
+    time("snapshot_diff_10x") {
+      val fp = graft.functions.Hashing.hash60(concat_ws("|",
+        col("o_orderstatus"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("string")))
+      val nw = orders10.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      ops.Reconcile.changeFeed(orders10.filter(col("o_orderkey") % 10 =!= 0),
+        nw, Seq("o_orderkey"), fp).count()
+    }
+    time("ewma_10x") {
+      // 10× rows AND 10× series via the replicated event types
+      ops.Resample.ewmaHalf(ev10, "event_type", "ts", "value").count()
+    }
     spark.stop()
   }
 }

@@ -66,11 +66,19 @@ object Sketches {
     *
     * Returns (r, b, cnt): row r ∈ [0, depth), bucket b ∈ [0, width). */
   def countMin(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    countMinMulti(df, Seq(keyCol), depth, width)
+
+  /** [[countMin]] over a COMPOSITE key (e.g. (group, key) for grouped
+    * heavy hitters): the hash family spans all columns, so the sketch
+    * treats each distinct tuple as one key. Single-column callers get
+    * bit-identical cells through the delegating overload. */
+  def countMinMulti(df: DataFrame, keyCols: Seq[String],
       depth: Int = 4, width: Int = 1024): DataFrame = {
-    require(depth >= 1 && width >= 1)
+    require(depth >= 1 && width >= 1 && keyCols.nonEmpty)
     df.select(explode(array((0 until depth).map(r =>
         struct(lit(r).as("r"),
-          pmod(xxhash64(lit(r), col(keyCol)), lit(width.toLong)).as("b"))): _*)).as("rb"))
+          pmod(xxhash64(lit(r) +: keyCols.map(col): _*), lit(width.toLong)).as("b"))): _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -94,6 +102,12 @@ object Sketches {
     * unrolled into an explicit `least` (depth is a plan-time
     * constant). */
   def cmsEstimate(df: DataFrame, keyCol: String, cells: DataFrame,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    cmsEstimateMulti(df, Seq(keyCol), cells, depth, width)
+
+  /** [[cmsEstimate]] for a composite key — probes must hash the same
+    * column tuple the sketch was built over. */
+  def cmsEstimateMulti(df: DataFrame, keyCols: Seq[String], cells: DataFrame,
       depth: Int = 4, width: Int = 1024): DataFrame = {
     val dense = Array.fill(depth)(new Array[Long](width))
     cells.collect().foreach(r =>
@@ -101,7 +115,7 @@ object Sketches {
     val grid = typedLit(dense.map(_.toSeq).toSeq)
     val probes = (0 until depth).map(r =>
       element_at(element_at(grid, r + 1),
-        (pmod(xxhash64(lit(r), col(keyCol)), lit(width.toLong)) + 1).cast("int")))
+        (pmod(xxhash64(lit(r) +: keyCols.map(col): _*), lit(width.toLong)) + 1).cast("int")))
     df.withColumn("est", if (depth == 1) probes.head else least(probes: _*))
   }
 
@@ -124,6 +138,32 @@ object Sketches {
     cmsEstimate(df.select(col(keyCol)), keyCol, cells, depth, width)
       .filter(col("est") >= minCount)
       .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** GROUPED exact heavy hitters through one composite-key count-min
+    * prefilter: (group, key) tuples whose occurrence count reaches
+    * `minCount`, with the exact count — per-group boilerplate / hot-key
+    * detection (which token floods which source, which user floods
+    * which event type) without EITHER a per-group sketch (state ∝
+    * groups) or a full (group, key) exact count (shuffle ∝ the
+    * group-local vocabularies union).
+    *
+    * The composite hash treats each (group, key) tuple as one sketch
+    * key, so the grid stays ONE depth×width constant whatever the group
+    * count, and the same two-pass argument as [[cmsHeavyHitters]]
+    * applies unchanged: estimates never undercount ⇒ the candidate set
+    * is a superset ⇒ the exact recount over candidates is EXACT (and
+    * oracle-gateable). Width budgets against TOTAL occurrences N as
+    * before: overcount ≤ ⌈e·N/width⌉ w.h.p. regardless of grouping. */
+  def groupedHeavyHitters(df: DataFrame, groupCol: String, keyCol: String,
+      minCount: Long, depth: Int = 4, width: Int = 1024): DataFrame = {
+    val keys = Seq(groupCol, keyCol)
+    val cells = countMinMulti(df, keys, depth, width)
+    cmsEstimateMulti(df.select(keys.map(col): _*), keys, cells, depth, width)
+      .filter(col("est") >= minCount)
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }

@@ -1145,6 +1145,25 @@ object TrainingData extends QueryPack {
       .orderBy("token")
   }
 
+  /** Grouped heavy hitters: which token floods which source — exact
+    * counts through ONE composite-key count-min prefilter (grid stays
+    * depth×width whatever the group count; see
+    * Sketches.groupedHeavyHitters). */
+  val textHeavyHittersBySource = GraftQuery(
+    "text_heavy_hitters_by_source",
+    Some("""
+      WITH t AS (SELECT source, unnest(string_split_regex(text,'\s+')) AS token FROM documents)
+      SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM t WHERE len(token) > 0 GROUP BY source, token HAVING count(*) >= 45
+      ORDER BY source, token""".trim)) { (spark, dir) =>
+    val occ = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.Hashing.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    graft.ops.Sketches.groupedHeavyHitters(occ, "source", "token", minCount = 45L)
+      .orderBy("source", "token")
+  }
+
   /** Vocabulary fuzzy-join: token pairs within edit distance 2. */
   val fuzzyVocab = GraftQuery(
     "fuzzy_vocab_join",
@@ -1166,7 +1185,7 @@ object TrainingData extends QueryPack {
     textBigramSurprisal,
     textBm25, textInvertedIndex, textBpeMerges, textBpeEncode,
     textRepeatedSpans,
-    textHeavyHitters, pipelineFeatures, pipelineSplitLeakage,
+    textHeavyHitters, textHeavyHittersBySource, pipelineFeatures, pipelineSplitLeakage,
     dataQuota, dataMix, dataCurriculum, dataEpochShuffle,
     dedupExact, dedupNgram, dedupNgramPrefix, dedupSortedNeighborhood,
     dedupNgramCapped, dedupContainment,

@@ -109,6 +109,25 @@ class SketchOpsSpec extends SparkTestBase {
     assert(got == Set(("x", 8L), ("y", 6L), ("q", 5L), ("r", 6L)))
   }
 
+  test("groupedHeavyHitters: per-group exact counts through one " +
+      "composite-key sketch; groups never bleed into each other") {
+    import spark.implicits._
+    // token 'h' is heavy in group g1 only; 'x' heavy in both; a tiny
+    // colliding grid must not let g1's mass promote g2's light keys
+    val rows = Seq.fill(6)(("g1", "h")) ++ Seq(("g2", "h")) ++
+      Seq.fill(5)(("g1", "x")) ++ Seq.fill(7)(("g2", "x")) ++
+      Seq(("g1", "z"), ("g2", "z"))
+    val df = rows.toDF("g", "k")
+    val exact = df.groupBy("g", "k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val got = Sketches.groupedHeavyHitters(df, "g", "k", minCount = 5L,
+        depth = 2, width = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == exact, s"got $got want $exact")
+    assert(got == Set(("g1", "h", 6L), ("g1", "x", 5L), ("g2", "x", 7L)))
+  }
+
   // ---- bloom-pruned join ---------------------------------------------
 
   test("bloomPrunedJoin: result equals the plain join, prune filter " +
