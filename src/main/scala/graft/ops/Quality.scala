@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audits — the reference's per-payload
+  * pydantic validation (`etl/models.py`) re-expressed as set-at-a-time
+  * constraint checks a lake can afford to run on every refresh.
+  *
+  * Three constraint families, each with the cheapest plan that proves
+  * it:
+  *  - ROW constraints (null/domain/range): ONE pass, every check a
+  *    conditional sum in the same map-side-combined aggregate — adding
+  *    a check adds a column, never a scan;
+  *  - UNIQUENESS (the silver-table key invariant the upsert lane
+  *    enforces): `n_rows − n_distinct(keys)`, one aggregate;
+  *  - REFERENTIAL integrity: orphan count via a left-anti join on the
+  *    key — at lake scale the parent key set is a broadcast or a
+  *    bloom-pruned join ([[BloomJoin]]), never a full shuffle of the
+  *    child payload.
+  *
+  * All verdicts are integer counts — engine-exact, so the whole audit
+  * is oracle-gateable.
+  */
+object Quality {
+
+  /** A named row-level constraint: a row VIOLATES it when
+    * `violatedWhen` evaluates to true (null counts as not violated —
+    * express null-sensitivity explicitly, e.g.
+    * `!coalesce(c.isin(...), lit(false))`). */
+  case class Check(name: String, violatedWhen: Column)
+
+  /** One-pass row audit: (constraint, violations, n_rows) per check.
+    * Every check folds in the same aggregate — one scan total. */
+  def rowAudit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty)
+    val head +: tail = checks.map(c =>
+      sum(when(c.violatedWhen, 1L).otherwise(0L)).as(c.name)): @unchecked
+    val agg = df.agg(head, tail :+ count(lit(1)).as("__n"): _*)
+    agg.select(explode(array(checks.map(c =>
+        struct(lit(c.name).as("constraint"),
+          coalesce(col(c.name), lit(0L)).as("violations"),
+          col("__n").as("n_rows"))): _*)).as("r"))
+      .select(col("r.constraint"), col("r.violations"), col("r.n_rows"))
+  }
+
+  /** Key-uniqueness audit: violations = n_rows − n_distinct(keys)
+    * (0 iff `keys` is a proper key). */
+  def uniqueAudit(df: DataFrame, keys: Seq[String], name: String): DataFrame =
+    df.agg(count(lit(1)).as("__n"),
+        countDistinct(keys.head, keys.tail: _*).as("__d"))
+      .select(lit(name).as("constraint"),
+        (col("__n") - col("__d")).as("violations"), col("__n").as("n_rows"))
+
+  /** Referential-integrity audit: child rows whose key has no parent
+    * (NULL child keys match nothing, so they count as orphans —
+    * pair with a not-null row check to tell the cases apart). */
+  def fkAudit(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, name: String): DataFrame = {
+    val n = child.count()
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .count()
+    child.sparkSession.range(1)
+      .select(lit(name).as("constraint"), lit(orphans).as("violations"),
+        lit(n).as("n_rows"))
+  }
+
+  /** k-anonymity audit over a quasi-identifier tuple: the groups with
+    * fewer than `k` members — each is a re-identification risk (its
+    * members are distinguishable by the quasi-identifiers alone).
+    * Output is (quasi cols..., cnt), group-sized. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[Column], k: Int): DataFrame = {
+    require(k >= 2)
+    df.groupBy(quasiCols: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") < k)
+  }
+
+  /** Join-key skew report: the log₂ histogram of per-key row counts
+    * (bucket = ⌊log₂ cnt⌋), with key count, row mass and the hottest
+    * key's size per bucket — the one-pass diagnostic that says whether
+    * a key needs the salted-join/AQE-skew path BEFORE the join runs.
+    * Two map-side-combined aggregates; output is ≤ 64 rows. */
+  def keySkewHistogram(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .groupBy((length(bin(col("cnt"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+}

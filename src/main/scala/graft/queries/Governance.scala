@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.ops.Quality
+import graft.ops.Quality.Check
+
+/** SURVEY.md §2.9 — lake governance: declarative data-quality audits
+  * (the reference's pydantic payload validation re-expressed
+  * set-at-a-time), k-anonymity risk surface, join-key skew report.
+  * All verdicts are integer counts — engine-exact, fully oracle-gated.
+  */
+object Governance extends QueryPack {
+
+  /** Constraint audit over orders + lineitem: null/domain/range checks
+    * fold into ONE aggregate per table, uniqueness is one aggregate,
+    * referential integrity one anti-join. `constraint` is renamed
+    * `chk` (reserved word in the oracle engine). */
+  val q43 = GraftQuery(
+    "q43_data_quality",
+    Some("""
+      SELECT * FROM (
+        SELECT 'lineitem_fk_orders' AS chk,
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS violations,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows
+        UNION ALL SELECT 'lineitem_qty_range',
+               (SELECT count(*) FROM lineitem
+                WHERE NOT COALESCE(l_quantity BETWEEN 1 AND 45, FALSE)),
+               (SELECT count(*) FROM lineitem)
+        UNION ALL SELECT 'orders_key_not_null',
+               (SELECT count(*) FROM orders WHERE o_orderkey IS NULL),
+               (SELECT count(*) FROM orders)
+        UNION ALL SELECT 'orders_key_unique',
+               (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+               (SELECT count(*) FROM orders)
+        UNION ALL SELECT 'orders_price_range',
+               (SELECT count(*) FROM orders
+                WHERE NOT COALESCE(o_totalprice BETWEEN 1000 AND 400000, FALSE)),
+               (SELECT count(*) FROM orders)
+        UNION ALL SELECT 'orders_status_domain',
+               (SELECT count(*) FROM orders
+                WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)),
+               (SELECT count(*) FROM orders)
+      ) ORDER BY chk""".trim)) { (spark, dir) =>
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    Quality.rowAudit(orders, Seq(
+        Check("orders_key_not_null", col("o_orderkey").isNull),
+        Check("orders_status_domain",
+          !coalesce(col("o_orderstatus").isin("O", "F", "P"), lit(false))),
+        Check("orders_price_range",
+          !coalesce(col("o_totalprice").between(1000, 400000), lit(false)))))
+      .unionByName(Quality.rowAudit(li, Seq(
+        Check("lineitem_qty_range",
+          !coalesce(col("l_quantity").between(1, 45), lit(false))))))
+      .unionByName(Quality.uniqueAudit(orders, Seq("o_orderkey"),
+        "orders_key_unique"))
+      .unionByName(Quality.fkAudit(li, "l_orderkey", orders, "o_orderkey",
+        "lineitem_fk_orders"))
+      .withColumnRenamed("constraint", "chk")
+      .orderBy("chk")
+  }
+
+  /** k-anonymity risk surface: quasi-identifier groups (lang, source,
+    * length bucket) with fewer than k=3 members — each row is a set of
+    * documents re-identifiable from the quasi-identifiers alone. */
+  val q44 = GraftQuery(
+    "q44_k_anonymity",
+    Some("""
+      SELECT lang, source, CAST(n_chars // 200 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 3
+      ORDER BY lang, source, bucket""".trim)) { (spark, dir) =>
+    Quality.kAnonymity(Tables.documents(spark, dir),
+        Seq(col("lang"), col("source"), expr("n_chars div 200").as("bucket")),
+        k = 3)
+      .orderBy("lang", "source", "bucket")
+  }
+
+  /** Join-key skew report on lineitem.l_orderkey: log₂ histogram of
+    * per-key row counts with key count / row mass / hottest key per
+    * bucket — the pre-join diagnostic for the salted-join path. */
+  val q45 = GraftQuery(
+    "q45_key_skew",
+    Some("""
+      WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+      SELECT CAST(len(bin(cnt)) - 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM c GROUP BY 1 ORDER BY bucket""".trim)) { (spark, dir) =>
+    Quality.keySkewHistogram(Tables.lineitem(spark, dir), "l_orderkey")
+      .orderBy("bucket")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q43, q44, q45)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Quality
+import graft.ops.Quality.Check
+
+/** Specs for the lake-governance audits (SURVEY §2.9). */
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rowAudit: exact violation counts, null semantics explicit per " +
+      "check, all checks fold into one pass over the input") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "O"), (2L, "F"), (null, "X"), (4L, null), (5L, "P"))
+      .toDF("k", "st")
+    val out = Quality.rowAudit(df, Seq(
+        Check("k_not_null", col("k").isNull),
+        // null-VIOLATES form: unknown domain membership is a violation
+        Check("st_domain", !coalesce(col("st").isin("O", "F", "P"), lit(false))),
+        // null-TOLERATED form: unknown range is not this check's problem
+        Check("k_range", coalesce(!col("k").between(1, 4), lit(false)))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // st_domain: 'X' + the NULL st; k_range: only 5 (NULL k tolerated,
+    // caught by k_not_null instead)
+    assert(out == Map("k_not_null" -> ((1L, 5L)), "st_domain" -> ((2L, 5L)),
+      "k_range" -> ((1L, 5L))), out)
+    // one scan total: every check is a column in the same aggregate
+    val plan = Quality.rowAudit(df, Seq(
+        Check("a", col("k").isNull), Check("b", col("st").isNull)))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).size == 1,
+      s"adding a check must not add a scan:\n$plan")
+  }
+
+  test("uniqueAudit and fkAudit: duplicate keys and orphans counted " +
+      "exactly, NULL child keys count as orphans") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq[java.lang.Long](1L, 1L, 2L, 9L, null).toDF("ck")
+    val uq = Quality.uniqueAudit(child, Seq("ck"), "ck_unique").head()
+    // 5 rows, distinct non-null {1,2,9} = 3 → countDistinct ignores null
+    assert(uq.getString(0) == "ck_unique" && uq.getLong(1) == 2L)
+    val fk = Quality.fkAudit(child, "ck", parent, "pk", "child_fk").head()
+    assert(fk.getString(0) == "child_fk" && fk.getLong(1) == 2L &&
+      fk.getLong(2) == 5L) // orphan 9L + the NULL key
+  }
+
+  test("kAnonymity flags only groups under k; keySkewHistogram buckets " +
+      "per-key counts by floor(log2)") {
+    val d = Seq(("en", "a"), ("en", "a"), ("en", "a"),
+      ("en", "b"), ("de", "a")).toDF("lang", "src")
+    val risk = Quality.kAnonymity(d, Seq(col("lang"), col("src")), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(risk == Set(("en", "b", 1L), ("de", "a", 1L)), risk)
+
+    // keys with counts 1,1,2,7 → buckets 0(x2),1,2
+    val rows = (Seq.fill(7)(10L) ++ Seq(20L, 20L, 30L, 40L)).toDF("k")
+    val hist = Quality.keySkewHistogram(rows, "k")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(hist == Map(0L -> ((2L, 2L, 1L)), 1L -> ((1L, 2L, 2L)),
+      2L -> ((1L, 7L, 7L))), hist)
+  }
+}
