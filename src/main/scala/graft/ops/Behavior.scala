@@ -111,6 +111,44 @@ object Behavior {
     * Output: (stage, step, n_users, conv_overall, conv_step), one row
     * per step in order.
     */
+  /** Rolling active-user metrics (DAU/WAU/MAU — distinct users in the
+    * trailing 1/7/30 days, per day): the engagement counters every
+    * product dashboard runs over its event stream.
+    *
+    * A rolling COUNT(DISTINCT) has no window form (distinct does not
+    * merge across frames), and the naive per-day correlated count
+    * re-scans the feed once per day. Shape here: the feed first
+    * compacts to DISTINCT (user, day) — the only event-scale work, one
+    * map-side-combined shuffle — then each activity day SUPPORTS the
+    * next w report days by bounded replication (`explode(sequence)`,
+    * ×(1+7+30) worst case on the compacted pairs, never on raw
+    * events), and a distinct count per (report day, window) finishes on
+    * data that is (users × days)-sized. No window over the feed, no
+    * per-day rescan; report days outside the observed range are cut by
+    * a 1-row broadcast of the day bounds.
+    *
+    * Returns (day, dau, wau, mau) — integer epoch-day and exact counts,
+    * 0 on days with support but no activity. */
+  def activeUsers(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val usPerDay = 86400L * 1000000L
+    val ud = events
+      .select(expr(s"unix_micros($tsCol) div $usPerDay").as("d"), col(userCol))
+      .distinct()
+    val bounds = ud.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    def rolling(w: Int, name: String) = ud
+      .withColumn("day", explode(sequence(col("d"), col("d") + lit(w - 1))))
+      .groupBy("day").agg(countDistinct(col(userCol)).as(name))
+    bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(rolling(1, "dau"), Seq("day"), "left")
+      .join(rolling(7, "wau"), Seq("day"), "left")
+      .join(rolling(30, "mau"), Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+  }
+
   def funnel(events: DataFrame, steps: Seq[String],
       typeCol: String = "event_type", userCol: String = "user_id",
       tsCol: String = "ts", maxStepGapSeconds: Option[Long] = None): DataFrame = {

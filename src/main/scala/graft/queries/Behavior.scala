@@ -58,5 +58,27 @@ object Behavior extends QueryPack {
       .orderBy("stage")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q38, q39)
+  /** Rolling active users (DAU/WAU/MAU): distinct-user counts over the
+    * trailing 1/7/30 days per day — compact-to-(user, day), bounded
+    * day replication, never a window or per-day rescan of the feed
+    * (see `graft.ops.Behavior.activeUsers`). The oracle's correlated
+    * per-day counts are the definition; the engine's replicated form
+    * must match them exactly. */
+  val q46 = GraftQuery(
+    "q46_active_users",
+    Some("""
+      WITH ud AS (SELECT DISTINCT epoch(ts)::BIGINT // 86400 AS d, user_id FROM events),
+      days AS (SELECT unnest(range((SELECT min(d) FROM ud), (SELECT max(d) FROM ud) + 1)) AS day),
+      m AS (SELECT day,
+        (SELECT count(DISTINCT user_id) FROM ud WHERE d = day) AS dau,
+        (SELECT count(DISTINCT user_id) FROM ud WHERE d BETWEEN day-6 AND day) AS wau,
+        (SELECT count(DISTINCT user_id) FROM ud WHERE d BETWEEN day-29 AND day) AS mau
+       FROM days)
+      SELECT CAST(day AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
+             CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau
+      FROM m ORDER BY day""".trim)) { (spark, dir) =>
+    graft.ops.Behavior.activeUsers(Tables.events(spark, dir)).orderBy("day")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q38, q39, q46)
 }

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.Quality
+
+/** Data-quality gate AT INGEST: every micro-batch runs the declarative
+  * [[Quality.rowAudit]] over itself (one map-side-combined pass — the
+  * per-batch cost is the batch, never history) and folds the verdict
+  * counts into a versioned cumulative audit table, so the dashboard
+  * reads constraint totals for the whole ingested feed without ever
+  * re-scanning it.
+  *
+  * Versioning/idempotence is the [[StreamingRollup]] recipe verbatim:
+  * state under `v=<batchId>` OVERWRITE partitions, each batch merging
+  * from the newest version STRICTLY BELOW its own id, so an
+  * at-least-once replay rebuilds its version instead of double
+  * counting. Violation counts are plain sums — mergeable exactly.
+  */
+object StreamingQuality {
+
+  private def versions(fs: FileSystem, root: String): Seq[Long] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
+  /** Fold one batch's audit into the state table (exposed for the
+    * spec's equivalence/replay tests). */
+  def foldBatch(batch: DataFrame, batchId: Long,
+      checks: Seq[Quality.Check], stateDir: String,
+      keepVersions: Int = 3): Unit = {
+    require(keepVersions >= 2, s"keepVersions=$keepVersions breaks replay")
+    val spark = batch.sparkSession
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = versions(fs, stateDir).filter(_ < batchId)
+    val batchAudit = Quality.rowAudit(batch, checks)
+    val merged =
+      if (prev.isEmpty) batchAudit
+      else spark.read.parquet(s"$stateDir/v=${prev.max}")
+        .unionByName(batchAudit)
+        .groupBy("constraint")
+        .agg(sum(col("violations")).as("violations"),
+          sum(col("n_rows")).as("n_rows"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    versions(fs, stateDir).sorted.dropRight(keepVersions)
+      .foreach(v => fs.delete(new Path(s"$stateDir/v=$v"), true))
+  }
+
+  /** Start the audit sink over a streaming DataFrame. */
+  def maintain(events: DataFrame, checks: Seq[Quality.Check],
+      stateDir: String, checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) foldBatch(batch, batchId, checks, stateDir)
+        ()
+      }
+      .start()
+
+  /** The cumulative audit over everything ingested so far. */
+  def current(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versions(fs, stateDir)
+    require(vs.nonEmpty, s"no audit state at $stateDir")
+    spark.read.parquet(s"$stateDir/v=${vs.max}")
+  }
+}

@@ -120,4 +120,28 @@ class BehaviorSpec extends SparkTestBase {
     assert(ret.filter(_.getLong(1) == 0L).forall(_.getDouble(4) == 1.0))
     assert(ret.forall(r => r.getLong(2) <= r.getLong(3)))
   }
+
+  test("activeUsers: DAU/WAU/MAU equal a brute-force per-day distinct " +
+      "count, including gap days and window tails") {
+    // u1 active days 0 and 9 (gap 1..8); u2 day 0 only; u3 days 8,40
+    def day(d: Int, h: Int = 12) =
+      new Timestamp(d * 86400000L + h * 3600000L)
+    val ev = Seq(
+      (1L, day(0)), (1L, day(0, 14)), (1L, day(9)),
+      (2L, day(0)), (3L, day(8)), (3L, day(40))
+    ).toDF("user_id", "ts")
+    val got = Behavior.activeUsers(ev).orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force over the same (user, day) activity
+    val act = Seq(1L -> 0, 1L -> 9, 2L -> 0, 3L -> 8, 3L -> 40)
+    def distinctIn(d: Long, w: Int) =
+      act.collect { case (u, ad) if ad <= d && ad > d - w => u }.distinct.size.toLong
+    val want = (0L to 40L).map(d => (d, distinctIn(d, 1), distinctIn(d, 7),
+      distinctIn(d, 30)))
+    assert(got.toSeq == want, s"got ${got.take(12).mkString(",")}")
+    // spot anchors: day 1 has zero DAU but u1/u2 still in WAU; u1's
+    // day-9 activity supports MAU through day 38 and no further
+    assert(got(1) == ((1L, 0L, 2L, 2L)) && got(38) == ((38L, 0L, 0L, 1L)) &&
+      got(39) == ((39L, 0L, 0L, 0L)))
+  }
 }

@@ -61,4 +61,29 @@ class QualitySpec extends SparkTestBase {
     assert(hist == Map(0L -> ((2L, 2L, 1L)), 1L -> ((1L, 2L, 2L)),
       2L -> ((1L, 7L, 7L))), hist)
   }
+
+  test("StreamingQuality: per-batch audits fold to the one-shot audit " +
+      "on the union; at-least-once replay is idempotent") {
+    import graft.streaming.StreamingQuality
+    val root = java.nio.file.Files.createTempDirectory("qgate").toString
+    val checks = Seq(
+      Check("k_not_null", col("k").isNull),
+      Check("v_range", coalesce(!col("v").between(0, 100), lit(false))))
+    def batchDf(rows: Seq[(java.lang.Long, java.lang.Long)]) =
+      rows.toDF("k", "v")
+    val b1 = batchDf(Seq((1L, 10L), (null, 20L), (3L, 500L)))
+    val b2 = batchDf(Seq((4L, -5L), (5L, 50L)))
+    StreamingQuality.foldBatch(b1, 1L, checks, root)
+    StreamingQuality.foldBatch(b2, 2L, checks, root)
+    def cur() = StreamingQuality.current(spark, root)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = cur()
+    val oneShot = Quality.rowAudit(b1.unionByName(b2), checks)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == oneShot, s"incremental $got != one-shot $oneShot")
+    assert(got == Map("k_not_null" -> ((1L, 5L)), "v_range" -> ((2L, 5L))))
+    // replay batch 2: same totals, not double counts
+    StreamingQuality.foldBatch(b2, 2L, checks, root)
+    assert(cur() == got, "replay must be idempotent")
+  }
 }
