@@ -231,4 +231,67 @@ class LakeSpec extends SparkTestBase {
     assert(!SchemaEvolution.canWiden(StringType, LongType))
     assert(!SchemaEvolution.canWiden(IntegerType, FloatType))
   }
+
+  test("Manifest: atomic versioned commits, time travel, consistent " +
+      "reads under later commits, diff-between-versions composes") {
+    import graft.sources.Manifest
+    val root = Files.createTempDirectory("mani").resolve("tbl").toString
+    def df(rows: (Long, String)*) = rows.toDF("k", "s")
+    assert(Manifest.latestVersion(spark, root).isEmpty)
+    val v0 = Manifest.commit(df(1L -> "a", 2L -> "b"), root)
+    val v1 = Manifest.commit(df(1L -> "a", 2L -> "B", 3L -> "c"), root)
+    assert((v0, v1) == ((0L, 1L)) &&
+      Manifest.versions(spark, root) == Seq(0L, 1L))
+    def rows(v: Option[Long]) = Manifest.read(spark, root, v)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(Some(0L)) == Set(1L -> "a", 2L -> "b"))
+    assert(rows(None) == Set(1L -> "a", 2L -> "B", 3L -> "c"))
+    // a reader resolved before a commit keeps its snapshot
+    val pinned = Manifest.read(spark, root)
+    Manifest.commit(df(9L -> "z"), root)
+    assert(pinned.collect().length == 3, "resolved read must stay consistent")
+    assert(rows(None) == Set(9L -> "z"))
+    // reconcile between two versions of the SAME managed table
+    val feed = graft.ops.Reconcile.changeFeed(
+      Manifest.read(spark, root, Some(0L)), Manifest.read(spark, root, Some(1L)),
+      Seq("k"), graft.functions.Hashing.hash60(col("s")))
+    assert(feed.collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("op"))
+      .toMap == Map(2L -> "U", 3L -> "I"))
+  }
+
+  test("Manifest: losing a commit race retries on the next version; " +
+      "vacuum retires manifests then unreferenced data") {
+    import graft.sources.Manifest
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("mani2").resolve("tbl").toString
+    def df(rows: (Long, String)*) = rows.toDF("k", "s")
+    Manifest.commit(df(1L -> "a"), root)
+    // fake a concurrent winner claiming v1: copy v0's manifest
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val man = (v: Long) => new Path(s"$root/_manifests/v$v.json")
+    org.apache.hadoop.fs.FileUtil.copy(fs, man(0L), fs, man(1L), false,
+      spark.sparkContext.hadoopConfiguration)
+    val got = Manifest.commit(df(2L -> "b"), root)
+    assert(got == 2L, s"loser must advance past the claimed version: $got")
+    // the primitive the atomic publish rests on: rename onto an
+    // existing destination must FAIL, not overwrite
+    val t1 = new Path(s"$root/_manifests/.race-a")
+    val o1 = fs.create(t1, false); o1.write('x'); o1.close()
+    assert(!fs.rename(t1, man(2L)),
+      "rename overwrote an existing manifest — atomic claim broken")
+    fs.delete(t1, false)
+    assert(Manifest.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // vacuum to the newest 2: v0 gone (manifest AND data), v1/v2 readable
+    Manifest.commit(df(3L -> "c"), root)
+    Manifest.vacuum(spark, root, keep = 2)
+    assert(Manifest.versions(spark, root) == Seq(2L, 3L))
+    intercept[IllegalArgumentException] {
+      Manifest.read(spark, root, Some(0L)).collect()
+    }
+    val dataDirs = fs.listStatus(new Path(s"$root/_data")).map(_.getPath.getName)
+    assert(dataDirs.forall(n => n.startsWith("2-") || n.startsWith("3-")),
+      s"dead data dirs survive vacuum: ${dataDirs.mkString(",")}")
+    assert(Manifest.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
 }
