@@ -45,6 +45,13 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       spark.catalog.clearCache()
+      // accumulated broadcast/shuffle state is only reclaimed when the
+      // ContextCleaner's weak references get GC'd; in a 100+-query
+      // single-JVM sweep that backlog degrades shuffle-heavy queries
+      // late in name order (measured: 10.7s vs 1.2s solo for
+      // dedup_sorted_neighborhood). Force the cleanup between queries
+      // so timings are attributable to the query, not sweep position.
+      System.gc()
       val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

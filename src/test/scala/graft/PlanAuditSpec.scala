@@ -525,6 +525,15 @@ class PlanAuditSpec extends SparkTestBase {
       s"neighborhood join must stay an equi-join on rank cells:\n$plan")
   }
 
+  test("q46_active_users: day bounds, grid and all three rolling " +
+      "counts read the cached (user, day) table, not the feed") {
+    val plan = planOf("q46_active_users")
+    assert(plan.contains("InMemoryTableScan"),
+      s"compacted activity table must be cached (8 feed scans without):\n$plan")
+    // every aggregation consumes the cache — dau/wau/mau and bounds
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 4, plan)
+  }
+
   test("q41_snapshot_diff: scans read only key + fingerprint inputs " +
       "(narrow compare join), filters pushed, aggregation partial") {
     val plan = planOf("q41_snapshot_diff")
