@@ -465,12 +465,35 @@ object Dedup {
           col("b.rank") - col("a.rank") <= window)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-    // unlike the shingle-join families, candidates here need not share
-    // a shingle — two sub-3-token docs adjacent in sort order would hit
-    // the 0/0 Jaccard edge (engine-divergent); dropping empty shingle
-    // sets from the verify feed removes such pairs before the division
-    val sh = shingleSets(docs, idCol, textCol).filter(size(col("s")) > 0)
-    verifyJaccard(cand, sh, threshold).orderBy("id_a", "id_b")
+    // Verify on SORTED 60-BIT HASH ARRAYS with the native linear merge
+    // (the PPJoin machinery): candidate count is already bounded at
+    // N·window, but carrying string shingle arrays through the verify
+    // join is the measured knee of the pre-PPJoin prefix path — 8-byte
+    // longs + one merge per pair keep the verify narrow. Same 2^-60
+    // collision convention as the rest of the shingle family.
+    // Candidates here need not share a shingle (unlike the shingle-join
+    // families), so empty shingle sets are dropped from the verify feed
+    // before they can hit the 0/0 Jaccard edge (engine-divergent).
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val sh = shingleSets(docs, idCol, textCol)
+      .select(col("doc_id"),
+        column(graft.functions.SortedHash60Array(expression(col("s"))))
+          .as("hs"))
+      .withColumn("n", size(col("hs")))
+      .filter(col("n") > 0)
+    val inter = column(graft.functions.SortedLongIntersectCount(
+      expression(col("ha")), expression(col("hb"))))
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("hs").as("ha"),
+        col("n").as("na")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hb"),
+        col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), inter.as("i"), col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i") / (col("na") + col("nb") - col("i")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
   }
 
   /** Connected components over a near-dup pair list: every doc that
