@@ -111,6 +111,31 @@ object Behavior {
     * Output: (stage, step, n_users, conv_overall, conv_step), one row
     * per step in order.
     */
+  /** Incremental DAU/WAU/MAU maintenance — [[activeUsers]] for a
+    * streamed event log, on the same batch-owned-partition state recipe
+    * as [[retentionAppend]]: each batch compacts ITSELF to distinct
+    * (user, day) — the only event-scale work — and writes its rows
+    * under `batch=<id>` with dynamic OVERWRITE, so an at-least-once
+    * replay rewrites its own partition instead of duplicating. The
+    * metric refresh runs [[activeUsers]]' replication+distinct over the
+    * compacted state (users × days cardinality — the union dedups
+    * cross-batch repeats inside the metric's own distinct), equal by
+    * construction to the one-shot operator on every event so far. */
+  def activeUsersAppend(spark: org.apache.spark.sql.SparkSession,
+      root: String, newEvents: DataFrame, batchId: Long,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val usPerDay = 86400L * 1000000L
+    newEvents
+      .select(expr(s"unix_micros($tsCol) div $usPerDay").as("d"), col(userCol))
+      .distinct()
+      .withColumn("batch", lit(batchId))
+      .write.partitionBy("batch").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$root/user_days")
+    activeUsersFromDays(
+      spark.read.parquet(s"$root/user_days")
+        .select(col("d"), col(userCol)), userCol)
+  }
+
   /** Rolling active-user metrics (DAU/WAU/MAU — distinct users in the
     * trailing 1/7/30 days, per day): the engagement counters every
     * product dashboard runs over its event stream.
@@ -132,15 +157,21 @@ object Behavior {
   def activeUsers(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
     val usPerDay = 86400L * 1000000L
+    activeUsersFromDays(events
+      .select(expr(s"unix_micros($tsCol) div $usPerDay").as("d"), col(userCol)),
+      userCol)
+  }
+
+  /** The metric core over a (d, user) activity table (possibly
+    * non-distinct — the internal distinct compacts it). */
+  def activeUsersFromDays(userDays: DataFrame, userCol: String): DataFrame = {
     // persist the compacted activity table: day bounds, the grid and
     // all three rolling counts consume it, and exchange reuse does NOT
     // cover them (each branch's pruning specializes the subtree below
     // the distinct's exchange — measured: 8 full feed scans without the
     // cache, 1 with). (users × days) rows of two longs — orders of
     // magnitude under the feed at any scale.
-    val ud = events
-      .select(expr(s"unix_micros($tsCol) div $usPerDay").as("d"), col(userCol))
-      .distinct()
+    val ud = userDays.select(col("d"), col(userCol)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounds = ud.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
     def rolling(w: Int, name: String) = ud

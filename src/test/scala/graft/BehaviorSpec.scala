@@ -144,4 +144,27 @@ class BehaviorSpec extends SparkTestBase {
     assert(got(1) == ((1L, 0L, 2L, 2L)) && got(38) == ((38L, 0L, 0L, 1L)) &&
       got(39) == ((39L, 0L, 0L, 0L)))
   }
+
+  test("activeUsersAppend: incremental metrics equal the one-shot on " +
+      "the union; cross-batch repeats dedup; replay idempotent") {
+    def day(d: Int) = new Timestamp(d * 86400000L + 12 * 3600000L)
+    val root = java.nio.file.Files.createTempDirectory("dauidx").toString
+    val b1 = Seq((1L, day(0)), (2L, day(1))).toDF("user_id", "ts")
+    // u1 repeats day 0 in batch 2 (cross-batch dup) + new day 3
+    val b2 = Seq((1L, day(0)), (1L, day(3))).toDF("user_id", "ts")
+    Behavior.activeUsersAppend(spark, root, b1, 1L)
+    val got = Behavior.activeUsersAppend(spark, root, b2, 2L)
+      .orderBy("day").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val oneShot = Behavior.activeUsers(b1.unionByName(b2))
+      .orderBy("day").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == oneShot.toSeq, "incremental != one-shot")
+    assert(got(0)._2 == 1L && got(3)._2 == 1L)
+    // at-least-once replay of batch 2: identical metrics
+    val replay = Behavior.activeUsersAppend(spark, root, b2, 2L)
+      .orderBy("day").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(replay.toSeq == got.toSeq, "replay must be idempotent")
+  }
 }
