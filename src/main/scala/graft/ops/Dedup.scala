@@ -496,6 +496,38 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Survivorship — the last rung of the record-linkage ladder the
+    * dedup family climbs (blocking → matching → clustering →
+    * SURVIVORSHIP): one canonical record per duplicate cluster, chosen
+    * by a deterministic rule (longest text, doc id as tie-break — the
+    * merge/purge "most complete record wins" convention), with the
+    * per-cluster keep/drop accounting a curation report needs.
+    *
+    * Pairs come from [[ngramJaccard]], clusters from
+    * [[duplicateClusters]]; unpaired docs are singleton clusters of
+    * themselves. The survivor election is ONE map-side-combined
+    * aggregate — `max(struct(len, −id))` — never a per-cluster window
+    * sort.
+    *
+    * Output: (cluster_id, survivor_id, n_members, survivor_chars,
+    * chars_dropped), one row per cluster. */
+  def survivorship(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(docs, idCol, textCol, threshold)
+      .select("id_a", "id_b")
+    val clusters = duplicateClusters(pairs)
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("l"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), sum(col("l")).as("total"),
+        max(struct(col("l"), (-col("doc_id")).as("neg"))).as("best"))
+      .select(col("cluster_id"), expr("-best.neg").as("survivor_id"),
+        col("n_members"), expr("best.l").as("survivor_chars"),
+        (col("total") - expr("best.l")).as("chars_dropped"))
+  }
+
   /** Connected components over a near-dup pair list: every doc that
     * appears in a pair gets the minimum doc id reachable through shared
     * pairs as its `cluster_id` (the canonical survivor). Pairs alone

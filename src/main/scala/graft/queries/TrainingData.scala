@@ -270,6 +270,34 @@ object TrainingData extends QueryPack {
         .select("id_a", "id_b"))
   }
 
+  /** Survivorship on top of the transitive closure: one canonical doc
+    * per duplicate cluster (longest text, id tie-break), singletons
+    * included, keep/drop char accounting — the curation report the
+    * dedup ladder ends in (see [[graft.ops.Dedup.survivorship]]). */
+  val dedupSurvivorship = GraftQuery(
+    "dedup_survivorship",
+    Some(s"""
+      WITH RECURSIVE $SH,
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+      pairs AS (SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+           len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE) AS jac
+        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b) t WHERE jac >= 0.5),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      verts AS (SELECT DISTINCT u FROM edges),
+      reach AS (SELECT u, u AS v FROM verts UNION SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+      clu AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+      allc AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, len(d.text) AS l
+               FROM documents d LEFT JOIN clu c ON c.doc_id = d.doc_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY l DESC, doc_id) AS rn FROM allc),
+      agg AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members, CAST(SUM(l) AS BIGINT) AS total FROM allc GROUP BY 1)
+      SELECT CAST(b.cluster_id AS BIGINT) AS cluster_id, CAST(b.doc_id AS BIGINT) AS survivor_id,
+             a.n_members, CAST(b.l AS BIGINT) AS survivor_chars, a.total - CAST(b.l AS BIGINT) AS chars_dropped
+      FROM r b JOIN agg a USING (cluster_id) WHERE b.rn = 1 ORDER BY cluster_id""".trim)) { (spark, dir) =>
+    Dedup.survivorship(Tables.documents(spark, dir)).orderBy("cluster_id")
+  }
+
   val dataSplit = GraftQuery(
     "data_split",
     Some("""
@@ -1191,7 +1219,7 @@ object TrainingData extends QueryPack {
     dedupNgramCapped, dedupContainment,
     dedupContainmentCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding, dedupSemantic,
-    dedupClusters, dataSplit, dataSample, dataWeighted, dataPack,
+    dedupClusters, dedupSurvivorship, dataSplit, dataSample, dataWeighted, dataPack,
     annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, annIvfPq,
     annPqTrained, annIvfAdcR, annMaxSim, annHardNegatives, dedupParagraph)
 }

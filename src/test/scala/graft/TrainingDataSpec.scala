@@ -1148,6 +1148,29 @@ class TrainingDataSpec extends SparkTestBase {
     assert(out(1L) >= 0.0 && pairsOut.count() == 21)
   }
 
+  test("survivorship: longest doc wins its cluster (id tie-break), " +
+      "transitive members counted, singletons survive themselves") {
+    val body = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> body,                       // chain 1~2~3 via shared body
+      2L -> (body + " x1"),
+      3L -> (body + " x1 x2"),          // longest → survivor
+      7L -> "lone doc of unrelated words entirely distinct here today",
+      8L -> body.replace("w", "q"))     // unrelated same-shape doc
+    val out = Dedup.survivorship(d).orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byCluster = out.map(x => x._1 -> x).toMap
+    // cluster 1 = {1,2,3}: survivor 3 (longest), drops len(1)+len(2)
+    val l1 = body.length.toLong
+    assert(byCluster(1L) == ((1L, 3L, 3L, l1 + 6, 2 * l1 + 3)), byCluster(1L))
+    // singletons: 7 and 8 survive themselves with nothing dropped
+    assert(byCluster(7L)._2 == 7L && byCluster(7L)._3 == 1L &&
+      byCluster(7L)._5 == 0L)
+    assert(byCluster(8L)._2 == 8L)
+    assert(out.length == 3)
+  }
+
   test("sortedNeighborhood: finds dups the sort key co-locates, misses " +
       "beyond the window by design, sub-3-token rows never divide by 0") {
     val body = (1 to 30).map(i => s"w$i").mkString(" ")
