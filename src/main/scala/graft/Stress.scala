@@ -142,6 +142,13 @@ object Stress {
       // 10× rows AND 10× series via the replicated event types
       ops.Resample.ewmaHalf(ev10, "event_type", "ts", "value").count()
     }
+    time("survivorship_10x") {
+      ops.Dedup.survivorship(docs10).count()
+    }
+    time("active_users_10x") {
+      // 10× users; the day span stays fixed (denser days — the lake shape)
+      ops.Behavior.activeUsers(ev10).count()
+    }
     spark.stop()
   }
 }
