@@ -525,6 +525,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"neighborhood join must stay an equi-join on rank cells:\n$plan")
   }
 
+  test("graph_triangles: all three hops are equi-joins (no cartesian " +
+      "or nested loop); q43 audits combine map-side") {
+    val tri = planOf("graph_triangles")
+    assert(!tri.contains("Cartesian") && !tri.contains("BroadcastNestedLoop"),
+      s"triangle hops must stay equi-joins:\n$tri")
+    assert(tri.contains("partial_count"), tri)
+    val dq = planOf("q43_data_quality")
+    assert(dq.contains("partial_sum") || dq.contains("partial_count"),
+      s"row audit must combine map-side:\n$dq")
+  }
+
   test("q46_active_users: day bounds, grid and all three rolling " +
       "counts read the cached (user, day) table, not the feed") {
     val plan = planOf("q46_active_users")
