@@ -19,7 +19,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopK.ensureRegistered(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional local-iteration filter: run only the named queries
+    // (driver sets no filter and always gets the full dump)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try {
         var df = fn(spark, sfDir)
         // Spark timestamps are LTZ (isAdjustedToUTC=true in parquet); the

@@ -810,6 +810,45 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF-composed hard-negative mining — the scale-path form of
+    * [[hardNegatives]]: the candidate set is bounded by IVF cells
+    * (corpus assigned once to its nearest centroid, each query probes
+    * its `nProbe` nearest cells) instead of the full corpus, so the
+    * scored-pair mass is `|queries| · nProbe/nCells` of the corpus
+    * rather than `|queries| · |corpus|`. Same cell-equi-join shape as
+    * [[ivfPqTopK]]: probe→assignment join on the cell id, vectors and
+    * norms ride the assignment rows (narrow broadcast-centroid map,
+    * never a vector shuffle), label inequality filters before any
+    * score. With FIXED centroids the whole pipeline is deterministic
+    * and oracle-expressible; recall vs the exhaustive [[hardNegatives]]
+    * yardstick is additionally spec-measured (SimilaritySpec). */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, nProbe: Int = 4, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val cA = cellAssignments(corpus, centroids, 1, idCol, vecCol)
+      .select(col("vec_id"), col("cid"), col("e").as("ce"),
+        col("nrm").as("cn"))
+    val qA = cellAssignments(queries, centroids, nProbe, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("cid"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val cLab = corpus.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("c_lab"))
+    val qLab = queries.select(col(idCol).as("query_id"),
+      col(labelCol).cast("long").as("q_lab"))
+    // corpus lives in exactly one cell and probe cells are distinct, so
+    // each (query, corpus) pair meets at most once — no dedup needed
+    val scored = qA.join(broadcast(qLab), "query_id")
+      .join(cA, "cid")
+      .join(cLab, "vec_id")
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("q_lab") =!= col("c_lab"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineWithNorms(col("qe"), col("ce"), col("qn"), col("cn")), 6)
+          .as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** ColBERT-style multi-vector late-interaction (MaxSim) scoring:
     * documents and queries are SETS of vectors (grouped by `docCol`);
     * score(q, d) = Σ_{qv∈q} max_{dv∈d} cosine(qv, dv) — each query
@@ -859,6 +898,44 @@ object Similarity {
           .as("cos"))
       .groupBy("q_doc", "c_doc", "q_vec")
       .agg(max(col("cos")).as("m"))
+  }
+
+  /** IVF-composed MaxSim — the scale-path form of [[maxSimScores]]:
+    * the inner `max_{dv∈d} cosine(qv, dv)` runs ONLY over IVF-probed
+    * candidates (corpus vectors whose cell is among the query vector's
+    * `nProbe` nearest), so the pair mass per query vector is
+    * `nProbe/nCells` of the corpus, never the corpus itself. MaxSim
+    * degrades gracefully under candidate restriction — a missed
+    * candidate can only lower a per-query-vector max, never corrupt
+    * one; a (q_doc, c_doc) pair with no surviving candidate pair drops
+    * out entirely (no fabricated zeros). Same cell-equi-join shape as
+    * [[ivfPqTopK]]; same rounded-then-max + decimal-sum determinism as
+    * the exhaustive form, so with FIXED centroids the composition is
+    * oracle-expressible end to end. Score-vs-exhaustive degradation is
+    * additionally spec-measured (SimilaritySpec). */
+  def maxSimScoresIvf(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, nProbe: Int = 4, docCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cA = cellAssignments(corpus, centroids, 1, idCol, vecCol)
+      .select(col("vec_id").as("c_vec"), col("cid"), col("e").as("c_e"),
+        col("nrm").as("c_n"))
+    val qA = cellAssignments(queries, centroids, nProbe, idCol, vecCol)
+      .select(col("vec_id").as("q_vec"), col("cid"), col("e").as("q_e"),
+        col("nrm").as("q_n"))
+    val cDoc = corpus.select(col(idCol).as("c_vec"),
+      col(docCol).cast("long").as("c_doc"))
+    val qDoc = queries.select(col(idCol).as("q_vec"),
+      col(docCol).cast("long").as("q_doc"))
+    // corpus cell is unique and probe cells distinct → each (qv, dv)
+    // pair meets at most once; max/sum state is exactly the one-shot's
+    val partials = qA.join(cA, "cid")
+      .join(cDoc, "c_vec").join(qDoc, "q_vec")
+      .select(col("q_doc"), col("c_doc"), col("q_vec"),
+        round(cosineWithNorms(col("q_e"), col("c_e"), col("q_n"), col("c_n")), 6)
+          .as("cos"))
+      .groupBy("q_doc", "c_doc", "q_vec")
+      .agg(max(col("cos")).as("m"))
+    maxSimFromPartials(partials)
   }
 
   /** Finish [[maxSimPartials]] into per-(query doc, corpus doc) MaxSim

@@ -733,6 +733,82 @@ object TrainingData extends QueryPack {
     Similarity.maxSimScores(embs, embs).orderBy("q_doc", "c_doc")
   }
 
+  /** IVF-composed hard-negative mining — the scale path GATED, not
+    * prose: candidates come from fixed IVF cells (centroids vec_id<16,
+    * corpus assigned to its argmax-cosine cell, queries probe 4), the
+    * label-inequality mining runs only inside probed cells. The oracle
+    * re-derives the identical composition (ann_ivf's assignment CTEs +
+    * ann_hard_negatives' label filter). The exhaustive form stays as
+    * the recall yardstick (SimilaritySpec measures IVF recall vs it). */
+  val annHardNegativesIvf = GraftQuery(
+    "ann_hard_negatives_ivf",
+    Some(s"""
+      WITH $NORM,
+      ml AS (SELECT m.vec_id, m.e, m.nrm, CAST(b.label AS BIGINT) AS lab
+             FROM m JOIN embeddings b ON b.vec_id = m.vec_id),
+      cent AS (SELECT vec_id AS cid, e, nrm FROM m WHERE vec_id < 16),
+      asg AS (SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> v.e[i]*c.e[i])) / (v.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m v CROSS JOIN cent c) t WHERE rn = 1),
+      q AS (SELECT * FROM ml WHERE vec_id < 10),
+      probes AS (SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM q CROSS JOIN cent c) t WHERE rn <= 4),
+      p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+        ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+       FROM probes pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.query_id
+       JOIN ml q ON q.vec_id = pr.query_id JOIN ml c ON c.vec_id = a.vec_id
+       WHERE c.lab != q.lab)
+      SELECT query_id, neighbor_id, cosine FROM (
+       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM p) t
+      WHERE rn <= 5 ORDER BY query_id, neighbor_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.hardNegativesIvf(embs, embs.filter(col("vec_id") < 10),
+      embs.filter(col("vec_id") < 16))
+  }
+
+  /** IVF-composed MaxSim — the ANN-candidate composition GATED: the
+    * inner max runs only over corpus vectors in each query vector's 4
+    * probed cells (fixed centroids vec_id<16). Rounded-then-max +
+    * decimal sums keep the restricted pipeline as bit-reproducible as
+    * the exhaustive one; the oracle re-derives the cell restriction
+    * with ann_ivf's assignment CTEs. Exhaustive ann_maxsim stays as
+    * the degradation yardstick (SimilaritySpec). */
+  val annMaxSimIvf = GraftQuery(
+    "ann_maxsim_ivf",
+    Some(s"""
+      WITH $NORM,
+      ml AS (SELECT m.vec_id, m.e, m.nrm, CAST(b.label AS BIGINT) AS doc
+             FROM m JOIN embeddings b ON b.vec_id = m.vec_id),
+      cent AS (SELECT vec_id AS cid, e, nrm FROM m WHERE vec_id < 16),
+      asg AS (SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> v.e[i]*c.e[i])) / (v.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m v CROSS JOIN cent c) t WHERE rn = 1),
+      probes AS (SELECT query_id, cid FROM (
+        SELECT v.vec_id AS query_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> v.e[i]*c.e[i])) / (v.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m v CROSS JOIN cent c) t WHERE rn <= 4),
+      cos AS (SELECT q.doc AS q_doc, c.doc AS c_doc, q.vec_id AS q_vec,
+          ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cos
+        FROM probes pr JOIN asg a ON a.cid = pr.cid
+        JOIN ml q ON q.vec_id = pr.query_id JOIN ml c ON c.vec_id = a.vec_id),
+      mx AS (SELECT q_doc, c_doc, q_vec, MAX(cos) AS m FROM cos GROUP BY q_doc, c_doc, q_vec)
+      SELECT q_doc, c_doc,
+        ROUND(CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE), 6) AS maxsim
+      FROM mx GROUP BY q_doc, c_doc ORDER BY q_doc, c_doc""".trim)) {
+    (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.maxSimScoresIvf(embs, embs, embs.filter(col("vec_id") < 16))
+      .orderBy("q_doc", "c_doc")
+  }
+
   /** Per-document quality-classifier feature matrix: the composed
     * featurization step of a curation pipeline — length/punct/stopword
     * quality, unigram surprisal, repetition signals and language ID in
@@ -1221,5 +1297,6 @@ object TrainingData extends QueryPack {
     dedupEmbedding, dedupSemantic,
     dedupClusters, dedupSurvivorship, dataSplit, dataSample, dataWeighted, dataPack,
     annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, annIvfPq,
-    annPqTrained, annIvfAdcR, annMaxSim, annHardNegatives, dedupParagraph)
+    annPqTrained, annIvfAdcR, annMaxSim, annHardNegatives,
+    annMaxSimIvf, annHardNegativesIvf, dedupParagraph)
 }

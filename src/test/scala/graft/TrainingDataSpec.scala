@@ -391,6 +391,48 @@ class TrainingDataSpec extends SparkTestBase {
       s"recall $recall collapsed — candidate routing broken")
   }
 
+  test("hardNegativesIvf: probing every cell equals exhaustive mining; " +
+      "restricted probes keep true cosines with sane recall") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val q = embs.filter(col("vec_id") < 10)
+    val cents = embs.filter(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.hardNegatives(embs, q, k = 5))
+    // nProbe = nCells covers the corpus → identical to the exhaustive form
+    val probeAll = pairs(Similarity.hardNegativesIvf(embs, q, cents,
+      nProbe = 16, k = 5))
+    assert(probeAll == exact, "probing every cell must equal exhaustive mining")
+    val probe4 = Similarity.hardNegativesIvf(embs, q, cents, nProbe = 4, k = 5)
+    val recall = pairs(probe4).intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.15, // near-random vectors: ~nProbe/nCells of corpus seen
+      s"recall $recall collapsed — candidate routing broken")
+    // every emitted score is the true cosine (IVF restricts candidates,
+    // never perturbs scores) and never pairs same-label vectors
+    val bf = Similarity.hardNegatives(embs, q, k = embs.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (r <- probe4.collect())
+      assert(bf((r.getLong(0), r.getLong(1))) == r.getDouble(2),
+        "IVF-mined scores must be true cosines over wrong-label pairs")
+  }
+
+  test("maxSimScoresIvf: probing every cell equals exhaustive MaxSim; " +
+      "restricted probes only ever lower scores") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val cents = embs.filter(col("vec_id") < 16)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = scores(Similarity.maxSimScores(embs, embs))
+    val probeAll = scores(Similarity.maxSimScoresIvf(embs, embs, cents,
+      nProbe = 16))
+    assert(probeAll == exact, "probing every cell must equal exhaustive MaxSim")
+    val probe4 = scores(Similarity.maxSimScoresIvf(embs, embs, cents, nProbe = 4))
+    assert(probe4.nonEmpty && probe4.size <= exact.size)
+    for ((k, v) <- probe4)
+      assert(v <= exact(k) + 1e-9,
+        s"candidate restriction can only lower a MaxSim score: $k $v > ${exact(k)}")
+  }
+
   test("lshTopK: planted duplicate lands in the same bucket; results are a " +
       "subset of brute-force candidates with true cosines") {
     val e = embTable(
