@@ -177,7 +177,7 @@ object Behavior {
     def rolling(w: Int, name: String) = ud
       .withColumn("day", explode(sequence(col("d"), col("d") + lit(w - 1))))
       .groupBy("day").agg(countDistinct(col(userCol)).as(name))
-    bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val out = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
       .join(rolling(1, "dau"), Seq("day"), "left")
       .join(rolling(7, "wau"), Seq("day"), "left")
       .join(rolling(30, "mau"), Seq("day"), "left")
@@ -185,6 +185,15 @@ object Behavior {
         coalesce(col("dau"), lit(0L)).as("dau"),
         coalesce(col("wau"), lit(0L)).as("wau"),
         coalesce(col("mau"), lit(0L)).as("mau"))
+    // materialize the (days × 4 longs)-sized result eagerly so the big
+    // (users × days) cache can be released HERE — without this, every
+    // call in a long-lived session leaks one persisted table (the
+    // caller can't unpersist a cache it never sees). localCheckpoint
+    // blocks are context-cleaned once the returned frame is unreachable,
+    // unlike an explicit persist.
+    val materialized = out.localCheckpoint(true)
+    ud.unpersist()
+    materialized
   }
 
   def funnel(events: DataFrame, steps: Seq[String],

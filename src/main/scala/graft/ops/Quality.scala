@@ -56,16 +56,20 @@ object Quality {
     * (NULL child keys match nothing, so they count as orphans —
     * pair with a not-null row check to tell the cases apart). */
   def fkAudit(child: DataFrame, childKey: String,
-      parent: DataFrame, parentKey: String, name: String): DataFrame = {
-    val n = child.count()
-    val orphans = child.select(col(childKey))
-      .join(parent.select(col(parentKey).as(childKey)).distinct(),
-        Seq(childKey), "left_anti")
-      .count()
-    child.sparkSession.range(1)
-      .select(lit(name).as("constraint"), lit(orphans).as("violations"),
-        lit(n).as("n_rows"))
-  }
+      parent: DataFrame, parentKey: String, name: String): DataFrame =
+    // ONE lazy plan (like the other audits — no eager jobs at
+    // construction, and both counts read the same snapshot): left join
+    // against the distinct parent key set, orphan = unmatched row.
+    // NULL child keys match nothing under equi-join semantics, so they
+    // count as orphans exactly as the left-anti formulation did.
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct()
+        .withColumn("__p", lit(1)), Seq(childKey), "left")
+      .agg(sum(when(col("__p").isNull, 1L).otherwise(0L)).as("__v"),
+        count(lit(1)).as("__n"))
+      .select(lit(name).as("constraint"),
+        coalesce(col("__v"), lit(0L)).as("violations"),
+        col("__n").as("n_rows"))
 
   /** k-anonymity audit over a quasi-identifier tuple: the groups with
     * fewer than `k` members — each is a re-identification risk (its

@@ -29,6 +29,16 @@ object Reconcile {
     * present in either side, with `status` ∈
     * {added, removed, changed, unchanged} (relative old → new). */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String], fingerprint: Column): DataFrame =
+    diffInternal(oldDf, newDf, keyCols, fingerprint)
+      .withColumnRenamed(DiffCol, "status")
+
+  /** The diff under a collision-safe internal column name, so
+    * [[changeFeed]] can join it back against user tables that may
+    * themselves carry a `status` column (the public name appears only
+    * on public outputs). */
+  private val DiffCol = "__diff_status"
+  private def diffInternal(oldDf: DataFrame, newDf: DataFrame,
       keyCols: Seq[String], fingerprint: Column): DataFrame = {
     val o = oldDf.select(keyCols.map(col) :+ fingerprint.as("__fp_old"): _*)
     val n = newDf.select(keyCols.map(col) :+ fingerprint.as("__fp_new"): _*)
@@ -37,7 +47,7 @@ object Reconcile {
         when(col("__fp_old").isNull, lit("added"))
           .when(col("__fp_new").isNull, lit("removed"))
           .when(col("__fp_old") === col("__fp_new"), lit("unchanged"))
-          .otherwise(lit("changed")).as("status"): _*)
+          .otherwise(lit("changed")).as(DiffCol): _*)
   }
 
   /** Reconciliation summary: per-status key counts plus min/max key as
@@ -70,16 +80,16 @@ object Reconcile {
     * wide rows never ride the full-outer compare. */
   def changeFeed(oldDf: DataFrame, newDf: DataFrame,
       keyCols: Seq[String], fingerprint: Column): DataFrame = {
-    val st = snapshotDiff(oldDf, newDf, keyCols, fingerprint)
+    val st = diffInternal(oldDf, newDf, keyCols, fingerprint)
     val iu = newDf
-      .join(st.filter(col("status").isin("added", "changed")), keyCols)
+      .join(st.filter(col(DiffCol).isin("added", "changed")), keyCols)
       .withColumn("op",
-        when(col("status") === "added", lit("I")).otherwise(lit("U")))
-      .drop("status")
+        when(col(DiffCol) === "added", lit("I")).otherwise(lit("U")))
+      .drop(DiffCol)
     val d = oldDf
-      .join(st.filter(col("status") === "removed"), keyCols)
+      .join(st.filter(col(DiffCol) === "removed"), keyCols)
       .withColumn("op", lit("D"))
-      .drop("status")
+      .drop(DiffCol)
     iu.unionByName(d)
   }
 }

@@ -259,6 +259,92 @@ class LakeSpec extends SparkTestBase {
       .toMap == Map(2L -> "U", 3L -> "I"))
   }
 
+  test("transactional OPTIMIZE: compaction commits as a new version — " +
+      "readers resolve old or new wholesale, a racing data commit is " +
+      "never lost, vacuum retires compacted versions correctly") {
+    import graft.sources.Manifest
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("maniopt").resolve("tbl").toString
+    // v0: deliberately many small files
+    val v0df = spark.range(0, 400).toDF("k")
+      .withColumn("s", concat(lit("row-"), col("k")))
+      .repartition(20)
+    Manifest.commit(v0df, root)
+    val fsys = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesOf(v: Long): Seq[String] = {
+      val it = fsys.listFiles(new Path(s"$root/_data"), true)
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) { val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet") &&
+            s.getPath.toString.contains(s"/$v-")) out += s.getPath.toString }
+      out.result()
+    }
+    // a reader resolved BEFORE the optimize keeps its snapshot
+    val pinned = Manifest.read(spark, root)
+    val v1 = Manifest.optimizeCompact(spark, root, targetBytes = 1L << 26)
+    assert(v1 == 1L)
+    // same rows, strictly fewer files, old version still time-travels
+    def rows(v: Option[Long]) = Manifest.read(spark, root, v)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = (0L until 400L).map(k => k -> s"row-$k").toSet
+    assert(rows(None) == expect && rows(Some(0L)) == expect)
+    assert(filesOf(1L).nonEmpty && filesOf(1L).size < filesOf(0L).size,
+      s"compaction must shrink the file count: ${filesOf(0L).size} -> ${filesOf(1L).size}")
+    assert(pinned.collect().length == 400, "pinned reader keeps its snapshot")
+    // RACE: a concurrent data commit claims v2 while an optimize of v1
+    // is in flight. Stage it by having the rewrite itself perform the
+    // concurrent commit the first time it runs — the optimize must lose
+    // v2, discard the stale rewrite, and re-run over the NEW snapshot.
+    var rewriteRuns = 0
+    val v3 = Manifest.optimize(spark, root) { (files, out) =>
+      rewriteRuns += 1
+      if (rewriteRuns == 1)
+        Manifest.commit(spark.range(400, 401).toDF("k")
+          .withColumn("s", lit("row-400")), root) // the racing writer wins v2
+      spark.read.parquet(files: _*).coalesce(1)
+        .write.mode("errorifexists").parquet(out)
+    }
+    assert(rewriteRuns == 2, "losing optimize must re-run its rewrite")
+    assert(v3 == 3L)
+    // v2 (the racing commit) replaced the table content: v3 = optimize
+    // of v2's snapshot, NOT a compacted copy of v1
+    assert(rows(None) == Set(400L -> "row-400"),
+      "optimize must never resurrect a superseded snapshot")
+    assert(rows(Some(2L)) == Set(400L -> "row-400"))
+    // vacuum to newest 2: compacted v1's bin-nested data dir handling —
+    // v0/v1 retire, v2/v3 survive and stay readable
+    Manifest.vacuum(spark, root, keep = 2)
+    assert(Manifest.versions(spark, root) == Seq(2L, 3L))
+    assert(rows(Some(3L)) == Set(400L -> "row-400"))
+  }
+
+  test("manifest file lists tolerate commas in paths (JSON tokenizer, " +
+      "not a comma split)") {
+    import graft.sources.Manifest
+    val root = Files.createTempDirectory("mani,comma").resolve("t,bl").toString
+    Manifest.commit(Seq(1L -> "a", 2L -> "b").toDF("k", "s"), root)
+    assert(Manifest.read(spark, root).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L))
+  }
+
+  test("changeFeed/snapshotDiff survive a payload that itself has a " +
+      "'status' column (internal diff name is collision-safe)") {
+    val o = Seq((1L, "a", "ok"), (2L, "b", "bad")).toDF("k", "s", "status")
+    val n = Seq((1L, "a", "ok"), (3L, "c", "new")).toDF("k", "s", "status")
+    val fp = graft.functions.Hashing.hash60(col("s"))
+    val feed = graft.ops.Reconcile.changeFeed(o, n, Seq("k"), fp)
+    assert(feed.columns.count(_ == "status") == 1,
+      "payload status column must survive, once")
+    assert(feed.collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("op"))
+      .toMap == Map(2L -> "D", 3L -> "I"))
+    assert(feed.filter(col("k") === 3L).select("status").head.getString(0)
+      == "new", "payload 'status' values must ride through untouched")
+    val diff = graft.ops.Reconcile.snapshotDiff(o, n, Seq("k"), fp)
+    assert(diff.columns.toSeq == Seq("k", "status"),
+      "public diff output keeps the documented 'status' name")
+  }
+
   test("Manifest: losing a commit race retries on the next version; " +
       "vacuum retires manifests then unreferenced data") {
     import graft.sources.Manifest
