@@ -59,14 +59,26 @@ object Layout {
     * exactly one output file regardless of how bins share tasks. */
   def compact(spark: SparkSession, root: String, out: String,
       targetBytes: Long, lanes: Int = 32): Long = {
-    val plan = planBins(listFiles(spark, root), targetBytes, lanes)
+    val files = listFiles(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    compactFiles(spark, files, out, targetBytes, lanes)
+  }
+
+  /** [[compact]] over an EXPLICIT (path, bytes) file list — the form a
+    * manifest-managed table needs (its snapshot is a file list, not a
+    * directory; see [[Manifest.optimizeCompact]]). */
+  def compactFiles(spark: SparkSession, files: Seq[(String, Long)],
+      out: String, targetBytes: Long, lanes: Int = 32): Long = {
+    import spark.implicits._
+    val plan = planBins(files.toDF("path", "bytes"), targetBytes, lanes)
     val nBins = plan.select("bin").distinct().count()
     // join on the scheme-normalized FULL path: input_file_name() renders
     // file:///p, FileStatus.getPath file:/p — same path, different
     // scheme spelling. Basenames are NOT a safe key (part-00000.parquet
     // recurs in every nested partition directory).
     val canon = (c: Column) => regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-    val routed = spark.read.parquet(root)
+    val src = spark.read.parquet(files.map(_._1): _*)
+    val routed = src
       .withColumn("__path", canon(input_file_name()))
       .join(broadcast(plan.select(canon(col("path")).as("__path"), col("bin"))),
         "__path")
@@ -75,9 +87,9 @@ object Layout {
     // (a listing/normalization gap) — for a maintenance op that replaces
     // the table, fail loudly instead. One extra count against a rewrite-
     // sized job is noise.
-    val (inRows, outRows) = (spark.read.parquet(root).count(), routed.count())
+    val (inRows, outRows) = (src.count(), routed.count())
     require(outRows == inRows,
-      s"compaction would lose rows: $inRows in root, $outRows routed")
+      s"compaction would lose rows: $inRows in source, $outRows routed")
     routed.repartition(nBins.toInt.max(1), col("bin"))
       .write.mode("overwrite").partitionBy("bin").parquet(out)
     nBins

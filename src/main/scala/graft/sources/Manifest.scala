@@ -21,8 +21,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - a version EXISTS iff its manifest file exists, and the manifest
   *    is published by an atomic rename from a temp name — readers
   *    either see a complete version or none of it, never a partial
-  *    file list (rename is atomic on HDFS/local; on object stores the
-  *    PUT of the manifest object plays the same role).
+  *    file list.
+  *
+  * CONCURRENCY SCOPE: the commit race is decided by the filesystem's
+  * no-overwrite rename (rename fails when the destination exists —
+  * HDFS and POSIX local filesystems guarantee this, and the spec
+  * asserts it). Plain object-store PUTs do NOT qualify: S3 PUT (and
+  * S3A's copy-based rename) is last-writer-wins, so two concurrent
+  * committers could both claim a version and one snapshot would be
+  * silently lost. On such stores this format needs a conditional-put
+  * primitive (`If-None-Match: *`) or an external lock/commit service
+  * standing in for the rename; single-writer pipelines are safe
+  * everywhere (readers only ever need manifest-read atomicity, which
+  * every store provides).
   *
   * Readers resolve `latestVersion` once and then read a CONSISTENT
   * snapshot regardless of concurrent commits — the reason dashboards
@@ -70,14 +81,9 @@ object Manifest {
       val v = latestVersion(spark, root).getOrElse(-1L) + 1L
       val dataDir = s"$root/_data/$v-$uuid"
       df.write.mode("errorifexists").parquet(dataDir)
-      val files = f.listStatus(new Path(dataDir)).toSeq
-        .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
-      val body = files.map(p => "\"" + p.replace("\\", "\\\\")
-        .replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+      val files = listParquet(f, new Path(dataDir))
       val tmp = new Path(manifestDir(root), s".tmp-$v-$uuid.json")
-      f.mkdirs(new Path(manifestDir(root)))
-      val out = f.create(tmp, false)
-      out.write(body.getBytes("UTF-8")); out.close()
+      writeManifestTmp(f, tmp, files)
       // atomic publish: rename fails (returns false) if v<n>.json exists
       // — the losing writer cleans up and retries on the next version
       if (f.rename(tmp, new Path(manifestDir(root), s"v$v.json"))) return v
@@ -91,6 +97,92 @@ object Manifest {
     -1L // unreachable
   }
 
+  /** Transactional OPTIMIZE: rewrite the CURRENT snapshot's physical
+    * layout (same rows, better files) and commit the rewrite as the
+    * NEXT version — the missing atomicity between [[graft.sources.Layout]]
+    * and this format. A reader concurrent with the optimize resolves
+    * either the old manifest or the new one, never a half-compacted
+    * directory (data dirs are write-once and versions exist iff their
+    * manifest does — same two properties every commit rests on).
+    *
+    * Optimistic concurrency does the data-loss-prevention work: each
+    * attempt re-resolves the LATEST version, rewrites THAT snapshot's
+    * files, and claims latest+1 by no-overwrite rename. If an ordinary
+    * data commit wins the version race, the optimize loses its rename,
+    * discards the stale rewrite, and re-runs against the new snapshot —
+    * a concurrent commit can never be silently replaced by a compacted
+    * copy of an older version (spec-proven via a staged race).
+    *
+    * `rewrite(files, outDir)` writes the snapshot (given as its parquet
+    * file list) into `outDir`; it must neither read nor touch anything
+    * else under the root. */
+  def optimize(spark: SparkSession, root: String, maxRetries: Int = 5)(
+      rewrite: (Seq[String], String) => Unit): Long = {
+    val f = fs(spark, root)
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no versions to optimize at $root"))
+      val next = v + 1L
+      val dataDir = s"$root/_data/$next-$uuid"
+      rewrite(manifestFiles(spark, root, v), dataDir)
+      val files = listParquet(f, new Path(dataDir))
+      val tmp = new Path(manifestDir(root), s".tmp-$next-$uuid.json")
+      writeManifestTmp(f, tmp, files)
+      if (f.rename(tmp, new Path(manifestDir(root), s"v$next.json")))
+        return next
+      // lost the race to a concurrent committer: discard the stale
+      // rewrite wholesale and re-optimize the NEW latest snapshot
+      f.delete(tmp, false)
+      f.delete(new Path(dataDir), true)
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new IllegalStateException(
+          s"optimize lost $maxRetries races at $root")
+    }
+    -1L // unreachable
+  }
+
+  /** [[optimize]] with [[Layout.compactFiles]] as the rewrite: atomic
+    * small-file compaction (one ~targetBytes file per bin). */
+  def optimizeCompact(spark: SparkSession, root: String, targetBytes: Long,
+      lanes: Int = 32): Long =
+    optimize(spark, root) { (files, out) =>
+      val f = fs(spark, root)
+      val sized = files.map(p => (p, f.getFileStatus(new Path(p)).getLen))
+      Layout.compactFiles(spark, sized, out, targetBytes, lanes)
+      ()
+    }
+
+  /** [[optimize]] with [[Layout.zorderWrite]] as the rewrite: atomic
+    * re-clustering by the z-order of two numeric columns. */
+  def optimizeZorder(spark: SparkSession, root: String, cA: String,
+      cB: String, nFiles: Int): Long =
+    optimize(spark, root) { (files, out) =>
+      Layout.zorderWrite(spark.read.parquet(files: _*), cA, cB, nFiles, out)
+    }
+
+  /** Recursively list the parquet files under `dir`, sorted. */
+  private def listParquet(f: FileSystem, dir: Path): Seq[String] = {
+    val it = f.listFiles(dir, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) out += s.getPath.toString
+    }
+    out.result().sorted
+  }
+
+  private def writeManifestTmp(f: FileSystem, tmp: Path,
+      files: Seq[String]): Unit = {
+    val body = files.map(p => "\"" + p.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+    f.mkdirs(tmp.getParent)
+    val out = f.create(tmp, false)
+    out.write(body.getBytes("UTF-8")); out.close()
+  }
+
   private def manifestFiles(spark: SparkSession, root: String, v: Long)
       : Seq[String] = {
     val p = new Path(manifestDir(root), s"v$v.json")
@@ -99,11 +191,24 @@ object Manifest {
     val in = f.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    // manifest bodies are a flat JSON string array written by commit()
-    body.stripPrefix("[").stripSuffix("]").split(",").toSeq
-      .filter(_.nonEmpty)
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\"))
+    // manifest bodies are a flat JSON string array written by commit().
+    // Tokenize properly (quote-aware, escape-aware) — splitting on ','
+    // would corrupt any path that legally contains a comma.
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < body.length) {
+      if (body(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (body(i) != '"') {
+          if (body(i) == '\\') { sb.append(body(i + 1)); i += 2 }
+          else { sb.append(body(i)); i += 1 }
+        }
+        out += sb.toString
+      }
+      i += 1
+    }
+    out.result()
   }
 
   /** Read a committed snapshot: the latest by default, or any retained
@@ -125,9 +230,18 @@ object Manifest {
     val vs = versions(spark, root)
     val dead = vs.dropRight(keep)
     dead.foreach(v => f.delete(new Path(manifestDir(root), s"v$v.json"), false))
+    // a file's owning version directory is the path segment directly
+    // under _data — NOT the immediate parent, which for an optimized
+    // (compacted) version is a bin=<n> partition subdirectory
+    def versionDir(p: Path): String = {
+      var cur = p
+      while (cur.getParent != null && cur.getParent.getName != "_data")
+        cur = cur.getParent
+      cur.getName
+    }
     val live = vs.takeRight(keep)
       .flatMap(v => manifestFiles(spark, root, v))
-      .map(p => new Path(p).getParent.getName).toSet
+      .map(p => versionDir(new Path(p))).toSet
     val dataRoot = new Path(s"$root/_data")
     if (f.exists(dataRoot))
       f.listStatus(dataRoot).toSeq.map(_.getPath)
