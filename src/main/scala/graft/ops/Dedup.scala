@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -451,29 +451,75 @@ object Dedup {
       textCol: String = "text", window: Int = 4,
       threshold: Double = 0.3): DataFrame = {
     require(window >= 1, "window must be at least 1")
-    val keyed = docs.select(col(idCol).as("doc_id"),
-      substring(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""), 1, 24)
-        .as("bk"))
+    val cand = neighborhoodCands(docs, idCol,
+      snKeyPrefix(col(textCol)), window)
+    verifyCandidatesJaccard(docs, idCol, textCol, cand, threshold)
+  }
+
+  /** Multi-pass sorted-neighborhood — the production merge/purge form
+    * the single-pass docstring promises: each pass sorts by a DIFFERENT
+    * normalization-robust key (pass 1: normalized-text prefix; pass 2:
+    * normalized-text SUFFIX via the reversed string) and the candidate
+    * sets union before ONE shared exact-Jaccard verify. A pair of
+    * near-dups whose openings differ (title lines, bylines, injected
+    * headers) sorts far apart under the prefix key but adjacent under
+    * the suffix key — recall compounds across passes while the
+    * candidate bound stays exactly passes·N·window (each pass is
+    * immune to hot shingles/bands like the single-pass form). The
+    * union dedups on the pair id — two longs per row — before any
+    * shingle work, so the verify runs once per distinct pair. */
+  def sortedNeighborhoodMulti(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    val norm = snNormalized(col(textCol))
+    val cand = neighborhoodCands(docs, idCol,
+        substring(norm, 1, 24), window)
+      .union(neighborhoodCands(docs, idCol,
+        substring(reverse(norm), 1, 24), window))
+      .distinct()
+    verifyCandidatesJaccard(docs, idCol, textCol, cand, threshold)
+  }
+
+  private def snNormalized(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9]", "")
+
+  private def snKeyPrefix(text: Column): Column =
+    substring(snNormalized(text), 1, 24)
+
+  /** One sorted-neighborhood candidate pass under blocking key `key`:
+    * pairs within `window` positions of the global (key, id) sort
+    * order — exactly N·window pairs. Global order via the
+    * range-parallel two-phase rank; the neighborhood join is the
+    * [[BandJoin]] cell trick on rank coordinates (probe cell/cell+1, a
+    * pair meets exactly once on the higher rank's cell). */
+  private def neighborhoodCands(docs: DataFrame, idCol: String,
+      key: Column, window: Int): DataFrame = {
+    val keyed = docs.select(col(idCol).as("doc_id"), key.as("bk"))
     val ranked = Ranking.globalRank(keyed, Seq(col("bk"), col("doc_id")))
       .select(col("doc_id"), col("rank"),
         expr(s"rank div $window").as("cell"))
     val probe = ranked.withColumn("jcell",
       explode(array(col("cell"), col("cell") + 1)))
-    val cand = probe.as("a").join(ranked.as("b"),
+    probe.as("a").join(ranked.as("b"),
         col("a.jcell") === col("b.cell") &&
           col("b.rank") - col("a.rank") >= 1 &&
           col("b.rank") - col("a.rank") <= window)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-    // Verify on SORTED 60-BIT HASH ARRAYS with the native linear merge
-    // (the PPJoin machinery): candidate count is already bounded at
-    // N·window, but carrying string shingle arrays through the verify
-    // join is the measured knee of the pre-PPJoin prefix path — 8-byte
-    // longs + one merge per pair keep the verify narrow. Same 2^-60
-    // collision convention as the rest of the shingle family.
-    // Candidates here need not share a shingle (unlike the shingle-join
-    // families), so empty shingle sets are dropped from the verify feed
-    // before they can hit the 0/0 Jaccard edge (engine-divergent).
+  }
+
+  /** Exact-Jaccard verify over an arbitrary candidate pair set, on
+    * SORTED 60-BIT HASH ARRAYS with the native linear merge (the
+    * PPJoin machinery): 8-byte longs + one merge per pair keep the
+    * verify narrow — carrying string shingle arrays through the verify
+    * join is the measured knee of the pre-PPJoin prefix path. Same
+    * 2^-60 collision convention as the rest of the shingle family.
+    * Candidates here need not share a shingle (unlike the shingle-join
+    * families), so empty shingle sets are dropped from the verify feed
+    * before they can hit the 0/0 Jaccard edge (engine-divergent). */
+  private def verifyCandidatesJaccard(docs: DataFrame, idCol: String,
+      textCol: String, cand: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val sh = shingleSets(docs, idCol, textCol)
       .select(col("doc_id"),

@@ -135,6 +135,34 @@ object TrainingData extends QueryPack {
     Dedup.sortedNeighborhood(Tables.documents(spark, dir))
   }
 
+  /** Multi-pass sorted-neighborhood (the production merge/purge form):
+    * prefix-key pass ∪ suffix-key pass (reversed normalized text),
+    * ONE exact-Jaccard verify over the distinct pair union — recall
+    * compounds across passes at exactly passes·N·window candidates.
+    * Both keys are pure-ASCII after normalization, so Spark and DuckDB
+    * rank identically bytewise. */
+  val dedupSortedMulti = GraftQuery(
+    "dedup_sorted_multi",
+    Some(s"""
+      WITH $SH,
+      base AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nk FROM documents),
+      r1 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY substr(nk, 1, 24), doc_id) AS rnk FROM base),
+      r2 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY substr(reverse(nk), 1, 24), doc_id) AS rnk FROM base),
+      cand AS (
+        SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b
+        FROM r1 a JOIN r1 b ON b.rnk - a.rnk BETWEEN 1 AND 4
+        UNION
+        SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b
+        FROM r2 a JOIN r2 b ON b.rnk - a.rnk BETWEEN 1 AND 4),
+      j AS (SELECT id_a, id_b,
+         ROUND(len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
+       FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+       WHERE len(x.s) > 0 AND len(y.s) > 0)
+      SELECT * FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".trim)) {
+    (spark, dir) =>
+    Dedup.sortedNeighborhoodMulti(Tables.documents(spark, dir))
+  }
+
   /** Prefix-filtered Jaccard (AllPairs/PPJoin candidate generation):
     * IDENTICAL output contract to `dedup_ngram_jaccard` — the oracle is
     * the same full-join formulation, which is exactly the point: the
@@ -1292,6 +1320,7 @@ object TrainingData extends QueryPack {
     textHeavyHitters, textHeavyHittersBySource, pipelineFeatures, pipelineSplitLeakage,
     dataQuota, dataMix, dataCurriculum, dataEpochShuffle,
     dedupExact, dedupNgram, dedupNgramPrefix, dedupSortedNeighborhood,
+    dedupSortedMulti,
     dedupNgramCapped, dedupContainment,
     dedupContainmentCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding, dedupSemantic,

@@ -1243,4 +1243,36 @@ class TrainingDataSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(all.length == all.distinct.length, "duplicate candidate pairs")
   }
+
+  test("sortedNeighborhoodMulti: the suffix-key pass finds the pair the " +
+      "prefix key cannot co-locate; union is a dedup'd superset") {
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    // doc 20 shares its ENDING (the body) with doc 1 but opens with a
+    // sort key > window positions away under the prefix pass — findable
+    // only by the reversed/suffix key (doc 2 ends in 'extra', so its
+    // suffix key differs and pass 2 does not pair it with 20)
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> s"Alpha Beta! $body",
+      2L -> s"alpha beta $body extra",
+      20L -> s"zz tail $body") ++
+      (3L to 11L).map(i =>
+        i -> s"c0${i - 2} filler ${(1 to 30).map(j => s"f${i}x$j").mkString(" ")}")
+    val more = docs(rows: _*)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Dedup.sortedNeighborhood(more, window = 4,
+      threshold = 0.3))
+    val multi = pairs(Dedup.sortedNeighborhoodMulti(more, window = 4,
+      threshold = 0.3))
+    assert(!single.contains((1L, 20L)),
+      "prefix pass alone must not see the shared-ending pair")
+    assert(multi.contains((1L, 20L)),
+      s"suffix pass must co-locate the shared-ending pair: $multi")
+    assert(single.subsetOf(multi), "multi-pass must never lose pass-1 pairs")
+    // the pair union dedups before verify: no pair emitted twice even
+    // when both passes co-locate it (docs 1/2 share prefix AND body)
+    val all = Dedup.sortedNeighborhoodMulti(more, window = 4, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.distinct.length, "duplicate candidate pairs")
+  }
 }
