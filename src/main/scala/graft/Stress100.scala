@@ -152,10 +152,30 @@ object Stress100 {
         ops.Similarity.ivfAdcResidualSearch(embsF, queries, centsF,
           trainIters = 1).count()
       }
+      // composed curation pipeline END TO END (pipeline_curation's
+      // shape on the scale path: quality gate → PPJoin near-dup losers
+      // → survivor census) — the components have individual receipts;
+      // this certifies their composition under one scheduler. The
+      // stopword test strips the tier's per-replica token tag so every
+      // replica keeps its original quality verdict.
+      results(("curation_e2e", f)) = time("curation_e2e", f) {
+        val tk = tokens(col("text"))
+        val keep = docsF.select(col("doc_id"), col("source"),
+            size(tk).cast("long").as("n_words"),
+            size(filter(tk, t => split(t, "_").getItem(0)
+              .isin("the", "a", "of", "and", "is"))).as("n_stop"))
+          .filter(col("n_words") >= 30 && col("n_stop") > 0)
+        val losers = ops.Dedup.ngramJaccardPrefix(docsF, threshold = 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        keep.join(losers, Seq("doc_id"), "left_anti")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+          .count()
+      }
     }
     for (op <- Seq("minhash_lsh", "ivfpq_k_scaled", "ivfpq_k_fixed",
         "semantic_dedup", "ngram_prefix", "ivfadc_r", "assign_flat",
-        "assign_hier")
+        "assign_hier", "curation_e2e")
         if only.forall(_.contains(op))) {
       val r10 = results((op, 100)) / results((op, 10))
       val r1 = results((op, 100)) / results((op, 1))

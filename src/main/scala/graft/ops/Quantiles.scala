@@ -6,44 +6,50 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Exact per-group interpolated quantiles (percentile_cont semantics)
-  * by distributed rank-selection — the fact table is never sorted.
+  * by distributed rank-selection — the fact table is never sorted, and
+  * (since round 5) NOTHING ever reaches the driver: the whole query is
+  * ONE lazy DataFrame program, one action end to end.
   *
-  * Two jobs end to end:
-  *
-  *  1. Histogram pass: per (group, value-bucket) row counts — one
-  *     map-side-combined aggregation, collected (groups × occupied
-  *     buckets rows — an aggregate, not data; group counts are also
-  *     read off it, so there is no separate stats pass). Buckets are
-  *     ORDER-PRESERVING WITHOUT A DOMAIN SCAN: the high bits of the
-  *     sign-folded IEEE-754 bit pattern ([[graft.functions.DoubleBits]]
-  *     — for x ≥ 0 the bits ascend with the value; for x < 0 the
-  *     magnitude bits are negated), i.e. sign + exponent + leading
-  *     mantissa bits — ~2⁸ sub-buckets per binade at the default
-  *     shift, adaptive resolution wherever the data lives.
-  *  2. Probe pass: target ranks `lo+1`/`lo+2` (`lo = floor((n−1)·p)`)
-  *     are located on the prefix-summed histogram driver-side; the
-  *     fact is re-scanned filtered to those few buckets (broadcast
-  *     local relation), survivors — thousands of rows, not the fact —
-  *     ranked with a (group, bucket)-partitioned window, and the two
-  *     picked values per (group, p) interpolated.
+  *  1. Histogram subtree: per (group, value-bucket) row counts — one
+  *     map-side-combined aggregation. Buckets are ORDER-PRESERVING
+  *     WITHOUT A DOMAIN SCAN: the high bits of the sign-folded
+  *     IEEE-754 bit pattern ([[graft.functions.DoubleBits]] — for
+  *     x ≥ 0 the bits ascend with the value; for x < 0 the magnitude
+  *     bits are negated), i.e. sign + exponent + leading mantissa
+  *     bits — ~2⁸ sub-buckets per binade at the default shift,
+  *     adaptive resolution wherever the data lives.
+  *  2. Locate subtree: target ranks (`lo+1`/`lo+2`,
+  *     `lo = floor((n−1)·p)`) are located on the prefix-summed
+  *     histogram DISTRIBUTED — an exclusive-prefix window over the
+  *     histogram rows (histogram-sized, partitioned by group) and a
+  *     max-struct aggregate pick each rank's bucket. This replaces the
+  *     r4 driver-side collect + Scala locate loop: no eager job at
+  *     construction (the r4 form paid one collect-job per quantile
+  *     call — q34's two dependent medians paid twice), no driver
+  *     histogram at all, hence no [[quantilesSketch]]-redirect guard —
+  *     the hazard the r3/r4 `MaxHistRows` guard boxed in no longer
+  *     exists structurally.
+  *  3. Probe subtree: the fact re-scanned joined to the (result-sized,
+  *     broadcast) located-bucket set, survivors — thousands of rows,
+  *     not the fact — ranked with a (group, bucket)-partitioned
+  *     window, and the picked values per (group, p) finished.
   *
   * Versus ranking the whole table (even range-parallel two-phase
   * ranking), this never shuffle-sorts the fact: the full-table work is
   * two pruned columnar scans with partial aggregation. At 100 TB that
   * is the difference between re-laying-out the table and reading it
-  * twice. Group count is assumed dashboard-shaped — the histogram
-  * collect is HARD-GUARDED at [[MaxHistRows]] rows and fails with a
-  * pointer at [[quantilesSketch]] (the mergeable-sketch path with no
-  * driver collect and unbounded group cardinality) instead of OOMing.
-  * Rows PER group are unbounded in both paths, which is the dimension
-  * that matters.
+  * twice. The broadcast locate table is (groups × |ps| × 2) rows —
+  * result-sized; for group cardinalities where even that is hot, the
+  * mergeable-sketch path ([[quantilesSketch]]) remains the unbounded
+  * default.
   *
   * Selected values are exact: bucketing only routes rows — equal
   * values share a bucket by construction, the bucket id is monotone in
   * the value, in-bucket order is (value, tieCols) — so results are
   * bit-identical to the full-sort formulation and the DuckDB
   * rank-arithmetic oracle (lo/frac use the same IEEE double ops in all
-  * three places).
+  * three places — and the locate arithmetic is now Spark SQL
+  * expressions, the very ops the oracle runs).
   *
   * `valueCol` must be non-null DoubleType.
   */
@@ -59,25 +65,49 @@ object Quantiles {
       shift)
   }
 
-  /** Ceiling on (group × occupied-bucket) histogram rows the exact
-    * paths will collect to the driver. ~2M rows ≈ tens of MB — far
-    * below driver heap, far above any dashboard-shaped group count.
-    * Beyond it the caller is pointed at [[quantilesSketch]] instead of
-    * OOMing the driver. */
-  val MaxHistRows: Int = 2 << 20
+  /** Distributed locate core shared by the exact paths: build the
+    * per-(group, bucket) histogram with exclusive prefix offsets, let
+    * `targets` derive one row per wanted rank (key, p, ..., __t) from
+    * the per-group totals, and resolve each target rank to its bucket
+    * (the last bucket whose prefix offset is below the rank — counts
+    * are ≥ 1 so offsets strictly increase and max-struct is exactly
+    * the driver loop's findLast). Everything here is histogram-sized
+    * and fully lazy. */
+  private def locateTargets(in: DataFrame, keyCol: String, bucket: Column,
+      targets: DataFrame => DataFrame): DataFrame = {
+    val key = col(keyCol)
+    val hist = in.groupBy(key, bucket.as("__b")).agg(count(lit(1)).as("__cnt"))
+    val wp = Window.partitionBy(key).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val histp = hist
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(wp), lit(0L)))
+      .select(key, col("__b"), col("__before"))
+    val tgt = targets(hist.groupBy(key).agg(sum(col("__cnt")).as("__n")))
+    val byCols = tgt.columns.map(col)
+    tgt.join(histp, Seq(keyCol))
+      .filter(col("__before") < col("__t"))
+      .groupBy(byCols: _*)
+      .agg(max(struct(col("__before"), col("__b"))).as("__m"))
+      .select(byCols :+ col("__m.__b").as("__b") :+
+        col("__m.__before").as("__before"): _*)
+  }
 
-  /** Collect the located histogram with a hard row guard: the limit
-    * executes on the executors (CollectLimit), so an over-sized
-    * histogram costs one aggregate and a clear error — never a
-    * driver-sized fetch of (groups × buckets) rows. */
-  private def guardedCollect(hist: DataFrame, maxRows: Int): Array[Row] = {
-    val rows = hist.limit(maxRows + 1).collect()
-    require(rows.length <= maxRows,
-      s"exact rank-selection would collect > $maxRows (group × value-bucket) " +
-        "histogram rows to the driver; this group cardinality / value spread " +
-        "needs the mergeable-sketch path (Quantiles.quantilesSketch), which " +
-        "never collects")
-    rows
+  /** Probe the fact for the located target ranks: filter to target
+    * buckets via the (result-sized) broadcast join, rank survivors
+    * inside (group, bucket), keep the rows whose global rank matches a
+    * target. */
+  private def probePick(in: DataFrame, keyCol: String, valueCol: String,
+      tieCols: Seq[String], bucket: Column, located: DataFrame): DataFrame = {
+    val key = col(keyCol)
+    val x = col(valueCol)
+    val probeDf = located.select(key, col("__b")).distinct()
+    in.withColumn("__b", bucket)
+      .join(broadcast(probeDf), Seq(keyCol, "__b"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(key, col("__b"))
+          .orderBy(x +: tieCols.map(col): _*)))
+      .join(broadcast(located), Seq(keyCol, "__b"))
+      .filter(col("__before") + col("__r") === col("__t"))
   }
 
   /** Per-group quantiles from Spark's native mergeable quantile sketch
@@ -146,9 +176,8 @@ object Quantiles {
     * and the fact table is never sorted. Returns (key, outCol). */
   def groupDiscQuantile(df: DataFrame, keyCol: String, valueCol: String,
       tieCols: Seq[String], p: Double, outCol: String,
-      bucketShift: Int = 44, maxHistRows: Int = MaxHistRows): DataFrame =
-    groupDiscQuantiles(df, keyCol, valueCol, tieCols, Seq(p),
-      bucketShift, maxHistRows)
+      bucketShift: Int = 44): DataFrame =
+    groupDiscQuantiles(df, keyCol, valueCol, tieCols, Seq(p), bucketShift)
       .select(col(keyCol), col("q_disc").as(outCol))
 
   /** Exact per-group DISCRETE quantiles for SEVERAL percentiles from ONE
@@ -162,103 +191,43 @@ object Quantiles {
     * and never a rank of the whole fact. */
   def groupDiscQuantiles(df: DataFrame, keyCol: String, valueCol: String,
       tieCols: Seq[String], ps: Seq[Double],
-      bucketShift: Int = 44, maxHistRows: Int = MaxHistRows): DataFrame = {
+      bucketShift: Int = 44): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))
-    val spark = df.sparkSession
     val in = df.filter(col(valueCol).isNotNull)
     val key = col(keyCol)
-    val x = col(valueCol)
-    val keyField = df.schema(keyCol)
-    val bucket = bitBucket(x, bucketShift)
+    val bucket = bitBucket(col(valueCol), bucketShift)
 
-    val histRows = guardedCollect(
-      in.groupBy(key, bucket.as("__b")).agg(count(lit(1)).as("__cnt")),
-      maxHistRows)
-    val located = histRows.groupBy(_.get(0)).toSeq.flatMap { case (k, rows) =>
-      val hs = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
-      val before = hs.scanLeft(0L)(_ + _._2)
-      val n = before.last
-      ps.map { p =>
-        val t = math.ceil(p * n).toLong
-        val i = hs.indices.findLast(i => before(i) < t).get
-        Row(k, p, t, hs(i)._1, before(i))
-      }
-    }
-    val locSchema = StructType(Seq(keyField,
-      StructField("p", DoubleType), StructField("__t", LongType),
-      StructField("__b", LongType), StructField("__before", LongType)))
-    val locatedDf = spark.createDataFrame(
-      java.util.Arrays.asList(located: _*), locSchema)
-    val probeDf = spark.createDataFrame(
-      java.util.Arrays.asList(
-        located.map(r => Row(r.get(0), r.getLong(3))).distinct: _*),
-      StructType(Seq(keyField, StructField("__b", LongType))))
-
-    in.withColumn("__b", bucket)
-      .join(broadcast(probeDf), Seq(keyCol, "__b"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(key, col("__b"))
-          .orderBy(x +: tieCols.map(col): _*)))
-      .join(broadcast(locatedDf), Seq(keyCol, "__b"))
-      .filter(col("__before") + col("__r") === col("__t"))
-      .select(key, col("p"), x.as("q_disc"))
+    // one target rank per (group, p): t = ceil(p·n) — the same IEEE
+    // ops as the oracle's SQL, now literally run as SQL expressions
+    val located = locateTargets(in, keyCol, bucket, ns => ns
+      .select(key, col("__n"), explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("__t", ceil(col("p") * col("__n")).cast("long"))
+      .drop("__n"))
+    probePick(in, keyCol, valueCol, tieCols, bucket, located)
+      .select(key, col("p"), col(valueCol).as("q_disc"))
   }
 
   def groupQuantiles(df: DataFrame, keyCol: String, valueCol: String,
       tieCols: Seq[String], ps: Seq[Double],
-      bucketShift: Int = 44, maxHistRows: Int = MaxHistRows): DataFrame = {
+      bucketShift: Int = 44): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
-    val spark = df.sparkSession
     val key = col(keyCol)
     val x = col(valueCol)
-    val keyField = df.schema(keyCol)
     val bucket = bitBucket(x, bucketShift)
 
-    // pass 1: histogram (collected: groups × occupied buckets, guarded)
-    val histRows = guardedCollect(
-      df.groupBy(key, bucket.as("__b")).agg(count(lit(1)).as("__cnt")),
-      maxHistRows)
-
-    // locate each target rank's bucket + exclusive prefix offset
-    val located = histRows.groupBy(_.get(0)).toSeq.flatMap { case (k, rows) =>
-      val hs = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
-      val before = hs.scanLeft(0L)(_ + _._2)
-      val n = before.last
-      def bucketAt(t: Long): (Long, Long) = {
-        // last i with before(i) < t (before is sorted ascending)
-        val i = hs.indices.findLast(i => before(i) < t).get
-        (hs(i)._1, before(i))
-      }
-      ps.flatMap { p =>
-        val lo = math.floor((n - 1) * p).toLong
-        val frac = (n - 1) * p - math.floor((n - 1) * p)
-        Seq(lo + 1, lo + 2).filter(_ <= n).map { t =>
-          val (b, off) = bucketAt(t)
-          Row(k, p, lo, frac, t, b, off)
-        }
-      }
-    }
-    val locSchema = StructType(Seq(keyField,
-      StructField("p", DoubleType), StructField("lo", LongType),
-      StructField("frac", DoubleType), StructField("__t", LongType),
-      StructField("__b", LongType), StructField("__before", LongType)))
-    val locatedDf = spark.createDataFrame(
-      java.util.Arrays.asList(located: _*), locSchema)
-    val probeDf = spark.createDataFrame(
-      java.util.Arrays.asList(
-        located.map(r => Row(r.get(0), r.getLong(5))).distinct: _*),
-      StructType(Seq(keyField, StructField("__b", LongType))))
-
-    // pass 2: probe only target buckets, rank inside (group, bucket)
-    val picked = df
-      .withColumn("__b", bucket)
-      .join(broadcast(probeDf), Seq(keyCol, "__b"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(key, col("__b"))
-          .orderBy(x +: tieCols.map(col): _*)))
-      .join(broadcast(locatedDf), Seq(keyCol, "__b"))
-      .filter(col("__before") + col("__r") === col("__t"))
-    picked.groupBy(key, col("p"))
+    // two target ranks per (group, p): lo+1 and lo+2 (the latter only
+    // when it exists), lo = floor((n−1)·p) — identical IEEE arithmetic
+    // to the driver loop this replaces and to the oracle's SQL
+    val located = locateTargets(df, keyCol, bucket, ns => ns
+      .select(key, col("__n"), explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("lo", floor((col("__n") - 1) * col("p")).cast("long"))
+      .withColumn("frac",
+        (col("__n") - 1) * col("p") - floor((col("__n") - 1) * col("p")))
+      .withColumn("__t", explode(array(col("lo") + 1, col("lo") + 2)))
+      .filter(col("__t") <= col("__n"))
+      .drop("__n"))
+    probePick(df, keyCol, valueCol, tieCols, bucket, located)
+      .groupBy(key, col("p"))
       .agg(
         min(when(col("__t") === col("lo") + 1, x)).as("xlo"),
         min(when(col("__t") === col("lo") + 2, x)).as("xhi"),

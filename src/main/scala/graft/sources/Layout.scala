@@ -61,14 +61,24 @@ object Layout {
       targetBytes: Long, lanes: Int = 32): Long = {
     val files = listFiles(spark, root).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    compactFiles(spark, files, out, targetBytes, lanes)
+    // directory read: partition discovery stays on, so hive-partitioned
+    // tables keep their partition columns through the rewrite
+    compactFrom(spark.read.parquet(root), files, out, targetBytes, lanes)
   }
 
   /** [[compact]] over an EXPLICIT (path, bytes) file list — the form a
     * manifest-managed table needs (its snapshot is a file list, not a
-    * directory; see [[Manifest.optimizeCompact]]). */
+    * directory; see [[Manifest.optimizeCompact]]). Leaf-file reads do
+    * no partition discovery, which is exactly right there: a manifest
+    * table's schema is its data schema. */
   def compactFiles(spark: SparkSession, files: Seq[(String, Long)],
-      out: String, targetBytes: Long, lanes: Int = 32): Long = {
+      out: String, targetBytes: Long, lanes: Int = 32): Long =
+    compactFrom(spark.read.parquet(files.map(_._1): _*), files, out,
+      targetBytes, lanes)
+
+  private def compactFrom(src: DataFrame, files: Seq[(String, Long)],
+      out: String, targetBytes: Long, lanes: Int): Long = {
+    val spark = src.sparkSession
     import spark.implicits._
     val plan = planBins(files.toDF("path", "bytes"), targetBytes, lanes)
     val nBins = plan.select("bin").distinct().count()
@@ -77,7 +87,6 @@ object Layout {
     // scheme spelling. Basenames are NOT a safe key (part-00000.parquet
     // recurs in every nested partition directory).
     val canon = (c: Column) => regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-    val src = spark.read.parquet(files.map(_._1): _*)
     val routed = src
       .withColumn("__path", canon(input_file_name()))
       .join(broadcast(plan.select(canon(col("path")).as("__path"), col("bin"))),

@@ -86,20 +86,28 @@ class QuantilesSpec extends SparkTestBase {
     assert(joined.collect().forall(_.getAs[Boolean]("is_member")))
   }
 
-  test("exact path refuses an over-budget histogram with a pointer at " +
-      "the sketch path (guard, not a driver OOM)") {
-    val df = (1L to 3000L).map { i =>
-      (s"k$i", i.toDouble, i) // one group per row: histogram ~3000 rows
-    }.toDF("k", "x", "id")
-    val e = intercept[IllegalArgumentException] {
-      Quantiles.groupQuantiles(df, "k", "x", Seq("id"), Seq(0.5),
-        maxHistRows = 100).collect()
-    }
-    assert(e.getMessage.contains("quantilesSketch"))
-    val e2 = intercept[IllegalArgumentException] {
-      Quantiles.groupDiscQuantile(df, "k", "x", Seq("id"), 0.5, "m",
-        maxHistRows = 100).collect()
-    }
-    assert(e2.getMessage.contains("quantilesSketch"))
+  test("exact path is one lazy program: no driver round-trip in the " +
+      "plan, and high group cardinality (the old guard's trigger) just " +
+      "works") {
+    // one group per row: the shape that tripped the r4 MaxHistRows
+    // guard (histogram rows = groups). With the distributed locate
+    // there is no driver histogram to guard.
+    // spark.range input: the only LocalTableScan a plan could contain
+    // would be a driver-collected locate table
+    val df = spark.range(1, 3001).select(
+      concat(lit("k"), col("id")).as("k"),
+      col("id").cast("double").as("x"), col("id"))
+    val q = Quantiles.groupQuantiles(df, "k", "x", Seq("id"), Seq(0.5))
+    // the r4 form embedded collected histogram rows as a LocalTableScan;
+    // its absence proves construction never touches the driver
+    assert(!q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "exact rank-selection must not round-trip through the driver")
+    val got = q.collect()
+    assert(got.length == 3000 &&
+      got.forall(r => r.getDouble(2) == r.getString(0).drop(1).toDouble),
+      "singleton groups: the median of one value is that value")
+    val disc = Quantiles.groupDiscQuantile(df, "k", "x", Seq("id"), 0.5, "m")
+    assert(!disc.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(disc.count() == 3000)
   }
 }
