@@ -134,6 +134,13 @@ object Stress100 {
       results(("ngram_prefix", f)) = time("ngram_prefix", f) {
         ops.Dedup.ngramJaccardPrefix(docsF).count()
       }
+      // substring excision: per-token constant cost by construction
+      // (span census one aggregation, coverage re-expansion ×w bounded,
+      // reassembly per-doc) — token tagging keeps replicas span-disjoint
+      // so repeated-span structure and output both scale linearly
+      results(("substring_excise", f)) = time("substring_excise", f) {
+        ops.TextAnalysis.exciseRepeatedSpans(docsF).count()
+      }
       // coarse assignment at k ∝ N: flat is N·k dot products, the
       // two-level quantizer is N·(√k + probe1·√k) — the FLOP ladder for
       // the regime where assignment compute (not shuffle) dominates
@@ -174,8 +181,8 @@ object Stress100 {
       }
     }
     for (op <- Seq("minhash_lsh", "ivfpq_k_scaled", "ivfpq_k_fixed",
-        "semantic_dedup", "ngram_prefix", "ivfadc_r", "assign_flat",
-        "assign_hier", "curation_e2e")
+        "semantic_dedup", "ngram_prefix", "substring_excise", "ivfadc_r",
+        "assign_flat", "assign_hier", "curation_e2e")
         if only.forall(_.contains(op))) {
       val r10 = results((op, 100)) / results((op, 10))
       val r1 = results((op, 100)) / results((op, 1))

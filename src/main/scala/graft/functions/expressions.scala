@@ -1046,3 +1046,74 @@ object NearestCellsHier {
     ArrayData.toArrayData(out)
   }
 }
+
+/** int8 scalar-quantize-then-reconstruct of one vector against
+  * per-dimension [lo, hi] bounds, in one generated loop: dimension d's
+  * code is `min(floor((x-lo)*256/(hi-lo)), 255)` (256 equi-width
+  * buckets, top edge clamped into the last bucket), its reconstruction
+  * the bucket CENTER `lo + (code+0.5)*(hi-lo)/256` — so the
+  * quantization error is ≤ (hi-lo)/512 per dimension for in-range
+  * values (spec-asserted). A degenerate dimension (hi == lo) codes to
+  * its only value. Emitting the reconstruction (not the code) keeps
+  * downstream scoring a plain [[DotProduct]]; the 4-byte→1-byte storage
+  * story is the code array, recoverable from the same loop. IEEE
+  * operation order matches the DuckDB oracle lambda exactly
+  * (sub, ×256.0, ÷range, floor, clamp, +0.5, ×range, ÷256.0, +lo). */
+case class ScalarQuantRecon(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_sq_recon"
+
+  override def nullSafeEval(xAny: Any, loAny: Any, hiAny: Any): Any = {
+    val x = xAny.asInstanceOf[ArrayData]
+    val lo = loAny.asInstanceOf[ArrayData]
+    val hi = hiAny.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val l = lo.getDouble(i)
+      val h = hi.getDouble(i)
+      out(i) =
+        if (h == l) l
+        else {
+          val c = math.min(math.floor((x.getDouble(i) - l) * 256.0 / (h - l)), 255.0)
+          val cc = math.max(c, 0.0)
+          l + (cc + 0.5) * (h - l) / 256.0
+        }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, lo, hi) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val l = ctx.freshName("l")
+      val h = ctx.freshName("h")
+      val c = ctx.freshName("c")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $x.numElements();
+         |final double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $l = $lo.getDouble($i);
+         |  final double $h = $hi.getDouble($i);
+         |  if ($h == $l) { $out[$i] = $l; }
+         |  else {
+         |    double $c = java.lang.Math.min(
+         |      java.lang.Math.floor(($x.getDouble($i) - $l) * 256.0 / ($h - $l)), 255.0);
+         |    $c = java.lang.Math.max($c, 0.0);
+         |    $out[$i] = $l + ($c + 0.5) * ($h - $l) / 256.0;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): ScalarQuantRecon =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

@@ -235,4 +235,50 @@ object Behavior {
           coalesce(lag(col("n_users"), 1).over(w), col("n_users"))
             .cast("double"), 6).as("conv_step"))
   }
+
+  /** RFM customer segmentation (recency / frequency / monetary — the
+    * classic product-analytics cut): per purchaser, days since last
+    * order relative to the feed's max date, order count, exact-decimal
+    * spend; each dimension quartiled 1..4 (1 = most recent / most
+    * frequent / biggest spender) by PURE INTEGER rank math
+    * (`(rank−1)·4 div n + 1` — float cuts flip rows at exact-multiple
+    * boundaries), custkey tie-break; `segment` concatenates the three
+    * digits ("111" = best on all three).
+    *
+    * Scale shape: the 100 TB work is orders → per-customer aggregate
+    * (one map-side-combined pass); the three quartile ranks run over
+    * the customer-sized aggregate via the range-parallel two-phase
+    * rank ([[Ranking.globalRank]]) — never a single-task
+    * `Window.orderBy`; max date and n ride 1-row broadcasts. */
+  def rfmSegments(orders: DataFrame, custCol: String = "o_custkey",
+      dateCol: String = "o_orderdate",
+      priceCol: String = "o_totalprice"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = orders.agg(max(col(dateCol)).as("gmax"))
+    val a = orders
+      .groupBy(col(custCol).as("custkey"))
+      .agg(max(col(dateCol)).as("__last"),
+        count(lit(1)).as("n_orders"),
+        sum(col(priceCol).cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("monetary"))
+      .crossJoin(broadcast(g))
+      .withColumn("r_days", datediff(col("gmax"), col("__last")).cast("long"))
+      .select("custkey", "r_days", "n_orders", "monetary")
+    val n = a.agg(count(lit(1)).as("__n"))
+    val ranked = Ranking.globalRank(
+      Ranking.globalRank(
+        Ranking.globalRank(a,
+          Seq(col("r_days"), col("custkey")), "__rr"),
+        Seq(col("n_orders").desc, col("custkey")), "__rf"),
+      Seq(col("monetary").desc, col("custkey")), "__rm")
+      .crossJoin(broadcast(n))
+    def quart(r: String): Column =
+      expr(s"($r - 1) * 4 div __n + 1")
+    ranked.select(col("custkey"), col("r_days"), col("n_orders"),
+        col("monetary"),
+        quart("__rr").as("r_q"), quart("__rf").as("f_q"),
+        quart("__rm").as("m_q"))
+      .withColumn("segment", concat(col("r_q").cast("string"),
+        col("f_q").cast("string"), col("m_q").cast("string")))
+  }
 }

@@ -47,4 +47,97 @@ object Outliers {
         round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
         round(col("dev"), 6).as("dev"))
   }
+
+  // discrete median of a window-frame array: rank ceil(m/2) of the
+  // sorted values — no interpolation, so the result is an input value
+  // and bit-identical across engines
+  private def frameMedian(fr: Column): Column =
+    element_at(array_sort(fr),
+      ceil(size(fr) / lit(2.0)).cast("int"))
+
+  /** Hampel filter: ROLLING robust spike detection — each point judged
+    * against the median/MAD of its own ±`half`-row neighborhood (per
+    * key, (ts, id) order), vs [[robustZ]]'s one global statistic per
+    * group. Catches spikes in a drifting series where the global median
+    * flags the whole drifted tail instead.
+    *
+    * Frame medians are DISCRETE (rank ceil(m/2) of the sorted frame) so
+    * every emitted statistic is an actual input value — no interpolation
+    * averages, nothing fold-order-dependent; the only float ops are
+    * per-element |x − med| (IEEE-exact, same both engines).
+    *
+    * This is the plain declarative form: ONE window pass, everything
+    * else per-row array math inside codegen. Its `Window.partitionBy
+    * (key)` collapses parallelism to the key count — fine when keys are
+    * plentiful; for the handful-of-keys × 100 TB regime use
+    * [[hampelPartitioned]], which runs the identical frame logic
+    * bucket-parallel (spec-proven equal). */
+  def hampel(df: DataFrame, key: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value",
+      idCol: String = "event_id", k: Double = 3.0, half: Int = 3): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-half, half)
+    val withStats = df.filter(col(valCol).isNotNull)
+      .withColumn("__fr", collect_list(col(valCol)).over(w))
+      .withColumn("med", frameMedian(col("__fr")))
+      .withColumn("mad",
+        frameMedian(transform(col("__fr"), x => abs(x - col("med")))))
+    withStats
+      .filter(abs(col(valCol) - col("med")) > lit(k) * col("mad"))
+      .select(col(idCol), col(key), col(valCol),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+  }
+
+  /** Bucket-parallel Hampel: the 100 TB form of [[hampel]]. Rows hash
+    * to (key, time-bucket) lanes; each bucket borrows exactly the
+    * `half` edge rows of its neighbor buckets (rank-trimmed from the
+    * bucket's own edges — buckets are time-contiguous, so those ARE the
+    * adjacent rows in the global (ts, id) order), runs the identical
+    * ±`half` frame logic inside the lane, and emits only the rows it
+    * owns. Parallelism is the bucket count, not the key count; the
+    * borrowed-row replication is 2·half rows per bucket, independent of
+    * bucket size. Equality with [[hampel]] is spec-proven
+    * (OutliersSpec): interior rows see the same frame by construction,
+    * edge rows see it because the borrowed neighbors are exact.
+    *
+    * Density contract: every bucket in a key's active range must hold
+    * ≥ `half` rows (otherwise an edge frame's true neighbor lives two
+    * buckets away and is not borrowed). Pick `bucketSeconds` from the
+    * feed's known minimum rate — a per-bucket count audit (one
+    * aggregation, [[Quality]]-style) verifies the contract before the
+    * run; the spec covers both a contract-satisfying feed (equality)
+    * and a sparse violation (documented divergence). */
+  def hampelPartitioned(df: DataFrame, bucketSeconds: Long = 3600L,
+      key: String = "event_type", tsCol: String = "ts",
+      valCol: String = "value", idCol: String = "event_id",
+      k: Double = 3.0, half: Int = 3): DataFrame = {
+    val bkt = (unix_timestamp(col(tsCol)) / bucketSeconds).cast("long")
+    val rows = df.filter(col(valCol).isNotNull).withColumn("__b", bkt)
+    val inB = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col(tsCol), col(idCol))
+    val inBDesc = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val ranked = rows
+      .withColumn("__ra", row_number().over(inB))
+      .withColumn("__rd", row_number().over(inBDesc))
+    // each bucket's first/last `half` rows also serve the neighbor lane;
+    // own rows are the only ones emitted
+    val own = ranked.withColumn("__lane", col("__b")).withColumn("__own", lit(true))
+    val toPrev = ranked.filter(col("__ra") <= half)
+      .withColumn("__lane", col("__b") - 1).withColumn("__own", lit(false))
+    val toNext = ranked.filter(col("__rd") <= half)
+      .withColumn("__lane", col("__b") + 1).withColumn("__own", lit(false))
+    val lanes = own.unionByName(toPrev).unionByName(toNext)
+    val w = Window.partitionBy(col(key), col("__lane"))
+      .orderBy(col(tsCol), col(idCol)).rowsBetween(-half, half)
+    val withStats = lanes
+      .withColumn("__fr", collect_list(col(valCol)).over(w))
+      .withColumn("med", frameMedian(col("__fr")))
+      .withColumn("mad",
+        frameMedian(transform(col("__fr"), x => abs(x - col("med")))))
+    withStats.filter(col("__own"))
+      .filter(abs(col(valCol) - col("med")) > lit(k) * col("mad"))
+      .select(col(idCol), col(key), col(valCol),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+  }
 }

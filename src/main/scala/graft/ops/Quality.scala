@@ -92,4 +92,55 @@ object Quality {
       .groupBy((length(bin(col("cnt"))) - 1).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
         max(col("cnt")).as("max_cnt"))
+
+  /** Distribution-drift audit between the feed's earlier and later
+    * half (reference vs current window, split at the observed time
+    * midpoint): per key, total-variation distance `½·Σ|p−q|` and the
+    * chi-square statistic `Σ(p−q)²/q` (q>0 buckets) over fixed
+    * `bucketWidth` value buckets.
+    *
+    * Both metrics are RATIONAL in the bucket counts — no `ln` (PSI's
+    * log terms are not correctly-rounded IEEE ops, so engines can
+    * disagree in the last ulp; TVD/chi-square carry the same drift
+    * signal with only +, −, ×, ÷). Cross-bucket folds run in exact
+    * decimal over round-6 per-bucket terms; doubles appear only in the
+    * per-bucket divisions — the engine's standing determinism recipe.
+    *
+    * Scale shape: ONE map-side-combined pass over the fact produces
+    * the (key × bucket) count grid (the only event-scale work — the
+    * midpoint rides a 1-row broadcast); totals, proportions and both
+    * statistics run over the grid, which is bounded by key-count ×
+    * value-range/width, independent of row count. */
+  def distributionDrift(df: DataFrame, key: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value",
+      bucketWidth: Double = 20.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sec = unix_timestamp(col(tsCol))
+    val mid = df.agg(
+      floor((min(sec) + max(sec)) / lit(2.0)).cast("long").as("mid"))
+    val grid = df.filter(col(valCol).isNotNull)
+      .crossJoin(broadcast(mid))
+      .select(col(key),
+        floor(col(valCol) / lit(bucketWidth)).cast("long").as("bucket"),
+        when(sec <= col("mid"), 1L).otherwise(0L).as("is_ref"))
+      .groupBy(col(key), col("bucket"))
+      .agg(sum(col("is_ref")).as("n_ref"),
+        sum(lit(1L) - col("is_ref")).as("n_cur"))
+    val totals = grid.groupBy(col(key))
+      .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val terms = grid.join(broadcast(totals), key)
+      .withColumn("p", col("n_ref") / col("t_ref"))
+      .withColumn("q", col("n_cur") / col("t_cur"))
+      .withColumn("tvd_t",
+        round(abs(col("p") - col("q")), 6).cast(DecimalType(18, 6)))
+      .withColumn("chi_t",
+        round(when(col("q") > 0,
+            (col("p") - col("q")) * (col("p") - col("q")) / col("q"))
+          .otherwise(lit(0.0)), 6).cast(DecimalType(18, 6)))
+    terms.groupBy(col(key))
+      .agg(max(col("t_ref")).as("n_ref"), max(col("t_cur")).as("n_cur"),
+        count(lit(1)).as("n_buckets"),
+        round(sum(col("tvd_t")).cast("double") * 0.5, 6).as("tvd"),
+        round(sum(col("chi_t")).cast("double"), 6).as("chisq"))
+  }
 }

@@ -163,4 +163,52 @@ object Resample {
       .foldLeft[Column](lit(1.0))(_ + _)
     base.select(col(key), col("d"), col("v"), (num / den).as("ewma"))
   }
+
+  /** Classical additive seasonal decomposition over the hourly grid:
+    * observed = trend + seasonal + residual, per key.
+    *
+    *  - observed `v`: exact-decimal hourly means (same cell semantics as
+    *    [[gapfillLinear]] — null readings don't deflate, all-null cells
+    *    are holes),
+    *  - `trend`: centered ±`halfWin`-row moving average over the
+    *    observed hourly series (DECIMAL window sum — exact, associative,
+    *    fold-order-free — double division + round only at the edge),
+    *  - `seasonal`: per (key, hour-of-day) mean of the exactly-decimal
+    *    detrended series,
+    *  - `resid`: the exact-decimal remainder, cast to double.
+    *
+    * Every cross-row fold is decimal (engine-exact); doubles appear only
+    * in per-value division/round — the [[ewmaHalf]] determinism recipe.
+    *
+    * Scale shape: the 100 TB work is the FIRST aggregation (fact →
+    * hourly grid, one map-side-combined pass); the trend window and the
+    * 24-row seasonal profile run over the aggregated dashboard-sized
+    * series — same argument as [[ewmaHalf]]'s lag tree. Decomposition is
+    * defined over the OBSERVED grid (holes skipped by the row frame);
+    * compose with [[gapfillLinear]] first when a full grid is wanted. */
+  def seasonalDecompose(df: DataFrame, key: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value",
+      halfWin: Int = 12, period: Int = 24): DataFrame = {
+    import graft.functions.Exact.dec
+    val b = df
+      .groupBy(col(key), date_trunc("hour", col(tsCol)).as("h"))
+      .agg(round(sum(dec(col(valCol))).cast("double") / count(col(valCol)), 6)
+        .as("v"))
+      .filter(col("v").isNotNull)
+    val w = Window.partitionBy(key).orderBy("h").rowsBetween(-halfWin, halfWin)
+    val t = b.withColumn("trend",
+      round(sum(dec(col("v"))).over(w).cast("double") /
+        count(lit(1)).over(w), 6))
+    val d = t
+      .withColumn("hod",
+        expr(s"CAST(floor(unix_timestamp(h) / 3600) AS BIGINT) % $period"))
+      .withColumn("__detr", dec(col("v")) - dec(col("trend")))
+    val seas = d.groupBy(col(key), col("hod"))
+      .agg(round(sum(col("__detr")).cast("double") / count(lit(1)), 6)
+        .as("seasonal"))
+    d.join(broadcast(seas), Seq(key, "hod"))
+      .select(col(key), col("h"), col("v"), col("trend"), col("seasonal"),
+        (dec(col("v")) - dec(col("trend")) - dec(col("seasonal")))
+          .cast("double").as("resid"))
+  }
 }

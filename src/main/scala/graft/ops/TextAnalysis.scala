@@ -485,4 +485,88 @@ object TextAnalysis {
         col("__first").getField(idCol).as("first_doc"),
         col("__first").getField("pos").cast("long").as("first_pos"))
   }
+
+  /** Exact substring dedup, EXCISION step: rewrite every document with
+    * its non-canonical repeated spans removed (the corpus-editing half
+    * of [[repeatedSpans]], cf. Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" — remove every duplicated passage,
+    * keep one canonical copy).
+    *
+    * Semantics (word-token granularity, fully deterministic):
+    *  - a span = `w` consecutive whitespace tokens; repeated ⇔ it
+    *    occurs in ≥ 2 documents; canonical occurrence = the
+    *    `min(doc, pos)` one.
+    *  - a token position is REMOVED iff some non-canonical repeated
+    *    occurrence covers it and NO canonical occurrence does
+    *    (canonical preservation wins on overlap, so the kept copy of a
+    *    passage is never chewed up by overlapping duplicates of its
+    *    neighbors).
+    *  - surviving tokens are re-joined by single spaces in position
+    *    order.
+    *
+    * Output: one row per document — (id, n_tokens, n_removed,
+    * text_dedup).
+    *
+    * Scale shape: NO pair join anywhere — a span shared by a million
+    * documents is one aggregation row, and the rewrite never materializes
+    * candidate pairs. Cost per input token is constant: t tokens emit
+    * t−w+1 spans (one shuffle keyed on span text, map-side combined),
+    * repeated occurrences re-expand by exactly ×w into the coverage
+    * table (keyed (doc, pos) — the same key the token table shuffles
+    * on, so the last two joins co-partition), and reassembly is a
+    * per-document sort of that document's own kept tokens (bounded by
+    * document size, the standing per-doc-op assumption). Rare-span
+    * pruning happens at the FIRST aggregation: the overwhelmingly
+    * common case (span seen once) never reaches the coverage join. */
+  def exciseRepeatedSpans(docs: DataFrame, w: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"span width must be >= 2, got $w")
+    val tk = col("__tk")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+    val spans = base
+      .select(col(idCol), tk,
+        posexplode(when(size(tk) >= w, sequence(lit(1), size(tk) - (w - 1)))
+          .otherwise(array().cast("array<int>"))).as(Seq("__junk", "pos")))
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(tk, col("pos"), lit(w))).as("__span"))
+    val rep = spans.groupBy(col("__span"))
+      .agg(countDistinct(col(idCol)).as("__nd"),
+        min(struct(col(idCol), col("pos"))).as("__first"))
+      .filter(col("__nd") >= 2)
+      .select(col("__span"),
+        col("__first").getField(idCol).as("__fd"),
+        col("__first").getField("pos").as("__fp"))
+    // occurrences of repeated spans only; canonical = the min(doc,pos) one
+    val occ = spans.join(rep, "__span")
+      .select(col(idCol), col("pos"),
+        (col(idCol) === col("__fd") && col("pos") === col("__fp"))
+          .as("__canon"))
+    // coverage: each occurrence covers positions pos .. pos+w-1; a
+    // position's verdict is one bool — did ANY canonical occurrence
+    // cover it (keep) — so overlap resolution is a max, not a pair walk
+    // coverage keys renamed (__cdoc, cpos): toks and cov share lineage
+    // through `base`, and a same-name equi-join across a self-derived
+    // pair risks ambiguous attribute resolution
+    val cov = occ
+      .select(col(idCol).as("__cdoc"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("cpos"),
+        col("__canon"))
+      .groupBy(col("__cdoc"), col("cpos"))
+      .agg(max(col("__canon")).as("__any_canon"))
+    val toks = base
+      .select(col(idCol), posexplode(tk).as(Seq("__p0", "__token")))
+      .withColumn("pos", col("__p0") + 1)
+    toks.join(cov,
+        toks(idCol) === cov("__cdoc") && toks("pos") === cov("cpos"), "left")
+      .select(toks(idCol), toks("pos"), col("__token"),
+        (col("__any_canon").isNull || col("__any_canon")).as("__keep"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("pos"), col("__token"))))),
+          s => s.getField("__token"))).as("text_dedup"))
+  }
 }

@@ -72,7 +72,11 @@ case class TopKPerKeyExec(
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](k + 1, ord.reversed())
+          // initial CAPACITY only (the queue grows) — a huge k (e.g. an
+          // effectively-unbounded "rank everything" call) must not
+          // pre-allocate k slots or overflow PriorityQueue's max size
+          heap = new java.util.PriorityQueue[InternalRow](
+            math.min(k, 63) + 1, ord.reversed())
           heaps.put(key.copy(), heap)
         }
         if (heap.size < k) heap.add(row.copy())

@@ -80,5 +80,36 @@ object Behavior extends QueryPack {
     graft.ops.Behavior.activeUsers(Tables.events(spark, dir)).orderBy("day")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q38, q39, q46)
+  /** RFM segmentation: per purchaser recency/frequency/monetary
+    * quartiled by pure integer rank math, custkey tie-break (see
+    * [[graft.ops.Behavior.rfmSegments]]); segment digit string "111" =
+    * best on all three. */
+  val q48 = GraftQuery(
+    "q48_rfm",
+    Some("""
+      WITH g AS (SELECT max(o_orderdate) AS gmax FROM orders),
+      a AS (SELECT o_custkey AS custkey,
+          CAST(date_diff('day', max(o_orderdate), gmax) AS BIGINT) AS r_days,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary
+        FROM orders CROSS JOIN g GROUP BY 1, gmax),
+      n AS (SELECT count(*) AS n FROM a),
+      r AS (SELECT a.*,
+          ROW_NUMBER() OVER (ORDER BY r_days, custkey) AS rr,
+          ROW_NUMBER() OVER (ORDER BY n_orders DESC, custkey) AS rf,
+          ROW_NUMBER() OVER (ORDER BY monetary DESC, custkey) AS rm
+        FROM a)
+      SELECT custkey, r_days, n_orders, monetary,
+        CAST((rr - 1) * 4 // n + 1 AS BIGINT) AS r_q,
+        CAST((rf - 1) * 4 // n + 1 AS BIGINT) AS f_q,
+        CAST((rm - 1) * 4 // n + 1 AS BIGINT) AS m_q,
+        CAST((rr - 1) * 4 // n + 1 AS VARCHAR) ||
+        CAST((rf - 1) * 4 // n + 1 AS VARCHAR) ||
+        CAST((rm - 1) * 4 // n + 1 AS VARCHAR) AS segment
+      FROM r CROSS JOIN n ORDER BY custkey""".trim)) { (spark, dir) =>
+    graft.ops.Behavior.rfmSegments(Tables.orders(spark, dir))
+      .orderBy("custkey")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q38, q39, q46, q48)
 }

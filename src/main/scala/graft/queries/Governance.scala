@@ -141,5 +141,40 @@ object Governance extends QueryPack {
       .orderBy("chk")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q43, q44, q45, streamQualityParity)
+  /** Distribution-drift audit (PSI-style, log-free): earlier vs later
+    * feed half per event type — total-variation distance and chi-square
+    * over fixed value buckets; rational arithmetic only, cross-bucket
+    * folds in exact decimal (see [[graft.ops.Quality.distributionDrift]]
+    * for why no `ln`). */
+  val q42 = GraftQuery(
+    "q42_drift",
+    Some("""
+      WITH r AS (SELECT CAST(floor((floor(epoch(min(ts))) + floor(epoch(max(ts)))) / 2) AS BIGINT) AS mid FROM events),
+      e AS (SELECT event_type, CAST(floor(value / 20.0) AS BIGINT) AS bucket,
+              CASE WHEN floor(epoch(ts)) <= mid THEN 1 ELSE 0 END AS is_ref
+            FROM events CROSS JOIN r WHERE value IS NOT NULL),
+      c AS (SELECT event_type, bucket,
+              CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+              CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+            FROM e GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+              CAST(SUM(n_cur) AS BIGINT) AS t_cur
+            FROM c GROUP BY 1),
+      m AS (SELECT c.event_type, c.n_ref / t.t_ref AS p, c.n_cur / t.t_cur AS q,
+              t.t_ref, t.t_cur
+            FROM c JOIN t USING (event_type)),
+      terms AS (SELECT event_type, t_ref, t_cur,
+              CAST(ROUND(abs(p - q), 6) AS DECIMAL(18,6)) AS tvd_t,
+              CAST(ROUND(CASE WHEN q > 0 THEN (p - q) * (p - q) / q ELSE 0 END, 6) AS DECIMAL(18,6)) AS chi_t
+            FROM m)
+      SELECT event_type, MAX(t_ref) AS n_ref, MAX(t_cur) AS n_cur,
+        CAST(count(*) AS BIGINT) AS n_buckets,
+        ROUND(CAST(SUM(tvd_t) AS DOUBLE) * 0.5, 6) AS tvd,
+        ROUND(CAST(SUM(chi_t) AS DOUBLE), 6) AS chisq
+      FROM terms GROUP BY event_type ORDER BY event_type""".trim)) { (spark, dir) =>
+    Quality.distributionDrift(Tables.events(spark, dir))
+      .orderBy("event_type")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q42, q43, q44, q45, streamQualityParity)
 }

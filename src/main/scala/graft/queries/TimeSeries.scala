@@ -168,5 +168,69 @@ object TimeSeries extends QueryPack {
       .orderBy("event_type", "bucket", "role")
   }
 
-  override def all: Seq[GraftQuery] = Seq(tsGapfill, tsEwma, q32, q34, tsM4)
+  /** Hampel filter — ROLLING robust spike detection: each point judged
+    * against the discrete median/MAD of its ±3-row neighborhood (per
+    * event type, (ts, event_id) order). Complements q34's global
+    * median: a drifting series flags only true local spikes here. All
+    * frame statistics are rank-selected input values (no interpolation,
+    * no float folds); see [[graft.ops.Outliers.hampel]] and the
+    * bucket-parallel `hampelPartitioned` scale path. */
+  val tsHampel = GraftQuery(
+    "ts_hampel",
+    Some("""
+      WITH e AS (SELECT event_id, event_type, ts, value FROM events WHERE value IS NOT NULL),
+      w AS (SELECT event_id, event_type, value,
+          list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS fr
+        FROM e),
+      m AS (SELECT *, list_sort(fr)[CAST(ceil(len(fr)/2.0) AS BIGINT)] AS med FROM w),
+      d AS (SELECT *, list_sort(list_transform(fr, x -> abs(x - med)))[CAST(ceil(len(fr)/2.0) AS BIGINT)] AS mad FROM m)
+      SELECT event_id, event_type, value, ROUND(med, 6) AS med, ROUND(mad, 6) AS mad
+      FROM d WHERE abs(value - med) > 3 * mad
+      ORDER BY event_type, event_id""".stripMargin.trim)) { (spark, dir) =>
+    graft.ops.Outliers.hampel(Tables.events(spark, dir))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** Classical additive seasonal decomposition (observed = trend +
+    * seasonal + residual) over the hourly grid: decimal-exact hourly
+    * means, centered ±12-row decimal moving-average trend, per
+    * hour-of-day seasonal profile of the detrended series. All
+    * cross-row folds decimal (fold-order-free); the fact collapses to
+    * the grid in one map-side-combined pass — windows only ever see the
+    * dashboard-sized series (see
+    * [[graft.ops.Resample.seasonalDecompose]]). */
+  val tsSeasonal = GraftQuery(
+    "ts_seasonal",
+    Some("""
+      WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS v
+        FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0),
+      t AS (
+        SELECT event_type, h, v,
+          ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE) /
+                COUNT(*) OVER w, 6) AS trend
+        FROM b WINDOW w AS (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      d AS (
+        SELECT event_type, h, v, trend,
+          CAST(floor(epoch(h)) AS BIGINT) // 3600 % 24 AS hod,
+          CAST(v AS DECIMAL(18,6)) - CAST(trend AS DECIMAL(18,6)) AS detr
+        FROM t),
+      s AS (
+        SELECT event_type, hod,
+          ROUND(CAST(SUM(detr) AS DOUBLE) / COUNT(*), 6) AS seasonal
+        FROM d GROUP BY 1, 2)
+      SELECT d.event_type, d.h, d.v AS v, d.trend, s.seasonal,
+        CAST(CAST(d.v AS DECIMAL(18,6)) - CAST(d.trend AS DECIMAL(18,6))
+             - CAST(s.seasonal AS DECIMAL(18,6)) AS DOUBLE) AS resid
+      FROM d JOIN s USING (event_type, hod)
+      ORDER BY d.event_type, d.h""".stripMargin.trim)) { (spark, dir) =>
+    Resample.seasonalDecompose(Tables.events(spark, dir))
+      .orderBy("event_type", "h")
+  }
+
+  override def all: Seq[GraftQuery] =
+    Seq(tsGapfill, tsEwma, q32, q34, tsM4, tsHampel, tsSeasonal)
 }

@@ -523,6 +523,36 @@ object TrainingData extends QueryPack {
       embs.filter(col("vec_id") >= 16 && col("vec_id") < 32))
   }
 
+  /** IVF + int8 SCALAR quantization: the probed-cell candidate shape
+    * with SQ-reconstructed candidate scoring (256 equi-width buckets
+    * per dim between exact corpus min/max, reconstruction at bucket
+    * centers — 4× smaller candidate working set, mild distortion, vs
+    * PQ's 64×). Exact bounds + exact integer codes keep it
+    * deterministic, hence oracle-expressible end to end. */
+  val annIvfSq = GraftQuery(
+    "ann_ivfsq",
+    Some(s"""
+      WITH $NORM,
+      q AS (SELECT * FROM m WHERE vec_id < 10),$IVF_CAND_CTES
+      dims AS (SELECT unnest(range(1, 65)) AS i),
+      b AS (SELECT i, min(e[i]) AS lo, max(e[i]) AS hi FROM m CROSS JOIN dims GROUP BY i),
+      bl AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM b),
+      rec AS (SELECT m.vec_id,
+          list_transform(range(1, 65), i -> CASE WHEN bl.hi[i] = bl.lo[i] THEN bl.lo[i]
+            ELSE bl.lo[i] + (greatest(least(floor((m.e[i] - bl.lo[i]) * 256.0 / (bl.hi[i] - bl.lo[i])), 255.0), 0.0) + 0.5) * (bl.hi[i] - bl.lo[i]) / 256.0 END) AS re
+        FROM m CROSS JOIN bl),
+      recn AS (SELECT vec_id, re, sqrt(list_sum(list_transform(re, x -> x*x))) AS rnrm FROM rec),
+      p AS (SELECT c.query_id, c.neighbor_id,
+          ROUND(list_sum(list_transform(range(1, 65), i -> q.e[i] * r.re[i])) / (q.nrm * r.rnrm), 6) AS cosine
+        FROM cand c JOIN m q ON q.vec_id = c.query_id JOIN recn r ON r.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM p) t
+      WHERE rn <= 5 ORDER BY query_id, neighbor_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.ivfSqTopK(embs, embs.filter(col("vec_id") < 10),
+      embs.filter(col("vec_id") < 16))
+  }
+
   /** Unigram-surprisal quality signal (perplexity proxy): integer
     * log₂ buckets via bin()-length, so the aggregate never folds floats
     * (see TextAnalysis.unigramSurprisal for the determinism argument). */
@@ -1256,6 +1286,38 @@ object TrainingData extends QueryPack {
       .orderBy("span_hash")
   }
 
+  /** Exact substring dedup, EXCISION step (Lee et al.): every document
+    * rewritten with its non-canonical repeated 8-word spans removed —
+    * the canonical (min doc,pos) copy of each passage survives, overlap
+    * resolved canonical-wins. No pair join anywhere; see
+    * [[graft.ops.TextAnalysis.exciseRepeatedSpans]] for the per-token
+    * constant-cost argument. */
+  val dedupSubstring = GraftQuery(
+    "dedup_substring",
+    Some("""
+      WITH tk AS (SELECT doc_id, string_split_regex(text,'\s+') AS tk FROM documents),
+      g AS (SELECT doc_id, i AS pos, array_to_string(list_slice(tk, i, i+7), ' ') AS span
+            FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk)-6, 1))) AS i FROM tk)),
+      r AS (SELECT span, min(struct_pack(d := doc_id, p := pos)) AS f
+            FROM g GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+      occ AS (SELECT g.doc_id, g.pos, (g.doc_id = r.f.d AND g.pos = r.f.p) AS canon
+              FROM g JOIN r USING (span)),
+      cov AS (SELECT doc_id, pos + u AS cpos, max(canon) AS any_canon
+              FROM occ CROSS JOIN range(0, 8) AS t(u)
+              GROUP BY doc_id, pos + u),
+      tok AS (SELECT doc_id, unnest(tk) AS token, generate_subscripts(tk, 1) AS pos FROM tk),
+      k AS (SELECT t.doc_id, t.pos, t.token,
+              (c.doc_id IS NULL OR c.any_canon) AS keep
+            FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos)
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        coalesce(string_agg(CASE WHEN keep THEN token END, ' ' ORDER BY pos), '') AS text_dedup
+      FROM k GROUP BY doc_id ORDER BY doc_id""".trim)) { (spark, dir) =>
+    TextAnalysis.exciseRepeatedSpans(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+  }
+
   /** Heavy hitters by count-min prefilter + exact verify: the sketch
     * pass shuffles a fixed depth×width grid (never the vocabulary), the
     * candidate filter runs map-side against the broadcast grid, and the
@@ -1316,7 +1378,7 @@ object TrainingData extends QueryPack {
     textRepetition, textContamination, textTfidf, textSurprisal,
     textBigramSurprisal,
     textBm25, textInvertedIndex, textBpeMerges, textBpeEncode,
-    textRepeatedSpans,
+    textRepeatedSpans, dedupSubstring,
     textHeavyHitters, textHeavyHittersBySource, pipelineFeatures, pipelineSplitLeakage,
     dataQuota, dataMix, dataCurriculum, dataEpochShuffle,
     dedupExact, dedupNgram, dedupNgramPrefix, dedupSortedNeighborhood,
@@ -1326,6 +1388,7 @@ object TrainingData extends QueryPack {
     dedupEmbedding, dedupSemantic,
     dedupClusters, dedupSurvivorship, dataSplit, dataSample, dataWeighted, dataPack,
     annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, annIvfPq,
+    annIvfSq,
     annPqTrained, annIvfAdcR, annMaxSim, annHardNegatives,
     annMaxSimIvf, annHardNegativesIvf, dedupParagraph)
 }

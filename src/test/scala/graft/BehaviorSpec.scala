@@ -167,4 +167,39 @@ class BehaviorSpec extends SparkTestBase {
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(replay.toSeq == got.toSeq, "replay must be idempotent")
   }
+
+  // ---- rfmSegments (round 5) -----------------------------------------
+
+  test("rfmSegments: hand-built 8-customer corpus — integer quartile " +
+      "boundaries, desc ranks for F/M, custkey tie-breaks, segments") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import java.sql.Date
+    def day(d: Int) = Date.valueOf(f"2024-02-$d%02d")
+    // cust i: i orders, last on day (28-i+1), total spend 9000-1000*i
+    val rows = (1 to 8).flatMap { i =>
+      val big = (9000 - 1000 * i - (i - 1)).toDouble
+      (1 to i).map { j =>
+        val d = day(28 - i + 1 - (i - j)) // j-th order, last lands at 28-i+1
+        (i.toLong, d, if (j == i) big else 1.0)
+      }
+    }
+    val orders = rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = graft.ops.Behavior.rfmSegments(orders)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getString(7)))).toMap
+    // gmax = day 28 (cust 1); r_days(i) = i-1; rank_r = i
+    // n_orders = i -> rank_f = 9-i; monetary = 9000-1000i -> rank_m = i
+    // quartile(rank) over n=8: (rank-1)*4 div 8 + 1
+    def qr(rank: Int) = ((rank - 1) * 4) / 8 + 1
+    for (i <- 1 to 8) {
+      val (rd, no, rq, fq, mq, seg) = got(i.toLong)
+      assert(rd == (i - 1).toLong && no == i.toLong)
+      assert(rq == qr(i).toLong, s"cust $i r_q $rq != ${qr(i)}")
+      assert(fq == qr(9 - i).toLong, s"cust $i f_q $fq != ${qr(9 - i)}")
+      assert(mq == qr(i).toLong, s"cust $i m_q $mq != ${qr(i)}")
+      assert(seg == s"${qr(i)}${qr(9 - i)}${qr(i)}")
+    }
+  }
 }

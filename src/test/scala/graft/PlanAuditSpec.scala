@@ -564,4 +564,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("partial_count") || plan.contains("partial_min"),
       s"summary must combine map-side:\n$plan")
   }
+
+  test("dedup_substring: equi-joins only (no pair/cartesian anywhere), " +
+      "span census combines map-side") {
+    val plan = planOf("dedup_substring")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"excision must never form a pair join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"span census must combine map-side:\n$plan")
+  }
+
+  test("ts_hampel: ONE window pass computes the frame; stats are " +
+      "per-row array math, not extra shuffles") {
+    val plan = planOf("ts_hampel")
+    val windows = "(?m)^.*Window".r.findAllIn(plan).size
+    assert(windows == 1, s"expected exactly one Window operator, got " +
+      s"$windows:\n$plan")
+  }
+
+  test("ann_ivfsq: reconstruction is the native codegen loop, scoring " +
+      "the native dot, ranking the bounded heap — no window sort") {
+    val plan = planOf("ann_ivfsq")
+    assert(plan.contains("graft_sq_recon"),
+      s"native ScalarQuantRecon missing:\n$plan")
+    assert(plan.contains("graft_dot"), s"native DotProduct missing:\n$plan")
+    assert(plan.contains("TopKPerKey") && !plan.contains("Window"), plan)
+  }
 }

@@ -86,4 +86,46 @@ class QualitySpec extends SparkTestBase {
     StreamingQuality.foldBatch(b2, 2L, checks, root)
     assert(cur() == got, "replay must be idempotent")
   }
+
+  // ---- distributionDrift (round 5) -----------------------------------
+
+  test("distributionDrift: disjoint halves give tvd=1/chisq=1, " +
+      "identical halves give 0/0 (hand-computed, rational arithmetic)") {
+    import spark.implicits._
+    // key a: ref all in bucket 0 (value 5), cur all in bucket 1 (25)
+    val a = (0L until 10L).map(i => ("a", i, 5.0)) ++
+      (100L until 110L).map(i => ("a", i, 25.0))
+    // key b: same distribution both halves (half bucket 0, half bucket 1)
+    val b = (0L until 10L).map(i => ("b", i, if (i % 2 == 0) 5.0 else 25.0)) ++
+      (100L until 110L).map(i => ("b", i, if (i % 2 == 0) 5.0 else 25.0))
+    val df = (a ++ b).toDF("event_type", "sec", "value")
+      .select(col("event_type"), timestamp_seconds(col("sec")).as("ts"),
+        col("value"))
+    val got = Quality.distributionDrift(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))).toMap
+    // mid = floor((0+109)/2) = 54 -> ref is sec <= 54
+    // a: p=(1,0), q=(0,1): tvd = 0.5*(1+1) = 1; chi = (0-1)^2/1 = 1
+    assert(got("a") == ((10L, 10L, 1.0, 1.0)), s"got ${got("a")}")
+    assert(got("b") == ((10L, 10L, 0.0, 0.0)), s"got ${got("b")}")
+  }
+
+  test("distributionDrift: null values excluded, q=0 buckets count " +
+      "toward tvd but not chi-square") {
+    import spark.implicits._
+    // ref: buckets {0:2, 1:2}; cur: bucket {1:4} -> bucket 0 has q=0
+    val rows = Seq(("k", 0L, Some(5.0)), ("k", 1L, Some(5.0)),
+      ("k", 2L, Some(25.0)), ("k", 3L, Some(25.0)), ("k", 4L, None),
+      ("k", 100L, Some(25.0)), ("k", 101L, Some(25.0)),
+      ("k", 102L, Some(25.0)), ("k", 103L, Some(25.0)))
+    val df = rows.toDF("event_type", "sec", "value")
+      .select(col("event_type"), timestamp_seconds(col("sec")).as("ts"),
+        col("value"))
+    val r = Quality.distributionDrift(df).collect()(0)
+    // p=(0.5,0.5), q=(0,1): tvd = 0.5*(0.5+0.5) = 0.5
+    // chi: bucket0 q=0 -> 0; bucket1 (0.5-1)^2/1 = 0.25
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.25,
+      s"got ${r.getDouble(4)}, ${r.getDouble(5)}")
+  }
 }

@@ -165,4 +165,60 @@ class SketchOpsSpec extends SparkTestBase {
       "l_orderkey")
     assert(none.count() == 0)
   }
+
+  // ---- exciseRepeatedSpans (round 5: the removal half) ---------------
+
+  test("exciseRepeatedSpans: canonical copy survives, duplicates " +
+      "excised, unique text untouched") {
+    val d = docs(
+      1L -> "a b c d e f g h x",
+      2L -> "z a b c d e f g h",
+      3L -> "p q r s t u v w p q r s t u v w p q r s t u v w",
+      4L -> "p q r s t u v w",
+      5L -> "too short")
+    val got = graft.ops.TextAnalysis.exciseRepeatedSpans(d, w = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 holds the canonical "a b c d e f g h" -> fully kept
+    assert(got(1L) == ((9L, 0L, "a b c d e f g h x")))
+    // doc 2's copy is non-canonical -> its 8 covered tokens go
+    assert(got(2L) == ((9L, 8L, "z")))
+    // doc 3: canonical first occurrence kept, 2 within-doc repeats of
+    // the now-cross-doc span excised
+    assert(got(3L) == ((24L, 16L, "p q r s t u v w")))
+    // doc 4 is entirely a duplicate of doc 3's canonical span
+    assert(got(4L) == ((8L, 8L, "")))
+    // short doc: no spans, untouched
+    assert(got(5L) == ((2L, 0L, "too short")))
+  }
+
+  test("exciseRepeatedSpans: overlap resolution is canonical-wins — a " +
+      "token inside BOTH a non-canonical and a canonical occurrence stays") {
+    val d = docs(
+      5L -> "y1 y2 y3 y4 y5 y6 y7 y8",                // canonical Y=(5,1)
+      6L -> "y1 y2 y3 y4 y5 y6 y7 y8 x1",             // Y non-canon at (6,1); canonical Z=(6,2)
+      7L -> "q y1b y2 y3 y4 y5 y6 y7 y8 x1")
+    // doc 7 shares Z = "y2..y8 x1" at (7,3) but NOT Y (no y1 prefix)
+    val got = graft.ops.TextAnalysis.exciseRepeatedSpans(d, w = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(5L) == ((8L, 0L, "y1 y2 y3 y4 y5 y6 y7 y8")))
+    // doc 6: pos 1 covered only by the non-canonical Y copy -> removed;
+    // pos 2..9 also covered by doc 6's own canonical Z -> kept
+    assert(got(6L) == ((9L, 1L, "y2 y3 y4 y5 y6 y7 y8 x1")))
+    // doc 7: its Z copy is non-canonical -> 8 tokens out
+    assert(got(7L) == ((10L, 8L, "q y1b")))
+  }
+
+  test("exciseRepeatedSpans: a span shared by k docs costs one " +
+      "aggregation row and k-1 rewrites, never a pair join") {
+    val many = (1L to 30L).map(i =>
+      i -> s"common words repeated across every doc here now tail$i")
+    val got = graft.ops.TextAnalysis.exciseRepeatedSpans(docs(many: _*), w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    // doc 1 keeps the canonical span; every other doc keeps only its tail
+    assert(got.forall { case (id, removed, txt) =>
+      if (id == 1L) removed == 0L
+      else removed == 8L && txt == s"tail$id" })
+  }
 }

@@ -216,4 +216,114 @@ class TimeSeriesSpec extends SparkTestBase {
         java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
     assert(a == b && a.nonEmpty, "ewma bits depend on partitioning")
   }
+
+  // ---- Hampel filter (round 5: rolling robust spike gate) ------------
+
+  private def feed(rows: ((Long, Long), Double)*) = {
+    rows.map { case ((id, sec), v) => (id, sec, v) }
+      .toDF("event_id", "sec", "value")
+      .select(col("event_id"), lit("k").as("event_type"),
+        timestamp_seconds(col("sec")).as("ts"), col("value"))
+  }
+
+  test("hampel flags only the local spike (hand-computed frame " +
+      "median/MAD, discrete ranks, edge frames included)") {
+    val df = feed(
+      1L -> 0L -> 10.0, 2L -> 60L -> 11.0, 3L -> 120L -> 10.0,
+      4L -> 180L -> 12.0, 5L -> 240L -> 100.0, 6L -> 300L -> 11.0,
+      7L -> 360L -> 10.0, 8L -> 420L -> 12.0, 9L -> 480L -> 11.0)
+    val out = graft.ops.Outliers.hampel(df).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(5L), s"got ${out.toSeq}")
+    // spike frame rows 2..8 sorted (10,10,11,11,12,12,100): med=11 (rank 4),
+    // |dev| sorted (0,0,1,1,1,1,89): mad=1
+    assert(out.head.getDouble(3) == 11.0 && out.head.getDouble(4) == 1.0)
+  }
+
+  test("hampel vs robustZ: a level-shifted tail is NOT a rolling " +
+      "anomaly (drift tolerance is the point of the rolling form)") {
+    // first half ~10, second half ~50 with no local spikes
+    val rows = (1L to 20L).map(i =>
+      (i, i * 60L) -> (if (i <= 10) 10.0 + (i % 3) else 50.0 + (i % 3)))
+    val df = feed(rows: _*)
+    assert(graft.ops.Outliers.hampel(df).count() == 0,
+      "smooth drift must not flag under a rolling gate")
+    // the global-median gate flags the shifted tail wholesale
+    assert(graft.ops.Outliers.robustZ(
+      df, "event_type", "value", "event_id", 3.0).count() > 0)
+  }
+
+  test("hampelPartitioned == hampel on a contract-satisfying feed " +
+      "(every bucket dense), all rows compared via k = -1") {
+    // 2 keys x 300 rows, one per minute -> 60 rows per hourly bucket
+    import spark.implicits._
+    val rows = for (k <- Seq("a", "b"); i <- 1L to 300L) yield
+      (k.hashCode * 1000L + i, k, i * 60L,
+        ((i * 37 + k.length * 11) % 100).toDouble)
+    val df = rows.toDF("event_id", "event_type", "sec", "value")
+      .select(col("event_id"), col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"), col("value"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        java.lang.Double.doubleToLongBits(r.getDouble(4)))).toSet
+    val plain = canon(graft.ops.Outliers.hampel(df, k = -1.0))
+    val parted = canon(graft.ops.Outliers.hampelPartitioned(df, k = -1.0))
+    assert(plain.nonEmpty && plain == parted,
+      "bucket-parallel frames must be bit-identical to the plain window")
+  }
+
+  test("hampelPartitioned density contract: an EMPTY intermediate " +
+      "bucket diverges (true neighbor two buckets away is not borrowed)") {
+    // bucket 0 holds 4 rows, bucket 1 empty, bucket 2 holds 4 rows:
+    // bucket 2's first frames need bucket-0 rows the lane never borrows
+    val df = feed(
+      1L -> 0L -> 1.0, 2L -> 60L -> 2.0, 3L -> 120L -> 3.0,
+      4L -> 180L -> 4.0,
+      5L -> 7200L -> 5.0, 6L -> 7260L -> 6.0, 7L -> 7320L -> 7.0,
+      8L -> 7380L -> 8.0)
+    def medOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val plain = medOf(graft.ops.Outliers.hampel(df, k = -1.0))
+    val parted = medOf(graft.ops.Outliers.hampelPartitioned(df, k = -1.0))
+    assert(plain(5L) != parted(5L),
+      "expected documented divergence on the contract violation")
+  }
+
+  // ---- seasonalDecompose (round 5) -----------------------------------
+
+  test("seasonalDecompose: constant series decomposes to trend=const, " +
+      "seasonal=0, resid=0 exactly") {
+    val rows = (0L until 96L).map(h => (h * 3600L + 60L, 42.5))
+    val df = rows.toDF("sec", "x")
+      .select(lit("k").as("event_type"),
+        timestamp_seconds(col("sec")).as("ts"), col("x").as("value"))
+    val out = graft.ops.Resample.seasonalDecompose(df).collect()
+    assert(out.length == 96)
+    assert(out.forall(r => r.getDouble(2) == 42.5 &&
+      r.getDouble(3) == 42.5 && r.getDouble(4) == 0.0 &&
+      r.getDouble(5) == 0.0))
+  }
+
+  test("seasonalDecompose: planted hour-of-day effect surfaces in the " +
+      "seasonal profile, reconstruction identity holds") {
+    // 5 days hourly: base 100, +24 spike at hod 6
+    val rows = for (d <- 0 until 5; h <- 0 until 24) yield
+      ((d * 24 + h) * 3600L, if (h == 6) 124.0 else 100.0)
+    val df = rows.toDF("sec", "x")
+      .select(lit("k").as("event_type"),
+        timestamp_seconds(col("sec")).as("ts"), col("x").as("value"))
+    val out = graft.ops.Resample.seasonalDecompose(df).collect()
+    assert(out.length == 120)
+    val byHod = out.groupBy(r =>
+      (r.getTimestamp(1).getTime / 3600000L) % 24)
+    // hod-6 seasonal clearly positive, everything else mildly negative
+    assert(byHod(6L).forall(_.getDouble(4) > 10.0))
+    assert(byHod.filter(_._1 != 6L).values.flatten
+      .forall(r => r.getDouble(4) < 1.0))
+    // v == trend + seasonal + resid (decimal-exact, double-ulp slack)
+    assert(out.forall(r => math.abs(r.getDouble(2) -
+      (r.getDouble(3) + r.getDouble(4) + r.getDouble(5))) < 1e-9))
+    // residuals stay small relative to the planted structure
+    assert(out.forall(r => math.abs(r.getDouble(5)) < 10.0))
+  }
 }

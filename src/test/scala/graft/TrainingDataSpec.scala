@@ -1275,4 +1275,45 @@ class TrainingDataSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(all.length == all.distinct.length, "duplicate candidate pairs")
   }
+
+  // ---- int8 scalar quantization (round 5) ----------------------------
+
+  test("sqReconstruct: per-dim error bounded by (hi-lo)/512, degenerate " +
+      "dims exact, bounds from one aggregation") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val b = Similarity.sqBounds(embs).collect()(0)
+    val lo = b.getSeq[Double](0)
+    val hi = b.getSeq[Double](1)
+    val rec = Similarity.sqReconstruct(embs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val orig = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    assert(rec.keySet == orig.keySet)
+    for ((id, re) <- rec; i <- re.indices) {
+      val bound = (hi(i) - lo(i)) / 512.0 + 1e-12
+      assert(math.abs(re(i) - orig(id)(i)) <= bound,
+        s"vec $id dim $i: |${re(i)} - ${orig(id)(i)}| > $bound")
+    }
+  }
+
+  test("ivfSqTopK: candidate set is EXACTLY ivfTopK's (SQ changes " +
+      "scores, never routing) and ranking stays sane vs exact cosine") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val q = embs.filter(col("vec_id") < 10)
+    val cents = embs.filter(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.ivfSqTopK(embs, q, cents, nProbe = 16,
+      k = Int.MaxValue)
+    val exact = Similarity.ivfTopK(embs, q, cents, nProbe = 16,
+      k = Int.MaxValue)
+    // probing everything with unbounded k: same candidates both paths
+    assert(pairs(sq) == pairs(exact), "SQ must not change candidates")
+    // top-5 under quantized scores stays close to the exact top-5
+    // (64 dims, 8-bit/dim: distortion is mild by construction)
+    val sq5 = pairs(Similarity.ivfSqTopK(embs, q, cents, k = 5))
+    val ex5 = pairs(Similarity.ivfTopK(embs, q, cents, k = 5))
+    val agree = sq5.intersect(ex5).size.toDouble / ex5.size
+    assert(agree >= 0.6, s"SQ top-5 agreement $agree collapsed")
+  }
 }
