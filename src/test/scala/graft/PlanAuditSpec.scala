@@ -577,8 +577,9 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("ts_hampel: ONE window pass computes the frame; stats are " +
       "per-row array math, not extra shuffles") {
-    val plan = planOf("ts_hampel")
-    val windows = "(?m)^.*Window".r.findAllIn(plan).size
+    // AQE toString prints Final + Initial sections; count the final only
+    val plan = planOf("ts_hampel").split("== Initial Plan ==")(0)
+    val windows = "Window ".r.findAllIn(plan).size
     assert(windows == 1, s"expected exactly one Window operator, got " +
       s"$windows:\n$plan")
   }
