@@ -141,4 +141,47 @@ object Graph {
       .select(col("node"), col("deg"),
         coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
   }
+
+  /** Link prediction over a bipartite (item, node) relation by
+    * common-neighbor JACCARD on the node-side projection: for every
+    * node pair sharing >= `minCommon` items, |Γa∩Γb| and
+    * |Γa∩Γb| / |Γa∪Γb| — the classic co-occurrence recommender
+    * ("suppliers that stock the same parts", "users that touch the
+    * same docs").
+    *
+    * Cost is WEDGE-BOUNDED: pairs are generated per shared item
+    * (Σ C(deg_item, 2)), never nodes² — the same shared-key candidate
+    * shape as the shingle-dedup family, and the same hot-key hazard:
+    * `itemCap` excludes items shared by more than `cap` nodes from
+    * pair GENERATION (bounding any item's contribution at C(cap, 2) —
+    * a ubiquitous item pairs everyone with everyone and predicts
+    * nothing), mirroring `dedup_ngram_capped`'s contract: results are
+    * EXACT for the capped relation, and the oracle replicates the cap,
+    * so the gate proves the capped semantics end to end. Degrees count
+    * the SAME capped relation, keeping intersection and union
+    * consistent (cn ≤ min(da, db), jaccard ∈ [0, 1]). */
+  def bipartiteLinkPredict(edges: DataFrame, itemCol: String,
+      nodeCol: String, minCommon: Long = 3, itemCap: Long = 1000):
+      DataFrame = {
+    val e = edges.select(col(itemCol).as("item"), col(nodeCol).as("node"))
+      .distinct()
+    // cap the item fan-out BEFORE pair generation; degrees count the
+    // same capped relation so cn <= min(da, db) and jaccard stays in
+    // [0, 1] — intersection and union over one consistent edge set
+    val hot = e.groupBy(col("item")).agg(count(lit(1)).as("__d"))
+      .filter(col("__d") > itemCap).select("item")
+    val cold = e.join(broadcast(hot), Seq("item"), "left_anti")
+    val deg = cold.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val pairs = cold.as("x").join(cold.as("y"),
+        col("x.item") === col("y.item") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+    pairs
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        round(col("cn") / (col("da") + col("db") - col("cn"))
+          .cast("double"), 6).as("jaccard"))
+  }
 }

@@ -111,5 +111,37 @@ object Behavior extends QueryPack {
       .orderBy("custkey")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q38, q39, q46, q48)
+  /** Time-boxed funnel: q39's first-touch attribution with a 1-day
+    * conversion DEADLINE per step (click within a day of the view,
+    * purchase within a day of that click) — the form product analytics
+    * actually reports; same single-scan-per-stage shape
+    * ([[graft.ops.Behavior.funnel]] with `maxStepGapSeconds`). */
+  val q49 = GraftQuery(
+    "q49_funnel_window",
+    Some("""
+      WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+            JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+              AND e.ts <= v.t1 + INTERVAL 86400 SECONDS GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+            JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+              AND e.ts <= c.t2 + INTERVAL 86400 SECONDS GROUP BY e.user_id),
+      n AS (SELECT 1 AS stage, 'view' AS step,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_users
+        UNION ALL SELECT 2, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+        UNION ALL SELECT 3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM p))
+      SELECT stage, step, n_users,
+        CAST(ROUND(n_users / CAST(FIRST_VALUE(n_users) OVER (ORDER BY stage) AS DOUBLE), 6) AS DOUBLE) AS conv_overall,
+        CAST(ROUND(n_users / CAST(LAG(n_users, 1, n_users) OVER (ORDER BY stage) AS DOUBLE), 6) AS DOUBLE) AS conv_step
+      FROM n ORDER BY stage""".stripMargin.trim)) { (spark, dir) =>
+    graft.ops.Behavior.funnel(Tables.events(spark, dir),
+        Seq("view", "click", "purchase"),
+        maxStepGapSeconds = Some(86400L))
+      .orderBy("stage")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q38, q39, q46, q48, q49)
 }

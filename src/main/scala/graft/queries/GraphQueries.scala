@@ -99,6 +99,30 @@ object GraphQueries extends QueryPack {
       .orderBy("node")
   }
 
+  /** Bipartite link prediction: supplier pairs co-supplying >= 3 parts
+    * (distinct (part, supplier) relation off the lineitem feed),
+    * common-neighbor count + Jaccard over the node projection;
+    * wedge-bounded with a DF-style item cap (see
+    * [[graft.ops.Graph.bipartiteLinkPredict]]). */
+  val graphLinkPredict = GraftQuery(
+    "graph_link_predict",
+    Some("""
+      WITH e AS (SELECT DISTINCT l_partkey AS item, l_suppkey AS node FROM lineitem),
+      hot AS (SELECT item FROM e GROUP BY item HAVING count(*) > 1000),
+      cold AS (SELECT * FROM e WHERE item NOT IN (SELECT item FROM hot)),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM cold GROUP BY node),
+      p AS (SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS cn
+            FROM cold x JOIN cold y ON x.item = y.item AND x.node < y.node
+            GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT p.a, p.b, p.cn,
+        ROUND(p.cn / CAST(da.deg + db.deg - p.cn AS DOUBLE), 6) AS jaccard
+      FROM p JOIN deg da ON da.node = p.a JOIN deg db ON db.node = p.b
+      ORDER BY a, b""".trim)) { (spark, dir) =>
+    graft.ops.Graph.bipartiteLinkPredict(
+        Tables.lineitem(spark, dir), "l_partkey", "l_suppkey")
+      .orderBy("a", "b")
+  }
+
   override def all: Seq[GraftQuery] =
-    Seq(graphTransitions, graphPagerank, graphTriangles)
+    Seq(graphTransitions, graphPagerank, graphTriangles, graphLinkPredict)
 }

@@ -202,4 +202,32 @@ class BehaviorSpec extends SparkTestBase {
       assert(seg == s"${qr(i)}${qr(9 - i)}${qr(i)}")
     }
   }
+
+  // ---- windowed funnel (round 5) -------------------------------------
+
+  test("funnel with a conversion deadline: a step beyond the window " +
+      "does not convert, within-window behavior matches the plain form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val day = 86400L
+    val rows = Seq(
+      // user 1 converts every stage within a day
+      (1L, "view", 0L), (1L, "click", 3600L), (1L, "purchase", 7200L),
+      // user 2: click arrives 2 days after the view -> stage 2 misses
+      (2L, "view", 0L), (2L, "click", 2 * day), (2L, "purchase", 2 * day + 10),
+      // user 3: click in time, purchase 2 days after the click -> stage 3 misses
+      (3L, "view", 0L), (3L, "click", 1800L), (3L, "purchase", 1800L + 2 * day))
+      .toDF("user_id", "event_type", "sec")
+      .select(col("user_id"), col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val steps = Seq("view", "click", "purchase")
+    val boxed = graft.ops.Behavior.funnel(rows, steps,
+        maxStepGapSeconds = Some(day))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(boxed == Map(1 -> 3L, 2 -> 2L, 3 -> 1L), s"got $boxed")
+    // without the deadline all three users convert fully
+    val plain = graft.ops.Behavior.funnel(rows, steps)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(plain == Map(1 -> 3L, 2 -> 3L, 3 -> 3L), s"got $plain")
+  }
 }

@@ -142,4 +142,39 @@ class GraphSpec extends SparkTestBase {
     assert(a == b, "rank depends on physical partitioning")
     assert(a.nonEmpty)
   }
+
+  // ---- bipartiteLinkPredict (round 5) --------------------------------
+
+  test("bipartiteLinkPredict: hand graph — common-neighbor counts, " +
+      "jaccard, minCommon filter, singleton items contribute nothing") {
+    import spark.implicits._
+    val e = Seq(
+      ("i1", "A"), ("i1", "B"), ("i1", "C"),
+      ("i2", "A"), ("i2", "B"),
+      ("i3", "B"), ("i3", "C"),
+      ("i4", "D")).toDF("item", "node")
+    val got = graft.ops.Graph.bipartiteLinkPredict(e, "item", "node",
+        minCommon = 2, itemCap = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // deg: A=2, B=3, C=2; pairs >= 2 common: (A,B) cn=2, (B,C) cn=2
+    assert(got == Set(
+      ("A", "B", 2L, 0.666667), ("B", "C", 2L, 0.666667)), s"got $got")
+  }
+
+  test("bipartiteLinkPredict: itemCap excludes ubiquitous items from " +
+      "candidates AND degrees (consistent capped relation)") {
+    import spark.implicits._
+    val e = Seq(
+      ("i1", "A"), ("i1", "B"), ("i1", "C"), // hot: 3 nodes > cap 2
+      ("i2", "A"), ("i2", "B"),
+      ("i3", "B"), ("i3", "C")).toDF("item", "node")
+    val got = graft.ops.Graph.bipartiteLinkPredict(e, "item", "node",
+        minCommon = 1, itemCap = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // capped relation: A={i2}, B={i2,i3}, C={i3}
+    assert(got == Set(
+      ("A", "B", 1L, 0.5), ("B", "C", 1L, 0.5)), s"got $got")
+  }
 }
