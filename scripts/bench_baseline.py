@@ -17,11 +17,45 @@ Usage:
 If sparkBenchJson (a graft.Bench output line) is given, also rewrites
 BASELINE.md with the per-query ratio table.
 """
-import sys, json, os, time
+import sys, json, os, time, threading
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Per-query wall budget: a handful of oracles are deliberately naive
+# quadratic formulations (interval/band inequality joins) that DuckDB
+# cannot finish at sf0.1 in reasonable time — the correctness gate runs
+# them at sf0.01, but for the TIMING baseline a query that blows the
+# budget is recorded as 'timeout' rather than hanging the sweep.
+BUDGET_SEC = 600.0
+# min-of-2 only pays off for fast queries; re-running a multi-minute
+# oracle doubles sweep time for noise that doesn't matter at that scale
+RERUN_UNDER_SEC = 120.0
+
+
+def _timed(con, sql, budget):
+    done = threading.Event()
+
+    def kill():
+        if not done.wait(budget):
+            try:
+                con.interrupt()
+            except Exception:  # noqa: BLE001
+                pass
+    t = threading.Thread(target=kill, daemon=True)
+    t.start()
+    t0 = time.monotonic()
+    try:
+        con.execute(sql).arrow()
+        return time.monotonic() - t0, None
+    except Exception as e:  # noqa: BLE001 - record, keep going
+        msg = str(e).splitlines()[0]
+        if "INTERRUPT" in msg.upper():
+            msg = f"timeout>{int(budget)}s"
+        return None, msg
+    finally:
+        done.set()
 
 
 def bench_duckdb(sf_dir, oracle, threads):
@@ -32,17 +66,14 @@ def bench_duckdb(sf_dir, oracle, threads):
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
     out = {}
     for qname in sorted(oracle):
-        times = []
-        err = None
-        for _ in range(2):
-            t0 = time.monotonic()
-            try:
-                con.execute(oracle[qname]).arrow()
-            except Exception as e:  # noqa: BLE001 - record, keep going
-                err = str(e).splitlines()[0]
-                break
-            times.append(time.monotonic() - t0)
-        out[qname] = {"sec": min(times) if times else None, "err": err}
+        sec, err = _timed(con, oracle[qname], BUDGET_SEC)
+        if sec is not None and sec < RERUN_UNDER_SEC:
+            sec2, err2 = _timed(con, oracle[qname], BUDGET_SEC)
+            if sec2 is not None:
+                sec = min(sec, sec2)
+        out[qname] = {"sec": sec, "err": err}
+        print(f"[duck] {qname}: {sec if sec is None else round(sec, 3)}"
+              f"{' ' + err if err else ''}", file=sys.stderr)
     return out
 
 

@@ -140,4 +140,52 @@ object Outliers {
       .select(col(idCol), col(key), col(valCol),
         round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
   }
+
+  /** Rank-lane Hampel — EXACT at any density, no contract: rows get a
+    * DENSE global rank over (key, ts, id) via the range-parallel
+    * two-phase rank ([[Ranking.globalRank]] — never a single-task
+    * sort), lanes are fixed `laneSize`-row rank blocks, and borrowing
+    * is RANK ARITHMETIC: a row in the first `half` positions of its
+    * lane also serves lane−1, one in the last `half` serves lane+1.
+    * Dense ranks cannot have gaps, so a frame's ±`half` neighbors are
+    * provably inside the own-or-adjacent lane whenever
+    * `laneSize > 2·half` (required) — the thin/empty-bucket failure
+    * mode of [[hampelPartitioned]] cannot exist. Key boundaries need no
+    * care: ranks are global across keys, a lane may straddle keys, and
+    * the frame window partitions on (key, lane) so borrowed
+    * foreign-key rows are inert. Emission is own-rows-only;
+    * replication ≤ 2·half rows per lane. Spec-proven bit-identical to
+    * [[hampel]] on real sparse data at several lane sizes. */
+  def hampelRangeParallel(df: DataFrame, key: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value",
+      idCol: String = "event_id", k: Double = 3.0, half: Int = 3,
+      laneSize: Int = 1 << 16, numRanges: Int = 0): DataFrame = {
+    require(laneSize > 2 * half,
+      s"laneSize $laneSize must exceed 2*half = ${2 * half}")
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(key), col(tsCol), col(idCol), col(valCol))
+    val ranked = Ranking.globalRank(rows,
+      Seq(col(key), col(tsCol), col(idCol)), "__gr", numRanges)
+    val pos = col("__gr") - 1 // 0-based dense position
+    val l0 = expr(s"CAST((__gr - 1) div $laneSize AS BIGINT)")
+    val own = ranked.withColumn("__lane", l0).withColumn("__own", lit(true))
+    val toPrev = ranked.filter(pos % laneSize < half && l0 > 0)
+      .withColumn("__lane", l0 - 1).withColumn("__own", lit(false))
+    // a phantom lane past the last row only ever holds borrowed rows —
+    // it emits nothing (own=false), so no upper-bound check is needed
+    val toNext = ranked.filter(pos % laneSize >= laneSize - half)
+      .withColumn("__lane", l0 + 1).withColumn("__own", lit(false))
+    val union = own.unionByName(toPrev).unionByName(toNext)
+    val w = Window.partitionBy(col(key), col("__lane"))
+      .orderBy(col(tsCol), col(idCol)).rowsBetween(-half, half)
+    val withStats = union
+      .withColumn("__fr", collect_list(col(valCol)).over(w))
+      .withColumn("med", frameMedian(col("__fr")))
+      .withColumn("mad",
+        frameMedian(transform(col("__fr"), x => abs(x - col("med")))))
+    withStats.filter(col("__own"))
+      .filter(abs(col(valCol) - col("med")) > lit(k) * col("mad"))
+      .select(col(idCol), col(key), col(valCol),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+  }
 }

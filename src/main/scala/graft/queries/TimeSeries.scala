@@ -188,14 +188,13 @@ object TimeSeries extends QueryPack {
       SELECT event_id, event_type, value, ROUND(med, 6) AS med, ROUND(mad, 6) AS mad
       FROM d WHERE abs(value - med) > 3 * mad
       ORDER BY event_type, event_id""".stripMargin.trim)) { (spark, dir) =>
-    // gated entry = the plain one-window form: the test feed VIOLATES
-    // hampelPartitioned's density contract (sparse event types have
-    // sub-`half` hourly buckets — measured: 1827 vs 1470 flags at
-    // sf0.01), so the lane path would diverge from the oracle exactly
-    // as its docstring warns. The scale path stays spec-gated
-    // (OutliersSpec proves bit-equality on a contract-satisfying feed
-    // and pins the divergence mode on this one).
-    graft.ops.Outliers.hampel(Tables.events(spark, dir))
+    // gated entry = the RANK-LANE scale path (dense global rank →
+    // fixed-size lanes → rank-arithmetic borrowing): exact at any
+    // density by construction, so it faces the same one-window oracle
+    // the plain form does. (The earlier time-bucket lane path is
+    // contract-bound — this feed violates it — and stays spec-gated as
+    // the cautionary variant.)
+    graft.ops.Outliers.hampelRangeParallel(Tables.events(spark, dir))
       .orderBy("event_type", "event_id")
   }
 

@@ -575,13 +575,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"span census must combine map-side:\n$plan")
   }
 
-  test("ts_hampel: ONE window pass computes the frame; stats are " +
-      "per-row array math, not extra shuffles") {
-    // AQE toString prints Final + Initial sections; count the final only
+  test("ts_hampel: rank-lane plan — no window partitioned by the bare " +
+      "key (parallelism never collapses to the key count)") {
     val plan = planOf("ts_hampel").split("== Initial Plan ==")(0)
-    val windows = "Window ".r.findAllIn(plan).size
-    assert(windows == 1, s"expected exactly one Window operator, got " +
-      s"$windows:\n$plan")
+    assert(plan.contains("__lane"),
+      s"expected rank-lane windows:\n$plan")
+    // every frame/rank window carries the lane (or two-phase-rank pid)
+    // in its partition spec; a bare (event_type, ts...) spec would sort
+    // the whole feed in |keys| tasks
+    assert("windowspecdefinition\\(event_type#\\d+, ts#".r
+      .findFirstIn(plan).isEmpty,
+      s"window partitioned by the bare key collapses parallelism:\n$plan")
   }
 
   test("ann_ivfsq: reconstruction is the native codegen loop, scoring " +

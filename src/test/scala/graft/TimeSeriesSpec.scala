@@ -326,4 +326,27 @@ class TimeSeriesSpec extends SparkTestBase {
     // residuals stay small relative to the planted structure
     assert(out.forall(r => math.abs(r.getDouble(5)) < 10.0))
   }
+
+  test("hampelRangeParallel == hampel on REAL events (sparse data " +
+      "included) across lane sizes and range counts, k = -1 full compare") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        java.lang.Double.doubleToLongBits(r.getDouble(4)))).toSet
+    val plain = canon(graft.ops.Outliers.hampel(ev, k = -1.0))
+    for ((ls, nr) <- Seq((7, 0), (64, 3), (1 << 16, 5))) {
+      val rp = canon(graft.ops.Outliers.hampelRangeParallel(ev, k = -1.0,
+        laneSize = ls, numRanges = nr))
+      assert(plain == rp,
+        s"rank-lane hampel diverged at laneSize=$ls numRanges=$nr")
+    }
+    // tiny data, lanes far larger AND far smaller than the row count
+    val few = ev.filter(org.apache.spark.sql.functions.col("event_id") < 40)
+    val fewPlain = canon(graft.ops.Outliers.hampel(few, k = -1.0))
+    for (ls <- Seq(7, 1 << 20)) {
+      assert(canon(graft.ops.Outliers.hampelRangeParallel(few, k = -1.0,
+        laneSize = ls)) == fewPlain, s"tiny-data divergence at laneSize=$ls")
+    }
+  }
 }
