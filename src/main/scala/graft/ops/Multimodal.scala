@@ -209,4 +209,87 @@ object Multimodal {
         expr(s"substring($mediaCol, frame_start + 1, $frameSize)"))
       .drop(mediaCol)
   }
+
+  /** Probed container metadata — see [[probeHeader]]. */
+  case class ProbedMeta(kind: String, width: Int, height: Int,
+      sampleRate: Int, channels: Int, ok: Boolean)
+
+  /** REAL container-header parsing (no codec needed — this is the part
+    * of the multimodal lane that is NOT stubbed): sniff the magic bytes
+    * and read dimensions/audio shape straight from the container
+    * header. Supports PNG (IHDR), JPEG (SOF scan across C0–CF frame
+    * markers), GIF (logical screen, little-endian), and WAV
+    * (RIFF/fmt chunk walk). Anything else — or a truncated/corrupt
+    * header — probes as `("unknown", ok = false)` rather than
+    * throwing: a 100 TB media crawl ALWAYS contains garbage rows, and
+    * a probe that kills the task on one of them kills the job.
+    * Validation-at-ingest pairs with [[Quality]]: route `!ok` rows to a
+    * quarantine sink, never silently drop. */
+  def probeHeader(b: Array[Byte]): ProbedMeta = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i).toLong << 24 | u8(i + 1) << 16 |
+      u8(i + 2) << 8 | u8(i + 3)).toInt
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = (u8(i).toLong | u8(i + 1).toLong << 8 |
+      u8(i + 2).toLong << 16 | u8(i + 3).toLong << 24).toInt
+    def ascii(i: Int, n: Int) = new String(b, i, n, "US-ASCII")
+    val bad = ProbedMeta("unknown", 0, 0, 0, 0, ok = false)
+    if (b == null || b.length < 12) return bad
+    try {
+      if (u8(0) == 0x89 && ascii(1, 3) == "PNG" && b.length >= 24 &&
+          ascii(12, 4) == "IHDR")
+        ProbedMeta("png", be32(16), be32(20), 0, 0, ok = true)
+      else if (u8(0) == 0xff && u8(1) == 0xd8) {
+        // walk JPEG segments: FF mm len(2, incl itself); SOFn holds
+        // precision(1) height(2) width(2)
+        var i = 2
+        var out = bad
+        while (out.kind == "unknown" && i + 3 < b.length && u8(i) == 0xff) {
+          val m = u8(i + 1)
+          if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+          else {
+            val len = be16(i + 2)
+            val isSof = m >= 0xc0 && m <= 0xcf &&
+              m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof && i + 9 < b.length)
+              out = ProbedMeta("jpeg", be16(i + 7), be16(i + 5), 0, 0, ok = true)
+            else if (len < 2) i = b.length // corrupt length: stop
+            else i += 2 + len
+          }
+        }
+        out
+      }
+      else if (ascii(0, 3) == "GIF" &&
+          (ascii(3, 3) == "87a" || ascii(3, 3) == "89a"))
+        ProbedMeta("gif", le16(6), le16(8), 0, 0, ok = true)
+      else if (ascii(0, 4) == "RIFF" && b.length >= 36 &&
+          ascii(8, 4) == "WAVE") {
+        // chunk walk to "fmt ": id(4) size(4 LE) payload
+        var i = 12
+        var out = bad
+        while (out.kind == "unknown" && i + 8 <= b.length) {
+          val id = ascii(i, 4)
+          val sz = le32(i + 4)
+          if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length)
+            out = ProbedMeta("wav", 0, 0, le32(i + 8 + 4), le16(i + 8 + 2),
+              ok = true)
+          else if (sz < 0) i = b.length
+          else i += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+        }
+        out
+      }
+      else bad
+    } catch { case _: IndexOutOfBoundsException => bad }
+  }
+
+  /** [[probeHeader]] over a corpus: adds a `probed` struct column.
+    * Narrow per-row work (no shuffle); the struct supports metadata
+    * audits (declared vs probed dimension mismatch = corrupt or
+    * mislabeled media) and partition-pruning-friendly writes keyed on
+    * `probed.kind`. */
+  def headerProbe(df: DataFrame, binCol: String = "media"): DataFrame = {
+    val probe = udf((b: Array[Byte]) => probeHeader(b))
+    df.withColumn("probed", probe(col(binCol)))
+  }
 }

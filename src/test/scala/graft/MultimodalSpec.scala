@@ -127,4 +127,83 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.toSet == direct,
       s"banding diverged from all-pairs: got ${pairs.toSet}, want $direct")
   }
+
+  // ---- probeHeader (round 5: the NOT-stubbed part) --------------------
+
+  test("probeHeader parses real PNG/JPEG/GIF/WAV headers and refuses " +
+      "garbage without throwing") {
+    import graft.ops.Multimodal.{probeHeader, ProbedMeta}
+    def png(w: Int, h: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(24)
+      out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      out.putInt(w).putInt(h)
+      out.array()
+    }
+    assert(probeHeader(png(640, 480)) ==
+      ProbedMeta("png", 640, 480, 0, 0, ok = true))
+
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+      bb.put(Array(0xff, 0xd8).map(_.toByte))           // SOI
+      bb.put(Array(0xff, 0xe0).map(_.toByte))           // APP0
+      bb.putShort(16).put(new Array[Byte](14))          // 16-byte segment
+      bb.put(Array(0xff, 0xc0).map(_.toByte))           // SOF0
+      bb.putShort(17).put(8.toByte)                     // len, precision
+      bb.putShort(h.toShort).putShort(w.toShort)
+      bb.array()
+    }
+    assert(probeHeader(jpeg(1024, 768)) ==
+      ProbedMeta("jpeg", 1024, 768, 0, 0, ok = true))
+
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GIF89a".getBytes("US-ASCII"))
+      bb.putShort(w.toShort).putShort(h.toShort)
+      bb.array()
+    }
+    assert(probeHeader(gif(320, 200)) ==
+      ProbedMeta("gif", 320, 200, 0, 0, ok = true))
+
+    def wav(rate: Int, ch: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1).putShort(ch.toShort).putInt(rate)
+      bb.array()
+    }
+    assert(probeHeader(wav(44100, 2)) ==
+      ProbedMeta("wav", 0, 0, 44100, 2, ok = true))
+
+    // garbage, truncation, and a JPEG with a corrupt segment length
+    // all probe as unknown instead of throwing
+    assert(!probeHeader("not media at all".getBytes).ok)
+    assert(!probeHeader(png(1, 1).take(10)).ok)
+    assert(!probeHeader(null).ok)
+    val corrupt = jpeg(9, 9); corrupt(4) = 0; corrupt(5) = 0 // APP0 len=0
+    assert(!probeHeader(corrupt).ok)
+  }
+
+  test("headerProbe over a corpus: typed struct column, garbage rows " +
+      "flagged not dropped") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val rows = Seq(
+      (1L, Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a,
+        0x0a, 0, 0, 0, 13, 'I'.toInt, 'H'.toInt, 'D'.toInt, 'R'.toInt,
+        0, 0, 0, 64, 0, 0, 0, 32).map(_.toByte)),
+      (2L, "garbage".getBytes))
+    val df = rows.toDF("media_id", "media")
+    val out = Multimodal.headerProbe(df)
+      .select("media_id", "probed.kind", "probed.width", "probed.height",
+        "probed.ok")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getBoolean(4))).toSet
+    assert(out == Set((1L, "png", 64, 32, true),
+      (2L, "unknown", 0, 0, false)), s"got $out")
+  }
 }
