@@ -596,4 +596,53 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("graft_dot"), s"native DotProduct missing:\n$plan")
     assert(plan.contains("TopKPerKey") && !plan.contains("Window"), plan)
   }
+
+  test("q42_drift: ONE pass over the fact (map-side combined); totals " +
+      "and statistics broadcast-joined on the tiny bucket grid") {
+    val plan = planOf("q42_drift").split("== Initial Plan ==")(0)
+    assert(plan.contains("partial_sum"),
+      s"bucket counts must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"midpoint/totals must ride broadcasts:\n$plan")
+    // the events fact is scanned exactly twice: once for the midpoint
+    // (1-row aggregate), once for the bucket grid — never per bucket
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"fact scanned $scans times:\n$plan")
+  }
+
+  test("q48_rfm: quartile ranks are range-parallel two-phase — no " +
+      "single-task Window.orderBy over the customer aggregate") {
+    val plan = planOf("q48_rfm").split("== Initial Plan ==")(0)
+    // the two-phase rank renders partition-local windows keyed on __pid
+    assert(plan.contains("__pid"),
+      s"expected the range-parallel rank shape:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"orders->customer aggregate must combine map-side:\n$plan")
+  }
+
+  test("graph_link_predict: hot-item filter is a broadcast anti-join; " +
+      "pair census combines map-side") {
+    val full = planOf("graph_link_predict")
+    val plan = full.split("== Initial Plan ==")(0)
+    // at sf0.001 the hot set is empty and AQE rightly ELIMINATES the
+    // anti-join from the final plan — the shape is asserted on the
+    // initial plan, where it always exists
+    assert(full.contains("LeftAnti"),
+      s"item cap must be an anti-join:\n$full")
+    assert(plan.contains("partial_count"),
+      s"common-neighbor census must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the shared-item equi-join only:\n$plan")
+  }
+
+  test("ts_seasonal: the fact collapses to the hourly grid in one " +
+      "map-side-combined pass; seasonal profile joins back broadcast") {
+    val plan = planOf("ts_seasonal").split("== Initial Plan ==")(0)
+    assert(plan.contains("partial_sum"),
+      s"hourly means must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 24-row seasonal profile must broadcast:\n$plan")
+  }
 }
