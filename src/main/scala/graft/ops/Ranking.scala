@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst, SortOrder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,20 +14,42 @@ import org.apache.spark.sql.functions._
   * computes the identical `row_number()` + running-`sum()` result with a
   * two-phase plan that stays parallel end to end:
   *
-  *  1. `repartitionByRange` on the sort key → partition i holds a
-  *     contiguous, disjoint key range, and range partition ids ascend in
-  *     sort order (AQE coalescing merges only ADJACENT ranges, so the
-  *     invariant survives re-planning).
-  *  2. A per-partition window (`partitionBy(pid)`) computes the local
+  *  1. Every row gets a RANGE id `__pid`: the number of broadcast
+  *     boundary keys that sort before-or-equal its own sort key — so
+  *     range ids ascend in sort order and partition the key space.
+  *  2. A per-range window (`partitionBy(__pid)`) computes the local
   *     rank and local prefix sum — parallelism = number of ranges.
-  *  3. Per-partition row/value totals (one row per range — thousands,
+  *  3. Per-range row/value totals (one row per range — thousands,
   *     never billions) get their exclusive prefix offsets via a window
   *     over that tiny table, then broadcast-join back: global rank =
   *     local rank + rows before this range, same for the running sum.
   *
-  * The only single-task step touches `numRanges` rows, so the plan
-  * survives a 1000-executor corpus: each range sorts its own slice, and
-  * nothing ever materializes the full ordering in one place.
+  * WHY NOT `repartitionByRange` + `spark_partition_id()`: that plan's
+  * correctness rests on Catalyst REUSING one range exchange between the
+  * window branch and the offsets branch. When column pruning (or any
+  * optimizer change) makes the two subtrees canonicalize differently,
+  * each branch builds its OWN RangePartitioner, each samples boundaries
+  * with a different RDD-id-derived seed, and the two branches silently
+  * disagree on which range a row belongs to — producing duplicated and
+  * gapped global ranks (observed in round 5 on a ranked input with a
+  * pruned-away payload column). The boundary table here is DATA, not a
+  * partitioner: it is computed by a deterministic pipeline (bottom-T
+  * hash sample → evenly spaced picks), so any number of independent
+  * evaluations produce byte-identical boundaries and the two phases can
+  * never diverge — correctness no longer depends on exchange reuse, and
+  * the old "AQE may only coalesce ADJACENT ranges" caveat disappears
+  * because nothing consults a physical partition id anymore.
+  *
+  * Boundary sampling: the T = 64·numRanges rows with the smallest
+  * `xxhash64(sort fields)` form a uniform, seed-free sample collected by
+  * the bounded-heap [[graft.plans.TopK]] operator (fixed T-row state per
+  * partition, one tiny single-task merge); every (T/numRanges)-th sample
+  * key in sort order becomes a boundary. Sampling skew only affects
+  * range BALANCE, never correctness — ranks are exact for any boundary
+  * choice, including the empty one (tiny inputs degenerate to one range,
+  * i.e. the plain window). The per-row range id costs a fold over ≤
+  * numRanges−1 broadcast keys, which is noise next to the shuffle write
+  * each row is about to pay anyway.
   */
 object Ranking {
 
@@ -40,6 +64,68 @@ object Ranking {
     globalRankCumsum(df, sortCols, lit(0L), rankCol, "__cum_unused",
       numRanges).drop("__cum_unused")
 
+  /** Sort field + direction: (value, ascending?, nullsFirst?). */
+  private def decompose(c: Column): (Column, Boolean, Boolean) =
+    GraftColumnBridge.eagerExpression(c) match {
+      case so: SortOrder =>
+        (GraftColumnBridge.column(so.child), so.direction == Ascending,
+          so.nullOrdering == NullsFirst)
+      case e => (GraftColumnBridge.column(e), true, true)
+    }
+
+  /** Strict "b sorts before k" for ONE field under its direction. */
+  private def fieldBefore(b: Column, k: Column,
+      asc: Boolean, nullsFirst: Boolean): Column = {
+    val cmp = if (asc) b < k else b > k
+    val nullSide =
+      if (nullsFirst) b.isNull && k.isNotNull
+      else b.isNotNull && k.isNull
+    nullSide || (b.isNotNull && k.isNotNull && cmp)
+  }
+
+  /** Lexicographic "b sorts before-or-equal k" over all fields. */
+  private def ordLeq(bs: Seq[Column], ks: Seq[Column],
+      dirs: Seq[(Boolean, Boolean)]): Column = {
+    val eqs = bs.zip(ks).map { case (b, k) => b <=> k }
+    val strict = bs.indices.map { i =>
+      val (asc, nf) = dirs(i)
+      (eqs.take(i) :+ fieldBefore(bs(i), ks(i), asc, nf)).reduce(_ && _)
+    }.reduce(_ || _)
+    strict || eqs.reduce(_ && _)
+  }
+
+  /** ONE row holding `__bnd`: an array of ≤ numRanges−1 boundary-key
+    * structs (fields `__f0..`), deterministically derived from `df`. */
+  private def boundaryRow(df: DataFrame, fields: Seq[Column],
+      dirs: Seq[(Boolean, Boolean)], numRanges: Int): DataFrame = {
+    val t = numRanges * 64
+    val named = fields.zipWithIndex.map { case (f, i) => f.as(s"__f$i") }
+    val fcols = fields.indices.map(i => col(s"__f$i"))
+    val sorters = dirs.zipWithIndex.map { case ((asc, nf), i) =>
+      val c = col(s"__f$i")
+      (asc, nf) match {
+        case (true, true)   => c.asc_nulls_first
+        case (true, false)  => c.asc_nulls_last
+        case (false, true)  => c.desc_nulls_first
+        case (false, false) => c.desc_nulls_last
+      }
+    }
+    val keyed = df.select(named: _*)
+      .withColumn("__h", xxhash64(fcols: _*))
+      .withColumn("__one", lit(1))
+    val bottom = graft.plans.TopK.perKey(keyed, Seq("__one"),
+      col("__h") +: sorters, t)
+    val w = Window.partitionBy("__one")
+    val picked = bottom
+      .withColumn("__r", row_number().over(w.orderBy(sorters: _*)))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__step",
+        greatest(lit(1L), expr(s"__cnt div $numRanges")))
+      .filter(expr(s"__r % __step = 0 AND (__r div __step) < $numRanges"))
+    picked.groupBy()
+      .agg(collect_list(struct(fcols: _*)).as("__bnd"))
+  }
+
   /** Adds `rankCol` (global 1-based row_number over `sortCols`) and
     * `cumCol` (running sum of `valueCol` in that order). `sortCols` must
     * be a total order (ties across range boundaries would make local
@@ -50,16 +136,32 @@ object Ranking {
       numRanges: Int = 0): DataFrame = {
     val n = if (numRanges > 0) numRanges
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val decomposed = sortCols.map(decompose)
+    val fields = decomposed.map(_._1)
+    val dirs = decomposed.map(d => (d._2, d._3))
+    val bnd = boundaryRow(df, fields, dirs, n)
+    // __pid = number of boundary keys at-or-before this row's key:
+    // a deterministic pure function of (row, boundary data), monotone
+    // in sort order — identical in every evaluation by construction
+    val pid = aggregate(col("__bnd"), lit(0), (acc, b) =>
+      acc + when(ordLeq(
+        fields.indices.map(i => b.getField(s"__f$i")), fields, dirs),
+        1).otherwise(0))
+    // the 1-row boundary side rides a broadcast nested-loop join — that
+    // is a broadcast-variable attach (1 build row), not a pair join;
+    // plan audits distinguish it from real nested-loop joins by the
+    // `__bnd` build side
+    val ranged = df.crossJoin(broadcast(bnd))
+      .withColumn("__pid", pid)
       .withColumn("__v", valueCol)
+      .drop("__bnd")
     val wLoc = Window.partitionBy("__pid").orderBy(sortCols: _*)
     val local = ranged
       .withColumn("__lrank", row_number().over(wLoc))
       .withColumn("__lcum", sum(col("__v"))
         .over(wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // per-range totals: ≤ n rows, aggregated map-side off the same range
-    // exchange (ReusedExchange), so the corpus is ranged exactly once
+    // per-range totals: ≤ n rows; __pid ascends in sort order, so their
+    // exclusive prefix sums are the global offsets
     val wOff = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranged.groupBy("__pid")

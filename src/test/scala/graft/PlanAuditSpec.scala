@@ -248,8 +248,14 @@ class PlanAuditSpec extends SparkTestBase {
         assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
           s"single-partition exchange over non-aggregated data at line $i:\n$plan")
       }
-    assert(plan.contains("rangepartitioning(freq"),
-      s"vocab must be range-partitioned on the sort key:\n$plan")
+    // since round 5 the range id is computed from broadcast boundary
+    // DATA (deterministic — immune to exchange-reuse divergence), so no
+    // range exchange of the vocabulary itself may appear; the lone
+    // rangepartitioning allowed is the final presentation sort by rank
+    assert("rangepartitioning\\([^)]*\\bfreq#".r.findFirstIn(plan).isEmpty,
+      s"vocab must not be range-shuffled (boundaries are data now):\n$plan")
+    assert(plan.contains("TopKPerKey"),
+      s"deterministic boundary sample (bounded-heap bottom-T) missing:\n$plan")
   }
 
   test("q15_quantiles: rank-selection plan — the fact table is never " +
@@ -521,8 +527,16 @@ class PlanAuditSpec extends SparkTestBase {
       s"pid-partitioned rank window missing:\n$plan")
     assert(!plan.contains("windowspecdefinition(bk"),
       s"partitionless sort-key window back in the plan:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+    // the only nested-loop joins allowed are the 1-row boundary-array
+    // attaches of the deterministic global rank (build side = __bnd);
+    // the NEIGHBORHOOD join itself must stay an equi-join on rank cells
+    assert(!plan.contains("Cartesian"),
       s"neighborhood join must stay an equi-join on rank cells:\n$plan")
+    val planLines = plan.linesIterator.toVector
+    for (i <- planLines.zipWithIndex
+         .filter(_._1.contains("BroadcastNestedLoopJoin")).map(_._2))
+      assert(planLines.slice(i, i + 12).mkString.contains("__bnd"),
+        s"non-boundary nested-loop join in the plan at line $i:\n$plan")
   }
 
   test("graph_triangles: all three hops are equi-joins (no cartesian " +
