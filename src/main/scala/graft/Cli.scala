@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operator CLI — the runnable shell the reference exposes as
+  * `etl/cli.py:31` (typer app: `fetch`, `fetch_and_store`) and
+  * `streaming/cli.py:29`, re-expressed over the Spark engine: every
+  * library operator is reachable from a terminal without writing a
+  * driver program.
+  *
+  * {{{
+  *   sbt "runMain graft.Cli list [substr]"
+  *   sbt "runMain graft.Cli run <query> [--sf-dir D] [--limit N] [--out P]"
+  *   sbt "runMain graft.Cli oracle <query>"
+  *   sbt "runMain graft.Cli explain <query> [--sf-dir D]"
+  *   sbt "runMain graft.Cli fetch --payload-file F [--limit N]"
+  *   sbt "runMain graft.Cli dashboard [--sf-dir D]"
+  * }}}
+  *
+  * `fetch` is the reference's `et` in a zero-egress environment: the
+  * payload JSON comes from a file (what [[graft.meteo.RetryLadder]]
+  * would have fetched) and flows through the same normalize plan; a
+  * live deployment swaps the file read for a `Transport`. `dashboard`
+  * prints the Streamlit app's query battery
+  * (dashboard/streamlit_app.py:21-84) as tables.
+  *
+  * Driver-side presentation (argument parsing, `show()`) — every
+  * computation is a library operator; nothing here re-implements query
+  * logic.
+  */
+object Cli {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopK.ensureRegistered(spark)
+    spark
+  }
+
+  private def flag(args: Seq[String], name: String): Option[String] =
+    args.sliding(2).collectFirst { case Seq(`name`, v) => v }
+
+  private val defaultSf = "/root/testdata/sf0.001"
+
+  def main(args: Array[String]): Unit = args.toSeq match {
+    case Seq("list", rest @ _*) =>
+      val sub = rest.headOption.getOrElse("")
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(_.contains(sub)).foreach(println)
+
+    case Seq("run", name, rest @ _*) =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name' — try: Cli list"))
+      val spark = session()
+      val df = fn(spark, flag(rest, "--sf-dir").getOrElse(defaultSf))
+      flag(rest, "--out") match {
+        case Some(path) =>
+          df.write.mode("overwrite").parquet(path)
+          println(s"wrote $path")
+        case None =>
+          df.show(flag(rest, "--limit").map(_.toInt).getOrElse(20),
+            truncate = false)
+      }
+      spark.stop()
+
+    case Seq("oracle", name) =>
+      println(SparkEntry.oracleSql.getOrElse(name,
+        s"-- no portable-SQL oracle for '$name' (rows-only / spec-gated)"))
+
+    case Seq("explain", name, rest @ _*) =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name' — try: Cli list"))
+      val spark = session()
+      fn(spark, flag(rest, "--sf-dir").getOrElse(defaultSf))
+        .explain("formatted")
+      spark.stop()
+
+    case Seq("fetch", rest @ _*) =>
+      val file = flag(rest, "--payload-file").getOrElse(
+        sys.error("fetch requires --payload-file <json>"))
+      val spark = session()
+      val payload = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
+        "UTF-8")
+      import spark.implicits._
+      val rows = graft.meteo.PayloadNormalizer.normalize(
+        Seq(payload).toDF("payload"))
+      rows.show(flag(rest, "--limit").map(_.toInt).getOrElse(20),
+        truncate = false)
+      spark.stop()
+
+    case Seq("dashboard", rest @ _*) =>
+      val dir = flag(rest, "--sf-dir").getOrElse(defaultSf)
+      val spark = session()
+      for (name <- Seq("dash_count_locations", "dash_table_counts",
+          "dash_last_status", "dash_describe"))
+        SparkEntry.queries.get(name).foreach { fn =>
+          println(s"== $name")
+          fn(spark, dir).show(20, truncate = false)
+        }
+      spark.stop()
+
+    case other =>
+      System.err.println(
+        s"""unknown command: ${other.mkString(" ")}
+           |usage: list [substr] | run <q> [--sf-dir D] [--limit N] [--out P]
+           |       oracle <q> | explain <q> [--sf-dir D]
+           |       fetch --payload-file F [--limit N] | dashboard [--sf-dir D]
+           |""".stripMargin)
+      sys.exit(2)
+  }
+}

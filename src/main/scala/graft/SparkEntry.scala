@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Behavior, Extended, Governance, GraphQueries, MeteoQueries, Relational, Relational2, Relational3, TimeSeries, TrainingData}
+import graft.queries.{Behavior, Evaluation, Extended, Governance, GraphQueries, MeteoQueries, Relational, Relational2, Relational3, TimeSeries, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -17,7 +17,8 @@ object SparkEntry {
     TimeSeries,
     GraphQueries,
     Behavior,
-    Governance)
+    Governance,
+    Evaluation)
 
   private lazy val registry: Seq[GraftQuery] = packs.flatMap(_.all)
 

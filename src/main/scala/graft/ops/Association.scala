@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket association rules: which items co-occur in the same
+  * basket (order) more often than chance — support, confidence, lift.
+  * The classic retail-analytics workload, and on a training-data lake
+  * the same shape surfaces as "which sources co-occur in the same
+  * crawl snapshot" / "which labels co-fire on the same document".
+  *
+  * Scale shape: pair generation is the shared-key wedge join of the
+  * dedup family — baskets are the blocking key, candidate mass is
+  * Σ C(items_in_basket, 2), NEVER items². A pathological mega-basket
+  * (one order with 10⁵ items — a crawl bundle, a bot cart) would alone
+  * contribute 5·10⁹ pairs, so baskets wider than `maxBasket` are
+  * excluded from the relation ENTIRELY (pair generation, item supports
+  * and the basket universe count) — one consistent capped relation,
+  * exact given the cap, the same DF-cap contract as
+  * [[Dedup.ngramJaccardCapped]] and [[Graph.bipartiteLinkPredict]];
+  * the oracle replicates the cap so the gate proves the capped
+  * semantics, not an approximation of the uncapped ones.
+  *
+  * All supports are exact integers; confidence and lift are each ONE
+  * IEEE division over integer-exact operands (lift's numerator/
+  * denominator are pre-multiplied into single longs first), so both
+  * engines produce bit-identical doubles.
+  */
+object Association {
+
+  /** Association rules over item pairs co-occurring in a basket.
+    *
+    * Returns one row per unordered pair (item_a < item_b) with
+    * `support_ab` ≥ `minSupport`: both item supports, pair support,
+    * `confidence` (a→b), and `lift`, ranked by descending pair support
+    * (ties broken on the pair itself).
+    */
+  def basketRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2, maxBasket: Int = 64): DataFrame = {
+    // distinct (basket, item): map-side-combined aggregate, then the
+    // basket width filter that bounds every downstream count
+    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val keptBaskets = items.groupBy("__b")
+      .agg(count(lit(1)).as("__w"))
+      .filter(col("__w") <= maxBasket)
+      .select("__b")
+    val rel = items.join(keptBaskets, "__b")
+    val nBaskets = rel.select("__b").distinct()
+      .agg(count(lit(1)).as("__n"))
+    val itemSupp = rel.groupBy("__i")
+      .agg(count(lit(1)).cast("long").as("__supp"))
+    // wedge join: pairs meet on the basket key; item_a < item_b halves
+    // the candidate mass and canonicalizes the pair
+    val pairs = rel.as("a")
+      .join(rel.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .agg(count(lit(1)).cast("long").as("support_ab"))
+      .filter(col("support_ab") >= minSupport)
+    pairs
+      .join(itemSupp.withColumnRenamed("__i", "item_a")
+        .withColumnRenamed("__supp", "support_a"), "item_a")
+      .join(itemSupp.withColumnRenamed("__i", "item_b")
+        .withColumnRenamed("__supp", "support_b"), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("confidence",
+        col("support_ab").cast("double") / col("support_a").cast("double"))
+      .withColumn("lift",
+        (col("support_ab") * col("__n")).cast("double") /
+          (col("support_a") * col("support_b")).cast("double"))
+      .select("item_a", "item_b", "support_ab", "support_a", "support_b",
+        "confidence", "lift")
+  }
+}

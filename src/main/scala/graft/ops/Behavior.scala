@@ -281,4 +281,37 @@ object Behavior {
       .withColumn("segment", concat(col("r_q").cast("string"),
         col("f_q").cast("string"), col("m_q").cast("string")))
   }
+
+  /** Top event-type n-gram sequences: the most common length-`n` runs of
+    * consecutive actions per user — the sequence-mining view of the
+    * event log ([[Graph.transitions]] is its n=2 special case; n=3
+    * separates "view→click→purchase" conversions from "view→click→error"
+    * rage paths, which bigrams conflate).
+    *
+    * The window is `partitionBy(user)` — parallelism scales with USERS
+    * (unbounded), and each user's slice is their own event history
+    * (bounded by engagement, the same contract as sessionize/q10).
+    * (ts, event_id) is a total order so lag() is deterministic under
+    * same-timestamp events. N-gram counting is one map-side-combined
+    * aggregate; only the top-k presentation set is ever small.
+    */
+  def eventNgrams(events: DataFrame, n: Int = 3, k: Int = 20,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    require(n >= 2 && n <= 5, "n-gram length out of range")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val lagged = (n - 1 to 1 by -1).foldLeft(events.select(
+        col(userCol), col(tsCol), col(idCol), col(typeCol))) {
+      case (d, j) => d.withColumn(s"__e$j", lag(col(typeCol), j).over(w))
+    }
+    val parts = (n - 1 to 1 by -1).map(j => col(s"__e$j")) :+ col(typeCol)
+    lagged
+      .filter(parts.map(_.isNotNull).reduce(_ && _))
+      .select(concat_ws(">", parts: _*).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).cast("long").as("n_runs"))
+      .orderBy(col("n_runs").desc, col("ngram"))
+      .limit(k)
+  }
 }

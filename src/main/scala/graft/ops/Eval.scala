@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-evaluation aggregates for training pipelines: once the engine
+  * produces splits, folds, and curated corpora, the next thing a data
+  * team computes on 100 TB of scored rows is "how good is the model" —
+  * ROC AUC and calibration, both of which are JUST aggregation shapes
+  * (no ML library involved) and both of which are routinely computed
+  * wrong at scale (collect-the-scores-and-sklearn does not survive a
+  * billion rows).
+  *
+  * Everything here is engine-exact: counts and rank sums are integers,
+  * money/score sums are decimal, and the only floating-point operations
+  * are single IEEE divisions on already-exact operands — so the same
+  * number falls out of any engine that implements IEEE 754 division,
+  * which is what makes the operators oracle-gateable.
+  */
+object Eval {
+
+  /** Tie-aware ROC AUC via the Mann-Whitney U statistic, computed from
+    * per-distinct-score counts — never a per-row rank, never a collect.
+    *
+    * AUC = P(score_pos > score_neg) + ½·P(score_pos = score_neg). With
+    * nPos(s)/nNeg(s) the label counts at each DISTINCT score s and
+    * cumNegBelow(s) the negatives at strictly smaller scores:
+    *
+    *   2·U = Σ_s nPos(s) · (2·cumNegBelow(s) + nNeg(s))
+    *
+    * — an INTEGER (hence exact, fold-order-free); AUC = 2U / (2·P·N) is
+    * one IEEE division at the end.
+    *
+    * Scale shape: one map-side-combined groupBy(score) collapses the
+    * fact table to its distinct scores; the running negative count over
+    * distinct scores goes through [[Ranking.globalRankCumsum]]'s
+    * range-parallel two-phase prefix sum (distinct scores can be
+    * billions — a bare `Window.orderBy(score)` would collapse to one
+    * task); the final Σ is a scalar aggregate. Nothing is ever sorted
+    * in one place and nothing touches the driver but the 1-row result.
+    *
+    * Returns one row: `n_pos`, `n_neg`, `u2` (= 2·U, exact), `auc`.
+    */
+  def aucRankSum(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val byScore = df
+      .select(scoreCol.as("__s"), labelCol.cast("int").as("__y"))
+      .groupBy("__s")
+      .agg(sum(col("__y")).cast("long").as("__pos"),
+        sum(lit(1L) - col("__y")).cast("long").as("__neg"))
+    val cum = Ranking.globalRankCumsum(byScore, Seq(col("__s")),
+      col("__neg"), "__rk", "__cumneg")
+    cum
+      .withColumn("__negbelow", col("__cumneg") - col("__neg"))
+      .agg(sum(col("__pos")).cast("long").as("n_pos"),
+        sum(col("__neg")).cast("long").as("n_neg"),
+        sum(col("__pos") * (lit(2L) * col("__negbelow") + col("__neg")))
+          .cast("long").as("u2"))
+      .withColumn("auc",
+        col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")))
+  }
+
+  /** Calibration table: rows bucketed into `buckets` equal-count bins by
+    * ascending score (pure integer rank math — `(rank−1)·b div n + 1`,
+    * the [[Behavior.rfmSegments]] quartile recipe, so bin edges never
+    * flip on float rounding), then per bin: row count, positives, exact
+    * decimal score sum, and the two IEEE ratios a calibration plot needs
+    * (mean predicted score vs observed positive rate).
+    *
+    * The rank is [[Ranking.globalRank]]'s range-parallel two-phase form
+    * over (score, tie-break id) — a total order, so the binning is
+    * deterministic under ties and never a single-task sort.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: Column, labelCol: Column,
+      tieBreak: Column, buckets: Int = 10): DataFrame = {
+    require(buckets > 1, "need at least 2 buckets")
+    val base = df.select(scoreCol.as("__s"), labelCol.cast("long").as("__y"),
+      tieBreak.as("__tb"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    Ranking.globalRank(base, Seq(col("__s"), col("__tb")), "__rk")
+      .crossJoin(broadcast(n))
+      .withColumn("bin",
+        expr(s"(__rk - 1) * $buckets div __n + 1").cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__y")).cast("long").as("n_pos"),
+        sum(col("__s").cast(DecimalType(28, 6)))
+          .cast(DecimalType(28, 6)).as("score_sum"))
+      .withColumn("mean_score",
+        col("score_sum").cast("double") / col("n").cast("double"))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .orderBy("bin")
+  }
+}

@@ -211,4 +211,110 @@ object Resample {
         (dec(col("v")) - dec(col("trend")) - dec(col("seasonal")))
           .cast("double").as("resid"))
   }
+
+  /** Per-key lag-k autocorrelation of the hourly series, k = 1..maxLag —
+    * the "does yesterday predict today" diagnostic that decides whether
+    * [[seasonalDecompose]]'s period is real and what an anomaly
+    * detector's lookback should be.
+    *
+    * Engine-exact by the [[seasonalDecompose]] recipe: hourly cells are
+    * round-6 decimal means off ONE map-side-combined fact pass (the only
+    * 100 TB-scale step — everything after runs on the key×hours grid);
+    * the key mean is a round-6 decimal; centered products
+    * (v_t−m)(v_{t+k}−m) are decimal×decimal (exact, fold-order-free
+    * decimal sums), and r_k = num_k/den is one IEEE division. Lag
+    * alignment is an equi-join of the grid against itself on
+    * (key, hour_index+k) — OBSERVED-grid semantics: a pair exists iff
+    * both cells do (holes neither invent zeros nor shift the series;
+    * compose with [[gapfillLinear]] first for filled-grid semantics).
+    * The denominator is the full-series Σ(v−m)² (the standard ACF
+    * estimator — one denominator for all lags, so r_k are comparable).
+    */
+  def autocorr(df: DataFrame, key: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value",
+      maxLag: Int = 3): DataFrame = {
+    import graft.functions.Exact.dec
+    require(maxLag >= 1, "need at least lag 1")
+    val grid = df
+      .groupBy(col(key), date_trunc("hour", col(tsCol)).as("h"))
+      .agg(round(sum(dec(col(valCol))).cast("double") / count(col(valCol)), 6)
+        .as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("hi",
+        expr("CAST(floor(unix_timestamp(h) / 3600) AS BIGINT)"))
+    val stats = grid.groupBy(key)
+      .agg(count(lit(1)).cast("long").as("__n"),
+        round(sum(dec(col("v"))).cast("double") / count(lit(1)), 6)
+          .as("__m"))
+    // pin the centered term to (18,6): a (19,6)×(19,6) product would
+    // blow Spark's 38-digit precision cap and silently round, and the
+    // two engines round differently — (18,6)×(18,6)=(37,12) stays exact
+    // in both (values are round-6 means minus a round-6 mean, far
+    // inside 12 integer digits)
+    val centered = grid.join(broadcast(stats), Seq(key))
+      .withColumn("__c", (dec(col("v")) - dec(col("__m")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    val den = centered.groupBy(key)
+      .agg(sum(col("__c") * col("__c")).as("__den"))
+    val lags = centered.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("long").as("lag"))
+    val pairs = centered.select(col(key), col("hi"), col("__c"))
+      .crossJoin(broadcast(lags))
+      .withColumn("__hi2", col("hi") + col("lag")).as("a")
+      .join(centered.select(col(key), col("hi").as("__hi2"),
+        col("__c").as("__c2")).as("b"), Seq(key, "__hi2"))
+    // round-6 after the decimal→double cast: the decimal SUMS are exact
+    // in both engines, but a raw 12-scale decimal→double conversion is
+    // not guaranteed correctly rounded everywhere — round-6 pins the
+    // published values (and the acf division runs on the pinned values)
+    pairs.groupBy(col(key), col("lag"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(sum(col("__c") * col("__c2")).cast("double"), 6).as("num"))
+      .join(broadcast(den), Seq(key))
+      .withColumn("den", round(col("__den").cast("double"), 6))
+      .withColumn("acf", col("num") / col("den"))
+      .select(col(key), col("lag"), col("n_pairs"), col("num"),
+        col("den"), col("acf"))
+  }
+
+  /** CUSUM change-point locator: per key, the hour where the running sum
+    * of mean-centered hourly values peaks in magnitude — the classic
+    * "where did the level shift" statistic (a stable series random-walks
+    * near zero; a mean shift sends the cusum on a one-way excursion
+    * whose extremum marks the break).
+    *
+    * Same exactness ladder as [[autocorr]]: round-6 decimal cells and
+    * key mean, decimal running sum (fold-order-free — the window is a
+    * prefix fold of exact decimals), election by `max(struct)` over
+    * (|cusum|, −hour_index) — one map-side-combined aggregate, ties
+    * resolved to the EARLIEST hour, never a per-key sort of anything
+    * but the dashboard-sized hourly grid.
+    */
+  def cusumChangepoint(df: DataFrame, key: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    import graft.functions.Exact.dec
+    val grid = df
+      .groupBy(col(key), date_trunc("hour", col(tsCol)).as("h"))
+      .agg(round(sum(dec(col(valCol))).cast("double") / count(col(valCol)), 6)
+        .as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("hi",
+        expr("CAST(floor(unix_timestamp(h) / 3600) AS BIGINT)"))
+    val stats = grid.groupBy(key)
+      .agg(round(sum(dec(col("v"))).cast("double") / count(lit(1)), 6)
+        .as("__m"))
+    val w = Window.partitionBy(key).orderBy("hi")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(stats), Seq(key))
+      .withColumn("__cusum", sum(dec(col("v")) - dec(col("__m"))).over(w))
+      .groupBy(key)
+      .agg(max(struct(abs(col("__cusum")).as("__a"),
+        (-col("hi")).as("__nhi"), col("h").as("__h"),
+        col("__cusum").as("__c"))).as("__best"),
+        count(lit(1)).cast("long").as("n_cells"))
+      .select(col(key), col("__best.__h").as("change_h"),
+        col("__best.__c").cast("double").as("cusum"),
+        col("__best.__a").cast("double").as("abs_cusum"),
+        col("n_cells"))
+  }
 }

@@ -102,6 +102,40 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** RANGE (radius) search through the IVF candidate shape: every
+    * corpus neighbor with cosine ≥ `tau` among the query's probed
+    * cells — the "give me everything this similar" retrieval mode
+    * (near-dup audit thresholds, recall-set construction) that top-k
+    * cannot express because the answer size is data-dependent.
+    *
+    * Identical scale contract to [[ivfTopK]]: both assignments are
+    * narrow maps against one broadcast packed-centroid row, candidates
+    * meet on the cell equi-join (pair mass ≈ nProbe/nCells of the
+    * corpus, never corpus²), and each (query, neighbor) pair meets at
+    * most once (the corpus vector lives in exactly ONE cell and probe
+    * cells are distinct) — no post-hoc dedup. APPROXIMATE exactly like
+    * IVF top-k: a true neighbor assigned to an unprobed cell is missed;
+    * probing every cell recovers the exact radius scan. No per-query
+    * ranking at all — the threshold filter replaces the top-k heap, so
+    * the plan is join → filter, the cheapest retrieval shape there is.
+    */
+  def ivfRangeSearch(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, tau: Double, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assign = cellAssignments(corpus, centroids, 1, idCol, vecCol)
+      .select(col("vec_id"), col("cid"), col("e").as("ce"),
+        col("nrm").as("cn"))
+    val probes = cellAssignments(queries, centroids, nProbe, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("cid"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineWithNorms(col("qe"), col("ce"), col("qn"), col("cn")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   /** Deterministic random-hyperplane coefficients: plane `p`, dim `d` →
     * a value in [-1, 1] derived from the stable 60-bit hash, so every
     * engine/run agrees on the planes without storing them. */

@@ -202,4 +202,26 @@ object Splits {
       .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("pack_id", expr(s"start_tok div $budget"))
   }
+
+  /** GROUP-AWARE k-fold assignment: the fold is a pure hash of the GROUP
+    * key (user, domain, session — whatever unit must never straddle a
+    * train/test boundary), so every row of a group lands in the same
+    * fold by construction — the leakage guarantee cross-validation
+    * actually needs, and the one a row-level `rand()` split silently
+    * violates (a user's Monday events train the model that is evaluated
+    * on their Tuesday events).
+    *
+    * Same determinism contract as [[assign]]: fold membership is a pure
+    * function of (salt, group key) — stable across runs, clusters and
+    * retries, and new rows of a known group join its existing fold
+    * (incremental reprocessing never reshuffles folds). Narrow (no
+    * shuffle): one hash per row.
+    */
+  def kfold(df: DataFrame, groupCol: String, k: Int = 5,
+      salt: String = "kfold"): DataFrame = {
+    require(k > 1, "need at least 2 folds")
+    df.withColumn("fold",
+      pmod(hash60(concat(lit(s"$salt:"), col(groupCol).cast("string"))),
+        lit(k)).cast("long"))
+  }
 }

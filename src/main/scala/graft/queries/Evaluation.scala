@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.ops.{Association, Behavior, Eval, Splits}
+
+/** SURVEY.md §2.9 — model-evaluation and mining surface added in
+  * round 5: rank-sum AUC, calibration bins, group-aware k-fold,
+  * market-basket rules, and event-sequence n-grams. Everything is
+  * engine-exact (integer/decimal aggregates, IEEE division only on
+  * exact operands) so every entry is oracle-gated.
+  */
+object Evaluation extends QueryPack {
+
+  /** Tie-aware Mann-Whitney AUC: o_totalprice as the "score" for the
+    * binary outcome "order finalized" (o_orderstatus = 'F'). 2U is an
+    * exact integer; AUC one IEEE division. */
+  val q50Auc = GraftQuery(
+    "q50_auc",
+    Some("""
+      WITH s AS (
+        SELECT o_totalprice AS sc,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS neg
+        FROM orders GROUP BY 1),
+      c AS (
+        SELECT pos, neg,
+               COALESCE(SUM(neg) OVER (ORDER BY sc
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negbelow
+        FROM s)
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * negbelow + neg)) AS BIGINT) AS u2,
+             CAST(SUM(pos * (2 * negbelow + neg)) AS DOUBLE) /
+               (2.0 * SUM(pos) * SUM(neg)) AS auc
+      FROM c""".stripMargin.trim)) { (spark, dir) =>
+    Eval.aucRankSum(Tables.orders(spark, dir),
+      col("o_totalprice"), col("o_orderstatus") === "F")
+  }
+
+  /** Decile calibration of the same score/outcome pair: bins by pure
+    * integer rank math over (score, orderkey), per bin exact counts +
+    * decimal score sum + the two IEEE plot ratios. */
+  val q51Calibration = GraftQuery(
+    "q51_calibration",
+    Some("""
+      WITH b AS (
+        SELECT o_totalprice AS sc, o_orderkey AS tb,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+      r AS (
+        SELECT sc, y,
+               ROW_NUMBER() OVER (ORDER BY sc, tb) AS rk,
+               COUNT(*) OVER () AS n
+        FROM b),
+      g AS (
+        SELECT (rk - 1) * 10 // n + 1 AS bin, COUNT(*) AS n,
+               SUM(y) AS n_pos,
+               CAST(SUM(CAST(sc AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS score_sum
+        FROM r GROUP BY 1)
+      SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+             CAST(n_pos AS BIGINT) AS n_pos, score_sum,
+             CAST(score_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score,
+             CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+      FROM g ORDER BY bin""".stripMargin.trim)) { (spark, dir) =>
+    Eval.calibrationBins(Tables.orders(spark, dir),
+      col("o_totalprice"), col("o_orderstatus") === "F", col("o_orderkey"))
+  }
+
+  /** Group-aware 5-fold assignment on the event log keyed by user —
+    * every user's events share a fold. Gated on the per-fold census
+    * (events + distinct users). */
+  val dataKfold = GraftQuery(
+    "data_kfold",
+    Some("""
+      WITH f AS (
+        SELECT ('0x'||substr(md5('kfold:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT % 5 AS fold,
+               user_id
+        FROM events)
+      SELECT CAST(fold AS BIGINT) AS fold,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM f GROUP BY 1 ORDER BY 1""".stripMargin.trim)) { (spark, dir) =>
+    Splits.kfold(Tables.events(spark, dir), "user_id", 5)
+      .groupBy("fold")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct(col("user_id")).cast("long").as("n_users"))
+      .orderBy("fold")
+  }
+
+  /** Market-basket rules over parts co-ordered in the same order:
+    * support ≥ 3, basket width capped at 16 (the cap is part of the
+    * gated semantics — the oracle replicates it). */
+  val q52Basket = GraftQuery(
+    "q52_basket",
+    Some("""
+      WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      kept AS (SELECT b FROM it GROUP BY b HAVING COUNT(*) <= 16),
+      rel AS (SELECT it.b, it.i FROM it JOIN kept USING (b)),
+      nb AS (SELECT COUNT(DISTINCT b) AS n FROM rel),
+      supp AS (SELECT i, COUNT(*) AS s FROM rel GROUP BY 1),
+      p AS (
+        SELECT a.i AS item_a, b2.i AS item_b, COUNT(*) AS support_ab
+        FROM rel a JOIN rel b2 ON a.b = b2.b AND a.i < b2.i
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      SELECT CAST(p.item_a AS BIGINT) AS item_a,
+             CAST(p.item_b AS BIGINT) AS item_b,
+             CAST(p.support_ab AS BIGINT) AS support_ab,
+             CAST(sa.s AS BIGINT) AS support_a,
+             CAST(sb.s AS BIGINT) AS support_b,
+             CAST(p.support_ab AS DOUBLE) / CAST(sa.s AS DOUBLE) AS confidence,
+             CAST(p.support_ab * nb.n AS DOUBLE) /
+               CAST(sa.s * sb.s AS DOUBLE) AS lift
+      FROM p JOIN supp sa ON sa.i = p.item_a
+             JOIN supp sb ON sb.i = p.item_b
+             CROSS JOIN nb
+      ORDER BY item_a, item_b""".stripMargin.trim)) { (spark, dir) =>
+    Association.basketRules(Tables.lineitem(spark, dir),
+        "l_orderkey", "l_partkey", minSupport = 3, maxBasket = 16)
+      .orderBy("item_a", "item_b")
+  }
+
+  /** Top-20 length-3 action runs per user ((ts, event_id) total order)
+    * — the sequence-mining view of the event log. */
+  val q53EventNgrams = GraftQuery(
+    "q53_event_ngrams",
+    Some("""
+      WITH l AS (
+        SELECT event_type,
+               LAG(event_type, 2) OVER w AS e2,
+               LAG(event_type, 1) OVER w AS e1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      g AS (
+        SELECT e2 || '>' || e1 || '>' || event_type AS ngram, COUNT(*) AS n_runs
+        FROM l WHERE e2 IS NOT NULL AND e1 IS NOT NULL
+        GROUP BY 1)
+      SELECT ngram, CAST(n_runs AS BIGINT) AS n_runs
+      FROM g ORDER BY n_runs DESC, ngram LIMIT 20""".stripMargin.trim)) {
+    (spark, dir) =>
+      Behavior.eventNgrams(Tables.events(spark, dir), n = 3, k = 20)
+  }
+
+  override def all: Seq[GraftQuery] =
+    Seq(q50Auc, q51Calibration, dataKfold, q52Basket, q53EventNgrams)
+}

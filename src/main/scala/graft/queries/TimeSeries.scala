@@ -237,6 +237,89 @@ object TimeSeries extends QueryPack {
       .orderBy("event_type", "h")
   }
 
+  /** Lag-1..3 autocorrelation of the hourly mean series per event_type.
+    * Oracle replays the identical exactness ladder: round-6 decimal
+    * cells/mean, (18,6)-pinned centered terms, exact decimal sums of
+    * (37,12) products, one IEEE division per (key, lag). */
+  val tsAutocorr = GraftQuery(
+    "ts_autocorr",
+    Some("""
+      WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS v
+        FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0),
+      g AS (
+        SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) // 3600 AS hi, v
+        FROM b),
+      s AS (
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS m
+        FROM g GROUP BY 1),
+      c AS (
+        SELECT g.event_type, g.hi,
+               CAST(CAST(g.v AS DECIMAL(18,6)) - CAST(s.m AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS cv
+        FROM g JOIN s USING (event_type)),
+      den AS (
+        SELECT event_type, SUM(cv * cv) AS dd FROM c GROUP BY 1),
+      lags AS (SELECT unnest(range(1, 4)) AS lag),
+      p AS (
+        SELECT a.event_type, l.lag, COUNT(*) AS n_pairs,
+               SUM(a.cv * b2.cv) AS nn
+        FROM c a CROSS JOIN lags l
+        JOIN c b2 ON b2.event_type = a.event_type AND b2.hi = a.hi + l.lag
+        GROUP BY 1, 2)
+      SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag,
+             CAST(p.n_pairs AS BIGINT) AS n_pairs,
+             ROUND(CAST(p.nn AS DOUBLE), 6) AS num,
+             ROUND(CAST(d.dd AS DOUBLE), 6) AS den,
+             ROUND(CAST(p.nn AS DOUBLE), 6) / ROUND(CAST(d.dd AS DOUBLE), 6) AS acf
+      FROM p JOIN den d USING (event_type)
+      ORDER BY p.event_type, p.lag""".stripMargin.trim)) { (spark, dir) =>
+    Resample.autocorr(Tables.events(spark, dir))
+      .orderBy("event_type", "lag")
+  }
+
+  /** CUSUM change-point per event_type: the hour where the running sum
+    * of mean-centered hourly values peaks in magnitude (earliest hour
+    * on ties). Oracle ranks per key; the Spark side elects the same row
+    * map-side via max(struct). */
+  val tsChangepoint = GraftQuery(
+    "ts_changepoint",
+    Some("""
+      WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS v
+        FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0),
+      g AS (
+        SELECT event_type, h, CAST(floor(epoch(h)) AS BIGINT) // 3600 AS hi, v
+        FROM b),
+      s AS (
+        SELECT event_type,
+               ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS m
+        FROM g GROUP BY 1),
+      cs AS (
+        SELECT g.event_type, g.h, g.hi,
+               SUM(CAST(g.v AS DECIMAL(18,6)) - CAST(s.m AS DECIMAL(18,6)))
+                 OVER (PARTITION BY g.event_type ORDER BY g.hi
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum,
+               COUNT(*) OVER (PARTITION BY g.event_type) AS n_cells
+        FROM g JOIN s USING (event_type)),
+      r AS (
+        SELECT event_type, h, cusum, n_cells,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY abs(cusum) DESC, hi) AS rn
+        FROM cs)
+      SELECT event_type, h AS change_h, CAST(cusum AS DOUBLE) AS cusum,
+             CAST(abs(cusum) AS DOUBLE) AS abs_cusum,
+             CAST(n_cells AS BIGINT) AS n_cells
+      FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin.trim)) { (spark, dir) =>
+    Resample.cusumChangepoint(Tables.events(spark, dir))
+      .select(col("event_type"), col("change_h"), col("cusum"),
+        col("abs_cusum"), col("n_cells"))
+      .orderBy("event_type")
+  }
+
   override def all: Seq[GraftQuery] =
-    Seq(tsGapfill, tsEwma, q32, q34, tsM4, tsHampel, tsSeasonal)
+    Seq(tsGapfill, tsEwma, q32, q34, tsM4, tsHampel, tsSeasonal,
+      tsAutocorr, tsChangepoint)
 }

@@ -404,6 +404,40 @@ object TrainingData extends QueryPack {
       embs.filter(col("vec_id") < 10), embs.filter(col("vec_id") < 16))
   }
 
+  /** Radius retrieval through the same IVF candidate shape as ann_ivf:
+    * every neighbor with cosine ≥ 0.3 in the query's 4 probed cells —
+    * no top-k heap at all, the threshold IS the operator. Oracle =
+    * ann_ivf's assignment/probe CTEs with the rank replaced by the
+    * threshold filter. */
+  val annRange = GraftQuery(
+    "ann_range_search",
+    Some(s"""
+      WITH $NORM,
+      cent AS (SELECT vec_id AS cid, e, nrm FROM m WHERE vec_id < 16),
+      asg AS (SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> v.e[i]*c.e[i])) / (v.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m v CROSS JOIN cent c) t WHERE rn = 1),
+      q AS (SELECT * FROM m WHERE vec_id < 10),
+      probes AS (SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM q CROSS JOIN cent c) t WHERE rn <= 4),
+      p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+        ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+       FROM probes pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.query_id
+       JOIN m q ON q.vec_id = pr.query_id JOIN m c ON c.vec_id = a.vec_id)
+      SELECT query_id, neighbor_id, cosine FROM p
+      WHERE cosine >= 0.3 ORDER BY query_id, neighbor_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.ivfRangeSearch(embs,
+        embs.filter(col("vec_id") < 10), embs.filter(col("vec_id") < 16),
+        tau = 0.3)
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** LSH ANN is genuinely approximate — no portable-SQL oracle; driver
     * records a rows-only check, recall is asserted in SimilaritySpec. */
   val annLsh = GraftQuery("ann_lsh", None) { (spark, dir) =>
@@ -1388,7 +1422,7 @@ object TrainingData extends QueryPack {
     dedupEmbedding, dedupSemantic,
     dedupClusters, dedupSurvivorship, dataSplit, dataSample, dataWeighted, dataPack,
     annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, annIvfPq,
-    annIvfSq,
+    annIvfSq, annRange,
     annPqTrained, annIvfAdcR, annMaxSim, annHardNegatives,
     annMaxSimIvf, annHardNegativesIvf, dedupParagraph)
 }

@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.meteo.RetryLadder
+import graft.ops.{Association, Behavior, Eval, Ranking, Resample, Similarity, Splits}
+
+/** Round-5 additions: rank-sum AUC, calibration, k-fold, basket rules,
+  * event n-grams, autocorrelation, CUSUM, IVF range search, the retry
+  * ladder — and the Ranking determinism regression the round was
+  * actually about. */
+class EvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- Ranking soundness regression (round-5 root cause) ----
+
+  test("globalRank survives pruned-payload branch divergence: ranks are " +
+      "a contiguous permutation even when the offsets branch prunes " +
+      "columns the window branch keeps") {
+    // the q51 shape that broke the old repartitionByRange construction:
+    // a payload column (__y) the offsets branch prunes away, plus a
+    // broadcast count join downstream — 15k distinct doubles
+    val n = 15000
+    val df = spark.range(n).select(
+      (hash(col("id")).cast("double") / 7.0).as("s"),
+      col("id").as("tb"),
+      (col("id") % 3).as("payload"))
+    val ranked = Ranking.globalRank(df, Seq(col("s"), col("tb")), "rk")
+    val total = ranked.agg(count(lit(1))).head().getLong(0)
+    val distinct = ranked.select("rk").distinct().count()
+    val mx = ranked.agg(max("rk"), min("rk")).head()
+    assert(total == n && distinct == n)
+    assert(mx.getLong(0) == n && mx.getLong(1) == 1L)
+    // composed form: equal-count bins must be EXACTLY equal
+    val bins = Eval.calibrationBins(df, col("s"), col("payload") === 0,
+        col("tb"), buckets = 10)
+      .select("n").as[Long].collect().toSeq
+    assert(bins == Seq.fill(10)(1500L), s"uneven bins: $bins")
+  }
+
+  test("globalRank handles desc + nulls ordering in the boundary fold") {
+    val df = Seq[(java.lang.Double, Long)](
+      (3.0, 1L), (null, 2L), (1.0, 3L), (2.0, 4L), (null, 5L), (9.0, 6L))
+      .toDF("v", "id")
+    val got = Ranking.globalRank(df, Seq(col("v").desc, col("id")), "rk")
+      .orderBy("rk").select("id").as[Long].collect().toSeq
+    // desc → NULLS LAST by default: 9,3,2,1 then nulls by id
+    assert(got == Seq(6L, 1L, 4L, 3L, 2L, 5L))
+  }
+
+  // ---- AUC ----
+
+  test("aucRankSum matches the hand-computed tie-aware AUC") {
+    // pos scores {3, 2}, neg {1, 2}: pairs (3>1)=1 (3>2)=1 (2>1)=1
+    // (2=2)=0.5 → U=3.5 of 4 → AUC 0.875, u2=7
+    val df = Seq((3.0, 1), (2.0, 1), (1.0, 0), (2.0, 0)).toDF("s", "y")
+    val r = Eval.aucRankSum(df, col("s"), col("y") === 1).head()
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
+    assert(r.getAs[Long]("u2") == 7L)
+    assert(math.abs(r.getAs[Double]("auc") - 0.875) < 1e-12)
+  }
+
+  test("aucRankSum: perfect separation gives 1.0, reversed gives 0.0") {
+    val perfect = Seq((5.0, 1), (4.0, 1), (1.0, 0), (2.0, 0)).toDF("s", "y")
+    assert(Eval.aucRankSum(perfect, col("s"), col("y") === 1)
+      .head().getAs[Double]("auc") == 1.0)
+    val reversed = Seq((1.0, 1), (2.0, 1), (5.0, 0), (4.0, 0)).toDF("s", "y")
+    assert(Eval.aucRankSum(reversed, col("s"), col("y") === 1)
+      .head().getAs[Double]("auc") == 0.0)
+  }
+
+  // ---- k-fold ----
+
+  test("kfold: every group lands whole in one fold, assignment is stable") {
+    val df = spark.range(1000).select(
+      (col("id") % 37).as("g"), col("id"))
+    val folds = Splits.kfold(df, "g", k = 5)
+    val perGroup = folds.groupBy("g")
+      .agg(countDistinct("fold").as("nf"))
+      .agg(max("nf")).head().getLong(0)
+    assert(perGroup == 1L, "a group straddled folds")
+    val again = Splits.kfold(df, "g", k = 5)
+    assert(folds.select("g", "fold").distinct()
+      .except(again.select("g", "fold").distinct()).count() == 0)
+    assert(folds.select("fold").distinct().count() == 5)
+  }
+
+  // ---- basket rules ----
+
+  test("basketRules: supports, confidence, lift and the basket cap") {
+    // baskets: 1:{a,b,c} 2:{a,b} 3:{a,c} 4:{b,c} 5:{a,b} and a mega
+    // basket 9 wider than the cap that must vanish from ALL counts
+    val rows = Seq(
+      (1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"),
+      (3, "c"), (4, "b"), (4, "c"), (5, "a"), (5, "b")) ++
+      (1 to 5).map(i => (9, s"x$i"))
+    val df = rows.toDF("b", "i")
+    val out = Association.basketRules(df, "b", "i",
+      minSupport = 2, maxBasket = 4).collect()
+    val ab = out.find(r => r.getAs[String]("item_a") == "a" &&
+      r.getAs[String]("item_b") == "b").get
+    assert(ab.getAs[Long]("support_ab") == 3L)
+    assert(ab.getAs[Long]("support_a") == 4L)
+    assert(ab.getAs[Long]("support_b") == 4L)
+    assert(math.abs(ab.getAs[Double]("confidence") - 0.75) < 1e-12)
+    // lift = 3·5 / (4·4)
+    assert(math.abs(ab.getAs[Double]("lift") - 15.0 / 16.0) < 1e-12)
+    assert(!out.exists(r => r.getAs[String]("item_a").startsWith("x")),
+      "capped basket leaked into pairs")
+  }
+
+  // ---- event n-grams ----
+
+  test("eventNgrams counts planted per-user runs in (ts, id) order") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val df = Seq(
+      (1L, ts(1), 11L, "v"), (1L, ts(2), 12L, "c"), (1L, ts(3), 13L, "p"),
+      (2L, ts(1), 21L, "v"), (2L, ts(2), 22L, "c"), (2L, ts(3), 23L, "p"),
+      (3L, ts(1), 31L, "v"), (3L, ts(2), 32L, "c"), (3L, ts(3), 33L, "e"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.eventNgrams(df, n = 3, k = 5).collect()
+    assert(got.head.getAs[String]("ngram") == "v>c>p")
+    assert(got.head.getAs[Long]("n_runs") == 2L)
+    assert(got.map(_.getAs[String]("ngram")).contains("v>c>e"))
+    // cross-user sequences must never merge
+    assert(got.map(_.getAs[Long]("n_runs")).sum == 3L)
+  }
+
+  // ---- autocorrelation / CUSUM ----
+
+  test("autocorr: planted alternating series has negative lag-1, " +
+      "positive lag-2 correlation") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 48).map { h =>
+      ("a", new java.sql.Timestamp(t0.getTime + h * 3600000L),
+        if (h % 2 == 0) 10.0 else -10.0)
+    }
+    val df = rows.toDF("event_type", "ts", "value")
+    val acf = Resample.autocorr(df, maxLag = 2).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("acf")).toMap
+    assert(acf(1L) < -0.9, s"lag1 ${acf(1L)}")
+    assert(acf(2L) > 0.9, s"lag2 ${acf(2L)}")
+  }
+
+  test("cusumChangepoint finds the hour of a planted level shift") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def hts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    // 24 hours at 0, then 24 hours at 10 — |cusum| peaks at the last
+    // pre-shift hour (h=23)
+    val rows = (0 until 48).map(h => ("a", hts(h),
+      if (h < 24) 0.0 else 10.0))
+    val got = Resample.cusumChangepoint(rows.toDF("event_type", "ts", "value"))
+      .head()
+    assert(got.getAs[java.sql.Timestamp]("change_h") == hts(23))
+    assert(got.getAs[Long]("n_cells") == 48L)
+  }
+
+  // ---- IVF range search ----
+
+  test("ivfRangeSearch with all cells probed equals the brute-force " +
+      "radius scan; fewer probes give a subset") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val queries = embs.filter(col("vec_id") < 5)
+    val cents = embs.filter(col("vec_id") < 8)
+    val tau = 0.2
+    val full = Similarity.ivfRangeSearch(embs, queries, cents, tau,
+      nProbe = 8).select("query_id", "neighbor_id")
+    val brute = Similarity.bruteForceTopK(embs, queries, k = 100000)
+      .filter(col("cosine") >= tau).select("query_id", "neighbor_id")
+    assert(full.except(brute).count() == 0 && brute.except(full).count() == 0)
+    val probed = Similarity.ivfRangeSearch(embs, queries, cents, tau,
+      nProbe = 2).select("query_id", "neighbor_id")
+    assert(probed.except(full).count() == 0, "probe subset exceeded full scan")
+  }
+
+  // ---- retry ladder ----
+
+  private final class Scripted(script: Seq[RetryLadder.Attempt])
+      extends RetryLadder.Transport {
+    var calls = 0
+    var headersSeen: List[Map[String, String]] = Nil
+    def request(method: String, url: String, params: Map[String, String],
+        headers: Map[String, String]): RetryLadder.Attempt = {
+      headersSeen = headers :: headersSeen
+      val r = script(math.min(calls, script.size - 1))
+      calls += 1
+      r
+    }
+  }
+  private def ok(body: String = "{}") =
+    Right(RetryLadder.Response(200, Map.empty, body))
+  private def status(s: Int, h: Map[String, String] = Map.empty) =
+    Right(RetryLadder.Response(s, h, ""))
+
+  test("retry ladder: urllib3 schedule on the forcelist, success passes " +
+      "through, User-Agent on every attempt") {
+    val t = new Scripted(Seq(status(503), status(502), ok()))
+    var waits = List.empty[Double]
+    val out = RetryLadder.execute(t, "GET", "u", Map.empty, "graft/1.0")(
+      w => waits ::= w)
+    assert(out.result.toOption.get.status == 200)
+    assert(out.attempts == 3)
+    // first retry immediate (0), second waits 0.5·2^1 = 1.0
+    assert(out.waitsSeconds == Seq(0.0, 1.0))
+    assert(waits.reverse == List(1.0)) // zero waits don't sleep
+    assert(t.headersSeen.forall(_("User-Agent") == "graft/1.0"))
+  }
+
+  test("retry ladder: Retry-After overrides computed backoff") {
+    val t = new Scripted(Seq(
+      status(503, Map("Retry-After" -> "7")), ok()))
+    val out = RetryLadder.execute(t, "GET", "u", Map.empty, "ua")(_ => ())
+    assert(out.waitsSeconds == Seq(7.0))
+  }
+
+  test("retry ladder: budget exhaustion returns the LAST response " +
+      "(raise_on_status=False) after exactly 5 retries") {
+    val t = new Scripted(Seq.fill(10)(status(500)))
+    val out = RetryLadder.execute(t, "GET", "u", Map.empty, "ua")(_ => ())
+    assert(out.attempts == 6) // 1 initial + 5 retries
+    assert(out.result.toOption.get.status == 500)
+  }
+
+  test("retry ladder: non-GET never retries; transport errors do") {
+    val t = new Scripted(Seq(status(503), ok()))
+    val post = RetryLadder.execute(t, "POST", "u", Map.empty, "ua")(_ => ())
+    assert(post.attempts == 1 && post.result.toOption.get.status == 503)
+    val t2 = new Scripted(Seq(
+      Left(new java.io.IOException("conn reset")), ok()))
+    val conn = RetryLadder.execute(t2, "GET", "u", Map.empty, "ua")(_ => ())
+    assert(conn.attempts == 2 && conn.result.isRight)
+  }
+
+  test("retry ladder: non-forcelist errors (404) return immediately") {
+    val t = new Scripted(Seq(status(404), ok()))
+    val out = RetryLadder.execute(t, "GET", "u", Map.empty, "ua")(_ => ())
+    assert(out.attempts == 1 && out.result.toOption.get.status == 404)
+  }
+}
