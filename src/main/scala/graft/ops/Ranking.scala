@@ -94,36 +94,50 @@ object Ranking {
     strict || eqs.reduce(_ && _)
   }
 
+  /** Comparator Column (−1/0/1) for one field under its direction. */
+  private def fieldCmp(l: Column, r: Column,
+      asc: Boolean, nf: Boolean): Column =
+    when(l <=> r, 0)
+      .when(fieldBefore(l, r, asc, nf), -1)
+      .otherwise(1)
+
   /** ONE row holding `__bnd`: an array of ≤ numRanges−1 boundary-key
-    * structs (fields `__f0..`), deterministically derived from `df`. */
+    * structs (fields `__f0..`), deterministically derived from `df`.
+    * The bottom-T hash sample comes off the bounded-heap TopK operator
+    * (fixed per-partition state, tiny single-key merge); sorting the T
+    * sampled keys and picking every (T/numRanges)-th happen INSIDE the
+    * single 1-row aggregate projection (array_sort with the
+    * direction-aware comparator + indexed element_at) — no extra window
+    * stage per rank call. */
   private def boundaryRow(df: DataFrame, fields: Seq[Column],
       dirs: Seq[(Boolean, Boolean)], numRanges: Int): DataFrame = {
     val t = numRanges * 64
     val named = fields.zipWithIndex.map { case (f, i) => f.as(s"__f$i") }
     val fcols = fields.indices.map(i => col(s"__f$i"))
-    val sorters = dirs.zipWithIndex.map { case ((asc, nf), i) =>
-      val c = col(s"__f$i")
-      (asc, nf) match {
-        case (true, true)   => c.asc_nulls_first
-        case (true, false)  => c.asc_nulls_last
-        case (false, true)  => c.desc_nulls_first
-        case (false, false) => c.desc_nulls_last
-      }
-    }
     val keyed = df.select(named: _*)
       .withColumn("__h", xxhash64(fcols: _*))
       .withColumn("__one", lit(1))
     val bottom = graft.plans.TopK.perKey(keyed, Seq("__one"),
-      col("__h") +: sorters, t)
-    val w = Window.partitionBy("__one")
-    val picked = bottom
-      .withColumn("__r", row_number().over(w.orderBy(sorters: _*)))
-      .withColumn("__cnt", count(lit(1)).over(w))
-      .withColumn("__step",
-        greatest(lit(1L), expr(s"__cnt div $numRanges")))
-      .filter(expr(s"__r % __step = 0 AND (__r div __step) < $numRanges"))
-    picked.groupBy()
-      .agg(collect_list(struct(fcols: _*)).as("__bnd"))
+      Seq(col("__h")) ++ fields.indices.map(i => col(s"__f$i")), t)
+    val cmp = (l: Column, r: Column) =>
+      dirs.zipWithIndex.map { case ((asc, nf), i) =>
+        fieldCmp(l.getField(s"__f$i"), r.getField(s"__f$i"), asc, nf)
+      }.reduceRight((c, rest) => when(c =!= 0, c).otherwise(rest))
+    bottom.groupBy()
+      .agg(collect_list(struct(fcols: _*)).as("__raw"))
+      .select(array_sort(col("__raw"), cmp).as("__all")) // sorted ONCE
+      .select(filter(
+        transform(
+          // max(...,1) keeps sequence() ascending; numRanges==1 yields
+          // all-null picks → the filter returns a typed empty array
+          sequence(lit(1), lit(math.max(numRanges - 1, 1))),
+          i => {
+            val idx = floor((i * size(col("__all"))) / lit(numRanges))
+            when(lit(numRanges) > 1 && idx >= 1,
+              element_at(col("__all"), idx.cast("int")))
+              .otherwise(lit(null))
+          }),
+        b => b.isNotNull).as("__bnd"))
   }
 
   /** Adds `rankCol` (global 1-based row_number over `sortCols`) and
