@@ -210,9 +210,10 @@ object Multimodal {
       .drop(mediaCol)
   }
 
-  /** Probed container metadata — see [[probeHeader]]. */
+  /** Probed container metadata — see [[probeHeader]]. `durationMs` is
+    * filled only by containers that declare one (MP4 mvhd). */
   case class ProbedMeta(kind: String, width: Int, height: Int,
-      sampleRate: Int, channels: Int, ok: Boolean)
+      sampleRate: Int, channels: Int, durationMs: Long = 0L, ok: Boolean)
 
   /** REAL container-header parsing (no codec needed — this is the part
     * of the multimodal lane that is NOT stubbed): sniff the magic bytes
@@ -278,6 +279,56 @@ object Multimodal {
           else i += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
         }
         out
+      }
+      else if (b.length >= 12 && ascii(4, 4) == "ftyp") {
+        // ISO BMFF (MP4/MOV/M4A): sibling box walk [size u32 BE][type];
+        // size==1 → 64-bit largesize, size==0 → box runs to EOF. Video
+        // dims come from moov/trak/tkhd (16.16 fixed point), duration
+        // from moov/mvhd (v0: u32 at +12/+16; v1: u64 at +20/+24).
+        def be64(i: Int): Long = (0 until 8)
+          .foldLeft(0L)((a, j) => (a << 8) | u8(i + j))
+        def walk(from: Int, to: Int): Seq[(String, Int, Int)] = {
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Int, Int)]
+          var i = from
+          var sane = true
+          while (sane && i + 8 <= to) {
+            val sz = be32(i).toLong & 0xffffffffL
+            val ty = ascii(i + 4, 4)
+            val (p0, end) =
+              if (sz == 1 && i + 16 <= to) (i + 16, i + be64(i + 8))
+              else if (sz == 0) (i + 8, to.toLong)
+              else (i + 8, i + sz)
+            if (end <= i || end > to || p0 > end) sane = false
+            else { out += ((ty, p0, end.toInt)); i = end.toInt }
+          }
+          out.toSeq
+        }
+        val top = walk(0, b.length)
+        val moov = top.find(_._1 == "moov")
+        var dur = 0L; var w = 0; var h = 0
+        for ((_, m0, m1) <- moov; (ty, p, pEnd) <- walk(m0, m1)) ty match {
+          case "mvhd" if p < pEnd =>
+            val v = u8(p)
+            if (v == 1 && p + 32 <= pEnd) {
+              val ts = be32(p + 20).toLong & 0xffffffffL
+              if (ts > 0) dur = be64(p + 24) * 1000L / ts
+            } else if (v == 0 && p + 20 <= pEnd) {
+              val ts = be32(p + 12).toLong & 0xffffffffL
+              if (ts > 0) dur = (be32(p + 16).toLong & 0xffffffffL) * 1000L / ts
+            }
+          case "trak" if w == 0 =>
+            for ((tty, tp, te) <- walk(p, pEnd)
+                 if tty == "tkhd" && w == 0) {
+              val v = u8(tp)
+              val (wi, hi) = if (v == 1) (tp + 88, tp + 92) else (tp + 76, tp + 80)
+              if (hi + 4 <= te) { w = be16(wi); h = be16(hi) } // 16.16 int part
+            }
+          case _ => ()
+        }
+        if (moov.isDefined || top.exists(_._1 == "ftyp"))
+          ProbedMeta("mp4", w, h, 0, 0, durationMs = dur, ok = true)
+        else bad
       }
       else bad
     } catch { case _: IndexOutOfBoundsException => bad }

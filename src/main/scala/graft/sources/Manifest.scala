@@ -144,6 +144,67 @@ object Manifest {
     -1L // unreachable
   }
 
+  /** Transactional DELETE — the lake-side analog of the SQL DELETE the
+    * reference gets from Postgres for free, and the primitive a
+    * right-to-be-forgotten request needs against a parquet table.
+    *
+    * COPY-ON-WRITE at file granularity: one predicate-pushed scan finds
+    * the files that actually CONTAIN matching rows (parquet row-group
+    * stats prune the rest — for a selective predicate most files are
+    * never opened); only those files are rewritten without their
+    * matching rows, and every untouched file carries into the next
+    * version's manifest BY REFERENCE — a delete of one user from a
+    * million-file table rewrites a handful of files, not the table.
+    *
+    * SQL DELETE null semantics: rows where the predicate evaluates
+    * NULL are KEPT (only predicate-TRUE rows go).
+    *
+    * Optimistic concurrency, same loop as [[optimize]]: each attempt
+    * re-resolves the LATEST version and re-applies the predicate to
+    * THAT snapshot, so a delete racing an ordinary commit converges on
+    * "new snapshot minus matching rows" — matching rows added by the
+    * concurrent commit are re-found on retry, never resurrected. The
+    * touched-file list is manifest-sized (a bounded driver collect by
+    * the same contract as the manifest itself). Returns the committed
+    * version, or the CURRENT version untouched when nothing matches
+    * (no empty no-op commits). */
+  def deleteWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column, maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    val f = fs(spark, root)
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    def norm(p: String): String = new Path(p).toUri.getPath
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no versions to delete at $root"))
+      val files = manifestFiles(spark, root, v)
+      val touched = spark.read.parquet(files: _*)
+        .filter(predicate)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => norm(r.getString(0))).toSet
+      if (touched.isEmpty) return v
+      val (rewrite, keep) = files.partition(p => touched(norm(p)))
+      val next = v + 1L
+      val dataDir = s"$root/_data/$next-$uuid"
+      spark.read.parquet(rewrite: _*)
+        .filter(not(coalesce(predicate, lit(false))))
+        .write.mode("errorifexists").parquet(dataDir)
+      val newFiles = (keep ++ listParquet(f, new Path(dataDir))).sorted
+      val tmp = new Path(manifestDir(root), s".tmp-$next-$uuid.json")
+      writeManifestTmp(f, tmp, newFiles)
+      if (f.rename(tmp, new Path(manifestDir(root), s"v$next.json")))
+        return next
+      f.delete(tmp, false)
+      f.delete(new Path(dataDir), true)
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new IllegalStateException(
+          s"deleteWhere lost $maxRetries races at $root")
+    }
+    -1L // unreachable
+  }
+
   /** [[optimize]] with [[Layout.compactFiles]] as the rewrite: atomic
     * small-file compaction (one ~targetBytes file per bin). */
   def optimizeCompact(spark: SparkSession, root: String, targetBytes: Long,

@@ -380,4 +380,54 @@ class LakeSpec extends SparkTestBase {
       s"dead data dirs survive vacuum: ${dataDirs.mkString(",")}")
     assert(Manifest.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
+
+  test("deleteWhere: copy-on-write file-granular DELETE — untouched " +
+      "files carry by reference, old version time-travels, NULL " +
+      "predicate rows survive, no-match is a no-op") {
+    import graft.sources.Manifest
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("manidel").resolve("tbl").toString
+    // range-clustered 10-file layout so the target user is localized in
+    // one file and most files never contain a match
+    val v0df = spark.range(0, 1000).toDF("user_id")
+      .withColumn("payload", concat(lit("p-"), col("user_id")))
+      .withColumn("flag",
+        when(col("user_id") % 100 === 0, lit(null).cast("string"))
+          .otherwise(lit("x")))
+      .repartitionByRange(10, col("user_id"))
+    Manifest.commit(v0df, root)
+    val before = Manifest.read(spark, root, Some(0L))
+    // delete one user: predicate-local to a single range file
+    val v1 = Manifest.deleteWhere(spark, root, col("user_id") === 555L)
+    assert(v1 == 1L)
+    val after = Manifest.read(spark, root)
+    assert(after.count() == 999L)
+    assert(after.filter(col("user_id") === 555L).count() == 0L)
+    assert(before.count() == 1000L, "old version must time-travel intact")
+    // copy-on-write: the new manifest REUSES most of v0's files
+    def filesOf(v: Long): Set[String] = {
+      val fsys = new Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // read manifests through the public read path: input_file_name
+      val df = Manifest.read(spark, root, Some(v))
+        .select(org.apache.spark.sql.functions.input_file_name())
+      df.distinct().collect().map(_.getString(0)).toSet
+    }
+    val shared = filesOf(0L).intersect(filesOf(1L))
+    assert(shared.size >= 8,
+      s"expected untouched files carried by reference, shared=${shared.size}")
+    // a predicate that is NULL for some rows deletes only TRUE rows:
+    // flag='x' matches; flag NULL rows (user_id % 100 == 0) must stay
+    val v2 = Manifest.deleteWhere(spark, root,
+      col("flag") === "x" && col("user_id") >= 990L)
+    assert(v2 == 2L)
+    val r2 = Manifest.read(spark, root)
+    assert(r2.filter(col("user_id") >= 990L).count() == 0L,
+      "all predicate-TRUE rows must be deleted")
+    assert(r2.filter(col("user_id") === 900L).count() == 1L,
+      "NULL-predicate row inside a rewritten file must survive")
+    // no-match delete commits nothing
+    val vSame = Manifest.deleteWhere(spark, root, col("user_id") === -1L)
+    assert(vSame == 2L && Manifest.versions(spark, root) == Seq(0L, 1L, 2L))
+  }
 }

@@ -188,6 +188,46 @@ class MultimodalSpec extends SparkTestBase {
     assert(!probeHeader(corrupt).ok)
   }
 
+  test("probeHeader parses ISO-BMFF (MP4): ftyp brand sniff, mvhd " +
+      "duration, tkhd dimensions; corrupt box sizes refuse cleanly") {
+    import graft.ops.Multimodal.probeHeader
+    def box(ty: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(ty.getBytes("US-ASCII"))
+      bb.put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom0000isom".getBytes("US-ASCII"))
+    // mvhd v0: ver+flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0)
+      bb.putInt(600)          // timescale
+      bb.putInt(3000)         // duration → 5000 ms
+      bb.array()
+    }
+    // tkhd v0: ver+flags(4) ctime mtime trackid reserved duration ...
+    // width/height as 16.16 at offsets 76/80
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.position(76)
+      bb.putShort(1920.toShort).putShort(0)
+      bb.putShort(1080.toShort).putShort(0)
+      bb.array()
+    }
+    val moov = box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    val mp4 = ftyp ++ moov
+    val got = probeHeader(mp4)
+    assert(got.kind == "mp4" && got.ok)
+    assert(got.durationMs == 5000L)
+    assert(got.width == 1920 && got.height == 1080)
+    // ftyp alone (no moov) still sniffs as mp4 — headers stream first
+    assert(probeHeader(ftyp).kind == "mp4")
+    // corrupt: first box claims a size beyond the buffer
+    val bad = mp4.clone(); bad(0) = 0x7f.toByte
+    assert(!probeHeader(bad).ok)
+  }
+
   test("headerProbe over a corpus: typed struct column, garbage rows " +
       "flagged not dropped") {
     import spark.implicits._
