@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Static HTML dashboard report — the reference's Streamlit app
+  * (dashboard/streamlit_app.py:21-84) re-expressed for a lake: instead
+  * of a live server querying Postgres, one `runMain` renders the same
+  * query battery (location count, table counts, last job status,
+  * describe, recent rows) from the registered operators into a
+  * self-contained HTML file a browser or CI artifact store can serve.
+  *
+  * Driver-side PRESENTATION only: every number comes from
+  * [[SparkEntry.queries]] — the same oracle-gated operators the
+  * dashboard entries gate — and the renderer never computes anything
+  * itself. No external templating: the report is hand-assembled
+  * escaped HTML, zero dependencies.
+  *
+  * {{{
+  *   sbt "runMain graft.Report /root/testdata/sf0.001 /tmp/report.html"
+  * }}}
+  */
+object Report {
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** One DataFrame → an HTML table (header + up to `limit` rows). */
+  def tableHtml(df: DataFrame, limit: Int = 50): String = {
+    val cols = df.columns
+    val rows = df.limit(limit).collect()
+    val head = cols.map(c => s"<th>${esc(c)}</th>").mkString
+    val body = rows.map { r =>
+      cols.indices.map { i =>
+        val v = r.get(i)
+        s"<td>${esc(if (v == null) "null" else v.toString)}</td>"
+      }.mkString("<tr>", "", "</tr>")
+    }.mkString("\n")
+    s"<table>\n<thead><tr>$head</tr></thead>\n<tbody>\n$body\n</tbody></table>"
+  }
+
+  /** The dashboard battery as (title, query-name) sections. */
+  val sections: Seq[(String, String)] = Seq(
+    "Distinct locations" -> "dash_count_locations",
+    "Table row counts" -> "dash_table_counts",
+    "Last job status" -> "dash_last_status",
+    "Metric describe()" -> "dash_describe",
+    "Column profile" -> "dash_profile",
+    "Recent rows" -> "dash_recent")
+
+  /** Render the full report for one scale-factor directory. */
+  def render(spark: SparkSession, sfDir: String): String = {
+    val parts = sections.map { case (title, name) =>
+      val html = SparkEntry.queries.get(name)
+        .map(fn => tableHtml(fn(spark, sfDir)))
+        .getOrElse("<p>missing query</p>")
+      s"<section>\n<h2>${esc(title)} <code>${esc(name)}</code></h2>\n$html\n</section>"
+    }
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>graft dashboard</title>
+       |<style>
+       | body { font: 14px system-ui, sans-serif; margin: 2rem; }
+       | table { border-collapse: collapse; margin: 0.5rem 0 1.5rem; }
+       | th, td { border: 1px solid #ccc; padding: 3px 9px; text-align: left; }
+       | th { background: #f2f2f2; }
+       | code { color: #666; font-size: 0.8em; }
+       |</style></head><body>
+       |<h1>graft dashboard — ${esc(sfDir)}</h1>
+       |${parts.mkString("\n")}
+       |</body></html>
+       |""".stripMargin
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_report.html"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopK.ensureRegistered(spark)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      render(spark, sfDir).getBytes("UTF-8"))
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

@@ -45,4 +45,19 @@ class CliSpec extends AnyFunSuite {
     val out = captureOut(Cli.main(Array("list", "q48")))
     assert(out.trim == "q48_rfm")
   }
+
+  test("Report.render produces the dashboard battery as self-contained " +
+      "HTML from the gated operators") {
+    val spark = SparkTestBase.session
+    val html = Report.render(spark, "/root/testdata/sf0.001")
+    for ((_, name) <- Report.sections) assert(html.contains(name))
+    assert(html.contains("<table>") && html.contains("</html>"))
+    // values come from the gated operators, not the renderer: the
+    // location count in the HTML equals the operator's own result
+    val n = SparkEntry.queries("dash_count_locations")(
+      spark, "/root/testdata/sf0.001").collect()(0).get(0).toString
+    assert(html.contains(s"<td>$n</td>"))
+    // escaping: no raw angle brackets from data can break the document
+    assert(!html.contains("<td><"))
+  }
 }
