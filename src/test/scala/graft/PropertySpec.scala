@@ -195,4 +195,40 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  // ---- round-5: deterministic two-phase rank ----
+
+  private val rankRowsGen: Gen[List[(Option[Int], Long)]] =
+    Gen.listOfN(200, for {
+      a <- Gen.option(Gen.choose(0, 8)) // dup-heavy first key, with nulls
+      id <- Gen.choose(0L, 100000000L)
+    } yield (a, id))
+
+  test("globalRankCumsum ≡ single-task window over random dup-heavy " +
+      "keys, nulls, and every sort direction/null-order combination") {
+    val dirGen = Gen.oneOf(0, 1, 2, 3)
+    forAll(rankRowsGen, dirGen) { (rows, dir) =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("a", "id").dropDuplicates("id")
+        val sortA = dir match {
+          case 0 => col("a").asc_nulls_first
+          case 1 => col("a").asc_nulls_last
+          case 2 => col("a").desc_nulls_first
+          case _ => col("a").desc_nulls_last
+        }
+        val sorts = Seq(sortA, col("id"))
+        val got = graft.ops.Ranking.globalRankCumsum(df, sorts,
+            col("id") % 7, "rk", "cum")
+          .select("id", "rk", "cum")
+        val w = Window.orderBy(sorts: _*)
+        val want = df
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("cum", sum(col("id") % 7)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("id", "rk", "cum")
+        val diff = got.except(want).count() + want.except(got).count()
+        assert(diff == 0, s"rank/cumsum mismatch for dir=$dir")
+      }
+    }
+  }
 }
