@@ -43,11 +43,19 @@ object Eval {
     * Returns one row: `n_pos`, `n_neg`, `u2` (= 2·U, exact), `auc`.
     */
   def aucRankSum(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    // lazily checkpoint the per-distinct-score counts: the two-phase
+    // rank evaluates its input three times (window, offsets, boundary
+    // sample), and each evaluation would otherwise re-aggregate the
+    // FACT table. The checkpointed table is distinct-scores-sized —
+    // the same magnitude the rank shuffles anyway — so materializing
+    // once is the scale-correct trade at any size; blocks are
+    // context-cleaned when the frame is unreachable.
     val byScore = df
       .select(scoreCol.as("__s"), labelCol.cast("int").as("__y"))
       .groupBy("__s")
       .agg(sum(col("__y")).cast("long").as("__pos"),
         sum(lit(1L) - col("__y")).cast("long").as("__neg"))
+      .localCheckpoint(false)
     val cum = Ranking.globalRankCumsum(byScore, Seq(col("__s")),
       col("__neg"), "__rk", "__cumneg")
     cum

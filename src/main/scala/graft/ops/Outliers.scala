@@ -164,8 +164,15 @@ object Outliers {
       s"laneSize $laneSize must exceed 2*half = ${2 * half}")
     val rows = df.filter(col(valCol).isNotNull)
       .select(col(key), col(tsCol), col(idCol), col(valCol))
+    // lazily checkpoint the ranked table: three lane branches (own +
+    // two borrow directions) consume it, and each would otherwise
+    // re-run the ENTIRE two-phase rank (itself a multi-pass plan) —
+    // measured 3x the whole rank without the checkpoint. One
+    // materialization of the about-to-be-reshuffled table is the
+    // scale-correct trade; blocks are context-cleaned with the frame.
     val ranked = Ranking.globalRank(rows,
       Seq(col(key), col(tsCol), col(idCol)), "__gr", numRanges)
+      .localCheckpoint(false)
     val pos = col("__gr") - 1 // 0-based dense position
     val l0 = expr(s"CAST((__gr - 1) div $laneSize AS BIGINT)")
     val own = ranked.withColumn("__lane", l0).withColumn("__own", lit(true))
