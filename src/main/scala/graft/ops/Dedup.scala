@@ -496,9 +496,13 @@ object Dedup {
   private def neighborhoodCands(docs: DataFrame, idCol: String,
       key: Column, window: Int): DataFrame = {
     val keyed = docs.select(col(idCol).as("doc_id"), key.as("bk"))
+    // lazily checkpoint the ranked table: the cell self-join consumes
+    // it twice (probe + build side) and would otherwise re-run the
+    // whole two-phase rank per side
     val ranked = Ranking.globalRank(keyed, Seq(col("bk"), col("doc_id")))
       .select(col("doc_id"), col("rank"),
         expr(s"rank div $window").as("cell"))
+      .localCheckpoint(false)
     val probe = ranked.withColumn("jcell",
       explode(array(col("cell"), col("cell") + 1)))
     probe.as("a").join(ranked.as("b"),
