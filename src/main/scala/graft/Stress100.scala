@@ -179,10 +179,27 @@ object Stress100 {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
           .count()
       }
+      // deterministic two-phase rank at corpus scale (round-5 rewrite):
+      // rank+running-share over the full vocabulary of the scaled corpus
+      // — vocab cardinality grows with the replica token tags, so both
+      // the ranked row count and the boundary machinery scale with f
+      results(("vocab_rank", f)) = time("vocab_rank", f) {
+        val vocab = docsF
+          .select(explode(tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("freq"))
+        ops.Ranking.globalRankCumsum(vocab,
+          Seq(col("freq").desc, col("term")), col("freq")).count()
+      }
+      // rank-window blocking end to end at corpus scale: N·window
+      // candidate pairs off the checkpointed rank, exact verify
+      results(("sorted_nbhd", f)) = time("sorted_nbhd", f) {
+        ops.Dedup.sortedNeighborhood(docsF).count()
+      }
     }
     for (op <- Seq("minhash_lsh", "ivfpq_k_scaled", "ivfpq_k_fixed",
         "semantic_dedup", "ngram_prefix", "substring_excise", "ivfadc_r",
-        "assign_flat", "assign_hier", "curation_e2e")
+        "assign_flat", "assign_hier", "curation_e2e", "vocab_rank",
+        "sorted_nbhd")
         if only.forall(_.contains(op))) {
       val r10 = results((op, 100)) / results((op, 10))
       val r1 = results((op, 100)) / results((op, 1))
