@@ -293,6 +293,55 @@ object Behavior {
         col("f_q").cast("string"), col("m_q").cast("string")))
   }
 
+  /** Growth accounting: per day, the four mutually exclusive user
+    * states product analytics reports — `new` (first-ever activity
+    * today), `retained` (active today AND yesterday), `resurrected`
+    * (active today, inactive yesterday, seen before), `churned`
+    * (active yesterday, inactive today — attributed to today). The
+    * lifecycle decomposition behind every "is growth real or churn
+    * masking" question; [[activeUsersFromDays]] gives levels (DAU),
+    * this gives the flows that move them.
+    *
+    * Scale shape: ONE map-side-combined distinct compacts the feed to
+    * (user, day); first-day is a per-user min aggregate; yesterday
+    * lookups are self-equi-joins on (user, day−1) — one hash
+    * partitioning by user serves every stage, the day-sized output is
+    * the only small thing. Exact integer counts → oracle-gated.
+    */
+  def growthAccounting(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val usPerDay = 86400L * 1000000L
+    val ud = events
+      .select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol) div $usPerDay").as("d"))
+      .distinct()
+      .localCheckpoint(false) // five consumers below; compact once
+    val first = ud.groupBy("u").agg(min(col("d")).as("d0"))
+    val prev = ud.select(col("u"), (col("d") + 1).as("d"),
+      lit(true).as("__wasActive"))
+    // classify each (u, d): new / retained / resurrected
+    val classified = ud
+      .join(first, "u")
+      .join(prev, Seq("u", "d"), "left")
+      .select(col("d"),
+        when(col("d") === col("d0"), "new")
+          .when(col("__wasActive"), "retained")
+          .otherwise("resurrected").as("state"))
+    val flows = classified.groupBy("d").pivot("state",
+      Seq("new", "retained", "resurrected")).count()
+    // churned on day d: active on d-1, not on d
+    val churned = ud.select(col("u"), (col("d") + 1).as("d"))
+      .join(ud, Seq("u", "d"), "left_anti")
+      .groupBy("d").agg(count(lit(1)).as("churned"))
+    // churn attribution may extend one day past the last active day
+    flows.join(churned, Seq("d"), "full_outer")
+      .select(col("d").cast("long").as("day"),
+        coalesce(col("new"), lit(0L)).cast("long").as("n_new"),
+        coalesce(col("retained"), lit(0L)).cast("long").as("n_retained"),
+        coalesce(col("resurrected"), lit(0L)).cast("long").as("n_resurrected"),
+        coalesce(col("churned"), lit(0L)).cast("long").as("n_churned"))
+  }
+
   /** Top event-type n-gram sequences: the most common length-`n` runs of
     * consecutive actions per user — the sequence-mining view of the
     * event log ([[Graph.transitions]] is its n=2 special case; n=3

@@ -212,6 +212,46 @@ object Resample {
           .cast("double").as("resid"))
   }
 
+  /** Seasonal-residual anomaly detection: [[seasonalDecompose]]'s
+    * residual judged against its own key's robust median/MAD scale —
+    * the anomaly detector a seasonal feed actually needs (a plain
+    * threshold on the raw value flags every rush hour; a global MAD
+    * ([[Outliers.robustZ]]) flags the whole drifted tail; the residual
+    * removes trend AND season first, so what remains IS the anomaly
+    * signal).
+    *
+    * Median/MAD are DISCRETE rank selections over the residuals (rank
+    * ⌈n/2⌉ of the sorted values — actual input values, no
+    * interpolation), so with residuals already engine-exact (the
+    * ts_seasonal gate) every emitted statistic and the flag threshold
+    * are deterministic. The windows run over the key's hourly grid
+    * (dashboard-sized — the [[seasonalDecompose]] contract), never the
+    * raw feed; the one fact-scale pass is the decompose's own grid
+    * aggregation.
+    */
+  def seasonalAnomalies(df: DataFrame, key: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value",
+      k: Double = 3.0): DataFrame = {
+    val dec = seasonalDecompose(df, key, tsCol, valCol)
+      .localCheckpoint(false) // consumed by two rank passes + the join
+    val wk = Window.partitionBy(key)
+    def rankSelect(in: DataFrame, valueCol: Column,
+        outName: String): DataFrame = in
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(key).orderBy(valueCol, col("h"))))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .filter(col("__rn") === ceil(col("__n") / lit(2.0)).cast("int"))
+      .select(col(key), valueCol.as(outName))
+    val med = rankSelect(dec, col("resid"), "med")
+    val withMed = dec.join(broadcast(med), key)
+      .withColumn("__dev", abs(col("resid") - col("med")))
+    val mad = rankSelect(withMed, col("__dev"), "mad")
+    withMed.join(broadcast(mad), key)
+      .filter(abs(col("resid") - col("med")) > lit(k) * col("mad"))
+      .select(col(key), col("h"), col("v"), col("resid"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+  }
+
   /** Per-key lag-k autocorrelation of the hourly series, k = 1..maxLag —
     * the "does yesterday predict today" diagnostic that decides whether
     * [[seasonalDecompose]]'s period is real and what an anomaly

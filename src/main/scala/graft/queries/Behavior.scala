@@ -143,5 +143,39 @@ object Behavior extends QueryPack {
       .orderBy("stage")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q38, q39, q46, q48, q49)
+  /** Growth accounting: per day, new / retained / resurrected /
+    * churned user flows — the lifecycle decomposition behind DAU
+    * levels ([[graft.ops.Behavior.growthAccounting]]). */
+  val q54 = GraftQuery(
+    "q54_growth_accounting",
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id AS u, epoch(ts)::BIGINT // 86400 AS d FROM events),
+      f AS (SELECT u, min(d) AS d0 FROM ud GROUP BY u),
+      cls AS (
+        SELECT ud.d,
+          CASE WHEN ud.d = f.d0 THEN 'new'
+               WHEN p.u IS NOT NULL THEN 'retained'
+               ELSE 'resurrected' END AS state
+        FROM ud JOIN f USING (u)
+        LEFT JOIN ud p ON p.u = ud.u AND p.d = ud.d - 1),
+      fl AS (SELECT d,
+          COUNT(*) FILTER (WHERE state = 'new') AS n_new,
+          COUNT(*) FILTER (WHERE state = 'retained') AS n_retained,
+          COUNT(*) FILTER (WHERE state = 'resurrected') AS n_resurrected
+        FROM cls GROUP BY d),
+      ch AS (SELECT a.d + 1 AS d, COUNT(*) AS n_churned
+        FROM ud a LEFT JOIN ud b ON b.u = a.u AND b.d = a.d + 1
+        WHERE b.u IS NULL GROUP BY a.d + 1)
+      SELECT CAST(COALESCE(fl.d, ch.d) AS BIGINT) AS day,
+        CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+        CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+        CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+      FROM fl FULL OUTER JOIN ch USING (d)
+      ORDER BY day""".trim)) { (spark, dir) =>
+    graft.ops.Behavior.growthAccounting(Tables.events(spark, dir))
+      .orderBy("day")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q38, q39, q46, q48, q49, q54)
 }

@@ -319,7 +319,66 @@ object TimeSeries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** Seasonal-residual anomalies: decompose residual vs its key's
+    * rank-selected median/MAD at k=3. Oracle replays the ts_seasonal
+    * chain then the two rank selections and the threshold. */
+  val tsAnomaly = GraftQuery(
+    "ts_anomaly",
+    Some("""
+      WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS v
+        FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0),
+      t AS (
+        SELECT event_type, h, v,
+          ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE) /
+                COUNT(*) OVER w, 6) AS trend
+        FROM b WINDOW w AS (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      d AS (
+        SELECT event_type, h, v, trend,
+          CAST(floor(epoch(h)) AS BIGINT) // 3600 % 24 AS hod,
+          CAST(v AS DECIMAL(18,6)) - CAST(trend AS DECIMAL(18,6)) AS detr
+        FROM t),
+      s AS (
+        SELECT event_type, hod,
+          ROUND(CAST(SUM(detr) AS DOUBLE) / COUNT(*), 6) AS seasonal
+        FROM d GROUP BY 1, 2),
+      dec AS (
+        SELECT d.event_type, d.h, d.v,
+          CAST(CAST(d.v AS DECIMAL(18,6)) - CAST(d.trend AS DECIMAL(18,6))
+               - CAST(s.seasonal AS DECIMAL(18,6)) AS DOUBLE) AS resid
+        FROM d JOIN s USING (event_type, hod)),
+      mr AS (
+        SELECT event_type, h, v, resid,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY resid, h) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dec),
+      med AS (
+        SELECT event_type, resid AS med FROM mr
+        WHERE rn = CAST(ceil(n / 2.0) AS INT)),
+      dev AS (
+        SELECT dec.event_type, dec.h, dec.v, dec.resid, med.med,
+          abs(dec.resid - med.med) AS dv
+        FROM dec JOIN med USING (event_type)),
+      dr AS (
+        SELECT event_type, dv,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv, h) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev),
+      mad AS (
+        SELECT event_type, dv AS mad FROM dr
+        WHERE rn = CAST(ceil(n / 2.0) AS INT))
+      SELECT dev.event_type, dev.h, dev.v, dev.resid,
+        ROUND(dev.med, 6) AS med, ROUND(mad.mad, 6) AS mad
+      FROM dev JOIN mad USING (event_type)
+      WHERE abs(dev.resid - dev.med) > 3.0 * mad.mad
+      ORDER BY dev.event_type, dev.h""".stripMargin.trim)) { (spark, dir) =>
+    Resample.seasonalAnomalies(Tables.events(spark, dir))
+      .orderBy("event_type", "h")
+  }
+
   override def all: Seq[GraftQuery] =
     Seq(tsGapfill, tsEwma, q32, q34, tsM4, tsHampel, tsSeasonal,
-      tsAutocorr, tsChangepoint)
+      tsAutocorr, tsChangepoint, tsAnomaly)
 }

@@ -230,4 +230,64 @@ class BehaviorSpec extends SparkTestBase {
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(plain == Map(1 -> 3L, 2 -> 3L, 3 -> 3L), s"got $plain")
   }
+
+  test("growthAccounting: planted lifecycle — new, retained, " +
+      "resurrected, churned flows conserve DAU") {
+    import org.apache.spark.sql.functions._
+    def ts(day: Int) = new Timestamp(day * 86400000L + 3600000L)
+    // u1: d0,d1 (new -> retained; churns on d2)
+    // u2: d0, d2 (new; churns d1; resurrects d2; churns d3)
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(1)),
+      (2L, ts(0)), (2L, ts(2)))
+      .toDF("user_id", "ts")
+    val got = Behavior.growthAccounting(df)
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+          r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned"))).toMap
+    assert(got(0L) == ((2L, 0L, 0L, 0L)))
+    assert(got(1L) == ((0L, 1L, 0L, 1L)))   // u1 retained, u2 churned
+    assert(got(2L) == ((0L, 0L, 1L, 1L)))   // u2 back, u1 churned
+    assert(got(3L) == ((0L, 0L, 0L, 1L)))   // u2 churns past the feed
+    // conservation: DAU(d) = new + retained + resurrected
+    val dau = df.select(expr("unix_micros(ts) div 86400000000").as("d"),
+        col("user_id")).distinct()
+      .groupBy("d").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((d, (n, r2, rs, _)) <- got if dau.contains(d))
+      assert(n + r2 + rs == dau(d), s"flow conservation broke on day $d")
+  }
+
+  test("seasonalAnomalies flags a planted spike against the seasonal " +
+      "pattern and stays silent on a clean periodic series") {
+    import org.apache.spark.sql.functions._
+    def hts(h: Int) = new Timestamp(h * 3600000L)
+    // clean 24h pattern for 4 days, one corrupted hour
+    val clean = for (h <- 0 until 96) yield
+      ("a", hts(h), 10.0 + (h % 24))
+    val spiked = clean.map { case (k, t, v) =>
+      if (t == hts(50)) (k, t, v + 500.0) else (k, t, v) }
+    // classical decomposition has EDGE effects (the centered trend
+    // window truncates at the series boundaries), so the clean-series
+    // contract is interior silence, not global silence
+    def interior(h: Timestamp) =
+      h.getTime >= hts(12).getTime && h.getTime < hts(84).getTime
+    val quiet = graft.ops.Resample.seasonalAnomalies(
+        clean.toDF("event_type", "ts", "value")).collect()
+    assert(!quiet.exists(r => interior(r.getAs[Timestamp]("h"))),
+      "clean periodic series must not flag interior hours")
+    val flagged = graft.ops.Resample.seasonalAnomalies(
+      spiked.toDF("event_type", "ts", "value")).collect()
+    assert(flagged.exists(_.getAs[Timestamp]("h") == hts(50)),
+      "the planted spike hour must be flagged")
+    // the spike dominates every other flag (its neighbors flag too —
+    // a ±500 outlier leaks into the non-robust trend/seasonal means —
+    // but only as low-amplitude echoes)
+    val byResid = flagged.map(r =>
+      r.getAs[Timestamp]("h") -> math.abs(r.getAs[Double]("resid")))
+    val top = byResid.maxBy(_._2)
+    assert(top._1 == hts(50), s"largest residual must be the spike, got $top")
+    assert(byResid.filter(_._1 != hts(50)).forall(_._2 < top._2 * 0.6),
+      "echo flags must stay well below the spike residual")
+  }
 }
