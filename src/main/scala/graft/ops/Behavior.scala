@@ -293,6 +293,45 @@ object Behavior {
         col("f_q").cast("string"), col("m_q").cast("string")))
   }
 
+  /** Pareto (revenue-concentration) curve: customers ranked by
+    * descending revenue, cut into equal-count bands by pure integer
+    * rank math, each band reporting its exact-decimal revenue and the
+    * cumulative share through it — "the top 10% of customers drive
+    * 43% of revenue", computed exactly.
+    *
+    * Same machinery as [[rfmSegments]]/calibration: one map-side
+    * combined per-customer aggregate is the only fact-scale pass, the
+    * rank+running-sum goes through [[Ranking.globalRankCumsum]]'s
+    * range-parallel two-phase plan (revenue in exact decimal through
+    * the running sum), band cuts are `(rank−1)·b div n + 1`, and the
+    * share is one IEEE division per band on exact operands.
+    */
+  def paretoCurve(orders: DataFrame, custCol: String = "o_custkey",
+      priceCol: String = "o_totalprice", bands: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val a = orders
+      .groupBy(col(custCol).as("custkey"))
+      .agg(sum(col(priceCol).cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("revenue"))
+    val n = a.agg(count(lit(1)).as("__n"),
+      sum(col("revenue")).cast(DecimalType(28, 2)).as("__tot"))
+    Ranking.globalRankCumsum(a,
+        Seq(col("revenue").desc, col("custkey")), col("revenue"),
+        "__rk", "__cum")
+      .crossJoin(broadcast(n))
+      .withColumn("band",
+        expr(s"(__rk - 1) * $bands div __n + 1").cast("long"))
+      .groupBy("band")
+      .agg(count(lit(1)).cast("long").as("n_cust"),
+        sum(col("revenue")).cast(DecimalType(28, 2)).as("revenue"),
+        max(col("__cum")).cast(DecimalType(28, 2)).as("__cumEnd"),
+        max(col("__tot").cast(DecimalType(28, 2))).as("__tot"))
+      .withColumn("cum_share", round(
+        col("__cumEnd").cast("double") / col("__tot").cast("double"), 6))
+      .select(col("band"), col("n_cust"), col("revenue"), col("cum_share"))
+      .orderBy("band")
+  }
+
   /** Growth accounting: per day, the four mutually exclusive user
     * states product analytics reports — `new` (first-ever activity
     * today), `retained` (active today AND yesterday), `resurrected`

@@ -102,6 +102,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** k-NN GRAPH over the whole corpus through the IVF candidate shape
+    * (every vector is a query against every other), with RECIPROCAL
+    * edges marked — the construction step under graph clustering,
+    * SemDeDup-style community pruning, and kNN-graph ANN indexes; the
+    * mutual flag is the standard robustness signal (a hub attracts
+    * thousands of one-way edges, but only its true neighbors point
+    * back).
+    *
+    * Scale shape: the all-pairs form of [[ivfTopK]] — pair mass is
+    * |corpus|·nProbe/nCells, never corpus²; the mutual marking is ONE
+    * self-equi-join of the (corpus·k)-row edge list on the swapped id
+    * pair. Deterministic (fixed centroids), so fully oracle-gateable
+    * unlike an LSH graph.
+    */
+  def knnGraph(corpus: DataFrame, centroids: DataFrame, nProbe: Int = 4,
+      k: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val edges = ivfTopK(corpus, corpus, centroids, nProbe, k, idCol, vecCol)
+      .localCheckpoint(false) // consumed by both sides of the self-join
+    val back = edges.select(col("query_id").as("neighbor_id"),
+      col("neighbor_id").as("query_id"), lit(true).as("__back"))
+    edges.join(back, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        coalesce(col("__back"), lit(false)).as("mutual"))
+  }
+
   /** RANGE (radius) search through the IVF candidate shape: every
     * corpus neighbor with cosine ≥ `tau` among the query's probed
     * cells — the "give me everything this similar" retrieval mode

@@ -177,5 +177,32 @@ object Behavior extends QueryPack {
       .orderBy("day")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q38, q39, q46, q48, q49, q54)
+  /** Pareto revenue-concentration curve: customers ranked by
+    * descending revenue, equal-count bands by integer rank math, exact
+    * decimal revenue + cumulative share per band
+    * ([[graft.ops.Behavior.paretoCurve]]). */
+  val q55 = GraftQuery(
+    "q55_pareto",
+    Some("""
+      WITH a AS (SELECT o_custkey AS custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        FROM orders GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n, CAST(SUM(revenue) AS DECIMAL(28,2)) AS tot FROM a),
+      r AS (SELECT custkey, revenue,
+          ROW_NUMBER() OVER (ORDER BY revenue DESC, custkey) AS rk,
+          SUM(revenue) OVER (ORDER BY revenue DESC, custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM a),
+      g AS (SELECT (rk - 1) * 10 // n.n + 1 AS band, COUNT(*) AS n_cust,
+          CAST(SUM(revenue) AS DECIMAL(28,2)) AS revenue,
+          CAST(MAX(cum) AS DECIMAL(28,2)) AS cumend, MAX(n.tot) AS tot
+        FROM r CROSS JOIN n GROUP BY 1)
+      SELECT CAST(band AS BIGINT) AS band, CAST(n_cust AS BIGINT) AS n_cust,
+        revenue,
+        ROUND(CAST(cumend AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+      FROM g ORDER BY band""".trim)) { (spark, dir) =>
+    graft.ops.Behavior.paretoCurve(Tables.orders(spark, dir))
+  }
+
+  override def all: Seq[GraftQuery] = Seq(q38, q39, q46, q48, q49, q54, q55)
 }

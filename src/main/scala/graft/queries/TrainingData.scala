@@ -438,6 +438,42 @@ object TrainingData extends QueryPack {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Corpus-wide reciprocal k-NN graph through the IVF shape: every
+    * vector queries its probed cells, top-3 edges, mutual edges marked
+    * by one self-equi-join on the swapped pair. Oracle = ann_ivf's
+    * chain with q = the whole corpus + the reciprocal left join. */
+  val annKnnGraph = GraftQuery(
+    "ann_knn_graph",
+    Some(s"""
+      WITH $NORM,
+      cent AS (SELECT vec_id AS cid, e, nrm FROM m WHERE vec_id < 16),
+      asg AS (SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> v.e[i]*c.e[i])) / (v.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m v CROSS JOIN cent c) t WHERE rn = 1),
+      probes AS (SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m q CROSS JOIN cent c) t WHERE rn <= 4),
+      p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+        ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+       FROM probes pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.query_id
+       JOIN m q ON q.vec_id = pr.query_id JOIN m c ON c.vec_id = a.vec_id),
+      top AS (SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM p) t
+       WHERE rn <= 3)
+      SELECT t.query_id, t.neighbor_id, t.cosine,
+        (b.query_id IS NOT NULL) AS mutual
+      FROM top t LEFT JOIN top b
+        ON b.query_id = t.neighbor_id AND b.neighbor_id = t.query_id
+      ORDER BY t.query_id, t.neighbor_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.knnGraph(embs, embs.filter(col("vec_id") < 16))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** LSH ANN is genuinely approximate — no portable-SQL oracle; driver
     * records a rows-only check, recall is asserted in SimilaritySpec. */
   val annLsh = GraftQuery("ann_lsh", None) { (spark, dir) =>
@@ -1422,7 +1458,7 @@ object TrainingData extends QueryPack {
     dedupEmbedding, dedupSemantic,
     dedupClusters, dedupSurvivorship, dataSplit, dataSample, dataWeighted, dataPack,
     annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, annIvfPq,
-    annIvfSq, annRange,
+    annIvfSq, annRange, annKnnGraph,
     annPqTrained, annIvfAdcR, annMaxSim, annHardNegatives,
     annMaxSimIvf, annHardNegativesIvf, dedupParagraph)
 }

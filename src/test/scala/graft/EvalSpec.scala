@@ -237,4 +237,39 @@ class EvalSpec extends SparkTestBase {
     val out = RetryLadder.execute(t, "GET", "u", Map.empty, "ua")(_ => ())
     assert(out.attempts == 1 && out.result.toOption.get.status == 404)
   }
+
+  // ---- knn graph + pareto ----
+
+  test("knnGraph: mutual flag is exactly edge-reciprocity; probing " +
+      "all cells reproduces brute-force edges") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val cents = embs.filter(col("vec_id") < 8)
+    val g = Similarity.knnGraph(embs, cents, nProbe = 8, k = 3)
+    val edges = g.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = g.filter(col("mutual")).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mutual == edges.filter { case (a, b) => edges((b, a)) },
+      "mutual must equal reciprocity over the edge set")
+    // probe-all == per-query brute-force top-3
+    val brute = Similarity.bruteForceTopK(embs, embs, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == brute, "all-cells knn graph must equal brute force")
+  }
+
+  test("paretoCurve: bands partition the customers, revenue adds up, " +
+      "cumulative share is monotone and ends at 1") {
+    val orders = Tables.orders(spark, sfDir)
+    val bands = graft.ops.Behavior.paretoCurve(orders).collect()
+    assert(bands.map(_.getAs[Long]("band")).toSeq == (1L to 10L))
+    val nCust = orders.select("o_custkey").distinct().count()
+    assert(bands.map(_.getAs[Long]("n_cust")).sum == nCust)
+    val shares = bands.map(_.getAs[Double]("cum_share")).toSeq
+    assert(shares == shares.sorted, "cum_share must be monotone")
+    assert(math.abs(shares.last - 1.0) < 1e-9)
+    // concentration: the top band out-earns the bottom band
+    assert(bands.head.getAs[java.math.BigDecimal]("revenue")
+      .compareTo(bands.last.getAs[java.math.BigDecimal]("revenue")) > 0)
+  }
 }
