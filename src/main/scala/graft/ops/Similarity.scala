@@ -128,6 +128,80 @@ object Similarity {
         coalesce(col("__back"), lit(false)).as("mutual"))
   }
 
+  /** Deterministic TRIPLET mining for contrastive training: every
+    * corpus vector becomes an anchor paired with
+    *  - a POSITIVE: the next same-label vector in salted-hash order
+    *    (cyclic within the label) — an unbiased, reproducible,
+    *    append-stable stand-in for "sample a random positive" (the
+    *    [[graft.ops.Splits]] hash-selection contract: same triplets on
+    *    every run/cluster/retry, no `rand()`);
+    *  - a NEGATIVE: the top wrong-label neighbor from the IVF
+    *    hard-negative path — the semi-hard negative that makes triplet
+    *    losses converge, restricted to probed cells (pair mass
+    *    |corpus|·nProbe/nCells, never corpus²).
+    *
+    * Scale shape: the positive side is the label-leading range-parallel
+    * rank + a (label, position+1 mod n) self-equi-join (label offsets
+    * ride a label-count-sized broadcast); the negative side is the
+    * [[hardNegativesIvf]] cell equi-join with k=1, label joins
+    * un-hinted (corpus-as-queries must not broadcast a corpus-sized
+    * label table). Singleton-label anchors (their cyclic positive is
+    * themselves) and anchors with no wrong-label candidate in probed
+    * cells drop out — deterministically. Fully oracle-gateable.
+    */
+  def tripletMine(corpus: DataFrame, centroids: DataFrame, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", salt: String = "trip"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = corpus.select(col(idCol).as("anchor_id"),
+        col(labelCol).cast("long").as("label"))
+      .withColumn("__h", Hashing.hash60(
+        concat(lit(s"$salt:"), col("anchor_id").cast("string"))))
+    val ranked = graft.ops.Ranking.globalRank(keyed,
+      Seq(col("label"), col("__h"), col("anchor_id")), "__r")
+    // per-label start offset + size: label-count-sized table
+    val wOff = Window.orderBy("label")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy("label").agg(count(lit(1)).as("__n"))
+      .withColumn("__r0", coalesce(sum(col("__n")).over(wOff), lit(0L)) + 1)
+    val pos = ranked.join(broadcast(offs), "label")
+      .withColumn("__p", col("__r") - col("__r0"))
+    val partner = pos.select(col("label"), col("__p").as("__pp"),
+      col("anchor_id").as("pos_id"))
+    val pairs = pos
+      .withColumn("__pp", (col("__p") + 1) % col("__n"))
+      .join(partner, Seq("label", "__pp"))
+      .filter(col("anchor_id") =!= col("pos_id")) // singleton labels drop
+      .select(col("anchor_id"), col("label"), col("pos_id"))
+    // negative: hardNegativesIvf's shape with k=1 and UN-hinted label
+    // joins (the query side IS the corpus here)
+    val cA = cellAssignments(corpus, centroids, 1, idCol, vecCol)
+      .select(col("vec_id"), col("cid"), col("e").as("ce"),
+        col("nrm").as("cn"))
+    val qA = cellAssignments(corpus, centroids, nProbe, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("cid"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val lab = corpus.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("__lab"))
+    val scored = qA
+      .join(lab.select(col("vec_id").as("query_id"),
+        col("__lab").as("q_lab")), "query_id")
+      .join(cA, "cid")
+      .join(lab.select(col("vec_id"), col("__lab").as("c_lab")), "vec_id")
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("q_lab") =!= col("c_lab"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineWithNorms(col("qe"), col("ce"), col("qn"), col("cn")), 6)
+          .as("cosine"))
+    val neg = graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id")), 1)
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("neg_id"), col("cosine").as("neg_cosine"))
+    pairs.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("label"), col("pos_id"), col("neg_id"),
+        col("neg_cosine"))
+  }
+
   /** RANGE (radius) search through the IVF candidate shape: every
     * corpus neighbor with cosine ≥ `tau` among the query's probed
     * cells — the "give me everything this similar" retrieval mode

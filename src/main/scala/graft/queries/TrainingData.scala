@@ -474,6 +474,55 @@ object TrainingData extends QueryPack {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Deterministic triplet mining: cyclic same-label positives in
+    * salted-hash order + IVF hard negatives (k=1) — contrastive
+    * training-set assembly, end-to-end gated. */
+  val dataTriplets = GraftQuery(
+    "data_triplets",
+    Some(s"""
+      WITH $NORM,
+      ml AS (SELECT m.vec_id, m.e, m.nrm, CAST(b.label AS BIGINT) AS lab
+             FROM m JOIN embeddings b ON b.vec_id = m.vec_id),
+      hk AS (SELECT vec_id, lab,
+          ('0x'||substr(md5('trip:'||CAST(vec_id AS VARCHAR)),1,15))::BIGINT AS h
+        FROM ml),
+      rk AS (SELECT vec_id, lab,
+          ROW_NUMBER() OVER (PARTITION BY lab ORDER BY h, vec_id) AS p,
+          COUNT(*) OVER (PARTITION BY lab) AS n
+        FROM hk),
+      pairs AS (SELECT a.vec_id AS anchor_id, a.lab AS label,
+          b.vec_id AS pos_id
+        FROM rk a JOIN rk b ON b.lab = a.lab AND b.p = (a.p % a.n) + 1
+        WHERE a.vec_id != b.vec_id),
+      cent AS (SELECT vec_id AS cid, e, nrm FROM m WHERE vec_id < 16),
+      asg AS (SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> v.e[i]*c.e[i])) / (v.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m v CROSS JOIN cent c) t WHERE rn = 1),
+      probes AS (SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM ml q CROSS JOIN cent c) t WHERE rn <= 4),
+      cand AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+        ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+       FROM probes pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.query_id
+       JOIN ml q ON q.vec_id = pr.query_id JOIN ml c ON c.vec_id = a.vec_id
+       WHERE c.lab != q.lab),
+      neg AS (SELECT query_id AS anchor_id, neighbor_id AS neg_id,
+          cosine AS neg_cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS rn FROM cand) t
+       WHERE rn = 1)
+      SELECT p2.anchor_id, p2.label, p2.pos_id, neg.neg_id, neg.neg_cosine
+      FROM pairs p2 JOIN neg USING (anchor_id)
+      ORDER BY p2.anchor_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.tripletMine(embs, embs.filter(col("vec_id") < 16))
+      .orderBy("anchor_id")
+  }
+
   /** LSH ANN is genuinely approximate — no portable-SQL oracle; driver
     * records a rows-only check, recall is asserted in SimilaritySpec. */
   val annLsh = GraftQuery("ann_lsh", None) { (spark, dir) =>
@@ -1458,7 +1507,7 @@ object TrainingData extends QueryPack {
     dedupEmbedding, dedupSemantic,
     dedupClusters, dedupSurvivorship, dataSplit, dataSample, dataWeighted, dataPack,
     annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, annIvfPq,
-    annIvfSq, annRange, annKnnGraph,
+    annIvfSq, annRange, annKnnGraph, dataTriplets,
     annPqTrained, annIvfAdcR, annMaxSim, annHardNegatives,
     annMaxSimIvf, annHardNegativesIvf, dedupParagraph)
 }

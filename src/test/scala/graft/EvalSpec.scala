@@ -272,4 +272,29 @@ class EvalSpec extends SparkTestBase {
     assert(bands.head.getAs[java.math.BigDecimal]("revenue")
       .compareTo(bands.last.getAs[java.math.BigDecimal]("revenue")) > 0)
   }
+
+  test("tripletMine: positives are a cyclic same-label bijection, " +
+      "negatives are wrong-label, assembly is deterministic") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val cents = embs.filter(col("vec_id") < 8)
+    val t = Similarity.tripletMine(embs, cents).collect()
+    assert(t.nonEmpty)
+    val labels = embs.select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- t) {
+      val (a, p, ng) = (r.getAs[Long]("anchor_id"),
+        r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id"))
+      assert(a != p, "anchor paired with itself")
+      assert(labels(a) == labels(p), "positive label mismatch")
+      assert(labels(a) != labels(ng), "negative shares the label")
+    }
+    // cyclic bijection: within a label every vector is someone's
+    // positive exactly once (labels here all have >= 2 members)
+    val posCounts = t.groupBy(_.getAs[Long]("pos_id")).view.mapValues(_.size)
+    assert(posCounts.values.forall(_ == 1),
+      "cyclic positive must be a bijection")
+    val again = Similarity.tripletMine(embs, cents).collect()
+    assert(t.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq,
+      "triplet assembly must be deterministic")
+  }
 }
