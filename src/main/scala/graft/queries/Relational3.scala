@@ -249,5 +249,74 @@ object Relational3 extends QueryPack {
       .orderBy("event_type")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q24, q25, q26, q27, q28, q29, q30)
+  /** Navigation-function battery: first/last with IGNORE NULLS (nulls
+    * manufactured so the skip path executes), nth_value, offset
+    * lag/lead with defaults — the remaining window-function semantics
+    * q22 (ranks) and q29 (frames) don't cover. last_value reads the
+    * FULL frame (its default current-row frame is the classic silent
+    * bug — pinned here by the oracle). */
+  val q58 = GraftQuery(
+    "q58_window_nav",
+    Some("""
+      WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+          CASE WHEN value < 1 THEN NULL ELSE value END AS v
+        FROM events WHERE user_id < 40)
+      SELECT user_id, event_id,
+        FIRST_VALUE(v IGNORE NULLS) OVER w AS first_seen,
+        LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_seen,
+        NTH_VALUE(v, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_v,
+        LAG(v, 2, -1.0) OVER w AS lag2,
+        LEAD(event_type, 1, 'none') OVER w AS next_type
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""".trim)) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 40)
+      .withColumn("v", when(col("value") < 1, lit(null)).otherwise(col("value")))
+      .select(col("user_id"), col("event_id"),
+        first(col("v"), ignoreNulls = true).over(w).as("first_seen"),
+        last(col("v"), ignoreNulls = true).over(wFull).as("last_seen"),
+        nth_value(col("v"), 2).over(wFull).as("second_v"),
+        lag(col("v"), 2, -1.0).over(w).as("lag2"),
+        lead(col("event_type"), 1, "none").over(w).as("next_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** JSON path battery over the events `props` payload: scalar
+    * extraction, missing-key NULL semantics, numeric casts, and a
+    * nested path through a constructed document — the ad-hoc
+    * semi-structured access pattern the reference's payload layer
+    * formalizes (meteo_normalize is the schema-full version; this is
+    * the exploratory one). */
+  val q59 = GraftQuery(
+    "q59_json_funcs",
+    Some("""
+      SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        json_extract_string(props, '$.missing') AS missing,
+        CAST(json_extract_string(
+          '{"a":{"b":' || json_extract_string(props, '$.k') || '}}',
+          '$.a.b') AS BIGINT) AS nested
+      FROM events WHERE event_id < 2000
+      ORDER BY event_id""".trim)) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(col("props"), "$.missing").as("missing"),
+        get_json_object(concat(lit("{\"a\":{\"b\":"),
+            get_json_object(col("props"), "$.k"), lit("}}")),
+          "$.a.b").cast("long").as("nested"))
+      .orderBy("event_id")
+  }
+
+  override def all: Seq[GraftQuery] =
+    Seq(q24, q25, q26, q27, q28, q29, q30, q58, q59)
 }
