@@ -212,6 +212,66 @@ object Resample {
           .cast("double").as("resid"))
   }
 
+  /** LTTB downsampling (Steinarsson's Largest-Triangle-Three-Buckets,
+    * public) — the perceptual sibling of [[m4Downsample]]: M4 preserves
+    * the rendered min/max envelope, LTTB keeps the single point per
+    * bucket that preserves the line's SHAPE (the largest triangle
+    * against the neighboring buckets).
+    *
+    * PARALLEL-ANCHOR variant: canonical LTTB anchors each triangle on
+    * the previously SELECTED point — a sequential chain no engine can
+    * parallelize — so both anchors here are the neighbor buckets'
+    * round-6 decimal mean points (the standard distributed relaxation;
+    * identical bucketing to M4, so the two compose on one scan shape).
+    * Interior buckets only (edge buckets lack an anchor — compose with
+    * m4's first/last for the endpoints).
+    *
+    * Determinism: the x anchors are BUCKET CENTERS in epoch micros —
+    * pure integer-derived constants exactly representable in a double
+    * (≪ 2⁵³), so no epoch-scale mean or round is ever computed (a
+    * `round(x, 6)` at the 10¹⁵ scale is where engines' rounding
+    * implementations diverge — measured); y anchors are round-6
+    * decimal means at value scale; the area is ONE written
+    * cross-product tree over exact operands (identical IEEE result
+    * both engines, no rounding needed); election is max(struct(area,
+    * ts, id)) — largest area, latest-point tie-break, one
+    * map-side-combined aggregate per bucket. */
+  def lttbDownsample(events: DataFrame, key: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value",
+      idCol: String = "event_id", bucketSeconds: Long = 3600L): DataFrame = {
+    import graft.functions.Exact.dec
+    val bucketUs = bucketSeconds * 1000000L
+    val e = events.filter(col(valCol).isNotNull)
+      .select(col(key), col(tsCol).as("ts"), col(valCol).as("v"),
+        col(idCol).as("id"),
+        expr(s"CAST(floor(unix_timestamp($tsCol) / $bucketSeconds) AS BIGINT)")
+          .as("bucket"))
+    val means = e.groupBy(col(key), col("bucket"))
+      .agg(round(sum(dec(col("v"))).cast("double") / count(lit(1)), 6)
+        .as("my"))
+    def centerX(b: Column): Column =
+      (b.cast("double") + lit(0.5)) * lit(bucketUs.toDouble)
+    val lhs = means.select(col(key), (col("bucket") + 1).as("bucket"),
+      col("my").as("yl"))
+    val rhs = means.select(col(key), (col("bucket") - 1).as("bucket"),
+      col("my").as("yr"))
+    e.join(lhs, Seq(key, "bucket"))
+      .join(rhs, Seq(key, "bucket"))
+      .withColumn("__xl", centerX(col("bucket") - 1))
+      .withColumn("__xr", centerX(col("bucket") + 1))
+      .withColumn("__area", abs(
+        (col("__xl") - col("__xr")) *
+          (col("v") - col("yl")) -
+          (col("__xl") - expr("CAST(unix_micros(ts) AS DOUBLE)")) *
+          (col("yl") - col("yr"))))
+      .groupBy(col(key), col("bucket"))
+      .agg(max(struct(col("__area"), col("ts"), col("id"), col("v")))
+        .as("__best"))
+      .select(col(key), col("bucket"), col("__best.ts").as("ts"),
+        col("__best.v").as("v"), col("__best.id").as("id"),
+        col("__best.__area").as("area"))
+  }
+
   /** Seasonal-residual anomaly detection: [[seasonalDecompose]]'s
     * residual judged against its own key's robust median/MAD scale —
     * the anomaly detector a seasonal feed actually needs (a plain

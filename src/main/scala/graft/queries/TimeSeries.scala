@@ -378,7 +378,40 @@ object TimeSeries extends QueryPack {
       .orderBy("event_type", "h")
   }
 
+  /** LTTB downsampling (parallel-anchor variant): largest-triangle
+    * point per hour bucket against the neighbor buckets' mean anchors
+    * ([[graft.ops.Resample.lttbDownsample]]). */
+  val tsLttb = GraftQuery(
+    "ts_lttb",
+    Some("""
+      WITH e AS (SELECT event_type, ts, value AS v, event_id AS id,
+          CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket
+        FROM events WHERE value IS NOT NULL),
+      m AS (SELECT event_type, bucket,
+          ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS my
+        FROM e GROUP BY 1, 2),
+      j AS (SELECT e.event_type, e.bucket, e.ts, e.v, e.id,
+          (CAST(e.bucket - 1 AS DOUBLE) + 0.5) * 3600000000.0 AS xl,
+          l.my AS yl,
+          (CAST(e.bucket + 1 AS DOUBLE) + 0.5) * 3600000000.0 AS xr,
+          r.my AS yr
+        FROM e JOIN m l ON l.event_type = e.event_type AND l.bucket = e.bucket - 1
+               JOIN m r ON r.event_type = e.event_type AND r.bucket = e.bucket + 1),
+      a AS (SELECT event_type, bucket, ts, v, id,
+          abs((xl - xr) * (v - yl) -
+              (xl - CAST(epoch_us(ts) AS DOUBLE)) * (yl - yr)) AS area
+        FROM j),
+      r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+          ORDER BY area DESC, ts DESC, id DESC) AS rn FROM a)
+      SELECT event_type, CAST(bucket AS BIGINT) AS bucket, ts,
+        v, CAST(id AS BIGINT) AS id, area
+      FROM r2 WHERE rn = 1
+      ORDER BY event_type, bucket""".stripMargin.trim)) { (spark, dir) =>
+    Resample.lttbDownsample(Tables.events(spark, dir))
+      .orderBy("event_type", "bucket")
+  }
+
   override def all: Seq[GraftQuery] =
     Seq(tsGapfill, tsEwma, q32, q34, tsM4, tsHampel, tsSeasonal,
-      tsAutocorr, tsChangepoint, tsAnomaly)
+      tsAutocorr, tsChangepoint, tsAnomaly, tsLttb)
 }
