@@ -46,14 +46,47 @@ object Resample {
         // exact here (|epoch| ≪ 2⁵³).
         expr(s"CAST(floor(unix_timestamp($tsCol) / $bucketSeconds) AS BIGINT)")
           .as("bucket"))
-    def pick(role: String, s: String) = struct(lit(role).as("role"),
-      col(s"$s.ts").as("ts"), col(s"$s.v").as("v"), col(s"$s.id").as("id"))
+    m4Finalize(m4StateOf(e, key))
+  }
+
+  /** MERGEABLE M4 state: per (key, bucket) the four extremal structs.
+    * min/max of structs are ASSOCIATIVE, COMMUTATIVE and IDEMPOTENT —
+    * so batches merge in any order ([[m4Merge]]), tree-merged backfills
+    * and foreachBatch maintenance share the algebra (the
+    * [[IncrementalAgg]] story), and an at-least-once REPLAY of a batch
+    * cannot corrupt the state (duplicates never move a min/max —
+    * spec-proven; counts need the versioned-state machinery for this,
+    * M4 gets it from the algebra). */
+  def m4State(events: DataFrame, key: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value",
+      idCol: String = "event_id", bucketSeconds: Long = 3600L): DataFrame =
+    m4StateOf(events.filter(col(valCol).isNotNull)
+      .select(col(key), col(tsCol).as("ts"), col(valCol).as("v"),
+        col(idCol).as("id"),
+        expr(s"CAST(floor(unix_timestamp($tsCol) / $bucketSeconds) AS BIGINT)")
+          .as("bucket")), key)
+
+  private def m4StateOf(e: DataFrame, key: String): DataFrame =
     e.groupBy(col(key), col("bucket"))
       .agg(
         min(struct(col("v"), col("ts"), col("id"))).as("mn"),
         max(struct(col("v"), col("ts"), col("id"))).as("mx"),
         min(struct(col("ts"), col("id"), col("v"))).as("fst"),
         max(struct(col("ts"), col("id"), col("v"))).as("lst"))
+
+  /** Merge any number of [[m4State]] tables (any order, duplicates
+    * welcome). */
+  def m4Merge(states: Seq[DataFrame], key: String = "event_type"): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col(key), col("bucket"))
+      .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"),
+        min(col("fst")).as("fst"), max(col("lst")).as("lst"))
+
+  /** State → the published 4-roles-per-bucket shape. */
+  def m4Finalize(state: DataFrame, key: String = "event_type"): DataFrame = {
+    def pick(role: String, s: String) = struct(lit(role).as("role"),
+      col(s"$s.ts").as("ts"), col(s"$s.v").as("v"), col(s"$s.id").as("id"))
+    state
       .select(col(key), col("bucket"),
         explode(array(pick("min", "mn"), pick("max", "mx"),
           pick("first", "fst"), pick("last", "lst"))).as("r"))

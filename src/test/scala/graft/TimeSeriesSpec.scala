@@ -349,4 +349,20 @@ class TimeSeriesSpec extends SparkTestBase {
         laneSize = ls)) == fewPlain, s"tiny-data divergence at laneSize=$ls")
     }
   }
+
+  test("m4 state is mergeable and replay-idempotent: split + merge " +
+      "(with a duplicated batch) equals the one-shot downsample") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val oneShot = graft.ops.Resample.m4Downsample(ev)
+      .collect().map(_.toString).sorted.toSeq
+    val parts = (0 until 3).map(r =>
+      graft.ops.Resample.m4State(ev.filter(col("event_id") % 3 === r)))
+    // merge out of order AND replay batch 0 — min/max idempotence must
+    // absorb the duplicate
+    val merged = graft.ops.Resample.m4Finalize(
+      graft.ops.Resample.m4Merge(Seq(parts(2), parts(0), parts(1), parts(0))))
+      .collect().map(_.toString).sorted.toSeq
+    assert(merged == oneShot, "merged/replayed state diverged from one-shot")
+  }
 }
