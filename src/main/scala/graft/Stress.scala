@@ -187,6 +187,20 @@ object Stress {
     time("changepoint_10x") {
       ops.Resample.cusumChangepoint(ev10).count()
     }
+    time("growth_10x") {
+      // 10× users, fixed day span (denser days)
+      ops.Behavior.growthAccounting(ev10).count()
+    }
+    time("pareto_10x") {
+      ops.Behavior.paretoCurve(orders10).count()
+    }
+    time("anomaly_10x") {
+      // 10× keys → 10× grids; windows stay grid-sized
+      ops.Resample.seasonalAnomalies(ev10).count()
+    }
+    time("lttb_10x") {
+      ops.Resample.lttbDownsample(ev10).count()
+    }
     spark.stop()
   }
 }

@@ -523,10 +523,19 @@ class PlanAuditSpec extends SparkTestBase {
     val df = SparkEntry.queries("dedup_sorted_neighborhood")(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("windowspecdefinition(__pid"),
-      s"pid-partitioned rank window missing:\n$plan")
-    assert(!plan.contains("windowspecdefinition(bk"),
-      s"partitionless sort-key window back in the plan:\n$plan")
+    // the gated query lazily CHECKPOINTS the ranked table (two cell
+    // self-join consumers), which truncates its executed plan at the
+    // checkpoint scan — so audit the rank machinery on the rank
+    // subplan itself, and the join shape on the full query
+    val rankPlan = graft.ops.Ranking.globalRank(
+        Tables.documents(spark, sfDir).select(col("doc_id"),
+          substring(col("text"), 1, 24).as("bk")),
+        Seq(col("bk"), col("doc_id")), "rank")
+      .queryExecution.executedPlan.toString
+    assert(rankPlan.contains("windowspecdefinition(__pid"),
+      s"pid-partitioned rank window missing:\n$rankPlan")
+    assert(!rankPlan.contains("windowspecdefinition(bk"),
+      s"partitionless sort-key window back in the plan:\n$rankPlan")
     // the only nested-loop joins allowed are the 1-row boundary-array
     // attaches of the deterministic global rank (build side = __bnd);
     // the NEIGHBORHOOD join itself must stay an equi-join on rank cells
