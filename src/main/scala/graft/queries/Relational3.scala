@@ -317,6 +317,43 @@ object Relational3 extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** String-distance battery: Levenshtein distance + normalized
+    * similarity between consecutive cleaned text prefixes per source —
+    * the scalar primitive under fuzzy joins ([[graft.ops.FuzzyJoin]]
+    * uses it at scale behind candidate blocking; here its SEMANTICS
+    * are oracle-pinned: exact edit counts, length normalization, the
+    * 1-based window pairing). */
+  val q60 = GraftQuery(
+    "q60_fuzzy_funcs",
+    Some("""
+      WITH d AS (SELECT doc_id, source,
+          substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 20) AS p
+        FROM documents WHERE doc_id < 500),
+      l AS (SELECT doc_id, source, p,
+          LAG(p) OVER (PARTITION BY source ORDER BY doc_id) AS q
+        FROM d)
+      SELECT doc_id, source, CAST(levenshtein(p, q) AS BIGINT) AS dist,
+        ROUND(1.0 - CAST(levenshtein(p, q) AS DOUBLE) /
+          GREATEST(length(p), length(q)), 6) AS sim
+      FROM l
+      WHERE q IS NOT NULL AND length(p) > 0 AND length(q) > 0
+      ORDER BY doc_id""".trim)) { (spark, dir) =>
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("source"),
+        substring(regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, 20)
+          .as("p"))
+      .withColumn("q", lag(col("p"), 1).over(w))
+      .filter(col("q").isNotNull && length(col("p")) > 0 &&
+        length(col("q")) > 0)
+      .select(col("doc_id"), col("source"),
+        levenshtein(col("p"), col("q")).cast("long").as("dist"),
+        round(lit(1.0) - levenshtein(col("p"), col("q")).cast("double") /
+          greatest(length(col("p")), length(col("q"))), 6).as("sim"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[GraftQuery] =
-    Seq(q24, q25, q26, q27, q28, q29, q30, q58, q59)
+    Seq(q24, q25, q26, q27, q28, q29, q30, q58, q59, q60)
 }
