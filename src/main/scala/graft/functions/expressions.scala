@@ -1117,3 +1117,124 @@ case class ScalarQuantRecon(first: Expression, second: Expression,
       newSecond: Expression, newThird: Expression): ScalarQuantRecon =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
+
+/** Count of boundary-key structs that sort BEFORE-OR-EQUAL this row's
+  * key under a per-field (ascending?, nullsFirst?) lexicographic order
+  * — the range-id kernel of [[graft.ops.Ranking]]'s deterministic
+  * two-phase global rank. The `aggregate()` HOF formulation it replaces
+  * is `CodegenFallback`: one of it in the pre-shuffle projection drops
+  * the whole stage out of WSCG and evaluates per boundary element
+  * through the interpreter with lambda-variable binding. This generates
+  * one tight loop (comparisons via `ctx.genComp`, which handles every
+  * orderable Catalyst type) and keeps the stage compiled.
+  *
+  * `children` = boundary array (array<struct of the key fields>)
+  * followed by the row's key field expressions. Null handling matches
+  * SortOrder semantics field-wise: nulls compare equal to each other,
+  * and sort first/last per `nullsFirst`.
+  */
+case class RangeBucketCount(bounds: Expression, keyFields: Seq[Expression],
+    asc: Seq[Boolean], nullsFirst: Seq[Boolean]) extends Expression {
+  require(keyFields.nonEmpty && keyFields.length == asc.length &&
+    asc.length == nullsFirst.length)
+
+  override def children: Seq[Expression] = bounds +: keyFields
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_range_bucket"
+
+  private def m: Int = keyFields.length
+  @transient private lazy val fieldTypes = keyFields.map(_.dataType)
+  @transient private lazy val ords = fieldTypes.map(
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val bv = bounds.eval(input)
+    if (bv == null) return 0
+    val arr = bv.asInstanceOf[ArrayData]
+    val ks = new Array[Any](m)
+    var f = 0
+    while (f < m) { ks(f) = keyFields(f).eval(input); f += 1 }
+    var cnt = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      val b = arr.getStruct(i, m)
+      var c = 0
+      f = 0
+      while (c == 0 && f < m) {
+        val bf = if (b.isNullAt(f)) null else b.get(f, fieldTypes(f))
+        val kf = ks(f)
+        c =
+          if (bf == null && kf == null) 0
+          else if (bf == null) { if (nullsFirst(f)) -1 else 1 }
+          else if (kf == null) { if (nullsFirst(f)) 1 else -1 }
+          else {
+            val raw = ords(f).compare(bf, kf)
+            if (asc(f)) raw else -raw
+          }
+        f += 1
+      }
+      if (c <= 0) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val bnd = bounds.genCode(ctx)
+    val keys = keyFields.map(_.genCode(ctx))
+    val arr = ctx.freshName("bndArr")
+    val cnt = ctx.freshName("cnt")
+    val i = ctx.freshName("i")
+    val row = ctx.freshName("bRow")
+    val c = ctx.freshName("cmp")
+    val fieldCmp = (0 until m).map { f =>
+      val dt = fieldTypes(f)
+      val bv = ctx.freshName("bv")
+      val javaT = CodeGenerator.javaType(dt)
+      val getV = CodeGenerator.getValue(row, dt, f.toString)
+      val bNullFirst = if (nullsFirst(f)) "-1" else "1"
+      val kNullFirst = if (nullsFirst(f)) "1" else "-1"
+      val sign = if (asc(f)) "" else "-"
+      s"""
+         |if ($c == 0) {
+         |  boolean bNull = $row.isNullAt($f);
+         |  if (bNull || ${keys(f).isNull}) {
+         |    $c = (bNull && ${keys(f).isNull}) ? 0
+         |      : (bNull ? $bNullFirst : $kNullFirst);
+         |  } else {
+         |    $javaT $bv = $getV;
+         |    $c = $sign(${ctx.genComp(dt, bv, keys(f).value.toString)});
+         |  }
+         |}
+       """.stripMargin
+    }.mkString("\n")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val block =
+      code"""
+           |${bnd.code}
+           |${keys.map(_.code).foldLeft(
+              org.apache.spark.sql.catalyst.expressions.codegen.EmptyBlock:
+                org.apache.spark.sql.catalyst.expressions.codegen.Block)(_ + _)}
+           |int $cnt = 0;
+           |if (!${bnd.isNull}) {
+           |  org.apache.spark.sql.catalyst.util.ArrayData $arr = ${bnd.value};
+           |  for (int $i = 0; $i < $arr.numElements(); $i++) {
+           |    org.apache.spark.sql.catalyst.InternalRow $row = $arr.getStruct($i, $m);
+           |    int $c = 0;
+           |    $fieldCmp
+           |    if ($c <= 0) $cnt++;
+           |  }
+           |}
+         """.stripMargin
+    ev.copy(code = block, isNull =
+      org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .variable(cnt, IntegerType))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): RangeBucketCount =
+    copy(bounds = newChildren.head, keyFields = newChildren.tail)
+}

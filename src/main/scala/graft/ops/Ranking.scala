@@ -65,7 +65,7 @@ object Ranking {
       numRanges).drop("__cum_unused")
 
   /** Sort field + direction: (value, ascending?, nullsFirst?). */
-  private def decompose(c: Column): (Column, Boolean, Boolean) =
+  private[graft] def decompose(c: Column): (Column, Boolean, Boolean) =
     GraftColumnBridge.eagerExpression(c) match {
       case so: SortOrder =>
         (GraftColumnBridge.column(so.child), so.direction == Ascending,
@@ -81,6 +81,19 @@ object Ranking {
       if (nullsFirst) b.isNull && k.isNotNull
       else b.isNotNull && k.isNull
     nullSide || (b.isNotNull && k.isNotNull && cmp)
+  }
+
+  /** HOF formulation of the range-id fold — the independent reference
+    * the spec checks the native [[graft.functions.RangeBucketCount]]
+    * against (CodegenFallback, so never used in the operator path). */
+  private[graft] def pidViaHof(bnd: Column, sortCols: Seq[Column]): Column = {
+    val decomposed = sortCols.map(decompose)
+    val fields = decomposed.map(_._1)
+    val dirs = decomposed.map(d => (d._2, d._3))
+    aggregate(bnd, lit(0), (acc, b) =>
+      acc + when(ordLeq(
+        fields.indices.map(i => b.getField(s"__f$i")), fields, dirs),
+        1).otherwise(0))
   }
 
   /** Lexicographic "b sorts before-or-equal k" over all fields. */
@@ -109,7 +122,7 @@ object Ranking {
     * single 1-row aggregate projection (array_sort with the
     * direction-aware comparator + indexed element_at) — no extra window
     * stage per rank call. */
-  private def boundaryRow(df: DataFrame, fields: Seq[Column],
+  private[graft] def boundaryRow(df: DataFrame, fields: Seq[Column],
       dirs: Seq[(Boolean, Boolean)], numRanges: Int): DataFrame = {
     val t = numRanges * 64
     val named = fields.zipWithIndex.map { case (f, i) => f.as(s"__f$i") }
@@ -156,11 +169,16 @@ object Ranking {
     val bnd = boundaryRow(df, fields, dirs, n)
     // __pid = number of boundary keys at-or-before this row's key:
     // a deterministic pure function of (row, boundary data), monotone
-    // in sort order — identical in every evaluation by construction
-    val pid = aggregate(col("__bnd"), lit(0), (acc, b) =>
-      acc + when(ordLeq(
-        fields.indices.map(i => b.getField(s"__f$i")), fields, dirs),
-        1).otherwise(0))
+    // in sort order — identical in every evaluation by construction.
+    // Computed by the native RangeBucketCount loop (genComp-based
+    // lexicographic compare), not an `aggregate()` HOF — the HOF is
+    // CodegenFallback and would drop the pre-shuffle projection of
+    // EVERY rank query out of whole-stage codegen. The HOF
+    // formulation is kept below for the spec's equivalence check.
+    val pid = GraftColumnBridge.column(graft.functions.RangeBucketCount(
+      GraftColumnBridge.expression(col("__bnd")),
+      fields.map(GraftColumnBridge.expression),
+      dirs.map(_._1), dirs.map(_._2)))
     // the 1-row boundary side rides a broadcast nested-loop join — that
     // is a broadcast-variable attach (1 build row), not a pair join;
     // plan audits distinguish it from real nested-loop joins by the

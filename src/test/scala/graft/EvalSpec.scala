@@ -297,4 +297,33 @@ class EvalSpec extends SparkTestBase {
     assert(t.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq,
       "triplet assembly must be deterministic")
   }
+
+  test("RangeBucketCount native range-id equals the HOF fold across " +
+      "directions, null orders and mixed types") {
+    val df = Seq[(java.lang.Double, String, Long)](
+      (3.0, "b", 1L), (null, "a", 2L), (1.0, null, 3L), (2.0, "c", 4L),
+      (null, "d", 5L), (9.0, "a", 6L), (2.0, "c", 7L))
+      .toDF("v", "s", "id")
+    val sortSpecs = Seq(
+      Seq(col("v").asc_nulls_first, col("s"), col("id")),
+      Seq(col("v").desc_nulls_last, col("s").desc, col("id")),
+      Seq(col("s").asc_nulls_last, col("v").desc_nulls_first, col("id")))
+    for (sorts <- sortSpecs) {
+      val decomposed = sorts.map(Ranking.decompose)
+      val fields = decomposed.map(_._1)
+      val dirs = decomposed.map(d => (d._2, d._3))
+      val bnd = Ranking.boundaryRow(df, fields, dirs, numRanges = 3)
+      val native = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.RangeBucketCount(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__bnd")),
+          fields.map(org.apache.spark.sql.GraftColumnBridge.expression),
+          dirs.map(_._1), dirs.map(_._2)))
+      val both = df.crossJoin(broadcast(bnd))
+        .select(col("id"), native.as("n"),
+          Ranking.pidViaHof(col("__bnd"), sorts).as("h"))
+        .collect()
+      assert(both.forall(r => r.getInt(1) == r.getInt(2)),
+        s"native vs HOF diverged: ${both.mkString(",")}")
+    }
+  }
 }

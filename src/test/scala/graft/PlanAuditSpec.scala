@@ -256,6 +256,12 @@ class PlanAuditSpec extends SparkTestBase {
       s"vocab must not be range-shuffled (boundaries are data now):\n$plan")
     assert(plan.contains("TopKPerKey"),
       s"deterministic boundary sample (bounded-heap bottom-T) missing:\n$plan")
+    // the native range-id expression must keep the pre-shuffle
+    // projection inside whole-stage codegen (the HOF fold it replaced
+    // was CodegenFallback and broke the stage)
+    assert("\\*\\(\\d+\\) Project \\[.*graft_range_bucket".r
+        .findFirstIn(plan).isDefined,
+      s"range-id projection fell out of whole-stage codegen:\n$plan")
   }
 
   test("q15_quantiles: rank-selection plan — the fact table is never " +
