@@ -45,7 +45,10 @@ object Association {
       .agg(count(lit(1)).as("__w"))
       .filter(col("__w") <= maxBasket)
       .select("__b")
-    val rel = items.join(keptBaskets, "__b")
+    // lazily checkpoint the capped relation: five consumers (basket
+    // count, item supports, both pair-join sides) would otherwise each
+    // re-run the distinct + width-filter over the fact
+    val rel = items.join(keptBaskets, "__b").localCheckpoint(false)
     val nBaskets = rel.select("__b").distinct()
       .agg(count(lit(1)).as("__n"))
     val itemSupp = rel.groupBy("__i")

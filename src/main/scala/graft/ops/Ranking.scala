@@ -47,9 +47,10 @@ import org.apache.spark.sql.functions._
   * key in sort order becomes a boundary. Sampling skew only affects
   * range BALANCE, never correctness — ranks are exact for any boundary
   * choice, including the empty one (tiny inputs degenerate to one range,
-  * i.e. the plain window). The per-row range id costs a fold over ≤
-  * numRanges−1 broadcast keys, which is noise next to the shuffle write
-  * each row is about to pay anyway.
+  * i.e. the plain window). The per-row range id is the native
+  * [[graft.functions.RangeBucketCount]] loop over ≤ numRanges−1
+  * broadcast keys — inside whole-stage codegen (plan-audited), and
+  * noise next to the shuffle write each row is about to pay anyway.
   */
 object Ranking {
 
