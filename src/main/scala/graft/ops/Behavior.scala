@@ -350,9 +350,17 @@ object Behavior {
   def growthAccounting(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
     val usPerDay = 86400L * 1000000L
-    val ud = events
+    growthFromDays(events
       .select(col(userCol).as("u"),
-        expr(s"unix_micros($tsCol) div $usPerDay").as("d"))
+        expr(s"unix_micros($tsCol) div $usPerDay").as("d")))
+  }
+
+  /** The metric core over a (u, d) activity table (possibly
+    * non-distinct — the internal distinct compacts it); lets the
+    * streaming lane fold activity incrementally and reuse the exact
+    * batch semantics ([[graft.streaming.StreamingActivity]]). */
+  def growthFromDays(userDays: DataFrame): DataFrame = {
+    val ud = userDays.select(col("u"), col("d"))
       .distinct()
       .localCheckpoint(false) // five consumers below; compact once
     val first = ud.groupBy("u").agg(min(col("d")).as("d0"))

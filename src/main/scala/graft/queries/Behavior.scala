@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.{col, lit, pmod}
+
 import graft.{GraftQuery, QueryPack, Tables}
 
 /** SURVEY.md §2.9 — behavioral/event analytics over the `events` stream
@@ -204,5 +206,51 @@ object Behavior extends QueryPack {
     graft.ops.Behavior.paretoCurve(Tables.orders(spark, dir))
   }
 
-  override def all: Seq[GraftQuery] = Seq(q38, q39, q46, q48, q49, q54, q55)
+  /** Streaming-vs-batch growth parity, DRIVER-VISIBLE: the event feed
+    * folds through [[graft.streaming.StreamingActivity]] in 4
+    * micro-batches WITH an at-least-once replay of batch 1; growth
+    * accounting over the folded activity set is gated against the same
+    * batch oracle as q54. Replay safety here comes from SET ALGEBRA
+    * (union is idempotent), not versioned state — hash-checked, not
+    * just spec-asserted. */
+  val streamGrowthParity = GraftQuery(
+    "stream_growth_parity",
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id AS u, epoch(ts)::BIGINT // 86400 AS d FROM events),
+      f AS (SELECT u, min(d) AS d0 FROM ud GROUP BY u),
+      cls AS (
+        SELECT ud.d,
+          CASE WHEN ud.d = f.d0 THEN 'new'
+               WHEN p.u IS NOT NULL THEN 'retained'
+               ELSE 'resurrected' END AS state
+        FROM ud JOIN f USING (u)
+        LEFT JOIN ud p ON p.u = ud.u AND p.d = ud.d - 1),
+      fl AS (SELECT d,
+          COUNT(*) FILTER (WHERE state = 'new') AS n_new,
+          COUNT(*) FILTER (WHERE state = 'retained') AS n_retained,
+          COUNT(*) FILTER (WHERE state = 'resurrected') AS n_resurrected
+        FROM cls GROUP BY d),
+      ch AS (SELECT a.d + 1 AS d, COUNT(*) AS n_churned
+        FROM ud a LEFT JOIN ud b ON b.u = a.u AND b.d = a.d + 1
+        WHERE b.u IS NULL GROUP BY a.d + 1)
+      SELECT CAST(COALESCE(fl.d, ch.d) AS BIGINT) AS day,
+        CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+        CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+        CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+      FROM fl FULL OUTER JOIN ch USING (d)
+      ORDER BY day""".trim)) { (spark, dir) =>
+    val events = Tables.events(spark, dir)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("growth_parity").toString + "/state"
+    // 0, 1, REPLAY 1 (at-least-once delivery), 2, 3
+    for (b <- Seq(0, 1, 1, 2, 3))
+      graft.streaming.StreamingActivity.foldBatch(
+        events.filter(pmod(col("event_id"), lit(4)) === b), stateDir)
+    graft.streaming.StreamingActivity.growth(spark, stateDir)
+      .orderBy("day")
+  }
+
+  override def all: Seq[GraftQuery] =
+    Seq(q38, q39, q46, q48, q49, q54, q55, streamGrowthParity)
 }
