@@ -65,8 +65,12 @@ object Eval {
         sum(col("__pos") * (lit(2L) * col("__negbelow") + col("__neg")))
           .cast("long").as("u2"))
       .withColumn("auc",
-        col("u2").cast("double") /
-          (lit(2.0) * col("n_pos") * col("n_neg")))
+        // single-class inputs have no rankable pairs: NULL, not a
+        // DIVIDE_BY_ZERO crash (ANSI mode) — the degenerate feed a
+        // misconfigured label column produces must not kill the job
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg"))))
   }
 
   /** Calibration table: rows bucketed into `buckets` equal-count bins by

@@ -326,4 +326,31 @@ class EvalSpec extends SparkTestBase {
         s"native vs HOF diverged: ${both.mkString(",")}")
     }
   }
+
+  // ---- degenerate inputs ----
+
+  test("degenerate inputs: empty and singleton frames flow through the " +
+      "rank, basket, growth and triplet paths without errors") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Long)].toDF("s", "tb")
+    assert(Ranking.globalRank(empty, Seq(col("s"), col("tb")), "rk")
+      .count() == 0L)
+    val one = Seq((5.0, 1L)).toDF("s", "tb")
+    val oneRanked = Ranking.globalRank(one, Seq(col("s"), col("tb")), "rk")
+      .head()
+    assert(oneRanked.getAs[Long]("rk") == 1L)
+    assert(Association.basketRules(
+      Seq.empty[(Long, String)].toDF("b", "i"), "b", "i").count() == 0L)
+    // single user, single day: new on d, churned on d+1
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val g = Behavior.growthAccounting(Seq((7L, t0)).toDF("user_id", "ts"))
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("n_churned"))).toMap
+    assert(g.values.map(_._1).sum == 1L && g.values.map(_._2).sum == 1L)
+    // single-class AUC is NULL (no rankable pairs) — under ANSI mode an
+    // unguarded division would throw DIVIDE_BY_ZERO and kill the job
+    val oneClass = Seq((1.0, 1), (2.0, 1)).toDF("s", "y")
+    val aucRow = Eval.aucRankSum(oneClass, col("s"), col("y") === 1).head()
+    assert(aucRow.isNullAt(aucRow.fieldIndex("auc")))
+  }
 }
