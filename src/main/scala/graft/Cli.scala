@@ -47,7 +47,16 @@ object Cli {
   private def flag(args: Seq[String], name: String): Option[String] =
     args.sliding(2).collectFirst { case Seq(`name`, v) => v }
 
-  private val defaultSf = "/root/testdata/sf0.001"
+  /** Table directory default: GRAFT_SF_DIR if set, else the sandbox
+    * testdata path (r5 advisor: a hard-coded absolute path silently
+    * points nowhere on any other machine). */
+  private def defaultSf = sys.env.getOrElse("GRAFT_SF_DIR",
+    "/root/testdata/sf0.001")
+
+  private def die(msg: String): Nothing = {
+    System.err.println(msg)
+    sys.exit(2)
+  }
 
   def main(args: Array[String]): Unit = args.toSeq match {
     case Seq("list", rest @ _*) =>
@@ -57,7 +66,7 @@ object Cli {
 
     case Seq("run", name, rest @ _*) =>
       val fn = SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query '$name' — try: Cli list"))
+        die(s"unknown query '$name' — try: Cli list"))
       val spark = session()
       val df = fn(spark, flag(rest, "--sf-dir").getOrElse(defaultSf))
       flag(rest, "--out") match {
@@ -76,7 +85,7 @@ object Cli {
 
     case Seq("explain", name, rest @ _*) =>
       val fn = SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query '$name' — try: Cli list"))
+        die(s"unknown query '$name' — try: Cli list"))
       val spark = session()
       fn(spark, flag(rest, "--sf-dir").getOrElse(defaultSf))
         .explain("formatted")
@@ -84,14 +93,20 @@ object Cli {
 
     case Seq("fetch", rest @ _*) =>
       val file = flag(rest, "--payload-file").getOrElse(
-        sys.error("fetch requires --payload-file <json>"))
+        die("fetch requires --payload-file <json>"))
+      // route the payload through the REGISTRY's normalize plan
+      // (etl/cli.py routes through create_source) — a second registered
+      // source is fetchable with no CLI change
+      val srcName = flag(rest, "--source").getOrElse("etl_meteo")
+      val src = graft.meteo.Sources.byName(srcName).getOrElse(
+        die(s"unknown source '$srcName' — registered: " +
+          graft.meteo.Sources.registry.keys.toSeq.sorted.mkString(", ")))
       val spark = session()
       val payload = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
         "UTF-8")
       import spark.implicits._
-      val rows = graft.meteo.PayloadNormalizer.normalize(
-        Seq(payload).toDF("payload"))
+      val rows = src.normalize(Seq(payload).toDF("payload"))
       rows.show(flag(rest, "--limit").map(_.toInt).getOrElse(20),
         truncate = false)
       spark.stop()

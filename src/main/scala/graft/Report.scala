@@ -71,7 +71,8 @@ object Report {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val sfDir = if (args.nonEmpty) args(0)
+      else sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val out = if (args.length > 1) args(1) else "/tmp/graft_report.html"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

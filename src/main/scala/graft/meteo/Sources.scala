@@ -37,6 +37,15 @@ object Sources {
     }
   }
 
+  /** etl/config.py:12 (`APP_NAME`) — overridable the same way. */
+  def appName: String =
+    sys.env.getOrElse("APP_NAME", "Weather API ETL dev")
+
+  /** The HTTP `User-Agent` a fetch for this source sends —
+    * etl/sources.py:52-57 (`f"{APP_NAME}_{self.NAME}"`), fed to
+    * [[RetryLadder.execute]]. */
+  def userAgent(src: SourceDef): String = s"${appName}_${src.name}"
+
   /** etl/sources.py:80-91 (`MeteoSource`). */
   val meteo: SourceDef = SourceDef(
     name = "etl_meteo",
@@ -47,7 +56,25 @@ object Sources {
     payloadSchema = MeteoSchemas.payloadSchema,
     normalize = df => PayloadNormalizer.normalize(df))
 
-  val registry: Map[String, SourceDef] = Map(meteo.name -> meteo)
+  // etl/sources.py:70-78: `SOURCE_REGISTRY` + `register_source` — open
+  // for extension at runtime, so a second source is a REGISTRATION
+  // (the reference's subclass-with-decorator), never an edit here.
+  private val reg =
+    scala.collection.concurrent.TrieMap[String, SourceDef](meteo.name -> meteo)
+
+  /** `register_source` (etl/sources.py:72-77): make `src` routable by
+    * name and by url for every consumer (CLI fetch, streaming
+    * normalize). Last registration wins, like redefining a class. */
+  def register(src: SourceDef): SourceDef = { reg.put(src.name, src); src }
+
+  /** Remove a registration (tests; the reference has no unregister —
+    * its registry dies with the process). */
+  def unregister(name: String): Unit = { reg.remove(name); () }
+
+  def registry: Map[String, SourceDef] = reg.readOnlySnapshot().toMap
+
+  /** `SOURCE_REGISTRY[name]` (etl/sources.py:94). */
+  def byName(name: String): Option[SourceDef] = reg.get(name)
 
   /** streaming/load.py:49-52: resolve the transform for a fetch event's
     * source url; None → the consumer's StreamLoadError path. */

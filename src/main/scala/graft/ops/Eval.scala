@@ -50,8 +50,15 @@ object Eval {
     // the same magnitude the rank shuffles anyway — so materializing
     // once is the scale-correct trade at any size; blocks are
     // context-cleaned when the frame is unreachable.
+    // NULL semantics pinned (r5 advisor): a NULL label counts as
+    // negative (the oracle's CASE ... ELSE 0), a NULL score has no
+    // rank position and is dropped — silently contributing to neither
+    // class was a latent engine-vs-oracle divergence on generic
+    // (non-TPC-H) inputs
     val byScore = df
-      .select(scoreCol.as("__s"), labelCol.cast("int").as("__y"))
+      .select(scoreCol.as("__s"),
+        coalesce(labelCol.cast("int"), lit(0)).as("__y"))
+      .filter(col("__s").isNotNull)
       .groupBy("__s")
       .agg(sum(col("__y")).cast("long").as("__pos"),
         sum(lit(1L) - col("__y")).cast("long").as("__neg"))
@@ -87,8 +94,12 @@ object Eval {
   def calibrationBins(df: DataFrame, scoreCol: Column, labelCol: Column,
       tieBreak: Column, buckets: Int = 10): DataFrame = {
     require(buckets > 1, "need at least 2 buckets")
-    val base = df.select(scoreCol.as("__s"), labelCol.cast("long").as("__y"),
-      tieBreak.as("__tb"))
+    // same NULL contract as [[aucRankSum]]: NULL label = negative,
+    // NULL score rows dropped (no rank position)
+    val base = df.select(scoreCol.as("__s"),
+        coalesce(labelCol.cast("long"), lit(0L)).as("__y"),
+        tieBreak.as("__tb"))
+      .filter(col("__s").isNotNull)
     val n = base.agg(count(lit(1)).as("__n"))
     Ranking.globalRank(base, Seq(col("__s"), col("__tb")), "__rk")
       .crossJoin(broadcast(n))

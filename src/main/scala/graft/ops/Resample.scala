@@ -292,11 +292,16 @@ object Resample {
       .join(rhs, Seq(key, "bucket"))
       .withColumn("__xl", centerX(col("bucket") - 1))
       .withColumn("__xr", centerX(col("bucket") + 1))
+      // 2·area of triangle ((xl,yl), (x,v), (xr,yr)):
+      // (xl−xr)(v−yl) − (xl−x)(yr−yl)  [= xl(v−yr)+x(yr−yl)+xr(yl−v)]
+      // — the r5 form had the second factor flipped (yl−yr), which is
+      // NOT a triangle area (collinear points scored nonzero), caught
+      // by the r5 advisor; the gate was circular until r6
       .withColumn("__area", abs(
         (col("__xl") - col("__xr")) *
           (col("v") - col("yl")) -
           (col("__xl") - expr("CAST(unix_micros(ts) AS DOUBLE)")) *
-          (col("yl") - col("yr"))))
+          (col("yr") - col("yl"))))
       .groupBy(col(key), col("bucket"))
       .agg(max(struct(col("__area"), col("ts"), col("id"), col("v")))
         .as("__best"))

@@ -38,10 +38,32 @@ case class TopKPerKeyNode(
     copy(child = newChild)
 }
 
+/** Map-side (partial) top-k: the same bounded heap per key, run over
+  * each input partition IN PLACE — no distribution requirement, no
+  * shuffle. Exact pre-filter for a following [[TopKPerKeyNode]] when
+  * the ordering is total: the global bottom-k of a union is the
+  * bottom-k of the per-partition bottom-k's. Shrinks what the final
+  * shuffle moves from |input| to ≤ k·partitions rows — the difference
+  * between "shuffle the whole table to one reducer" and "shuffle a
+  * sample" when the key is a constant (the boundary-sampling shape in
+  * [[graft.ops.Ranking.boundaryRow]]). */
+case class TopKPerKeyPartialNode(
+    keys: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPartialNode =
+    copy(child = newChild)
+}
+
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, ordering, k, child) =>
       TopKPerKeyExec(keys, ordering, k, planLater(child)) :: Nil
+    case TopKPerKeyPartialNode(keys, ordering, k, child) =>
+      TopKPerKeyExec(keys, ordering, k, planLater(child), partial = true) :: Nil
     case _ => Nil
   }
 }
@@ -50,14 +72,17 @@ case class TopKPerKeyExec(
     keys: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
   /** One shuffle on the grouping keys; no ordering requirement — the
-    * heap replaces the sort that a window operator would demand. */
+    * heap replaces the sort that a window operator would demand. A
+    * partial (map-side) pass runs wherever its input already is. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -151,5 +176,30 @@ object TopK {
       case e => SortOrder(e, Ascending)
     })
     GraftColumnBridge.ofRows(spark, TopKPerKeyNode(keys, ordering, k, child))
+  }
+
+  /** Two-phase exact top-k per key: a map-side partial heap pass (no
+    * shuffle) under the usual clustered final pass. Only correct for a
+    * TOTAL `sortCols` order (the per-partition survivors must be a
+    * superset-invariant of any tie choice); the final shuffle moves
+    * ≤ k·partitions rows instead of the whole input — use whenever k
+    * ≪ rows-per-key, mandatory when `keyCols` is a constant. */
+  def perKeyTwoPhase(df: DataFrame, keyCols: Seq[String],
+      sortCols: Seq[Column], k: Int): DataFrame = {
+    require(k > 0)
+    val spark = df.sparkSession
+    ensureRegistered(spark)
+    val child = df.queryExecution.analyzed
+    val keys: Seq[Expression] = keyCols.map { n =>
+      child.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"key '$n' not in ${child.output.map(_.name)}"))
+    }
+    val ordering = sortCols.map(c => GraftColumnBridge.eagerExpression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    GraftColumnBridge.ofRows(spark, TopKPerKeyNode(keys, ordering, k,
+      TopKPerKeyPartialNode(keys, ordering, k, child)))
   }
 }

@@ -241,14 +241,26 @@ object Behavior extends QueryPack {
       FROM fl FULL OUTER JOIN ch USING (d)
       ORDER BY day""".trim)) { (spark, dir) =>
     val events = Tables.events(spark, dir)
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("growth_parity").toString + "/state"
-    // 0, 1, REPLAY 1 (at-least-once delivery), 2, 3
-    for (b <- Seq(0, 1, 1, 2, 3))
-      graft.streaming.StreamingActivity.foldBatch(
-        events.filter(pmod(col("event_id"), lit(4)) === b), stateDir)
-    graft.streaming.StreamingActivity.growth(spark, stateDir)
-      .orderBy("day")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("growth_parity")
+    val stateDir = tmpRoot.toString + "/state"
+    try {
+      // 0, 1, REPLAY 1 (at-least-once delivery), 2, 3
+      for (b <- Seq(0, 1, 1, 2, 3))
+        graft.streaming.StreamingActivity.foldBatch(
+          events.filter(pmod(col("event_id"), lit(4)) === b), stateDir)
+      // materialize the days-sized result so the state directory can be
+      // deleted NOW — the r5 form left one temp dir behind per
+      // evaluation (the only registered query with filesystem
+      // side effects; flagged by the r5 advisor)
+      graft.streaming.StreamingActivity.growth(spark, stateDir)
+        .orderBy("day")
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   override def all: Seq[GraftQuery] =

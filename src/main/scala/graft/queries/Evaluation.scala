@@ -23,7 +23,7 @@ object Evaluation extends QueryPack {
         SELECT o_totalprice AS sc,
                SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos,
                SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS neg
-        FROM orders GROUP BY 1),
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
       c AS (
         SELECT pos, neg,
                COALESCE(SUM(neg) OVER (ORDER BY sc
@@ -48,7 +48,7 @@ object Evaluation extends QueryPack {
       WITH b AS (
         SELECT o_totalprice AS sc, o_orderkey AS tb,
                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-        FROM orders),
+        FROM orders WHERE o_totalprice IS NOT NULL),
       r AS (
         SELECT sc, y,
                ROW_NUMBER() OVER (ORDER BY sc, tb) AS rk,

@@ -399,7 +399,7 @@ object TimeSeries extends QueryPack {
                JOIN m r ON r.event_type = e.event_type AND r.bucket = e.bucket + 1),
       a AS (SELECT event_type, bucket, ts, v, id,
           abs((xl - xr) * (v - yl) -
-              (xl - CAST(epoch_us(ts) AS DOUBLE)) * (yl - yr)) AS area
+              (xl - CAST(epoch_us(ts) AS DOUBLE)) * (yr - yl)) AS area
         FROM j),
       r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bucket
           ORDER BY area DESC, ts DESC, id DESC) AS rn FROM a)

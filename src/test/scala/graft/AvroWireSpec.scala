@@ -81,6 +81,48 @@ class AvroWireSpec extends SparkTestBase {
     assert(params("latitude") == "52.52" && params("tz") == "UTC")
   }
 
+  test("Confluent framing: reference-producer-shaped bytes (magic 0x00 " +
+      "+ schema id + Avro body) decode; unknown schema ids dead-letter; " +
+      "bare and framed records coexist in one feed") {
+    // frame bytes BY HAND, independent of encodeFetchEventsFramed —
+    // the public Confluent wire layout (magic byte, 4-byte big-endian
+    // id, Avro binary), i.e. what confluent_kafka's AvroSerializer
+    // (reference streaming/events.py:83-92) actually produces
+    val bare = AvroWire.encodeFetchEvents(sampleEvents)
+      .select("value").as[Array[Byte]].collect()
+    def handFrame(id: Int, body: Array[Byte]): Array[Byte] =
+      Array[Byte](0, (id >> 24).toByte, (id >> 16).toByte,
+        (id >> 8).toByte, id.toByte) ++ body
+    val framedKnown = bare.map(handFrame(1, _))       // id 1 = known
+    val framedUnknown = bare.take(1).map(handFrame(7, _)) // id 7 = unknown
+    val feed = (framedKnown ++ framedUnknown ++ bare).toSeq.toDF("value")
+    val decoded = AvroWire.decodeFetchEvents(feed)
+    // 3 framed-known + 3 bare decode; the unknown-id record dead-letters
+    assert(decoded.filter(col("valid")).count() == 6)
+    val dead = FetchEventStream.deadLetters(decoded).collect()
+    assert(dead.length == 1)
+    assert(dead(0).getAs[Array[Byte]]("raw").sameElements(framedUnknown(0)),
+      "the dead-letter row must carry the undecodable original bytes")
+    // framed and bare decode to the SAME records
+    val ids = decoded.filter(col("valid"))
+      .groupBy("fetch_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ids == Map("f1" -> 2L, "f2" -> 2L, "f3" -> 2L))
+  }
+
+  test("encodeFetchEventsFramed round-trips through the framed decoder " +
+      "and its header is the Confluent layout byte-for-byte") {
+    val framed = AvroWire.encodeFetchEventsFramed(sampleEvents, schemaId = 1)
+    val values = framed.select("value").as[Array[Byte]].collect()
+    for (v <- values) {
+      assert(v(0) == 0x00.toByte)
+      assert(v.slice(1, 5).sameElements(Array[Byte](0, 0, 0, 1)))
+    }
+    val back = AvroWire.decodeFetchEvents(framed)
+    assert(back.filter(col("valid")).count() == 3)
+    assert(back.filter(!col("valid")).count() == 0)
+  }
+
   test("wire schema is field-for-field compatible with the reference's " +
       "fetch_event.avsc (both read/write directions)") {
     val refPath = java.nio.file.Paths.get(

@@ -248,14 +248,21 @@ class PlanAuditSpec extends SparkTestBase {
         assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
           s"single-partition exchange over non-aggregated data at line $i:\n$plan")
       }
-    // since round 5 the range id is computed from broadcast boundary
-    // DATA (deterministic — immune to exchange-reuse divergence), so no
-    // range exchange of the vocabulary itself may appear; the lone
-    // rangepartitioning allowed is the final presentation sort by rank
+    // since round 5 the range id is computed from boundary DATA, and
+    // since round 6 that data is a PLAN-TIME LITERAL (collected once,
+    // driver-side — divergence between the window and offsets branches
+    // is structurally impossible); so no range exchange of the
+    // vocabulary itself may appear, and the boundary-sampling subplan
+    // must NOT be in the query plan (it ran eagerly, once)
     assert("rangepartitioning\\([^)]*\\bfreq#".r.findFirstIn(plan).isEmpty,
       s"vocab must not be range-shuffled (boundaries are data now):\n$plan")
-    assert(plan.contains("TopKPerKey"),
-      s"deterministic boundary sample (bounded-heap bottom-T) missing:\n$plan")
+    assert(!plan.contains("TopKPerKey"),
+      s"boundary sample must be a pre-collected literal, not a live " +
+        s"subplan attached to both rank branches:\n$plan")
+    assert("graft_range_bucket\\(\\[".r.findFirstIn(plan).isDefined ||
+      plan.contains("graft_range_bucket(null") ||
+      plan.contains("graft_range_bucket([]"),
+      s"literal boundary array missing from the range-id projection:\n$plan")
     // the native range-id expression must keep the pre-shuffle
     // projection inside whole-stage codegen (the HOF fold it replaced
     // was CodegenFallback and broke the stage)

@@ -350,6 +350,35 @@ class TimeSeriesSpec extends SparkTestBase {
     }
   }
 
+  test("lttb elects the true largest-triangle point (hand-computed " +
+      "planted series; r5 advisor found the area formula flipped)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one key, buckets 0/1/2 (bucketSeconds=3600). Anchors: bucket-0
+    // mean 0.0 at xl=0.5h, bucket-2 mean 2.0 at xr=2.5h. With
+    // x = xl + δ and a = v − yl, the true 2·area is |2δ − 2h·a| (µs
+    // scale) while the r5 flipped form scores |2δ + 2h·a| — so:
+    //   A = (1.9h, 0.1): true 2.6h, flipped 3.0h
+    //   B = (1.2h, 0.9): true 0.4h, flipped 3.2h
+    // The true formula elects A; the flipped one elected B.
+    val usPerH = 3600L * 1000000L
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    val rows = Seq(
+      (1L, t(usPerH / 2), 0.0),           // bucket 0 (anchor mean 0.0)
+      (2L, t(5L * usPerH / 2), 2.0),      // bucket 2 (anchor mean 2.0)
+      (10L, t(19L * usPerH / 10), 0.1),   // A
+      (11L, t(12L * usPerH / 10), 0.9))   // B
+      .map { case (id, ts, v) => (id, ts, v, "k") }
+      .toDF("event_id", "ts", "value", "event_type")
+    val got = graft.ops.Resample.lttbDownsample(rows)
+      .filter(col("bucket") === 1).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("id") == 10L,
+      s"elected id ${got(0).getAs[Long]("id")}, expected A (id 10) — " +
+        "area formula is not electing the largest triangle")
+    assert(math.abs(got(0).getAs[Double]("area") - 2.6 * usPerH) < 1.0)
+  }
+
   test("m4 state is mergeable and replay-idempotent: split + merge " +
       "(with a duplicated batch) equals the one-shot downsample") {
     import org.apache.spark.sql.functions._
