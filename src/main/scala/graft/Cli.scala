@@ -53,12 +53,21 @@ object Cli {
   private def defaultSf = sys.env.getOrElse("GRAFT_SF_DIR",
     "/root/testdata/sf0.001")
 
-  private def die(msg: String): Nothing = {
-    System.err.println(msg)
-    sys.exit(2)
-  }
+  /** Usage error: caught by [[main]] (message on stderr, exit 2) and
+    * catchable by embedders/tests — unlike a bare sys.exit, which
+    * would kill a host JVM. */
+  final case class CliExit(message: String) extends RuntimeException(message)
 
-  def main(args: Array[String]): Unit = args.toSeq match {
+  private def die(msg: String): Nothing = throw CliExit(msg)
+
+  def main(args: Array[String]): Unit =
+    try run(args)
+    catch {
+      case CliExit(msg) => System.err.println(msg); sys.exit(2)
+    }
+
+  /** The dispatcher behind [[main]]; throws [[CliExit]] on usage errors. */
+  def run(args: Array[String]): Unit = args.toSeq match {
     case Seq("list", rest @ _*) =>
       val sub = rest.headOption.getOrElse("")
       SparkEntry.queries.keys.toSeq.sorted
@@ -123,12 +132,11 @@ object Cli {
       spark.stop()
 
     case other =>
-      System.err.println(
+      die(
         s"""unknown command: ${other.mkString(" ")}
            |usage: list [substr] | run <q> [--sf-dir D] [--limit N] [--out P]
            |       oracle <q> | explain <q> [--sf-dir D]
            |       fetch --payload-file F [--limit N] | dashboard [--sf-dir D]
            |""".stripMargin)
-      sys.exit(2)
   }
 }

@@ -45,7 +45,8 @@ object Report {
     "Last job status" -> "dash_last_status",
     "Metric describe()" -> "dash_describe",
     "Column profile" -> "dash_profile",
-    "Recent rows" -> "dash_recent")
+    "Recent rows" -> "dash_recent",
+    "Recent fetch jobs" -> "dash_recent_jobs")
 
   /** Render the full report for one scale-factor directory. */
   def render(spark: SparkSession, sfDir: String): String = {

@@ -81,6 +81,22 @@ object Stress100 {
       }
     }
 
+    // orders scale-up for the rank-consuming query family (r6: the
+    // q48/q51 flake's machinery stressed inside the full sweep)
+    for (f <- factors) {
+      val oPath = s"$outDir/orders_x$f"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(oPath))) {
+        val orders = Tables.orders(spark, sfDir)
+        (0 until f).map { i =>
+          orders
+            .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000000L))
+            .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 10000000L))
+        }.reduce(_ unionByName _)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(oPath)
+      }
+    }
+
     // optional comma-separated op filter for focused local iteration
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -195,11 +211,31 @@ object Stress100 {
       results(("sorted_nbhd", f)) = time("sorted_nbhd", f) {
         ops.Dedup.sortedNeighborhood(docsF).count()
       }
+      // the rank-consuming gated family at corpus scale, run INSIDE
+      // this sweep (the r5 flake's habitat): per-customer aggregate →
+      // three quartile ranks (rfm), decile rank bins (calibration),
+      // revenue-rank bands (pareto), distinct-score prefix sum (auc) —
+      // all on the round-6 literal-boundary two-phase rank
+      val ordersF = spark.read.parquet(s"$outDir/orders_x$f")
+      results(("rfm_rank", f)) = time("rfm_rank", f) {
+        ops.Behavior.rfmSegments(ordersF).count()
+      }
+      results(("calibration", f)) = time("calibration", f) {
+        ops.Eval.calibrationBins(ordersF, col("o_totalprice"),
+          col("o_orderstatus") === "F", col("o_orderkey")).count()
+      }
+      results(("pareto", f)) = time("pareto", f) {
+        ops.Behavior.paretoCurve(ordersF).count()
+      }
+      results(("auc_ranksum", f)) = time("auc_ranksum", f) {
+        ops.Eval.aucRankSum(ordersF, col("o_totalprice"),
+          col("o_orderstatus") === "F").count()
+      }
     }
     for (op <- Seq("minhash_lsh", "ivfpq_k_scaled", "ivfpq_k_fixed",
         "semantic_dedup", "ngram_prefix", "substring_excise", "ivfadc_r",
         "assign_flat", "assign_hier", "curation_e2e", "vocab_rank",
-        "sorted_nbhd")
+        "sorted_nbhd", "rfm_rank", "calibration", "pareto", "auc_ranksum")
         if only.forall(_.contains(op))) {
       val r10 = results((op, 100)) / results((op, 10))
       val r1 = results((op, 100)) / results((op, 1))

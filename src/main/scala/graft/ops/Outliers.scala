@@ -37,10 +37,19 @@ object Outliers {
     * robust statistics attached. */
   def robustZ(df: DataFrame, key: String, valCol: String, idCol: String,
       k: Double): DataFrame = {
+    // lazily checkpoint the GROUP-SIZED statistic tables: `d` below is
+    // consumed by three subtrees (mad's histogram, mad's probe, the
+    // final filter), and each would otherwise re-derive the median —
+    // itself two fact passes — multiplying the fact scans (the r5
+    // q34 bench regression: the lazy locate rewrite removed the r4
+    // driver-side collect that had been accidentally deduplicating
+    // this). Only the tiny frames materialize; the fact stays lazy.
     val med = discMedian(df, key, valCol, idCol, "med")
+      .localCheckpoint(false)
     val d = df.join(broadcast(med), key)
       .withColumn("dev", abs(col(valCol) - col("med")))
     val mad = discMedian(d, key, "dev", idCol, "mad")
+      .localCheckpoint(false)
     d.join(broadcast(mad), key)
       .filter(col("dev") > lit(k) * col("mad"))
       .select(col(idCol), col(key), col(valCol),

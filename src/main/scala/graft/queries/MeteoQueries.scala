@@ -132,6 +132,27 @@ object MeteoQueries extends QueryPack {
       .select("event_id", "ts", "user_id", "event_type", "value")
   }
 
+  /** Recent fetch-job metadata feed — streamlit_app.py:21-26
+    * (`load_metadata`: SELECT * FROM fetch_metadata ORDER BY created_at
+    * LIMIT 5000) — the OTHER half of the reference dashboard's recent
+    * view, on the orders job-metadata stand-in (same mapping as
+    * dash_last_status). */
+  val recentJobs = GraftQuery(
+    "dash_recent_jobs",
+    Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS job_id, o_orderdate AS created_at,
+             o_orderstatus AS status, CAST(o_custkey AS BIGINT) AS requested_by
+      FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 5000
+    """.stripMargin.trim)) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .limit(5000)
+      .select(col("o_orderkey").cast("long").as("job_id"),
+        col("o_orderdate").as("created_at"),
+        col("o_orderstatus").as("status"),
+        col("o_custkey").cast("long").as("requested_by"))
+  }
+
   /** describe() summary stats — streamlit_app.py:72-84, via
     * Dashboard.describe (exact decimal sums → engine-stable mean/std). */
   val describeQ = GraftQuery(
@@ -283,5 +304,5 @@ object MeteoQueries extends QueryPack {
 
   override def all: Seq[GraftQuery] = Seq(
     normalize, upsertLatest, ledger, countLocations, tableCounts,
-    lastStatus, recent, describeQ, profileQ, rollupIncremental, errorRollup)
+    lastStatus, recent, recentJobs, describeQ, profileQ, rollupIncremental, errorRollup)
 }

@@ -524,10 +524,42 @@ object TrainingData extends QueryPack {
   }
 
   /** LSH ANN is genuinely approximate — no portable-SQL oracle; driver
-    * records a rows-only check, recall is asserted in SimilaritySpec. */
+    * records a rows-only check, recall is asserted in SimilaritySpec.
+    * The DETERMINISTIC candidate set underneath it is hash-gated by
+    * [[annLshCandidates]]. */
   val annLsh = GraftQuery("ann_lsh", None) { (spark, dir) =>
     val embs = Tables.embeddings(spark, dir)
     Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10))
+  }
+
+  /** The LSH candidate PAIR SET (buckets within Hamming ≤ 1) — the
+    * deterministic machinery under [[annLsh]], oracle-gated: plane
+    * coefficients are md5-derived rationals both engines rebuild
+    * exactly, bucket bits are signs of sequential double dots (same
+    * IEEE sequence as the oracle's list_sum), pairing is pure bit
+    * arithmetic. */
+  val annLshCandidates = GraftQuery(
+    "ann_lsh_candidates",
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      w AS (SELECT p, d,
+          ((('0x'||substr(md5(concat(CAST(p AS VARCHAR), ':', CAST(d AS VARCHAR))),1,15))::BIGINT % 2001) - 1000)/1000.0 AS w
+        FROM range(8) t1(p), range(64) t2(d)),
+      ws AS (SELECT p, list(w ORDER BY d) AS ws FROM w GROUP BY p),
+      b AS (SELECT vec_id,
+          CAST(SUM(CASE WHEN list_sum(list_transform(range(1,65), i -> e.e[i]*ws.ws[i])) > 0
+            THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e, ws GROUP BY vec_id),
+      q AS (SELECT vec_id AS query_id, bucket AS q_bucket FROM b WHERE vec_id < 10)
+      SELECT CAST(q.query_id AS BIGINT) AS query_id,
+             CAST(cb.vec_id AS BIGINT) AS neighbor_id,
+             q.q_bucket, cb.bucket AS c_bucket
+      FROM q JOIN b cb ON bit_count(xor(q.q_bucket, cb.bucket)) <= 1
+        AND cb.vec_id != q.query_id
+      ORDER BY query_id, neighbor_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.lshCandidates(embs, embs.filter(col("vec_id") < 10))
+      .orderBy("query_id", "neighbor_id")
   }
 
   /** Trained-IVF end to end: Lloyd-refined cells (2 rounds from the
@@ -1506,7 +1538,7 @@ object TrainingData extends QueryPack {
     dedupContainmentCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding, dedupSemantic,
     dedupClusters, dedupSurvivorship, dataSplit, dataSample, dataWeighted, dataPack,
-    annBrute, annIvf, annIvfTrained, annLsh, annPq, annPqRerank, annIvfPq,
+    annBrute, annIvf, annIvfTrained, annLsh, annLshCandidates, annPq, annPqRerank, annIvfPq,
     annIvfSq, annRange, annKnnGraph, dataTriplets,
     annPqTrained, annIvfAdcR, annMaxSim, annHardNegatives,
     annMaxSimIvf, annHardNegativesIvf, dedupParagraph)

@@ -143,4 +143,66 @@ object SchemaEvolution {
     val target = unifiedSchema(dfs.map(_.schema))
     dfs.map(conform(_, target)).reduce(_.unionByName(_))
   }
+
+  /** Outcome of a [[rewriteMigration]]: the Manifest version the
+    * migrated table committed as, and how many rows failed validation
+    * and went to the dead-letter directory instead. */
+  final case class MigrationResult(version: Long, deadLettered: Long)
+
+  /** The REVIEWED lossy-migration job the evolution policy routes to —
+    * the step [[unifiedSchema]]/[[conform]] refuse to do implicitly.
+    * This is the alembic chain's own shape (a1cbf11c1945_change_fetch_
+    * status_to_enum.py: remap 'finished'→'success', UPPER, then a
+    * VALIDATED text→enum cast with `status::fetch_status` — a cast
+    * Postgres would abort on any unmapped value):
+    *
+    *  1. read the Manifest table's CURRENT snapshot;
+    *  2. apply `migrate` — the reviewed transform (value remaps, lossy
+    *     casts, renames — anything evolution refuses);
+    *  3. split on `valid` (NULL counts as invalid — a lossy cast that
+    *     produced NULL is precisely the violation this exists to
+    *     catch): violators append to `deadLetterDir` with the
+    *     migration version stamped, survivors COMMIT through
+    *     [[Manifest.commit]] as the next version.
+    *
+    * Atomicity is the Manifest's: a concurrent reader resolves the
+    * pre- or post-migration version, never a mix; a failed migration
+    * leaves the table at its old version with no partial rewrite
+    * visible. Unlike Postgres's abort-on-first-bad-value, violators
+    * are CAPTURED (auditable, reprocessable) rather than blocking the
+    * migration — the dead-letter discipline of the streaming lane
+    * applied to DDL. */
+  def rewriteMigration(spark: SparkSession, root: String,
+      deadLetterDir: String)(migrate: DataFrame => DataFrame,
+      valid: org.apache.spark.sql.Column): MigrationResult = {
+    val staged = migrate(Manifest.read(spark, root))
+      .withColumn("__valid", coalesce(valid, lit(false)))
+      // the violator split reads the migrated relation twice; freeze it
+      // once so the two branches cannot observe different evaluations
+      .localCheckpoint(false)
+    val bad = staged.filter(!col("__valid")).drop("__valid")
+    val badCount = bad.count()
+    if (badCount > 0)
+      bad.withColumn("__migrated_from",
+          lit(Manifest.latestVersion(spark, root).getOrElse(-1L)))
+        .write.mode("append").parquet(deadLetterDir)
+    val v = Manifest.commit(staged.filter(col("__valid")).drop("__valid"), root)
+    MigrationResult(v, badCount)
+  }
+
+  /** The a1cbf11c1945 migration itself, generalized: remap a string
+    * column's legacy values, uppercase, and constrain to an enum
+    * domain. Returns the (migrate, valid) pair for
+    * [[rewriteMigration]]. */
+  def toEnumMigration(column: String, remap: Map[String, String],
+      domain: Set[String]): (DataFrame => DataFrame,
+      org.apache.spark.sql.Column) = {
+    val migrate = (df: DataFrame) => {
+      val remapped = remap.foldLeft(col(column)) { case (c, (from, to)) =>
+        when(c === from, to).otherwise(c)
+      }
+      df.withColumn(column, upper(remapped))
+    }
+    (migrate, col(column).isin(domain.toSeq: _*))
+  }
 }

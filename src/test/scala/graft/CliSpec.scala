@@ -34,7 +34,7 @@ class CliSpec extends AnyFunSuite {
 
   test("run with an unknown query fails fast, before any session spins up") {
     val e = intercept[RuntimeException] {
-      Cli.main(Array("run", "no_such_query"))
+      Cli.run(Array("run", "no_such_query"))
     }
     assert(e.getMessage.contains("unknown query"))
   }

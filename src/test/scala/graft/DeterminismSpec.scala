@@ -34,7 +34,9 @@ class DeterminismSpec extends SparkTestBase {
     "q48_rfm", "q51_calibration", "q50_auc", "q55_pareto",
     "data_curriculum", "data_epoch_shuffle", "data_quota",
     "data_sample_stratified", "text_vocab_stats", "ts_hampel",
-    "q30_percentile_disc_mode", "q34_outliers", "ts_lttb")
+    "q30_percentile_disc_mode", "q34_outliers", "ts_lttb",
+    "dedup_sorted_neighborhood", "dedup_sorted_multi",
+    "data_mix_temperature", "data_split")
 
   test("globalRank is a permutation of 1..n and equals the single-task " +
       "window for every numRanges (boundary-independence)") {

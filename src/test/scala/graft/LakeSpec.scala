@@ -430,4 +430,51 @@ class LakeSpec extends SparkTestBase {
     val vSame = Manifest.deleteWhere(spark, root, col("user_id") === -1L)
     assert(vSame == 2L && Manifest.versions(spark, root) == Seq(0L, 1L, 2L))
   }
+
+  test("rewriteMigration replays the reference's status→enum alembic " +
+      "chain: remap + UPPER + domain validation, violators dead-letter, " +
+      "survivors commit atomically through the Manifest") {
+    import spark.implicits._
+    import graft.sources.{Manifest, SchemaEvolution}
+    val root = Files.createTempDirectory("migrate").toString + "/fetch_metadata"
+    val dead = Files.createTempDirectory("migrate_dead").toString + "/dl"
+    // a silver fetch_metadata table in the PRE-migration text shape
+    // (a1cbf11c1945: free-text statuses incl. the legacy 'finished')
+    val v0 = Manifest.commit(Seq(
+      ("f1", "finished"), ("f2", "error"), ("f3", "pending"),
+      ("f4", "success"), ("f5", "garbled!!")   // the violator
+    ).toDF("fetch_id", "status"), root)
+    assert(v0 == 0L)
+    // the migration: 'finished'→'success', UPPER, domain {PENDING,ERROR,SUCCESS}
+    val (migrate, valid) = SchemaEvolution.toEnumMigration("status",
+      Map("finished" -> "success"), Set("PENDING", "ERROR", "SUCCESS"))
+    val res = SchemaEvolution.rewriteMigration(spark, root, dead)(migrate, valid)
+    assert(res.version == 1L && res.deadLettered == 1L)
+    val migrated = Manifest.read(spark, root)
+    assert(migrated.count() == 4L)
+    val byId = migrated.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byId == Map("f1" -> "SUCCESS", "f2" -> "ERROR",
+      "f3" -> "PENDING", "f4" -> "SUCCESS"))
+    // the violator is captured with provenance, not silently dropped
+    val dl = spark.read.parquet(dead)
+    assert(dl.count() == 1L)
+    val dlRow = dl.collect()(0)
+    assert(dlRow.getAs[String]("fetch_id") == "f5")
+    assert(dlRow.getAs[Long]("__migrated_from") == 0L)
+    // time travel still reads the pre-migration text shape (atomicity:
+    // versions are whole snapshots, never a mixed state)
+    val before = Manifest.read(spark, root, Some(0L))
+    assert(before.filter(col("status") === "finished").count() == 1L)
+    // evolution policy still refuses the implicit path for this change
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.unifiedSchema(Seq(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.IntegerType)))))
+    }
+  }
 }
