@@ -77,6 +77,22 @@ class DeterminismSpec extends SparkTestBase {
     }
   }
 
+  test("EVERY oracle-gated query is byte-identical across two runs in " +
+      "one session — the whole-surface wrong-answer tripwire") {
+    // the driver gate compares one run against DuckDB; this pins the
+    // weaker-but-broader property that protects it — no gated query's
+    // content may depend on run-to-run scheduling (sf0.001 keeps the
+    // 145-query double sweep cheap)
+    val gated = SparkEntry.oracleSql.keys.toSeq.sorted
+    for (q <- gated) {
+      val fn = SparkEntry.queries(q)
+      val a = canon(fn(spark, sfDir))
+      val b = canon(fn(spark, sfDir))
+      assert(a == b, s"$q: two runs in one session diverge " +
+        s"(first diff: ${a.zip(b).find(p => p._1 != p._2)})")
+    }
+  }
+
   test("rank-consuming gated queries are byte-identical across two runs " +
       "and across shuffle-partition counts (driver-sweep habitat)") {
     // two sessions over the shared context with DIFFERENT partition

@@ -14,6 +14,26 @@ class PlanAuditSpec extends SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
+  test("ann_lsh_candidates: query probes ride a broadcast onto the " +
+      "corpus bucket equi-join — no cartesian, no nested loop, no " +
+      "corpus shuffle beyond the bucket join") {
+    val plan = planOf("ann_lsh_candidates")
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"candidate pairing must stay a bucket equi-join:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"probe set must broadcast onto the corpus side:\n$plan")
+  }
+
+  test("dash_recent_jobs: global ORDER BY + LIMIT plans as a bounded " +
+      "top-k (TakeOrdered), never a full sort") {
+    val plan = planOf("dash_recent_jobs")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"recent-jobs feed must be a bounded heap:\n$plan")
+    // only the four published columns reach the scan
+    assert(!plan.contains("o_totalprice"),
+      s"scan reads columns the feed never shows:\n$plan")
+  }
+
   test("q01: aggregation is partial (map-side combine before the shuffle)") {
     val plan = planOf("q01_pricing_summary")
     assert(plan.contains("partial_sum") || plan.contains("partial_count"),
