@@ -167,19 +167,28 @@ object Graph {
       .distinct()
     // cap the item fan-out BEFORE pair generation; degrees count the
     // same capped relation so cn <= min(da, db) and jaccard stays in
-    // [0, 1] — intersection and union over one consistent edge set
+    // [0, 1] — intersection and union over one consistent edge set.
+    // The capped relation is lazily checkpointed: THREE subtrees
+    // consume it (degrees + both self-join sides) and each would
+    // otherwise re-run the feed scan + distinct + anti-join; it is the
+    // compacted bipartite graph — two longs per edge, orders of
+    // magnitude under the feed (the rfm/aucRankSum trade).
     val hot = e.groupBy(col("item")).agg(count(lit(1)).as("__d"))
       .filter(col("__d") > itemCap).select("item")
     val cold = e.join(broadcast(hot), Seq("item"), "left_anti")
+      .localCheckpoint(false)
     val deg = cold.groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val pairs = cold.as("x").join(cold.as("y"),
         col("x.item") === col("y.item") && col("x.node") < col("y.node"))
       .groupBy(col("x.node").as("a"), col("y.node").as("b"))
       .agg(count(lit(1)).as("cn"))
       .filter(col("cn") >= minCommon)
+    // degrees are node-projection-sized (the dashboard side of the
+    // graph) — broadcast them onto the wedge pairs rather than
+    // shuffling the pair table twice
     pairs
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))), "a")
+      .join(broadcast(deg.select(col("node").as("b"), col("deg").as("db"))), "b")
       .select(col("a"), col("b"), col("cn"),
         round(col("cn") / (col("da") + col("db") - col("cn"))
           .cast("double"), 6).as("jaccard"))
