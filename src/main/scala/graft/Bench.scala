@@ -9,8 +9,10 @@ import org.apache.spark.sql.SparkSession
   *    first timed query doesn't absorb JVM/codegen/parquet-footer
   *    warm-up.
   *  - Queries run in name order; each gets SPARK_GRAFT_RUNS timed runs
-  *    (default 2) and reports the min — absorbs one-off JIT/GC/IO
-  *    hiccups.
+  *    (default 3 since round 6 — the 2-run min still showed ±2× swings
+  *    on the PQ/triplet family between full sweeps, enough to read as
+  *    phantom regressions round over round) and reports the min —
+  *    absorbs one-off JIT/GC/IO hiccups.
   *  - The session cache is CLEARED before each query's runs: several
   *    operators persist intermediates internally (minHashLsh / simHash
   *    signatures, semantic-dedup assignments) and a 95-query single-JVM
@@ -28,7 +30,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

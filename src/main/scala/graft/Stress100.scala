@@ -97,6 +97,36 @@ object Stress100 {
       }
     }
 
+    // events / lineitem scale-up for the r6-touched behavioral ops
+    for (f <- factors) {
+      val evPath = s"$outDir/events_x$f"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(evPath))) {
+        val ev = Tables.events(spark, sfDir)
+        (0 until f).map { i =>
+          ev.withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+            .withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L))
+        }.reduce(_ unionByName _)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(evPath)
+      }
+      val liPath = s"$outDir/lineitem_x$f"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(liPath))) {
+        val li = Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_partkey", "l_suppkey")
+        // every key shifts per replica: baskets, items and nodes all
+        // scale with the corpus, so per-key wedge mass stays constant
+        // and total candidate mass is linear in f (the same workload
+        // contract as the doc replication above)
+        (0 until f).map { i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 1000000000L))
+            .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 100000000L))
+            .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * 10000000L))
+        }.reduce(_ unionByName _)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(liPath)
+      }
+    }
+
     // optional comma-separated op filter for focused local iteration
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -231,11 +261,29 @@ object Stress100 {
         ops.Eval.aucRankSum(ordersF, col("o_totalprice"),
           col("o_orderstatus") === "F").count()
       }
+      // r6 interval-merge DAU/WAU/MAU: users scale with f (shifted
+      // ids), days stay fixed — the day-axis prefix sum must stay
+      // constant-sized while the per-user merge scales linearly
+      val eventsF = spark.read.parquet(s"$outDir/events_x$f")
+      results(("active_users", f)) = time("active_users", f) {
+        ops.Behavior.activeUsers(eventsF).count()
+      }
+      // r6 checkpointed wedge ops: node/basket keys scale with f, so
+      // wedge mass per key is constant and total mass scales linearly
+      val liF = spark.read.parquet(s"$outDir/lineitem_x$f")
+      results(("link_predict", f)) = time("link_predict", f) {
+        ops.Graph.bipartiteLinkPredict(liF, "l_partkey", "l_suppkey").count()
+      }
+      results(("basket_rules", f)) = time("basket_rules", f) {
+        ops.Association.basketRules(liF, "l_orderkey", "l_partkey",
+          minSupport = 3, maxBasket = 16).count()
+      }
     }
     for (op <- Seq("minhash_lsh", "ivfpq_k_scaled", "ivfpq_k_fixed",
         "semantic_dedup", "ngram_prefix", "substring_excise", "ivfadc_r",
         "assign_flat", "assign_hier", "curation_e2e", "vocab_rank",
-        "sorted_nbhd", "rfm_rank", "calibration", "pareto", "auc_ranksum")
+        "sorted_nbhd", "rfm_rank", "calibration", "pareto", "auc_ranksum",
+        "active_users", "link_predict", "basket_rules")
         if only.forall(_.contains(op))) {
       val r10 = results((op, 100)) / results((op, 10))
       val r1 = results((op, 100)) / results((op, 1))

@@ -45,12 +45,19 @@ object Association {
       .agg(count(lit(1)).as("__w"))
       .filter(col("__w") <= maxBasket)
       .select("__b")
-    // lazily checkpoint the capped relation: five consumers (basket
-    // count, item supports, both pair-join sides) would otherwise each
-    // re-run the distinct + width-filter over the fact
-    val rel = items.join(keptBaskets, "__b").localCheckpoint(false)
-    val nBaskets = rel.select("__b").distinct()
-      .agg(count(lit(1)).as("__n"))
+    // the capped relation is NOT checkpointed: it is fact-scale (the
+    // compacted (basket, item) set), and pinning fact-scale blocks is
+    // what broke the ×100 stress tier (UNABLE_TO_ACQUIRE_MEMORY in the
+    // wedge aggregate while checkpoint storage held the memory pool).
+    // Its three consumers cost at most one extra distinct recompute:
+    // the two self-join sides canonicalize identically (one shuffle,
+    // reused exchange) and item supports are a separate aggregation
+    // that re-reads the scan — the scan-twice trade every other
+    // fact-scale operator here makes.
+    val rel = items.join(keptBaskets, "__b")
+    // keptBaskets IS the distinct basket universe — count it directly
+    // instead of re-distincting the relation
+    val nBaskets = keptBaskets.agg(count(lit(1)).as("__n"))
     val itemSupp = rel.groupBy("__i")
       .agg(count(lit(1)).cast("long").as("__supp"))
     // wedge join: pairs meet on the basket key; item_a < item_b halves
@@ -61,11 +68,13 @@ object Association {
       .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
       .agg(count(lit(1)).cast("long").as("support_ab"))
       .filter(col("support_ab") >= minSupport)
+    // item supports are catalog-sized — broadcast them onto the pair
+    // table (the big side) instead of shuffling it twice
     pairs
-      .join(itemSupp.withColumnRenamed("__i", "item_a")
-        .withColumnRenamed("__supp", "support_a"), "item_a")
-      .join(itemSupp.withColumnRenamed("__i", "item_b")
-        .withColumnRenamed("__supp", "support_b"), "item_b")
+      .join(broadcast(itemSupp.withColumnRenamed("__i", "item_a")
+        .withColumnRenamed("__supp", "support_a")), "item_a")
+      .join(broadcast(itemSupp.withColumnRenamed("__i", "item_b")
+        .withColumnRenamed("__supp", "support_b")), "item_b")
       .crossJoin(broadcast(nBaskets))
       .withColumn("confidence",
         col("support_ab").cast("double") / col("support_a").cast("double"))

@@ -168,15 +168,16 @@ object Graph {
     // cap the item fan-out BEFORE pair generation; degrees count the
     // same capped relation so cn <= min(da, db) and jaccard stays in
     // [0, 1] — intersection and union over one consistent edge set.
-    // The capped relation is lazily checkpointed: THREE subtrees
-    // consume it (degrees + both self-join sides) and each would
-    // otherwise re-run the feed scan + distinct + anti-join; it is the
-    // compacted bipartite graph — two longs per edge, orders of
-    // magnitude under the feed (the rfm/aucRankSum trade).
+    // The capped relation is NOT checkpointed: it is fact-scale (the
+    // compacted edge set), and pinning fact-scale blocks under load is
+    // the failure the ×100 basket tier exposed (execution memory
+    // starved by checkpoint storage). The two self-join sides
+    // canonicalize identically (one shuffle, reused exchange); degrees
+    // cost one extra scan — the checkpoint-aggregates-only rule
+    // (rfm's customer table, auc's distinct scores) applied here.
     val hot = e.groupBy(col("item")).agg(count(lit(1)).as("__d"))
       .filter(col("__d") > itemCap).select("item")
     val cold = e.join(broadcast(hot), Seq("item"), "left_anti")
-      .localCheckpoint(false)
     val deg = cold.groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val pairs = cold.as("x").join(cold.as("y"),
         col("x.item") === col("y.item") && col("x.node") < col("y.node"))

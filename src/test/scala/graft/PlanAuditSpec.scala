@@ -677,23 +677,23 @@ class PlanAuditSpec extends SparkTestBase {
       s"orders->customer aggregate must combine map-side:\n$plan")
   }
 
-  test("graph_link_predict: capped relation is checkpoint-backed (one " +
-      "feed scan serves degrees + both wedge sides); pair census " +
-      "combines map-side; degrees broadcast") {
+  test("graph_link_predict: hot-item filter is a broadcast anti-join; " +
+      "pair census combines map-side; degrees broadcast; capped " +
+      "relation is NOT checkpoint-pinned (fact-scale blocks starve " +
+      "execution memory — the ×100 basket OOM)") {
     val full = planOf("graph_link_predict")
     val plan = full.split("== Initial Plan ==")(0)
-    // since r6 the capped (item, node) relation is computed ONCE
-    // (scan + distinct + broadcast anti-join, lazily checkpointed) —
-    // the query plan reads the checkpoint, so the anti-join lives in
-    // the checkpointed lineage, not here; the shape that must be
-    // visible is: checkpoint scan, equi-join wedges, map-side census,
-    // broadcast degree attach
-    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
-      s"capped relation must be checkpoint-backed:\n$plan")
+    // at sf0.001 the hot set is empty and AQE rightly ELIMINATES the
+    // anti-join from the final plan — the shape is asserted on the
+    // initial plan, where it always exists
+    assert(full.contains("LeftAnti"),
+      s"item cap must be an anti-join:\n$full")
     assert(plan.contains("partial_count"),
       s"common-neighbor census must combine map-side:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"degree attach must broadcast onto the pair table:\n$plan")
+    assert(!plan.contains("ExistingRDD"),
+      s"fact-scale relation must not be checkpoint-pinned:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"candidates must come from the shared-item equi-join only:\n$plan")
