@@ -173,25 +173,30 @@ object Outliers {
       s"laneSize $laneSize must exceed 2*half = ${2 * half}")
     val rows = df.filter(col(valCol).isNotNull)
       .select(col(key), col(tsCol), col(idCol), col(valCol))
-    // lazily checkpoint the ranked table: three lane branches (own +
-    // two borrow directions) consume it, and each would otherwise
-    // re-run the ENTIRE two-phase rank (itself a multi-pass plan) —
-    // measured 3x the whole rank without the checkpoint. One
-    // materialization of the about-to-be-reshuffled table is the
-    // scale-correct trade; blocks are context-cleaned with the frame.
+    // ONE pass over the ranked table: each row emits its 1–3 lane
+    // memberships as an exploded struct array instead of three
+    // filtered branches unioned (the r5 shape, which made the rank a
+    // 3-consumer relation and forced a lazy checkpoint to avoid
+    // re-running it — one consumer needs neither the checkpoint nor
+    // the union's extra scans). A phantom lane past the last row only
+    // ever holds borrowed rows — it emits nothing (own=false), so no
+    // upper-bound check is needed.
     val ranked = Ranking.globalRank(rows,
       Seq(col(key), col(tsCol), col(idCol)), "__gr", numRanges)
-      .localCheckpoint(false)
     val pos = col("__gr") - 1 // 0-based dense position
     val l0 = expr(s"CAST((__gr - 1) div $laneSize AS BIGINT)")
-    val own = ranked.withColumn("__lane", l0).withColumn("__own", lit(true))
-    val toPrev = ranked.filter(pos % laneSize < half && l0 > 0)
-      .withColumn("__lane", l0 - 1).withColumn("__own", lit(false))
-    // a phantom lane past the last row only ever holds borrowed rows —
-    // it emits nothing (own=false), so no upper-bound check is needed
-    val toNext = ranked.filter(pos % laneSize >= laneSize - half)
-      .withColumn("__lane", l0 + 1).withColumn("__own", lit(false))
-    val union = own.unionByName(toPrev).unionByName(toNext)
+    val membership = array(
+      struct(l0.as("lane"), lit(true).as("own")),
+      when(pos % laneSize < half && l0 > 0,
+        struct((l0 - 1).as("lane"), lit(false).as("own"))),
+      when(pos % laneSize >= laneSize - half,
+        struct((l0 + 1).as("lane"), lit(false).as("own"))))
+    val union = ranked
+      .select(col(key), col(tsCol), col(idCol), col(valCol),
+        explode(membership).as("__m"))
+      .filter(col("__m").isNotNull)
+      .select(col(key), col(tsCol), col(idCol), col(valCol),
+        col("__m.lane").as("__lane"), col("__m.own").as("__own"))
     val w = Window.partitionBy(col(key), col("__lane"))
       .orderBy(col(tsCol), col(idCol)).rowsBetween(-half, half)
     val withStats = union
