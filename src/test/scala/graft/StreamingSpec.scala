@@ -252,12 +252,15 @@ class StreamingSpec extends SparkTestBase {
     val lines = eventJson("f1", "success", 1000) + "\n" +
       eventJson("f2", "success", 2000)
     Files.writeString(eventsDir.resolve("b0.json"), lines)
-    // the SAME logical events as Kafka-shaped Avro wire frames
+    // the SAME logical events as Kafka-shaped Avro wire frames — with
+    // the CONFLUENT FRAMING the reference producer actually emits
+    // (magic + schema id + body), so this drives the exact bytes a
+    // real topic would carry through the whole consume graph
     val batchEvents = FetchEventStream.parseEvents(
       spark.read.text(eventsDir.toString).withColumnRenamed("value", "raw"))
       .filter(col("valid"))
       .select("fetch_id", "source", "status", "path", "params", "finished_at")
-    AvroWire.encodeFetchEvents(batchEvents)
+    AvroWire.encodeFetchEventsFramed(batchEvents)
       .write.mode("overwrite").parquet(wireDir.toString)
 
     // one graph, two transports — nothing downstream changes
