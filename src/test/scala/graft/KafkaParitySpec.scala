@@ -64,7 +64,11 @@ class KafkaParitySpec extends SparkTestBase {
         s"/bronze/$id.json", Map("latitude" -> "1.0"),
         1700000000000L + i * 1000L)
     }.toDF("fetch_id", "source", "status", "path", "params", "finished_at")
-    AvroWire.encodeFetchEvents(events).collect()
+    // CONFLUENT-FRAMED frames (magic + schema id + Avro body) — the
+    // byte layout the reference producer's AvroSerializer puts on the
+    // topic (streaming/events.py:83-92), so the whole parity story
+    // runs on reference-shaped bytes
+    AvroWire.encodeFetchEventsFramed(events).collect()
       .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
   }
 
