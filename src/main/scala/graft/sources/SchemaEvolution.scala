@@ -179,6 +179,12 @@ object SchemaEvolution {
       .withColumn("__valid", coalesce(valid, lit(false)))
       // the violator split reads the migrated relation twice; freeze it
       // once so the two branches cannot observe different evaluations
+      // even if the reviewed transform is accidentally nondeterministic
+      // (a row must never be both dead-lettered AND committed, or
+      // neither). This is a deliberate exception to the
+      // "never pin fact-scale relations" rule (SURVEY §4): a migration
+      // is a one-shot administrative job run for its table, not a hot
+      // query operator — split consistency outranks the memory trade.
       .localCheckpoint(false)
     val bad = staged.filter(!col("__valid")).drop("__valid")
     val badCount = bad.count()
