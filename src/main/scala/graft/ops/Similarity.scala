@@ -44,7 +44,11 @@ object Similarity {
     * total (neighbor_id tie-break), so the result set is identical to a
     * `row_number` window. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    graft.plans.TopK.perKey(scored, Seq("query_id"),
+    // two-phase: map-side partial heaps bound what the query_id
+    // shuffle moves to <= k rows per key per partition — with FEW
+    // queries (the probe-batch shape) the single-phase form funnels
+    // the whole scored table into |queries| reducers
+    graft.plans.TopK.perKeyTwoPhase(scored, Seq("query_id"),
         Seq(col("cosine").desc, col("neighbor_id")), k)
       .orderBy("query_id", "neighbor_id")
 
@@ -193,7 +197,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosineWithNorms(col("qe"), col("ce"), col("qn"), col("cn")), 6)
           .as("cosine"))
-    val neg = graft.plans.TopK.perKey(scored, Seq("query_id"),
+    val neg = graft.plans.TopK.perKeyTwoPhase(scored, Seq("query_id"),
         Seq(col("cosine").desc, col("neighbor_id")), 1)
       .select(col("query_id").as("anchor_id"),
         col("neighbor_id").as("neg_id"), col("cosine").as("neg_cosine"))
@@ -729,7 +733,7 @@ object Similarity {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // per-cell seeds: k smallest member ids, densely renumbered 0..k-1
     // per cell via a bounded heap (never a per-cell corpus sort)
-    val seedRows = graft.plans.TopK.perKey(
+    val seedRows = graft.plans.TopK.perKeyTwoPhase(
         sub.filter(col("s") === 0).select("vec_id", "cell"),
         Seq("cell"), Seq(col("vec_id")), k)
     val seedW = Window.partitionBy("cell").orderBy("vec_id") // ≤ k rows/cell

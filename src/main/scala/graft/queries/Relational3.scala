@@ -238,7 +238,7 @@ object Relational3 extends QueryPack {
         min(when(col("p") === 0.95, col("q_disc"))).as("p95"))
     // mode = top-1 per type: the bounded-heap operator, not a sort of
     // the per-user count table in |event_type| tasks
-    val md = graft.plans.TopK.perKey(
+    val md = graft.plans.TopK.perKeyTwoPhase(
         ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt")),
         Seq("event_type"), Seq(col("cnt").desc, col("user_id")), 1)
       .select(col("event_type"), col("user_id").as("mode_user"))

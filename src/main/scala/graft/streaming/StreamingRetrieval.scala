@@ -103,7 +103,7 @@ object StreamingRetrieval {
       case Some(st) => st.unionByName(scored)
       case None => scored
     }
-    val topk = graft.plans.TopK.perKey(merged, Seq("query_id"),
+    val topk = graft.plans.TopK.perKeyTwoPhase(merged, Seq("query_id"),
       Seq(col("cosine").desc, col("neighbor_id")), k)
     topk.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
     pruneVersions(spark, stateDir, keepVersions)

@@ -188,7 +188,7 @@ object VectorIndex {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosineWithNorms(col("qe"), col("ce"), col("qn"), col("cn")), 6)
           .as("cosine"))
-    graft.plans.TopK.perKey(scored, Seq("query_id"),
+    graft.plans.TopK.perKeyTwoPhase(scored, Seq("query_id"),
         Seq(col("cosine").desc, col("neighbor_id")), k)
       .orderBy("query_id", "neighbor_id")
   }
