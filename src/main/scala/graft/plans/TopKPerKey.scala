@@ -202,4 +202,21 @@ object TopK {
     GraftColumnBridge.ofRows(spark, TopKPerKeyNode(keys, ordering, k,
       TopKPerKeyPartialNode(keys, ordering, k, child)))
   }
+
+  /** The partial pass alone — test hook for asserting its shuffle-input
+    * bound (≤ k rows per key per input partition). */
+  private[graft] def perKeyPartialForTest(df: DataFrame,
+      keyCols: Seq[String], sortCols: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    ensureRegistered(spark)
+    val child = df.queryExecution.analyzed
+    val keys: Seq[Expression] = keyCols.map(n =>
+      child.output.find(_.name == n).get)
+    val ordering = sortCols.map(c => GraftColumnBridge.eagerExpression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    GraftColumnBridge.ofRows(spark,
+      TopKPerKeyPartialNode(keys, ordering, k, child))
+  }
 }

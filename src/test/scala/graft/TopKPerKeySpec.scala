@@ -22,6 +22,36 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(topk.toSeq == expected.toSeq)
   }
 
+  test("perKeyTwoPhase == perKey == window row_number (exact partial " +
+      "pre-pass), and its plan stacks partial below final with ONE " +
+      "exchange between them") {
+    val two = TopK.perKeyTwoPhase(data, Seq("key"),
+        Seq(col("score").desc, col("id")), k = 3)
+      .orderBy("key", "score", "id").collect().toSeq
+    val one = TopK.perKey(data, Seq("key"),
+        Seq(col("score").desc, col("id")), k = 3)
+      .orderBy("key", "score", "id").collect().toSeq
+    assert(two == one, "two-phase must be exact for a total ordering")
+    val df = TopK.perKeyTwoPhase(data, Seq("key"),
+      Seq(col("score").desc, col("id")), 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("TopKPerKey").length - 1 >= 2,
+      s"expected partial AND final TopKPerKeyExec:\n$plan")
+    // the partial pass runs in place: the only key shuffle is the
+    // clustered requirement between partial and final (the fixture's
+    // own repartition(5) is round-robin, not a key exchange)
+    val keyExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(keyExchanges == 1,
+      s"two-phase top-k must key-shuffle exactly once:\n$plan")
+    // the shuffle moves <= k rows per key per input partition: with
+    // 5 input partitions, 7 keys, k=3 that is <= 105 rows, never 1000
+    val partialOut = TopK.perKeyPartialForTest(data, Seq("key"),
+      Seq(col("score").desc, col("id")), 3).count()
+    assert(partialOut <= 105 && partialOut >= 21,
+      s"partial pass must bound the shuffle input, got $partialOut")
+  }
+
   test("physical plan uses TopKPerKeyExec, not Window+Sort") {
     val df = TopK.perKey(data, Seq("key"), Seq(col("score").desc, col("id")), 3)
     df.collect() // materialize so AQE finalizes the physical plan
