@@ -40,8 +40,11 @@ class TopKPerKeySpec extends SparkTestBase {
       s"expected partial AND final TopKPerKeyExec:\n$plan")
     // the partial pass runs in place: the only key shuffle is the
     // clustered requirement between partial and final (the fixture's
-    // own repartition(5) is round-robin, not a key exchange)
-    val keyExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // own repartition(5) is round-robin, not a key exchange; count in
+    // the FINAL plan only — AQE's toString repeats the initial plan)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val keyExchanges =
+      "Exchange hashpartitioning".r.findAllIn(finalPlan).length
     assert(keyExchanges == 1,
       s"two-phase top-k must key-shuffle exactly once:\n$plan")
     // the shuffle moves <= k rows per key per input partition: with
