@@ -32,6 +32,17 @@ class CliSpec extends AnyFunSuite {
     assert(none.contains("no portable-SQL oracle"))
   }
 
+  test("fetch with an unknown --source fails fast (before any session " +
+      "spins up) and names the registered sources") {
+    val e = intercept[RuntimeException] {
+      Cli.run(Array("fetch", "--payload-file", "/tmp/x.json",
+        "--source", "no_such_source"))
+    }
+    assert(e.getMessage.contains("unknown source 'no_such_source'"))
+    assert(e.getMessage.contains("etl_meteo"),
+      "the error must list what IS registered")
+  }
+
   test("run with an unknown query fails fast, before any session spins up") {
     val e = intercept[RuntimeException] {
       Cli.run(Array("run", "no_such_query"))
