@@ -13,10 +13,14 @@ import duckdb
 import pyarrow.parquet as pq
 
 def load_result(path):
-    files = glob.glob(os.path.join(path, "*.parquet"))
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     if not files:
         return None
-    return pq.read_table(files[0])
+    # Verify writes coalesce(1), but NEVER trust that silently: read and
+    # concat every part-file so a multi-part dump can't truncate the
+    # compare (judge r6 hardening note).
+    import pyarrow as pa
+    return pa.concat_tables([pq.read_table(f) for f in files])
 
 def canon(table):
     """Sort columns by name; return (schema_desc, row tuples)."""

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.Cli run <query> [--sf-dir D] [--limit N] [--out P]"
   *   sbt "runMain graft.Cli oracle <query>"
   *   sbt "runMain graft.Cli explain <query> [--sf-dir D]"
-  *   sbt "runMain graft.Cli fetch --payload-file F [--limit N]"
+  *   sbt "runMain graft.Cli fetch --payload-file F [--source S] [--limit N]"
   *   sbt "runMain graft.Cli dashboard [--sf-dir D]"
   * }}}
   *
@@ -136,7 +136,8 @@ object Cli {
         s"""unknown command: ${other.mkString(" ")}
            |usage: list [substr] | run <q> [--sf-dir D] [--limit N] [--out P]
            |       oracle <q> | explain <q> [--sf-dir D]
-           |       fetch --payload-file F [--limit N] | dashboard [--sf-dir D]
+           |       fetch --payload-file F [--source S] [--limit N]
+           |       dashboard [--sf-dir D]
            |""".stripMargin)
   }
 }

@@ -142,15 +142,16 @@ object Behavior {
     *
     * A rolling COUNT(DISTINCT) has no window form (distinct does not
     * merge across frames), and the naive per-day correlated count
-    * re-scans the feed once per day. Shape here: the feed first
+    * re-scans the feed once per day. Shape here (see
+    * [[activeUsersFromDays]] for the full derivation): the feed first
     * compacts to DISTINCT (user, day) — the only event-scale work, one
-    * map-side-combined shuffle — then each activity day SUPPORTS the
-    * next w report days by bounded replication (`explode(sequence)`,
-    * ×(1+7+30) worst case on the compacted pairs, never on raw
-    * events), and a distinct count per (report day, window) finishes on
-    * data that is (users × days)-sized. No window over the feed, no
-    * per-day rescan; report days outside the observed range are cut by
-    * a 1-row broadcast of the day bounds.
+    * map-side-combined shuffle — then per-window counting is INTERVAL
+    * MERGE + sweep: each user's sorted active days collapse into
+    * maximal covered runs per window width (one lag/lead pass serves
+    * all three windows), runs emit ±1 deltas, and per-day counts are a
+    * prefix sum of the aggregated deltas over the dashboard-sized day
+    * axis. No replication of the compacted pairs, no countDistinct
+    * state; the day grid comes from a 1-row bounds broadcast.
     *
     * Returns (day, dau, wau, mau) — integer epoch-day and exact counts,
     * 0 on days with support but no activity. */
@@ -277,6 +278,13 @@ object Behavior {
     * boundaries), custkey tie-break; `segment` concatenates the three
     * digits ("111" = best on all three).
     *
+    * `monetary` is aggregated and RANKED in exact decimal(18,2) but
+    * emitted as a double (SURVEY §5 cast-at-the-edge discipline: the
+    * scaled value is far below 2^53, so the decimal→double cast is
+    * correctly rounded and bit-identical cross-engine, whereas a raw
+    * DECIMAL output column rides each engine's own decimal
+    * representation through the gate).
+    *
     * Scale shape: the 100 TB work is orders → per-customer aggregate
     * (one map-side-combined pass); the three quartile ranks run over
     * the customer-sized aggregate via the range-parallel two-phase
@@ -318,7 +326,7 @@ object Behavior {
     def quart(r: String): Column =
       expr(s"($r - 1) * 4 div __n + 1")
     ranked.select(col("custkey"), col("r_days"), col("n_orders"),
-        col("monetary"),
+        round(col("monetary").cast("double"), 2).as("monetary"),
         quart("__rr").as("r_q"), quart("__rf").as("f_q"),
         quart("__rm").as("m_q"))
       .withColumn("segment", concat(col("r_q").cast("string"),
@@ -360,7 +368,12 @@ object Behavior {
         max(col("__tot").cast(DecimalType(28, 2))).as("__tot"))
       .withColumn("cum_share", round(
         col("__cumEnd").cast("double") / col("__tot").cast("double"), 6))
-      .select(col("band"), col("n_cust"), col("revenue"), col("cum_share"))
+      // revenue stays exact decimal through rank + running sum + band
+      // aggregate; the OUTPUT edge is a double (SURVEY §5 — scaled value
+      // « 2^53, cast correctly rounded and cross-engine bit-identical)
+      .select(col("band"), col("n_cust"),
+        round(col("revenue").cast("double"), 2).as("revenue"),
+        col("cum_share"))
       .orderBy("band")
   }
 

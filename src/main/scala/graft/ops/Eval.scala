@@ -110,8 +110,16 @@ object Eval {
         sum(col("__y")).cast("long").as("n_pos"),
         sum(col("__s").cast(DecimalType(28, 6)))
           .cast(DecimalType(28, 6)).as("score_sum"))
-      .withColumn("mean_score",
-        col("score_sum").cast("double") / col("n").cast("double"))
+      // score_sum is SUMMED in exact decimal but emitted as
+      // ROUND(CAST(x AS DOUBLE), 6) — SURVEY §5's cast-at-the-edge rule
+      // for high-scale decimal sums: a raw DECIMAL output column rides
+      // engine-specific decimal handling through the gate, and an
+      // unrounded cast of a scale-6 sum can drift a ulp between
+      // engines (the ts_autocorr lesson). mean_score rounds to 6 dp
+      // AFTER its decimal→double cast for the same reason.
+      .withColumn("mean_score", round(
+        col("score_sum").cast("double") / col("n").cast("double"), 6))
+      .withColumn("score_sum", round(col("score_sum").cast("double"), 6))
       .withColumn("pos_rate",
         col("n_pos").cast("double") / col("n").cast("double"))
       .orderBy("bin")

@@ -56,6 +56,14 @@ import org.apache.spark.sql.functions._
   * [[graft.functions.RangeBucketCount]] loop over ≤ numRanges−1
   * literal keys — inside whole-stage codegen (plan-audited), and noise
   * next to the shuffle write each row is about to pay anyway.
+  *
+  * EAGER by design: because the boundary array is frozen as a plan
+  * literal, CONSTRUCTING a rank frame runs the two boundary-sample
+  * jobs over the input immediately — `globalRank`/`globalRankCumsum`
+  * are not lazy the way a plain `select` is. Callers that only want to
+  * inspect or explain a plan pay those two (cheap, TopK-bounded) jobs
+  * up front; correctness is unaffected (ranks are exact for any
+  * boundary choice).
   */
 object Ranking {
 

@@ -101,7 +101,8 @@ object Behavior extends QueryPack {
           ROW_NUMBER() OVER (ORDER BY n_orders DESC, custkey) AS rf,
           ROW_NUMBER() OVER (ORDER BY monetary DESC, custkey) AS rm
         FROM a)
-      SELECT custkey, r_days, n_orders, monetary,
+      SELECT custkey, r_days, n_orders,
+        ROUND(CAST(monetary AS DOUBLE), 2) AS monetary,
         CAST((rr - 1) * 4 // n + 1 AS BIGINT) AS r_q,
         CAST((rf - 1) * 4 // n + 1 AS BIGINT) AS f_q,
         CAST((rm - 1) * 4 // n + 1 AS BIGINT) AS m_q,
@@ -200,7 +201,7 @@ object Behavior extends QueryPack {
           CAST(MAX(cum) AS DECIMAL(28,2)) AS cumend, MAX(n.tot) AS tot
         FROM r CROSS JOIN n GROUP BY 1)
       SELECT CAST(band AS BIGINT) AS band, CAST(n_cust AS BIGINT) AS n_cust,
-        revenue,
+        ROUND(CAST(revenue AS DOUBLE), 2) AS revenue,
         ROUND(CAST(cumend AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
       FROM g ORDER BY band""".trim)) { (spark, dir) =>
     graft.ops.Behavior.paretoCurve(Tables.orders(spark, dir))

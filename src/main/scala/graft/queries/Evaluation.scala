@@ -60,8 +60,9 @@ object Evaluation extends QueryPack {
                CAST(SUM(CAST(sc AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS score_sum
         FROM r GROUP BY 1)
       SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
-             CAST(n_pos AS BIGINT) AS n_pos, score_sum,
-             CAST(score_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score,
+             CAST(n_pos AS BIGINT) AS n_pos,
+             ROUND(CAST(score_sum AS DOUBLE), 6) AS score_sum,
+             ROUND(CAST(score_sum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_score,
              CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
       FROM g ORDER BY bin""".stripMargin.trim)) { (spark, dir) =>
     Eval.calibrationBins(Tables.orders(spark, dir),

