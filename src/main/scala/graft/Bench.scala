@@ -63,8 +63,20 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
+    // per-query run-to-run variance, published WITH the headline: a
+    // reader comparing two rounds can tell drift from regression
+    // without re-measuring (r6 verdict: three "regressions" in the r6
+    // tail were sweep noise with up-to-3× raw spreads; the evidence
+    // lived only in bench_raw.json). median = middle timed run,
+    // spread = max/min ratio of the runs.
+    def median(v: Seq[Double]): Double = v.sorted.apply(v.size / 2)
+    val med = results.map { case (k, v) =>
+      s"\"" + k + "\":" + f"${median(v)}%.4f" }.mkString("{", ",", "}")
+    val spread = results.map { case (k, v) =>
+      val r = if (v.min > 0) v.max / v.min else 1.0
+      s"\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nRuns,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nRuns,"cpus":$cpus,"queries":$qs,"median":$med,"spread":$spread,"sf":"$sfDir"}""")
     // full raw provenance: every run of every query, committed per round
     val rawPath = sys.env.getOrElse("SPARK_GRAFT_RAW", "scripts/bench_raw.json")
     try {

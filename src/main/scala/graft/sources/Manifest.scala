@@ -97,6 +97,42 @@ object Manifest {
     -1L // unreachable
   }
 
+  /** Commit `df` as an APPEND: the next version references every file
+    * of the current version PLUS the newly written ones — the right
+    * shape for an append-only log (the fetch ledger), where
+    * [[commit]]'s full rewrite would copy the whole history every
+    * batch. The new files are written ONCE (they are version-agnostic);
+    * only the manifest publish retries on a version race, re-reading
+    * the winner's file list so no concurrent append is lost. A fresh
+    * root appends onto the empty file list (version 0). */
+  def commitAppend(df: DataFrame, root: String, maxRetries: Int = 5): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$root/_data/app-$uuid"
+    df.write.mode("errorifexists").parquet(dataDir)
+    val newFiles = listParquet(f, new Path(dataDir))
+    var attempt = 0
+    while (true) {
+      val prev = latestVersion(spark, root)
+      val v = prev.getOrElse(-1L) + 1L
+      val files =
+        (prev.map(manifestFiles(spark, root, _)).getOrElse(Seq.empty)
+          ++ newFiles).sorted
+      val tmp = new Path(manifestDir(root), s".tmp-$v-$uuid.json")
+      writeManifestTmp(f, tmp, files)
+      if (f.rename(tmp, new Path(manifestDir(root), s"v$v.json"))) return v
+      f.delete(tmp, false)
+      attempt += 1
+      if (attempt > maxRetries) {
+        f.delete(new Path(dataDir), true)
+        throw new IllegalStateException(
+          s"append commit lost $maxRetries races at $root")
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Transactional OPTIMIZE: rewrite the CURRENT snapshot's physical
     * layout (same rows, better files) and commit the rewrite as the
     * NEXT version — the missing atomicity between [[graft.sources.Layout]]

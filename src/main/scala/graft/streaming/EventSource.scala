@@ -46,3 +46,23 @@ case class AvroWireSource(open: SparkSession => DataFrame) extends EventSource {
   def events(spark: SparkSession): DataFrame =
     AvroWire.decodeFetchEvents(open(spark))
 }
+
+/** The real-broker transport: `readStream.format("kafka")` frames
+  * (binary `key`/`value` — exactly [[AvroWireSource]]'s input shape)
+  * from `topic` at `bootstrap`, decoded by the same Confluent-framed
+  * Avro path every fake-broker spec proves. Requires the
+  * spark-sql-kafka connector on the classpath — present wherever a
+  * broker is (the zero-egress sandbox has neither, so the opt-in
+  * `IntegrationSpec` gates on `KAFKA_BOOTSTRAP`). This is the one-line
+  * swap the [[EventSource]] boundary exists for: every downstream
+  * stage (`validEvents` → `normalizeToSilver[Tx]`, `dedupedEvents`,
+  * `windowedHealth`) composes unchanged. */
+object KafkaEventSource {
+  def apply(bootstrap: String, topic: String,
+      startingOffsets: String = "earliest"): EventSource =
+    AvroWireSource(s => s.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load())
+}

@@ -79,19 +79,7 @@ object FetchEventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (!batch.isEmpty) {
-          val bronze = spark.read.schema("fetch_id STRING, payload STRING")
-            .json(bronzeDir)
-          // resolve each event's transform through the source registry
-          // (streaming/load.py:49-52); events from unregistered sources
-          // are skipped, the consumer's StreamLoadError path
-          val batchObs = Sources.registry.values.toSeq.map { src =>
-            src.normalize(
-              batch.filter(col("source") === src.url)
-                .select(col("fetch_id"), col("finished_at"))
-                .join(bronze, "fetch_id")
-                .withColumn("version", col("finished_at").cast("long"))
-                .select("fetch_id", "payload", "version"))
-          }.reduce(_ unionByName _)
+          val batchObs = batchObservations(batch, bronzeDir)
           // partition-bounded MERGE: the silver table is day-partitioned
           // and only the days present in this batch are read + rewritten
           // (Upsert.mergePartitioned) — a micro-batch costs its touched
@@ -101,6 +89,90 @@ object FetchEventStream {
               date_format(col("timestamp"), "yyyy-MM-dd")),
             Seq("latitude", "longitude", "timestamp"), col("version"),
             "obs_date")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of success events → normalized observation rows
+    * (with their last-write-wins `version`): join events to the bronze
+    * payloads they reference and resolve each event's transform through
+    * the source registry (streaming/load.py:49-52); events from
+    * unregistered sources are skipped, the consumer's StreamLoadError
+    * path. */
+  private def batchObservations(batch: DataFrame, bronzeDir: String)
+      : DataFrame = {
+    val bronze = batch.sparkSession
+      .read.schema("fetch_id STRING, payload STRING").json(bronzeDir)
+    Sources.registry.values.toSeq.map { src =>
+      src.normalize(
+        batch.filter(col("source") === src.url)
+          .select(col("fetch_id"), col("finished_at"))
+          .join(bronze, "fetch_id")
+          .withColumn("version", col("finished_at").cast("long"))
+          .select("fetch_id", "payload", "version"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[normalizeToSilver]] with the reference's CROSS-TABLE consistency:
+    * each micro-batch publishes the updated observations table AND the
+    * batch's ledger transitions as ONE [[graft.sources.TxManifest]]
+    * transaction under `txRoot` (tables `observations` /
+    * `fetch_ledger`). The reference's `fetch_and_store` leaves
+    * `weather_observations` and `fetch_metadata` mutually consistent
+    * because Postgres transactions do (etl/load.py:61-118,
+    * etl/app.py:96-156); two independent parquet writes cannot — a
+    * crash between them publishes one table without the other, a torn
+    * state no reference reader can observe. Through the tx log, a
+    * reader resolving [[graft.sources.TxManifest.snapshot]] sees the
+    * observations of a batch iff it sees the batch's ledger rows.
+    *
+    * Failure/replay contract: a crash AFTER the tx publish but before
+    * the stream checkpoint advances replays the batch; the replay
+    * re-merges the same observations (last-write-wins upsert is
+    * idempotent) and re-appends the same ledger transitions, which
+    * [[graft.meteo.FetchLedger.currentState]] resolves to the identical
+    * per-job state — at-least-once delivery, exactly-once observable
+    * effect, same as the non-tx lane.
+    *
+    * Scale shape: the ledger moves through [[graft.sources
+    * .Manifest.commitAppend]] (new files + the old file LIST — an
+    * append-only log never rewrites history); the observations merge
+    * rewrites the table here for spec-scale clarity — at lake scale the
+    * merge composes with the same file-granular copy-on-write
+    * [[graft.sources.Manifest.deleteWhere]] demonstrates (rewrite only
+    * files containing collided keys, carry the rest by reference). */
+  def normalizeToSilverTx(events: DataFrame, bronzeDir: String,
+      txRoot: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.{Manifest, TxManifest}
+    events.filter(col("status") === FetchStatus.Success).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val batchObs = batchObservations(batch, bronzeDir)
+          val keys = Seq("latitude", "longitude", "timestamp")
+          val merged = TxManifest.latestTx(spark, txRoot) match {
+            case Some(tx) =>
+              val prev = TxManifest.read(spark, txRoot, "observations",
+                Some(tx))
+              Upsert.mergeByKey(prev, batchObs, keys, col("version"))
+            case None => Upsert.latestByKey(batchObs, keys, col("version"))
+          }
+          val ledgerRows = batch.select(
+            col("fetch_id"), col("source"), col("status"),
+            col("finished_at"), lit(batchId).as("batch_id"))
+          // phase 1 of the tx: append the ledger rows as the ledger
+          // table's next version (old files carried by reference);
+          // phase 2 inside TxManifest.commit publishes both pins
+          // atomically.
+          val ledgerV = Manifest.commitAppend(ledgerRows,
+            s"$txRoot/fetch_ledger")
+          TxManifest.commitAt(spark, txRoot,
+            Map("observations" -> merged),
+            pinned = Map("fetch_ledger" -> ledgerV))
         }
         ()
       }

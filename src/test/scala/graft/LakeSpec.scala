@@ -477,4 +477,103 @@ class LakeSpec extends SparkTestBase {
             org.apache.spark.sql.types.IntegerType)))))
     }
   }
+
+  // ---- TxManifest: cross-table atomic commit (round 7) ---------------
+
+  test("TxManifest: a crash between table commits is invisible — tx " +
+      "readers see both new versions or neither (fetch_and_store " +
+      "transactionality)") {
+    import graft.sources.{Manifest, TxManifest}
+    val txRoot = Files.createTempDirectory("tx1").resolve("lake").toString
+    def obs(rows: (Long, String)*) = rows.toDF("k", "v")
+    def led(rows: (String, String)*) = rows.toDF("fetch_id", "status")
+
+    // tx 0: observations + ledger published together
+    val tx0 = TxManifest.commit(spark, txRoot, Map(
+      "observations" -> obs(1L -> "t20"),
+      "fetch_ledger" -> led("f1" -> "success")))
+    assert(tx0 == 0L)
+    assert(TxManifest.read(spark, txRoot, "observations").count() == 1)
+    assert(TxManifest.read(spark, txRoot, "fetch_ledger").count() == 1)
+
+    // CRASH SIMULATION: phase 1 of the next tx lands (observations get
+    // a new per-table version) but the process dies before the tx
+    // record publishes — exactly the torn state two independent writes
+    // would expose.
+    Manifest.commit(obs(1L -> "t99", 2L -> "t21"), s"$txRoot/observations")
+    // per-table manifest DOES see the orphan (that's the layer below)…
+    assert(Manifest.read(spark, s"$txRoot/observations").count() == 2)
+    // …but every tx-resolved reader still sees tx0's consistent pair:
+    val snap = TxManifest.snapshot(spark, txRoot)
+    assert(snap("observations").collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toSet == Set(1L -> "t20"))
+    assert(snap("fetch_ledger").count() == 1)
+
+    // recovery: the next FULL tx republishes both; its observations
+    // commit lands AFTER the orphan version and wins
+    val tx1 = TxManifest.commit(spark, txRoot, Map(
+      "observations" -> obs(1L -> "t99", 2L -> "t21"),
+      "fetch_ledger" -> led("f1" -> "success", "f2" -> "success")))
+    assert(tx1 == 1L)
+    val snap1 = TxManifest.snapshot(spark, txRoot)
+    assert(snap1("observations").count() == 2)
+    assert(snap1("fetch_ledger").count() == 2)
+    // time travel: tx0 still resolves its original consistent pair
+    assert(TxManifest.read(spark, txRoot, "observations", Some(0L))
+      .collect().map(_.getString(1)).toSeq == Seq("t20"))
+  }
+
+  test("TxManifest: a tx writing one table carries the other tables' " +
+      "pins forward; losing the tx-number race retries without " +
+      "dropping pins") {
+    import graft.sources.TxManifest
+    import org.apache.hadoop.fs.Path
+    val txRoot = Files.createTempDirectory("tx2").resolve("lake").toString
+    TxManifest.commit(spark, txRoot, Map(
+      "a" -> Seq(1L).toDF("x"), "b" -> Seq(10L).toDF("y")))
+    // tx 1 touches only table a — b must stay pinned at its tx-0 version
+    TxManifest.commit(spark, txRoot, Map("a" -> Seq(2L).toDF("x")))
+    val pins = TxManifest.tableVersions(spark, txRoot,
+      TxManifest.latestTx(spark, txRoot).get)
+    assert(pins == Map("a" -> 1L, "b" -> 0L), s"pins: $pins")
+    assert(TxManifest.read(spark, txRoot, "b").as[Long].head() == 10L)
+
+    // stage a tx-number race: claim v2 behind the committer's back
+    val fs = new Path(txRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new Path(s"$txRoot/_txlog/v1.json"), fs,
+      new Path(s"$txRoot/_txlog/v2.json"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val tx = TxManifest.commit(spark, txRoot, Map("b" -> Seq(20L).toDF("y")))
+    assert(tx == 3L, s"loser must advance past the claimed tx: $tx")
+    val pins3 = TxManifest.tableVersions(spark, txRoot, 3L)
+    assert(pins3("a") == 1L && pins3("b") == 1L, s"pins3: $pins3")
+  }
+
+  test("Manifest.commitAppend: next version = old files by reference " +
+      "+ new files; history is never rewritten") {
+    import graft.sources.Manifest
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("app1").resolve("ledger").toString
+    // append onto a fresh root = version 0
+    assert(Manifest.commitAppend(Seq(1L).toDF("x"), root) == 0L)
+    assert(Manifest.commitAppend(Seq(2L, 3L).toDF("x"), root) == 1L)
+    assert(Manifest.read(spark, root).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // v1's file list strictly extends v0's — nothing was rewritten
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(v: Long): Set[String] = {
+      val in = fs.open(new Path(s"$root/_manifests/v$v.json"))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      "\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSet
+    }
+    assert(files(0L).subsetOf(files(1L)), "append dropped old files")
+    assert((files(1L) -- files(0L)).nonEmpty, "append added no files")
+    // old version still reads its own snapshot (time travel intact)
+    assert(Manifest.read(spark, root, Some(0L)).as[Long].collect().toSeq
+      == Seq(1L))
+  }
 }

@@ -302,4 +302,77 @@ class StreamingSpec extends SparkTestBase {
     // the missing-status event must be AUDITABLE, not silently dropped
     assert(FetchEventStream.deadLetters(rows).count() == 1)
   }
+
+  test("normalizeToSilverTx: each micro-batch publishes observations + " +
+      "ledger as ONE transaction; replay keeps the observable state " +
+      "exactly-once") {
+    import graft.sources.TxManifest
+    val events = tmp("txevents"); val bronze = tmp("txbronze")
+    val txRoot = tmp("txlake").resolve("lake"); val ckpt = tmp("txckpt")
+
+    def payload(lat: Double, temp: Double): String =
+      s"""{"latitude":$lat,"longitude":9.0,"hourly":{"time":["2026-01-01T00:00"],
+         |"temperature_2m":[$temp],"precipitation":[0.0],
+         |"soil_temperature_18cm":[1.0],"soil_moisture_9_to_27cm":[0.1],
+         |"wind_speed_10m":[5.0],"wind_direction_10m":[90],"cloud_cover":[10]}}"""
+        .stripMargin.replace("\n", "")
+    Seq(("f1", payload(1.0, 20.0)), ("f2", payload(2.0, 25.0)))
+      .toDF("fetch_id", "payload")
+      .write.mode("overwrite").json(bronze.toString)
+    Files.writeString(events.resolve("b0.json"),
+      eventJson("f1", "success", 1000) + "\n" + eventJson("f2", "success", 2000))
+
+    val ev = FetchEventStream.validEvents(FetchEventStream.parseEvents(
+      FetchEventStream.readRaw(spark, events.toString)))
+    val q = FetchEventStream.normalizeToSilverTx(
+      ev, bronze.toString, txRoot.toString, ckpt.toString)
+    try q.processAllAvailable() finally q.stop()
+
+    // one tx holds BOTH tables: the observations of the batch and its
+    // ledger rows resolve from the same tx record
+    val snap = TxManifest.snapshot(spark, txRoot.toString)
+    assert(snap.keySet == Set("observations", "fetch_ledger"))
+    assert(snap("observations").count() == 2)
+    assert(snap("fetch_ledger").select("fetch_id").as[String]
+      .collect().toSet == Set("f1", "f2"))
+
+    // second batch: re-fetch of lat=1.0 must win; the tx advances
+    Seq(("f3", payload(1.0, 99.0))).toDF("fetch_id", "payload")
+      .write.mode("append").json(bronze.toString)
+    Files.writeString(events.resolve("b1.json"),
+      eventJson("f3", "success", 5000))
+    val q2 = FetchEventStream.normalizeToSilverTx(
+      ev, bronze.toString, txRoot.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val snap2 = TxManifest.snapshot(spark, txRoot.toString)
+    assert(snap2("observations").count() == 2)
+    assert(snap2("observations").filter(col("latitude") === 1.0)
+      .head().getAs[Double]("temperature") == 99.0, "newest fetch wins")
+    assert(snap2("fetch_ledger").count() == 3)
+
+    // AT-LEAST-ONCE REPLAY: wipe the checkpoint so the stream replays
+    // every batch; the merged observations must be IDENTICAL (idempotent
+    // upsert) and the ledger's per-job current state unchanged
+    val ckpt2 = tmp("txckpt2")
+    val q3 = FetchEventStream.normalizeToSilverTx(
+      ev, bronze.toString, txRoot.toString, ckpt2.toString)
+    try q3.processAllAvailable() finally q3.stop()
+    val snap3 = TxManifest.snapshot(spark, txRoot.toString)
+    assert(snap3("observations").count() == 2)
+    assert(snap3("observations").filter(col("latitude") === 1.0)
+      .head().getAs[Double]("temperature") == 99.0,
+      "replay changed the observable state")
+    // append-only ledger grew, but the RESOLVED per-job state is stable
+    val state = graft.meteo.FetchLedger.currentState(
+      snap3("fetch_ledger").withColumn("seq", col("finished_at").cast("long"))
+        .withColumn("at", col("finished_at")))
+    assert(state.select("fetch_id").as[String].collect().toSet
+      == Set("f1", "f2", "f3"))
+
+    // tx0 time travel: the first batch's consistent pair is intact
+    val first = TxManifest.snapshot(spark, txRoot.toString, Some(0L))
+    assert(first("observations").count() == 2)
+    assert(first("fetch_ledger").count() == 2)
+  }
 }
