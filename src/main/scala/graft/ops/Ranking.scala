@@ -171,7 +171,14 @@ object Ranking {
     * `cumCol` (running sum of `valueCol` in that order). `sortCols` must
     * be a total order (ties across range boundaries would make local
     * ranks ambiguous — pass a tie-breaking column, as row_number would
-    * need anyway for a deterministic result). */
+    * need anyway for a deterministic result).
+    *
+    * NOT lazy: constructing the result runs two small Spark jobs
+    * eagerly (the boundary sample is collected at build time and
+    * frozen into the plan as a literal — the determinism guarantee
+    * depends on it). Callers that only want to inspect or `explain`
+    * a rank plan still pay those jobs; ranks themselves are
+    * boundary-independent, so correctness is unaffected. */
   def globalRankCumsum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
       rankCol: String = "rank", cumCol: String = "cum",
       numRanges: Int = 0): DataFrame = {
