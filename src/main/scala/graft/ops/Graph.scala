@@ -175,9 +175,14 @@ object Graph {
     // canonicalize identically (one shuffle, reused exchange); degrees
     // cost one extra scan — the checkpoint-aggregates-only rule
     // (rfm's customer table, auc's distinct scores) applied here.
+    // The hot-item set is bounded by |edges|/cap — which GROWS with the
+    // corpus, so it gets no broadcast() hint (the plan-time-bounded rule
+    // that already governs the degree joins below): AQE broadcasts it
+    // while small and falls back to a shuffle join, whose skewed item
+    // partitions AQE can split, when it is not.
     val hot = e.groupBy(col("item")).agg(count(lit(1)).as("__d"))
       .filter(col("__d") > itemCap).select("item")
-    val cold = e.join(broadcast(hot), Seq("item"), "left_anti")
+    val cold = e.join(hot, Seq("item"), "left_anti")
     val deg = cold.groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val pairs = cold.as("x").join(cold.as("y"),
         col("x.item") === col("y.item") && col("x.node") < col("y.node"))

