@@ -14,8 +14,29 @@ Usage: python3 scripts/bench_drift.py BENCH_prev.json BENCH_new.json [threshold]
 import json, math, sys
 
 def load(path):
-    line = open(path).read()
-    return json.loads(line[line.index("{"):])
+    """Merge every JSON line in the file: since round 8 the bench emits
+    aux lines (median/spread) before the compact headline line, so the
+    maps live on separate lines; older rounds had one fat line."""
+    merged = {}
+    text = open(path).read()
+    for line in text.splitlines():
+        i = line.find("{")
+        if i < 0:
+            continue
+        try:
+            merged.update(json.loads(line[i:]))
+        except json.JSONDecodeError:
+            continue
+    if "queries" not in merged:
+        # driver-wrapped BENCH_rNN.json: pretty-printed, headline under
+        # "parsed" (when the driver managed to parse it)
+        try:
+            whole = json.loads(text)
+            if isinstance(whole.get("parsed"), dict):
+                merged = whole["parsed"]
+        except json.JSONDecodeError:
+            pass
+    return merged
 
 def main(prev_path, new_path, threshold=1.3):
     a, b = load(prev_path), load(new_path)
@@ -23,7 +44,11 @@ def main(prev_path, new_path, threshold=1.3):
     sa, sb = a.get("spread", {}), b.get("spread", {})
     flagged = noise = 0
     for q in sorted(set(qa) & set(qb)):
-        if qa[q] <= 0 or qb[q] <= 0.05:  # scheduling-constant floor
+        # scheduling-constant floor applies to BOTH sides: a previous
+        # time below the floor would otherwise produce a large phantom
+        # ratio (0.03s -> 0.06s reads as x2) — the exact noise class
+        # this script exists to suppress
+        if qa[q] <= 0.05 or qb[q] <= 0.05:
             continue
         ratio = qb[q] / qa[q]
         if ratio <= threshold:

