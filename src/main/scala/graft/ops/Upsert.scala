@@ -31,6 +31,75 @@ object Upsert {
       .drop("__rn")
   }
 
+  /** Reference-parity PARTIAL upsert (etl/load.py:45-54): the
+    * reference's ON CONFLICT clause updates ONLY {timezone, temperature,
+    * precipitation, wind_speed, fetch_id} and bumps `updated_at`; every
+    * other payload column (soil temperature/moisture, wind direction,
+    * cloud cover) KEEPS the first write's values, and `created_at` is
+    * preserved from the first insert while `updated_at` moves
+    * (etl/db.py:96-102, server_default vs onupdate). Replaying a write
+    * log through whole-row [[latestByKey]] therefore diverges from the
+    * reference on any conflicting refetch — this operator replays it
+    * exactly: per key, `updateCols` take the NEWEST version's values,
+    * `preserveCols` the OLDEST version's, `createdCol` = min(version),
+    * `updatedCol` = max(version).
+    *
+    * Scale: ONE map-side-combined hash aggregate (max_by/min_by keyed
+    * on the (version, tieBreak) struct — fixed per-key state), cheaper
+    * than the window/TopK row_number form: no per-key row retention at
+    * all. `version` + `tieBreak` must totally order each key's writes
+    * for a deterministic result. */
+  def partialLatestByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      version: Column,
+      tieBreak: Seq[Column],
+      updateCols: Seq[String],
+      preserveCols: Seq[String],
+      createdCol: String = "created_at",
+      updatedCol: String = "updated_at"): DataFrame = {
+    val ord = struct(version +: tieBreak: _*)
+    val aggs: Seq[Column] =
+      updateCols.map(c => max_by(col(c), ord).as(c)) ++
+        preserveCols.map(c => min_by(col(c), ord).as(c)) ++
+        Seq(min(version).as(createdCol), max(version).as(updatedCol))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two [[partialLatestByKey]] STATE tables (a batch's state is
+    * `partialLatestByKey(batch)`): `updateCols` follow the side with
+    * the larger `updatedCol`, `preserveCols` the side with the smaller
+    * `createdCol`, created = least, updated = greatest. The merge is
+    * commutative and associative, so batch-by-batch folding equals the
+    * one-shot replay even when batches arrive OUT OF ORDER
+    * (spec-proven) — the same mergeable-state algebra as
+    * `rollup_incremental`. Ties on created/updated across sides must
+    * not occur for determinism (they cannot when `version` totally
+    * orders each key's writes and a write lands in exactly one batch). */
+  def partialMergeStates(
+      a: DataFrame,
+      b: DataFrame,
+      keys: Seq[String],
+      updateCols: Seq[String],
+      preserveCols: Seq[String],
+      createdCol: String = "created_at",
+      updatedCol: String = "updated_at"): DataFrame = {
+    val joined = a.as("a").join(b.as("b"), keys, "full_outer")
+    def ac(c: String) = col("a." + c)
+    def bc(c: String) = col("b." + c)
+    // presence markers: created/updated are never null inside a state row
+    val aAbsent = ac(updatedCol).isNull
+    val bPresent = bc(updatedCol).isNotNull
+    val takeBNew = aAbsent || (bPresent && bc(updatedCol) >= ac(updatedCol))
+    val takeBFirst = aAbsent || (bPresent && bc(createdCol) < ac(createdCol))
+    val sel: Seq[Column] = keys.map(col) ++
+      updateCols.map(c => when(takeBNew, bc(c)).otherwise(ac(c)).as(c)) ++
+      preserveCols.map(c => when(takeBFirst, bc(c)).otherwise(ac(c)).as(c)) ++
+      Seq(least(ac(createdCol), bc(createdCol)).as(createdCol),
+        greatest(ac(updatedCol), bc(updatedCol)).as(updatedCol))
+    joined.select(sel: _*)
+  }
+
   /** Merge `incoming` into `existing`: incoming rows win on key collision
     * (the reference's DO UPDATE), existing rows survive otherwise.
     * Both sides must share a schema. `version` orders writes within the

@@ -51,6 +51,46 @@ object MeteoQueries extends QueryPack {
       .orderBy("user_id", "event_type")
   }
 
+  /** PARTIAL-column ON CONFLICT semantics (etl/load.py:45-54,
+    * etl/db.py:96-102): conflict updates only the listed columns and
+    * bumps updated_at; the rest — and created_at — keep the FIRST
+    * write's values. Stand-in mapping on events: (user_id, event_type)
+    * as the natural key, (value, prop_k) as the updated payload
+    * (temperature/fetch_id analogs), (event_id, value-at-first-write)
+    * as the preserved payload (soil/wind-direction analogs). */
+  val upsertPartial = GraftQuery(
+    "meteo_upsert_partial",
+    Some("""
+      SELECT user_id, event_type,
+             MAX(CASE WHEN rn_desc = 1 THEN value END) AS latest_value,
+             MAX(CASE WHEN rn_desc = 1 THEN prop_k END) AS latest_prop_k,
+             MAX(CASE WHEN rn_asc = 1 THEN event_id END) AS first_event_id,
+             MAX(CASE WHEN rn_asc = 1 THEN value END) AS first_value,
+             MIN(ts) AS created_at, MAX(ts) AS updated_at
+      FROM (
+        SELECT user_id, event_type, ts, event_id, value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_asc,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn_desc
+        FROM events) t
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type
+    """.stripMargin.trim)) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_type"), col("ts"), col("event_id"),
+      col("value").as("latest_value"),
+      get_json_object(col("props"), "$.k").cast("long").as("latest_prop_k"),
+      col("event_id").as("first_event_id"),
+      col("value").as("first_value"))
+    Upsert.partialLatestByKey(ev, Seq("user_id", "event_type"),
+        col("ts"), Seq(col("event_id")),
+        updateCols = Seq("latest_value", "latest_prop_k"),
+        preserveCols = Seq("first_event_id", "first_value"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Fetch-ledger health rollup: resolve current state per job
     * (last transition wins), count by status (FetchLedger.statusRollup
     * over the events stream viewed as a transition log). */
@@ -303,6 +343,7 @@ object MeteoQueries extends QueryPack {
   }
 
   override def all: Seq[GraftQuery] = Seq(
-    normalize, upsertLatest, ledger, countLocations, tableCounts,
-    lastStatus, recent, recentJobs, describeQ, profileQ, rollupIncremental, errorRollup)
+    normalize, upsertLatest, upsertPartial, ledger, countLocations,
+    tableCounts, lastStatus, recent, recentJobs, describeQ, profileQ,
+    rollupIncremental, errorRollup)
 }

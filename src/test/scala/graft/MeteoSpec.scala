@@ -94,6 +94,62 @@ class MeteoSpec extends SparkTestBase {
     assert(at1.getAs[Double]("temperature") == 99.0)
   }
 
+  test("partial upsert replays the reference ON CONFLICT column list: " +
+      "updated columns take the refetch, soil/cloud columns and " +
+      "created_at keep the first write, updated_at bumps; state merge " +
+      "is order-independent and equals the one-shot replay") {
+    // the reference's exact split (etl/load.py:45-54): conflict updates
+    // {timezone, temperature, precipitation, wind_speed, fetch_id};
+    // soil/wind-direction/cloud-cover keep the insert's values
+    val writes = Seq(
+      // (lat, lon, ts) key; fetch 1 then a conflicting refetch (fetch 2)
+      (1.0, 2.0, Timestamp.valueOf("2025-12-01 00:00:00"), 1L,
+        "UTC", 10.0, 0.1, 5.0, 7.5, 0.33, 180.0, 50.0),
+      (1.0, 2.0, Timestamp.valueOf("2025-12-01 00:00:00"), 2L,
+        "CET", 11.5, 0.2, 6.0, 8.8, 0.44, 190.0, 60.0),
+      // un-conflicted second location from fetch 2 only
+      (3.0, 4.0, Timestamp.valueOf("2025-12-01 00:00:00"), 2L,
+        "UTC", 20.0, 0.0, 3.0, 6.0, 0.5, 90.0, 10.0)
+    ).toDF("latitude", "longitude", "timestamp", "fetch_id", "timezone",
+      "temperature", "precipitation", "wind_speed",
+      "soil_temperature_18cm", "soil_moisture_9_to_27cm",
+      "wind_direction_10m", "cloud_cover")
+    val keys = Seq("latitude", "longitude", "timestamp")
+    val upd = Seq("timezone", "temperature", "precipitation",
+      "wind_speed", "fetch_id")
+    val keep = Seq("soil_temperature_18cm", "soil_moisture_9_to_27cm",
+      "wind_direction_10m", "cloud_cover")
+    val merged = Upsert.partialLatestByKey(
+      writes, keys, col("fetch_id"), Nil, upd, keep)
+    assert(merged.count() == 2)
+    val r = merged.filter(col("latitude") === 1.0).head()
+    // updated columns follow the refetch
+    assert(r.getAs[String]("timezone") == "CET")
+    assert(r.getAs[Double]("temperature") == 11.5)
+    assert(r.getAs[Double]("wind_speed") == 6.0)
+    assert(r.getAs[Long]("fetch_id") == 2L)
+    // preserved columns and created_at keep the first write
+    assert(r.getAs[Double]("soil_temperature_18cm") == 7.5)
+    assert(r.getAs[Double]("wind_direction_10m") == 180.0)
+    assert(r.getAs[Double]("cloud_cover") == 50.0)
+    assert(r.getAs[Long]("created_at") == 1L)
+    assert(r.getAs[Long]("updated_at") == 2L)
+
+    // incremental lane: per-batch states folded with partialMergeStates
+    // equal the one-shot replay — in order AND out of order
+    val b1 = writes.filter(col("fetch_id") === 1L)
+    val b2 = writes.filter(col("fetch_id") === 2L)
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Upsert.partialLatestByKey(df, keys, col("fetch_id"), Nil, upd, keep)
+    val want = merged.collect().map(_.toString).sorted.toSeq
+    for (pair <- Seq((b1, b2), (b2, b1))) {
+      val folded = Upsert.partialMergeStates(
+        state(pair._1), state(pair._2), keys, upd, keep)
+      assert(folded.collect().map(_.toString).sorted.toSeq == want,
+        s"fold order ${pair._1.hashCode}")
+    }
+  }
+
   test("fetch ledger lifecycle: pending -> success/error, rollup by status") {
     val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
     val t1 = Timestamp.valueOf("2026-01-01 00:01:00")
