@@ -18,8 +18,17 @@ import org.apache.spark.sql.types._
   *    with-room, decimal precision growth at equal-or-wider scale,
   *    anything→its own type). Old files keep their narrow type on
   *    disk; conformed reads up-cast. No rewrite.
+  *  - **rename**: a DECLARED rename (an explicit old→new alias map —
+  *    the reviewed artifact, like an alembic revision) is pure
+  *    metadata: old generations keep the old column name on disk,
+  *    conformed reads surface it under the new name through a
+  *    projection alias — no rewrite (the alembic chain's 4bcfdcf6e86a
+  *    step, response_data→error_data, as read-time policy). An
+  *    UNDECLARED rename still fails fast: with no alias map the old
+  *    and new names are just two columns, and any type conflict names
+  *    the offender.
   *  - **anything else** (narrowing, integral→float, string↔number,
-  *    renames, drops): NOT evolution — fails fast with the offending
+  *    drops): NOT evolution — fails fast with the offending
   *    column named. The policy is an explicit rewrite migration (read
   *    old generation, transform, write a new generation directory) so
   *    the lossy/ambiguous step is a reviewed job, never an implicit
@@ -115,13 +124,35 @@ object SchemaEvolution {
     df.select(cols.toSeq: _*)
   }
 
+  /** Metadata-only RENAME application: wherever `df` still carries an
+    * OLD name from the alias map, alias it to the new name (a pure
+    * projection — zero IO; column pruning still reaches the physical
+    * column through the alias). Generations already written under the
+    * new name pass through untouched; a generation carrying BOTH names
+    * fails fast (the map is ambiguous for it — that table needs a
+    * rewrite migration, not an alias). */
+  def applyRenames(df: DataFrame, renames: Map[String, String]): DataFrame =
+    renames.foldLeft(df) { case (d, (from, to)) =>
+      if (!d.columns.contains(from)) d
+      else {
+        require(!d.columns.contains(to),
+          s"rename '$from'->'$to': generation carries both names — " +
+            "ambiguous; this is a rewrite migration, not a read-time alias")
+        d.withColumnRenamed(from, to)
+      }
+    }
+
   /** Align two generations (e.g. an existing silver table and a
     * new-schema batch) onto their unified schema — the step that makes
     * [[graft.ops.Upsert.mergeByKey]] / CDC apply unchanged across an
-    * evolution boundary. Returns (conformed old, conformed new). */
-  def conformedPair(old: DataFrame, nu: DataFrame): (DataFrame, DataFrame) = {
-    val target = unifiedSchema(Seq(old.schema, nu.schema))
-    (conform(old, target), conform(nu, target))
+    * evolution boundary. Returns (conformed old, conformed new).
+    * `renames` is the declared metadata-only alias map (old→new),
+    * applied to both sides before unification. */
+  def conformedPair(old: DataFrame, nu: DataFrame,
+      renames: Map[String, String] = Map.empty): (DataFrame, DataFrame) = {
+    val (o, n) = (applyRenames(old, renames), applyRenames(nu, renames))
+    val target = unifiedSchema(Seq(o.schema, n.schema))
+    (conform(o, target), conform(n, target))
   }
 
   /** Read a generation-structured silver table (`gen=N` dirs under
@@ -132,14 +163,15 @@ object SchemaEvolution {
     * files error out); reading generations separately and conforming
     * handles both, and the per-generation scans remain ordinary pruned
     * parquet scans. */
-  def readEvolved(spark: SparkSession, root: String): DataFrame = {
+  def readEvolved(spark: SparkSession, root: String,
+      renames: Map[String, String] = Map.empty): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
       .map(_.getPath.toString).sorted
     require(gens.nonEmpty, s"no gen=* directories under $root")
-    val dfs = gens.map(spark.read.parquet(_))
+    val dfs = gens.map(g => applyRenames(spark.read.parquet(g), renames))
     val target = unifiedSchema(dfs.map(_.schema))
     dfs.map(conform(_, target)).reduce(_.unionByName(_))
   }

@@ -232,6 +232,65 @@ class LakeSpec extends SparkTestBase {
     assert(!SchemaEvolution.canWiden(IntegerType, FloatType))
   }
 
+  test("metadata-only rename: the 4bcfdcf6e86a alembic step " +
+      "(response_data→error_data) as a read-time alias — no rewrite, " +
+      "old files untouched; both-names and undeclared cases fail fast") {
+    import graft.sources.SchemaEvolution
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("rename").resolve("ledger").toString
+    // gen 0: the pre-migration ledger schema carries response_data
+    val gen0 = Seq((1L, """{"e":1}""", "u1"), (2L, """{"e":2}""", "u2"))
+      .toDF("id", "response_data", "request_url")
+    gen0.write.parquet(s"$root/gen=0")
+    // gen 1: post-migration writes use error_data (+ the added columns
+    // of the same revision)
+    val gen1 = Seq((3L, """{"e":3}""", "u3", "/bronze/3", 7L))
+      .toDF("id", "error_data", "request_url", "payload_path", "finished_at")
+    gen1.write.parquet(s"$root/gen=1")
+    val renames = Map("response_data" -> "error_data")
+
+    val evolved = SchemaEvolution.readEvolved(spark, root, renames)
+    assert(evolved.columns.contains("error_data") &&
+      !evolved.columns.contains("response_data"))
+    val byId = evolved.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("error_data")).toMap
+    assert(byId == Map(1L -> """{"e":1}""", 2L -> """{"e":2}""",
+      3L -> """{"e":3}"""), "old rows surface under the new name")
+    // the alias is pure metadata: the old generation's SCAN still reads
+    // the physical response_data column (pruning through the alias),
+    // and no file was rewritten
+    val plan = evolved.select("id", "error_data")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("response_data"),
+      s"old-gen scan should read the physical column through the alias:\n$plan")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val gen0Files = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/gen=0")).map(_.getPath.getName)
+    assert(gen0Files.exists(_.endsWith(".parquet")), "gen 0 intact")
+
+    // conformedPair with the alias: merge-by-key applies unchanged
+    // across the rename boundary
+    val (o, n) = SchemaEvolution.conformedPair(
+      spark.read.parquet(s"$root/gen=0").withColumn("ver", lit(1L)),
+      spark.read.parquet(s"$root/gen=1").withColumn("ver", lit(2L)), renames)
+    val merged = Upsert.mergeByKey(o, n, Seq("id"), col("ver"))
+    assert(merged.columns.contains("error_data") && merged.count() == 3)
+
+    // a generation carrying BOTH names is ambiguous under the map
+    val both = gen0.withColumn("error_data", lit("x"))
+    val e = intercept[IllegalArgumentException] {
+      SchemaEvolution.applyRenames(both, renames)
+    }
+    assert(e.getMessage.contains("both names"))
+    // undeclared rename (no alias map): the names are just two columns
+    // — old rows NULL under the new name, a silent drift readEvolved
+    // only permits when the caller has NOT declared the rename
+    val undeclared = SchemaEvolution.readEvolved(spark, root)
+    assert(undeclared.columns.contains("response_data") &&
+      undeclared.columns.contains("error_data"))
+  }
+
   test("Manifest: atomic versioned commits, time travel, consistent " +
       "reads under later commits, diff-between-versions composes") {
     import graft.sources.Manifest
