@@ -250,12 +250,16 @@ object Behavior extends QueryPack {
         graft.streaming.StreamingActivity.foldBatch(
           events.filter(pmod(col("event_id"), lit(4)) === b), stateDir)
       // materialize the days-sized result so the state directory can be
-      // deleted NOW — the r5 form left one temp dir behind per
-      // evaluation (the only registered query with filesystem
-      // side effects; flagged by the r5 advisor)
-      graft.streaming.StreamingActivity.growth(spark, stateDir)
+      // deleted NOW (the r5 form left one temp dir behind per
+      // evaluation). COLLECT + rebuild, not localCheckpoint: checkpoint
+      // blocks keep the deleted state dir in their lineage, so block
+      // eviction / executor loss before consumption would fail
+      // recomputation on a real cluster (r7 advisor on the quality
+      // twin) — the result is days-sized, a free driver round-trip.
+      val resolved = graft.streaming.StreamingActivity.growth(spark, stateDir)
+      spark.createDataFrame(
+          java.util.Arrays.asList(resolved.collect(): _*), resolved.schema)
         .orderBy("day")
-        .localCheckpoint(true)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq

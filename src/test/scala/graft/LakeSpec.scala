@@ -539,6 +539,47 @@ class LakeSpec extends SparkTestBase {
 
   // ---- TxManifest: cross-table atomic commit (round 7) ---------------
 
+  test("TxManifest.vacuum: retention follows tx pins — torn-commit " +
+      "orphans (the NEWEST table versions) are reclaimed, pinned older " +
+      "versions survive any age, retired tx records go; bad table " +
+      "names (traversal/quotes) are rejected at commit") {
+    import spark.implicits._
+    import graft.sources.{Manifest, TxManifest}
+    val txRoot = Files.createTempDirectory("txvac").toString + "/lake"
+    def df(n: Long) = Seq((n, s"row$n")).toDF("id", "v")
+    TxManifest.commit(spark, txRoot,
+      Map("ledger" -> df(10), "obs" -> df(20)))          // tx0: ledger v0, obs v0
+    TxManifest.commit(spark, txRoot, Map("ledger" -> df(11))) // tx1: ledger v1 (+obs v0 pin)
+    // torn tx: phase 1 committed NEW versions of both tables, the
+    // record never published — the orphans are the newest-by-number
+    Manifest.commit(df(12), s"$txRoot/ledger")           // ledger v2, orphan
+    Manifest.commit(df(21), s"$txRoot/obs")              // obs v1, orphan
+    assert(Manifest.versions(spark, s"$txRoot/ledger") == Seq(0L, 1L, 2L))
+
+    TxManifest.vacuum(spark, txRoot, keepTx = 1)
+    // retired record gone, the latest tx alone remains
+    assert(TxManifest.txVersions(spark, txRoot) == Seq(1L))
+    // the pinned snapshot survives and still reads consistently —
+    // including obs v0, RETAINED despite being the oldest version,
+    // because the kept tx's carried-forward pin names it
+    assert(TxManifest.read(spark, txRoot, "ledger")
+      .collect().map(_.getLong(0)).toSeq == Seq(11L))
+    assert(TxManifest.read(spark, txRoot, "obs")
+      .collect().map(_.getLong(0)).toSeq == Seq(20L))
+    // orphans and unpinned history reclaimed regardless of recency:
+    // newest-K-by-number would have kept {v1,v2} / {v0,v1} — pin-aware
+    // retention keeps exactly the pinned {v1} / {v0}
+    assert(Manifest.versions(spark, s"$txRoot/ledger") == Seq(1L))
+    assert(Manifest.versions(spark, s"$txRoot/obs") == Seq(0L))
+
+    // hardened name validation: traversal and parser-breaking names
+    // never become path segments
+    for (bad <- Seq("..", ".", "a/b", "a\"b", "a\\b", "_x", ""))
+      intercept[IllegalArgumentException] {
+        TxManifest.commit(spark, txRoot, Map(bad -> df(1)))
+      }
+  }
+
   test("TxManifest: a crash between table commits is invisible — tx " +
       "readers see both new versions or neither (fetch_and_store " +
       "transactionality)") {
