@@ -4,10 +4,11 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-/** Filesystem hygiene for the two queries with temp-state side effects.
+/** Filesystem hygiene for the queries with temp-state side effects.
   *
-  * `stream_growth_parity` (fixed round 5) and `stream_quality_parity`
-  * (its twin, fixed round 7 — judge r6 #2) each fold micro-batches
+  * `stream_growth_parity` (fixed round 5), `stream_quality_parity`
+  * (its twin, fixed round 7 — judge r6 #2) and
+  * `stream_retrieval_parity` (round 8) each fold micro-batches
   * through an on-disk state directory; a gate/bench sweep evaluates
   * them dozens of times, so a leaked directory per evaluation
   * accumulates into real disk pressure on a long-lived driver host.
@@ -28,7 +29,8 @@ class HygieneSpec extends SparkTestBase {
 
   for ((name, prefix) <- Seq(
       "stream_quality_parity" -> "quality_parity",
-      "stream_growth_parity" -> "growth_parity")) {
+      "stream_growth_parity" -> "growth_parity",
+      "stream_retrieval_parity" -> "retrieval_parity")) {
     test(s"$name deletes its temp state dir (two evaluations, no new " +
         s"'$prefix*' entries)") {
       val before = tmpEntries(prefix)
