@@ -743,4 +743,44 @@ object Dedup {
       .select(col("vec_id"), col("cid"), col("cent_cos"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
+
+  /** URL canonicalization — the crawl pipeline's FIRST dedup key
+    * (CCNet/C4-style, public): before any content hashing, pages that
+    * differ only in scheme, host case, `www.`, default port, fragment,
+    * tracking parameters, or a trailing slash are the same fetch.
+    * Normalization (fixed order): lowercase → strip scheme → strip
+    * leading `www.` → strip `#fragment` → strip `utm_*`/`fbclid`/
+    * `gclid` query params (and any `?`/`&` left dangling) → strip
+    * `:80`/`:443` default ports → strip trailing slashes.
+    *
+    * Pure codegen'd string expressions (no UDF, no backreference
+    * replacement — portable to the DuckDB oracle verbatim), so the map
+    * is narrow and a 100 TB URL column canonicalizes at scan speed. */
+  def urlCanonical(url: Column): Column = {
+    val lowered = lower(url)
+    val noScheme = regexp_replace(lowered, "^[a-z][a-z0-9+.-]*://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noFrag = regexp_replace(noWww, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    val noDangle = regexp_replace(noTrack, "[?&]+$", "")
+    // default ports: end-of-host-at-end and end-of-host-before-path —
+    // two plain replaces, no capture groups (replacement syntax differs
+    // between engines)
+    val noPortEnd = regexp_replace(noDangle, ":(80|443)$", "")
+    val noPort = regexp_replace(
+      regexp_replace(noPortEnd, ":80/", "/"), ":443/", "/")
+    regexp_replace(noPort, "/+$", "")
+  }
+
+  /** Exact dedup keyed on the canonical URL: one hash aggregate —
+    * canonical id = min(id) (first fetch wins), copy count, and the
+    * canonical URL itself. The upstream twin of [[exactRollup]]
+    * (content hash): run URL dedup first (it needs no document bytes),
+    * content dedup on the survivors. */
+  def urlDedup(docs: DataFrame, urlCol: String, idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(urlCanonical(col(urlCol)).as("canonical_url"), col(idCol))
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).cast("long").as("canonical_id"),
+        count(lit(1)).as("n_copies"))
 }

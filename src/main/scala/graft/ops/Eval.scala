@@ -124,4 +124,29 @@ object Eval {
         col("n_pos").cast("double") / col("n").cast("double"))
       .orderBy("bin")
   }
+
+  /** Retrieval recall@k of an approximate neighbor list against the
+    * exact one — THE acceptance metric for every ANN configuration in
+    * the similarity family (how much recall does nProbe=4 buy at this
+    * cell count?). Both inputs are (query_id, neighbor_id) top-k lists;
+    * per query: hits = |approx ∩ exact| via a co-keyed inner join,
+    * recall = hits / |exact|. Queries with hits=0 still appear (left
+    * join from the exact side's per-query counts).
+    *
+    * Scale: both lists are k rows per query — the join and both
+    * aggregates are bounded by queries·k, never corpus-sized. */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+      queryCol: String = "query_id", neighborCol: String = "neighbor_id"): DataFrame = {
+    val ex = exact.select(col(queryCol), col(neighborCol))
+    val ap = approx.select(col(queryCol), col(neighborCol))
+    val exN = ex.groupBy(queryCol).agg(count(lit(1)).as("n_exact"))
+    val hits = ex.join(ap, Seq(queryCol, neighborCol))
+      .groupBy(queryCol).agg(count(lit(1)).as("n_hits"))
+    exN.join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits") / col("n_exact").cast("double"), 6))
+      .orderBy(queryCol)
+  }
 }

@@ -569,4 +569,88 @@ object TextAnalysis {
             when(col("__keep"), struct(col("pos"), col("__token"))))),
           s => s.getField("__token"))).as("text_dedup"))
   }
+
+  /** Gopher-style quality FILTER battery (Rae et al. 2021, public): the
+    * standard pre-training document gate as one narrow pass — word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio ('#' chars +
+    * '...' runs), alphabetic-word fraction, and the ≥2-distinct-stopword
+    * presence rule. Emits the raw signals, one 0/1 flag per rule, the
+    * conjunction (`keep`), and the FIRST failed rule's name in the
+    * battery's fixed order (`fail_reason`, 'ok' when all pass) — the
+    * audit trail a curation pipeline logs per dropped doc.
+    *
+    * Scale: per-row expressions only (no shuffle, no UDF — everything
+    * stays in whole-stage codegen); thresholds are parameters so corpora
+    * can calibrate without code changes. */
+  def gopherFilter(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWords: Long = 30, maxWords: Long = 80,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val tk = col("__tk")
+    val base = docs.select(col(idCol), col(textCol).as("__text"),
+      tokens(lower(col(textCol))).as("__tk"))
+    val en = stopwords.head._2
+    val sig = base.select(
+      col(idCol),
+      size(tk).cast("long").as("n_words"),
+      round(aggregate(transform(tk, t => length(t)), lit(0), (a, x) => a + x)
+        / size(tk).cast("double"), 6).as("mean_word_len"),
+      round((length(regexp_replace(col("__text"), "[^#]", ""))
+        + regexp_count(col("__text"), lit("\\.\\.\\."))).cast("double")
+        / size(tk), 6).as("symbol_ratio"),
+      round(size(filter(tk, t => t.rlike("[a-z]"))) / size(tk).cast("double"), 6)
+        .as("alpha_frac"),
+      size(array_intersect(array_distinct(tk),
+        array(en.map(lit): _*))).cast("long").as("stop_distinct"))
+    val rules: Seq[(String, Column)] = Seq(
+      "words" -> (col("n_words") >= minWords && col("n_words") <= maxWords),
+      "word_len" -> (col("mean_word_len") >= minMeanLen &&
+        col("mean_word_len") <= maxMeanLen),
+      "symbols" -> (col("symbol_ratio") <= maxSymbolRatio),
+      "alpha" -> (col("alpha_frac") >= minAlphaFrac),
+      "stopwords" -> (col("stop_distinct") >= minStopHits))
+    val flagged = sig.select(
+      (col(idCol) +: col("n_words") +: col("mean_word_len") +:
+        col("symbol_ratio") +: col("alpha_frac") +: col("stop_distinct") +:
+        rules.map { case (n, c) => c.cast("long").as(s"pass_$n") }): _*)
+    flagged.select(
+      (flagged.columns.map(col).toSeq :+
+        rules.map(r => col(s"pass_${r._1}") === 1L).reduce(_ && _)
+          .cast("long").as("keep") :+
+        rules.foldRight(lit("ok"): Column) { case ((n, _), acc) =>
+          when(col(s"pass_$n") === 0L, n).otherwise(acc)
+        }.as("fail_reason")): _*)
+  }
+
+  /** Character-level Shannon entropy per document — the degenerate-text
+    * detector that catches what token-level repetition misses (single-
+    * character floods, base64 blobs, binary spill). Characters are
+    * enumerated positionally (explode over `sequence(1, len)` —
+    * codegen'd, identical to the oracle's `range` form), counted in a
+    * two-level map-side-combined aggregate, and the entropy sum is made
+    * ORDER-INDEPENDENT the same way the stats battery is: each
+    * c·log₂(c) term is rounded to 6 decimals and summed as
+    * DECIMAL(28,6) — double addition never reorders across partitions,
+    * so the result is bit-stable at any parallelism (SURVEY §5).
+    * H = log₂(n) − Σ round(c·log₂c, 6) / n. */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), col(textCol).as("__t"))
+      .select(col(idCol),
+        // guard: Spark's sequence(1, 0) counts DOWN ([1,0]) — an empty
+        // text must yield no char rows (DuckDB range(1,1) semantics)
+        explode(when(length(col("__t")) > 0,
+          sequence(lit(1), length(col("__t"))))
+          .otherwise(array().cast("array<int>"))).as("__i"), col("__t"))
+      .select(col(idCol), col("__t").substr(col("__i"), lit(1)).as("ch"))
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).cast("long").as("n_chars"),
+        count(lit(1)).cast("long").as("n_distinct_chars"),
+        sum(round(col("c") * log(2.0, col("c")), 6).cast("decimal(28,6)"))
+          .as("__clogc"))
+      .select(col(idCol), col("n_chars"), col("n_distinct_chars"),
+        round(log(2.0, col("n_chars")) -
+          col("__clogc").cast("double") / col("n_chars"), 6).as("entropy"))
 }

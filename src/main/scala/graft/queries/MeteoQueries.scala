@@ -399,8 +399,64 @@ object MeteoQueries extends QueryPack {
       graft.meteo.ExtractErrors.classify(attempts, parsed("_corrupt").isNull))
   }
 
+  /** The partial-upsert INCREMENTAL lane driver-gated (round 8 — the
+    * `stream_growth_parity`/`stream_retrieval_parity` pattern applied
+    * to the upsert family): events arrive as 4 hash-split micro-batches
+    * with one at-least-once REPLAY, each batch collapsed to its
+    * per-key partial-upsert state ([[Upsert.partialLatestByKey]]), the
+    * states folded pairwise ([[Upsert.partialMergeStates]] — the
+    * replayed batch exercises the merge's idempotence, the hash split
+    * its order-independence). The oracle is meteo_upsert_partial's
+    * ONE-SHOT SQL verbatim: the driver's hash compare IS the proof
+    * that fold-of-states ≡ single replay of the whole log.
+    *
+    * Precondition (documented on partialMergeStates): `version` (ts)
+    * totally orders each key's writes — cross-batch merge compares
+    * created/updated only, so a ts tie across batches would be
+    * ambiguous; the events table has no (key, ts) ties at any SF. */
+  val streamUpsertParity = GraftQuery(
+    "stream_upsert_parity",
+    Some("""
+      SELECT user_id, event_type,
+             MAX(CASE WHEN rn_desc = 1 THEN value END) AS latest_value,
+             MAX(CASE WHEN rn_desc = 1 THEN prop_k END) AS latest_prop_k,
+             MAX(CASE WHEN rn_asc = 1 THEN event_id END) AS first_event_id,
+             MAX(CASE WHEN rn_asc = 1 THEN value END) AS first_value,
+             MIN(ts) AS created_at, MAX(ts) AS updated_at
+      FROM (
+        SELECT user_id, event_type, ts, event_id, value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_asc,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn_desc
+        FROM events) t
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type
+    """.stripMargin.trim)) { (spark, dir) =>
+    val keys = Seq("user_id", "event_type")
+    val updateCols = Seq("latest_value", "latest_prop_k")
+    val preserveCols = Seq("first_event_id", "first_value")
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_type"), col("ts"), col("event_id"),
+      col("value").as("latest_value"),
+      get_json_object(col("props"), "$.k").cast("long").as("latest_prop_k"),
+      col("event_id").as("first_event_id"),
+      col("value").as("first_value"))
+    // batches 0, 1, REPLAY 1 (at-least-once), 2, 3 — hash-split, so
+    // batch order bears no relation to event time (out-of-order lane)
+    Seq(0, 1, 1, 2, 3)
+      .map(b => Upsert.partialLatestByKey(
+        ev.filter(pmod(col("event_id"), lit(4)) === b),
+        keys, col("ts"), Seq(col("event_id")), updateCols, preserveCols))
+      .reduce((a, b) =>
+        Upsert.partialMergeStates(a, b, keys, updateCols, preserveCols))
+      .orderBy("user_id", "event_type")
+  }
+
   override def all: Seq[GraftQuery] = Seq(
     normalize, upsertLatest, upsertPartial, ledger, ledgerQuality,
     countLocations, tableCounts, lastStatus, recent, recentJobs,
-    describeQ, profileQ, rollupIncremental, errorRollup)
+    describeQ, profileQ, rollupIncremental, errorRollup,
+    streamUpsertParity)
 }

@@ -1587,7 +1587,164 @@ object TrainingData extends QueryPack {
       .orderBy("t_a", "t_b")
   }
 
+  /** URL-canonicalization dedup (round 8) — the crawl pipeline's
+    * pre-content dedup key. The documents table carries no URL column,
+    * so the gate DERIVES one per doc (scheme/host-case/`www.`/default-
+    * port/tracking-param/fragment/trailing-slash variants chosen by
+    * doc_id residues — every normalization rule fires on some subset),
+    * identically on both sides; [[graft.ops.Dedup.urlCanonical]]
+    * collapses the variants and the rollup counts copies per canonical
+    * URL. DuckDB regexp_replace needs explicit 'g' (Spark replaces all
+    * matches by default). */
+  val dedupUrl = GraftQuery(
+    "dedup_url",
+    Some("""
+      WITH u AS (SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTP://www.' ELSE 'http://' END ||
+        CASE doc_id % 2 WHEN 0 THEN upper(source) ELSE source END || '.example.com' ||
+        CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+        '/d/' || CAST(doc_id % 25 AS VARCHAR) ||
+        CASE doc_id % 4 WHEN 0 THEN '?utm_source=rss&utm_medium=feed'
+                        WHEN 1 THEN '/' WHEN 2 THEN '#section-2' ELSE '' END AS url
+       FROM documents),
+      c AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          lower(url),
+          '^[a-z][a-z0-9+.-]*://', ''),
+          '^www\.', ''),
+          '#.*$', ''),
+          '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+          '[?&]+$', ''),
+          ':(80|443)$', ''),
+          ':80/', '/'),
+          ':443/', '/') AS cu
+       FROM u)
+      SELECT regexp_replace(cu, '/+$', '') AS canonical_url,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM c GROUP BY 1 ORDER BY canonical_id""".trim)) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val url = concat(
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("https://"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("HTTP://www."))
+        .otherwise(lit("http://")),
+      when(pmod(col("doc_id"), lit(2)) === 0, upper(col("source")))
+        .otherwise(col("source")),
+      lit(".example.com"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/d/"), pmod(col("doc_id"), lit(25)).cast("string"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("?utm_source=rss&utm_medium=feed"))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("/"))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit("#section-2"))
+        .otherwise(lit("")))
+    Dedup.urlDedup(docs.withColumn("url", url), "url")
+      .orderBy("canonical_id")
+  }
+
+  /** Gopher-rule document filter (round 8): the full pre-training gate
+    * battery with per-rule flags and the first-failure audit column.
+    * Thresholds calibrated so the synthetic corpus splits on the word-
+    * count and stopword rules (the others pass structurally — still
+    * oracle-replayed). */
+  val textGopher = GraftQuery(
+    "text_gopher_filter",
+    Some("""
+      WITH s AS (SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        ROUND(list_sum(list_transform(tk, x -> len(x))) / CAST(len(tk) AS DOUBLE), 6) AS mean_word_len,
+        ROUND((len(regexp_replace(text, '[^#]', '', 'g')) + len(regexp_extract_all(text, '\.\.\.'))) / CAST(len(tk) AS DOUBLE), 6) AS symbol_ratio,
+        ROUND(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) / CAST(len(tk) AS DOUBLE), 6) AS alpha_frac,
+        CAST(len(list_intersect(list_distinct(tk), ['the','a','of','and','is'])) AS BIGINT) AS stop_distinct
+       FROM (SELECT doc_id, text, string_split_regex(lower(text),'\s+') AS tk FROM documents)),
+      f AS (SELECT *,
+        CASE WHEN n_words >= 30 AND n_words <= 80 THEN 1 ELSE 0 END AS pass_words,
+        CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS pass_word_len,
+        CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS pass_symbols,
+        CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS pass_alpha,
+        CASE WHEN stop_distinct >= 2 THEN 1 ELSE 0 END AS pass_stopwords
+       FROM s)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_distinct,
+        CAST(pass_words AS BIGINT) AS pass_words,
+        CAST(pass_word_len AS BIGINT) AS pass_word_len,
+        CAST(pass_symbols AS BIGINT) AS pass_symbols,
+        CAST(pass_alpha AS BIGINT) AS pass_alpha,
+        CAST(pass_stopwords AS BIGINT) AS pass_stopwords,
+        CAST(CASE WHEN pass_words + pass_word_len + pass_symbols + pass_alpha + pass_stopwords = 5 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        CASE WHEN pass_words = 0 THEN 'words'
+             WHEN pass_word_len = 0 THEN 'word_len'
+             WHEN pass_symbols = 0 THEN 'symbols'
+             WHEN pass_alpha = 0 THEN 'alpha'
+             WHEN pass_stopwords = 0 THEN 'stopwords'
+             ELSE 'ok' END AS fail_reason
+      FROM f ORDER BY doc_id""".trim)) { (spark, dir) =>
+    TextAnalysis.gopherFilter(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
+  /** Char-entropy quality signal (round 8): decimal-summed c·log₂c
+    * terms make the per-doc entropy bit-stable at any parallelism
+    * (SURVEY §5 — same device as the stats battery's moment sums). */
+  val textEntropy = GraftQuery(
+    "text_entropy",
+    Some("""
+      WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+        FROM (SELECT doc_id, text, unnest(range(1, len(text)+1)) AS i FROM documents)),
+      cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        ROUND(log2(sum(c)) - CAST(sum(CAST(ROUND(c*log2(c), 6) AS DECIMAL(28,6))) AS DOUBLE) / sum(c), 6) AS entropy
+      FROM cc GROUP BY doc_id ORDER BY doc_id""".trim)) { (spark, dir) =>
+    TextAnalysis.charEntropy(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
+  /** ANN recall@k — the similarity family's acceptance metric GATED
+    * (round 8): brute-force exact top-5 vs IVF(nProbe=4) top-5, per-
+    * query hit count and recall. The oracle replays BOTH retrievals
+    * (ann_bruteforce's and ann_ivf's CTEs verbatim) and intersects —
+    * so the gate pins not just the arithmetic but the two lists it
+    * grades. */
+  val annRecall = GraftQuery(
+    "ann_recall_eval",
+    Some(s"""
+      WITH $NORM,
+      q AS (SELECT * FROM m WHERE vec_id < 10),
+      bf AS (SELECT query_id, neighbor_id FROM (
+        SELECT p.*, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+          FROM q JOIN m c ON c.vec_id != q.vec_id) p) t WHERE rn <= 5),
+      cent AS (SELECT vec_id AS cid, e, nrm FROM m WHERE vec_id < 16),
+      asg AS (SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> v.e[i]*c.e[i])) / (v.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m v CROSS JOIN cent c) t WHERE rn = 1),
+      probes AS (SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM q CROSS JOIN cent c) t WHERE rn <= 4),
+      iv AS (SELECT query_id, neighbor_id FROM (
+        SELECT p.*, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM (
+          SELECT pr.query_id, a.vec_id AS neighbor_id,
+            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+          FROM probes pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.query_id
+          JOIN m q ON q.vec_id = pr.query_id JOIN m c ON c.vec_id = a.vec_id) p) t WHERE rn <= 5),
+      ex AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY 1),
+      h AS (SELECT b.query_id, count(*) AS n_hits FROM bf b
+            JOIN iv i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id GROUP BY 1)
+      SELECT ex.query_id, CAST(n_exact AS BIGINT) AS n_exact,
+        CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        ROUND(COALESCE(n_hits, 0) / CAST(n_exact AS DOUBLE), 6) AS recall
+      FROM ex LEFT JOIN h ON h.query_id = ex.query_id ORDER BY ex.query_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    val q = embs.filter(col("vec_id") < 10)
+    graft.ops.Eval.recallAtK(
+      Similarity.bruteForceTopK(embs, q),
+      Similarity.ivfTopK(embs, q, embs.filter(col("vec_id") < 16)))
+  }
+
   override def all: Seq[GraftQuery] = Seq(
+    dedupUrl, textGopher, textEntropy, annRecall,
     fuzzyVocab, vocabStats,
     langId, quality, tokensQ, fingerprintQ, textPii, textClean,
     textRepetition, textContamination, textTfidf, textSurprisal,

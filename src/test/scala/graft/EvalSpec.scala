@@ -354,4 +354,28 @@ class EvalSpec extends SparkTestBase {
     val aucRow = Eval.aucRankSum(oneClass, col("s"), col("y") === 1).head()
     assert(aucRow.isNullAt(aucRow.fieldIndex("auc")))
   }
+
+  test("recallAtK: exact self-comparison is 1.0, zero-overlap queries still appear") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("query_id", "neighbor_id")
+    // query 1: 2/3 recovered; query 2: nothing recovered
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L),
+      (2L, 98L), (2L, 97L), (2L, 96L)).toDF("query_id", "neighbor_id")
+    val out = Eval.recallAtK(exact, approx).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (2L, 0.666667))
+    assert(out(2L) == (0L, 0.0), "a fully-missed query must not vanish")
+    val self = Eval.recallAtK(exact, exact).collect()
+    assert(self.forall(_.getDouble(3) == 1.0))
+    // on the real corpus: IVF nProbe=4 recall against brute force is
+    // high but its top-k lists are NOT the exact ones (the metric
+    // measures something non-trivial)
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = embs.filter(col("vec_id") < 10)
+    val r = Eval.recallAtK(
+      Similarity.bruteForceTopK(embs, q),
+      Similarity.ivfTopK(embs, q, embs.filter(col("vec_id") < 16)))
+      .agg(avg("recall")).head().getDouble(0)
+    assert(r > 0.2 && r <= 1.0, s"IVF mean recall $r out of plausible band")
+  }
 }

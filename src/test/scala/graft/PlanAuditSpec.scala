@@ -830,4 +830,39 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"the 24-row seasonal profile must broadcast:\n$plan")
   }
+
+  test("dedup_url: canonicalization is a narrow codegen'd map — the " +
+      "whole query is ONE key shuffle with map-side combine, no joins") {
+    val plan = planOf("dedup_url").split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"URL dedup must not join:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"canonical rollup must combine map-side:\n$plan")
+    // the regex chain runs inside whole-stage codegen (no UDF)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      s"canonicalization left codegen:\n$plan")
+  }
+
+  test("gopher filter and char entropy stay narrow/two-level: no " +
+      "window, no join; entropy's two aggregates both combine map-side") {
+    val gp = planOf("text_gopher_filter").split("== Initial Plan ==")(0)
+    assert(!gp.contains("Join") && !gp.contains("Window"),
+      s"gopher battery must be per-row only:\n$gp")
+    val ep = planOf("text_entropy").split("== Initial Plan ==")(0)
+    assert(!ep.contains("Join") && !ep.contains("Window"),
+      s"entropy must be aggregation-only:\n$ep")
+    assert(ep.contains("partial_count") || ep.contains("partial_sum"),
+      s"char counts must combine map-side:\n$ep")
+  }
+
+  test("ann_recall_eval: the list intersection is a HASH equi-join on " +
+      "(query_id, neighbor_id) — bounded by queries*k. (The retrievals " +
+      "themselves keep their own audited shapes: brute force is a " +
+      "DELIBERATE all-pairs against broadcast queries.)") {
+    val plan = planOf("ann_recall_eval")
+    assert("HashJoin \\[query_id#\\d+L?, neighbor_id".r
+        .findFirstIn(plan).isDefined,
+      s"intersection must be a hash equi-join on both list keys:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"nothing in recall may plan as an un-broadcast cartesian:\n$plan")
+  }
 }

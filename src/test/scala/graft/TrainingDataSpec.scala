@@ -1316,4 +1316,68 @@ class TrainingDataSpec extends SparkTestBase {
     val agree = sq5.intersect(ex5).size.toDouble / ex5.size
     assert(agree >= 0.6, s"SQ top-5 agreement $agree collapsed")
   }
+
+  test("urlCanonical collapses every variant class and leaves real differences alone") {
+    val urls = Seq(
+      // one logical page, every normalization rule firing somewhere
+      1L -> "https://Example.COM/a/b",
+      2L -> "HTTP://www.example.com/a/b/",
+      3L -> "https://example.com:443/a/b#frag",
+      4L -> "http://example.com:80/a/b?utm_source=x&utm_medium=y",
+      5L -> "https://example.com/a/b?utm_campaign=z",
+      // genuinely different pages must NOT collapse
+      6L -> "https://example.com/a/b?page=2",
+      7L -> "https://example.com/a/c",
+      8L -> "https://other.com/a/b").toDF("doc_id", "url")
+    val out = Dedup.urlDedup(urls, "url").orderBy("canonical_id").collect()
+    val byId = out.map(r => r.getLong(1) -> (r.getString(0), r.getLong(2))).toMap
+    assert(byId(1L) == ("example.com/a/b", 5L), s"got ${byId.get(1L)}")
+    // ?page=2 survives (not a tracking param); distinct path and host survive
+    assert(byId(6L)._1 == "example.com/a/b?page=2" && byId(6L)._2 == 1L)
+    assert(byId(7L)._2 == 1L && byId(8L)._2 == 1L)
+    assert(out.length == 4)
+  }
+
+  test("gopherFilter flags each rule independently and reports the first failure") {
+    val good = ("the of and " + Seq.fill(30)("word").mkString(" ")) // 33 words, 3 distinct stops
+    val rows = Seq(
+      (1L, good),                                    // passes all
+      (2L, "the of tiny"),                           // fails words (3 < 30)
+      (3L, ("the of " + Seq.fill(31)("a").mkString(" "))), // mean len 1.36 < 3
+      (4L, ("the of " + Seq.fill(28)("####word").mkString(" "))), // symbols
+      (5L, ("the of " + Seq.fill(31)("12345").mkString(" ")))) // alpha frac low
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(rows, minWords = 5, maxWords = 80)
+      .orderBy("doc_id").collect()
+    def reason(i: Int) = out(i).getString(out(i).fieldIndex("fail_reason"))
+    def keep(i: Int) = out(i).getLong(out(i).fieldIndex("keep"))
+    assert(keep(0) == 1L && reason(0) == "ok")
+    assert(keep(1) == 0L && reason(1) == "words")
+    assert(keep(2) == 0L && reason(2) == "word_len")
+    assert(keep(3) == 0L && reason(3) == "symbols")
+    assert(keep(4) == 0L && reason(4) == "alpha")
+    // stopword rule: enough words, shaped fine, but no 2 distinct stops
+    val noStop = Seq((6L, Seq.fill(40)("word").mkString(" "))).toDF("doc_id", "text")
+    val r6 = TextAnalysis.gopherFilter(noStop, minWords = 5).head()
+    assert(r6.getString(r6.fieldIndex("fail_reason")) == "stopwords")
+  }
+
+  test("charEntropy: closed forms and parallelism-independence") {
+    val rows = Seq(
+      (1L, "aaaa"),          // one symbol: H = 0
+      (2L, "abab"),          // two equiprobable: H = 1
+      (3L, "abcdabcdabcdabcd"), // four equiprobable: H = 2
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(rows).orderBy("doc_id").collect()
+    assert(out.length == 3, "empty text yields no row (no characters)")
+    def h(i: Int) = out(i).getDouble(out(i).fieldIndex("entropy"))
+    assert(h(0) == 0.0 && h(1) == 1.0 && h(2) == 2.0)
+    assert(out(2).getLong(out(2).fieldIndex("n_distinct_chars")) == 4L)
+    // decimal-summed terms: bit-identical across partition counts
+    val big = (0L until 200L).map(i => (i, s"doc $i text with chars ${i * 7}"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.charEntropy(big.repartition(1)).orderBy("doc_id").collect()
+    val b = TextAnalysis.charEntropy(big.repartition(13)).orderBy("doc_id").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
 }
