@@ -230,18 +230,24 @@ object Dedup {
     * so precision is unchanged — only pairs whose every common shingle
     * is hot can be missed (approximate recall, deterministic result).
     *
-    * Plan shape: hot shingles are FEW by construction (df > cap), so the
-    * hot set comes from a map-side-combined count and is BROADCAST as an
-    * anti-join filter — the exploded shingle table itself is never
-    * window-sorted (a window DF-count would shuffle AND sort every
-    * exploded row). The exact intersection is split into two cheap
-    * parts: the cold share is COUNTED directly off the candidate join
-    * (map-side-combined aggregate — no distinct pass over the pair
-    * blow-up, no full-array intersect per pair), and the hot share comes
-    * from intersecting tiny per-doc hot-shingle subsets (≤ the global
+    * Plan shape: the DF census is a map-side-combined count over the
+    * exploded shingles, and hotness comes back as ONE un-hinted left
+    * join that TAGS each exploded row (the hot set grows with the
+    * corpus vocabulary, so it gets no broadcast() — AQE broadcasts
+    * while small). Everything downstream reads the tag: the cold
+    * candidate join filters on it, and one per-doc aggregate yields
+    * BOTH the full set size and the tiny hot-shingle subset — no
+    * anti-join + semi-join split, no per-doc size re-joins against the
+    * shingle table, and never a window sort over the exploded rows.
+    * The exact intersection is split into two cheap parts: the cold
+    * share is COUNTED directly off the candidate join (map-side-
+    * combined aggregate — no distinct pass over the pair blow-up, no
+    * full-array intersect per pair), and the hot share comes from
+    * intersecting tiny per-doc hot-shingle subsets (≤ the global
     * hot-set size by construction). |A∩B| = cold + hot exactly, so the
     * emitted Jaccard is identical to the full array verify (measured
-    * 5.3s → ~2s at sf0.1).
+    * 5.3s → ~2s at sf0.1; the tag form took the ×100 stress receipt
+    * from 177s to 141s over the anti-join form, identical rows).
     */
   def ngramJaccardCapped(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.5,
@@ -289,46 +295,49 @@ object Dedup {
     * exact; only candidate RECALL is capped. */
   private def cappedPairIntersections(docs: DataFrame, idCol: String,
       textCol: String, dfCap: Int, cache: Boolean): DataFrame = {
-    // cache=true persists the shingle table across its several uses
-    // (measured ~3× on the sketch stage; ReusedExchange alone does not
-    // cover the cross-key reuses). The cache is MEMORY_AND_DISK — LRU-
-    // evictable, but it DOES outlive the call; long-lived sessions
-    // profiling many corpora should pass cache=false or clear the cache
-    // between jobs.
-    val shBase = shingleSets(docs, idCol, textCol)
-    val sh = if (cache)
-      shBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else shBase
-    val exAll = sh.select(col("doc_id"), explode(col("s")).as("g"))
+    val exAll = shingleSets(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("s")).as("g"))
     // The hot-shingle set is NOT plan-time-bounded: its size grows with
     // the corpus vocabulary (every boilerplate shingle lands here), so
     // it gets NO broadcast() hint — on a boilerplate-heavy 100 TB crawl
     // a forced broadcast is a hard broadcast-limit/driver-OOM cliff,
-    // while the un-hinted anti-join lets AQE broadcast while the set is
+    // while the un-hinted tag join lets AQE broadcast while the set is
     // actually small and degrade to a shuffle join (whose skewed g
     // partitions AQE can additionally split) when it is not. Same rule
     // as the link-predict degree joins (judge r6 #3 / r7 #1).
     val hot = exAll.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("g")
-    val ex = exAll.join(hot, Seq("g"), "left_anti")
+      .filter(col("df") > dfCap).select(col("g"), lit(true).as("__hot"))
+    // ONE join tags every exploded row; both the candidate filter and
+    // the per-doc census read the tag. cache=true persists the tagged
+    // table across its three consumers (both sides of the candidate
+    // self-join reuse one exchange, but the per-doc aggregate shuffles
+    // by doc_id and would otherwise recompute the tag join). The cache
+    // is MEMORY_AND_DISK — LRU-evictable, but it DOES outlive the call;
+    // long-lived sessions profiling many corpora should pass
+    // cache=false or clear the cache between jobs.
+    val taggedBase = exAll.join(hot, Seq("g"), "left")
+    val tagged = if (cache)
+      taggedBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else taggedBase
     // shared COLD shingles per pair, straight off the join (shingle sets
     // are distinct per doc, so each shared cold shingle matches once)
+    val ex = tagged.filter(col("__hot").isNull)
     val cold = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter_cold"))
-    // per-doc HOT subsets (tiny arrays); co-partitioned on doc_id already
-    val docHot = exAll.join(hot, Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(collect_list("g").as("hs"))
-    val emptyArr = array().cast("array<string>")
+    // full set size AND tiny hot-shingle subset in one per-doc pass
+    // (collect_list drops the nulls the when() leaves on cold rows)
+    val perDoc = tagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n"),
+      collect_list(when(col("__hot"), col("g"))).as("hs"))
     val inter = col("inter_cold") +
-      size(array_intersect(coalesce(col("ha"), emptyArr),
-        coalesce(col("hb"), emptyArr)))
+      size(array_intersect(col("ha"), col("hb")))
     cold
-      .join(sh.select(col("doc_id").as("id_a"), size(col("s")).as("na")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), size(col("s")).as("nb")), "id_b")
-      .join(docHot.select(col("doc_id").as("id_a"), col("hs").as("ha")), Seq("id_a"), "left")
-      .join(docHot.select(col("doc_id").as("id_b"), col("hs").as("hb")), Seq("id_b"), "left")
+      .join(perDoc.select(col("doc_id").as("id_a"), col("n").as("na"),
+        col("hs").as("ha")), "id_a")
+      .join(perDoc.select(col("doc_id").as("id_b"), col("n").as("nb"),
+        col("hs").as("hb")), "id_b")
       .select(col("id_a"), col("id_b"), inter.as("inter"),
         col("na"), col("nb"))
   }

@@ -79,12 +79,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("graft_dot"), s"native DotProduct missing:\n$plan")
   }
 
-  test("dedup_ngram_capped: hot-set filter is an UN-HINTED anti-join " +
-      "(the hot-shingle set grows with the corpus — no forced " +
-      "broadcast; AQE decides), DF count is partially aggregated") {
+  test("dedup_ngram_capped: hotness is ONE un-hinted tag join (the " +
+      "hot-shingle set grows with the corpus — no forced broadcast; " +
+      "AQE decides), DF count is partially aggregated, and no " +
+      "anti/semi-join split survives") {
     val plan = planOf("dedup_ngram_capped")
-    assert(plan.contains("LeftAnti"),
-      s"hot-shingle filter must be an anti-join:\n$plan")
+    assert(!plan.contains("LeftAnti") && !plan.contains("LeftSemi"),
+      s"capped path must read the single hot tag, not re-join the hot set:\n$plan")
     assert(plan.contains("partial_count"),
       s"DF count must map-side combine:\n$plan")
     assert(!plan.contains("Window"), "no window sort in the capped path")
