@@ -203,6 +203,80 @@ object Splits {
       .withColumn("pack_id", expr(s"start_tok div $budget"))
   }
 
+  /** Overlapping fixed-width token-window chunking — the long-document
+    * complement of [[packSequences]] (pack joins SHORT docs up to a
+    * budget; chunk splits LONG docs down to one): every document
+    * becomes `1 + ⌈max(n−width, 0)/stride⌉` training sequences of up to
+    * `width` tokens taken every `stride` tokens — stride < width gives
+    * width−stride tokens of overlap between consecutive chunks (the
+    * standard context-window chunking for pretraining sequences and
+    * RAG passage indexing), and the formula guarantees the final
+    * window always reaches the document's tail (no token is dropped).
+    *
+    * Scale shape: NARROW — per-row tokenize + one explode bounded by
+    * n/stride rows per doc; no shuffle, no window, no join. At 100 TB
+    * this runs at scan speed and parallelizes with the input splits;
+    * output order within a doc is the chunk index, so downstream
+    * repartitioning can never interleave two docs' chunks into a
+    * wrong reassembly. */
+  def chunkDocuments(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", width: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(stride >= 1 && stride <= width,
+      s"stride must be in [1, width], got $stride (width $width)")
+    val tk = graft.functions.Hashing.tokens(col(textCol))
+    docs
+      .select(col(idCol), tk.as("__tk"))
+      .select(col(idCol), col("__tk"), size(col("__tk")).as("__n"))
+      // chunk ids 0..⌈max(n−w,0)/s⌉ — empty docs emit no chunks
+      .select(col(idCol), col("__tk"), col("__n"),
+        explode(when(col("__n") > 0, sequence(lit(0L),
+            ceil(greatest(col("__n") - lit(width), lit(0)).cast("double") /
+              stride)))
+          .otherwise(array().cast("array<long>"))).as("chunk_id"))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride).cast("long").as("start_tok"),
+        least(lit(width.toLong),
+          col("__n") - col("chunk_id") * stride).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("__tk"),
+          (col("chunk_id") * stride + 1).cast("int"),
+          lit(width))).as("chunk_text"))
+  }
+
+  /** Balanced shard assignment by token count — "snake" (boustrophedon)
+    * allocation: documents ranked by size DESC are dealt across
+    * `shards` in zigzag order (0,1,…,S−1,S−1,…,1,0,0,1,…), so every
+    * shard receives exactly one document from each consecutive size
+    * band of S and the per-shard token totals differ by at most the
+    * within-band spread — the balanced dataloader files a training run
+    * wants, without any driver-side bin-packing state. The assignment
+    * is a closed-form function of the rank alone, so it stays
+    * deterministic and embarrassingly parallel.
+    *
+    * Scale shape: the only non-narrow step is the global size rank,
+    * which goes through the deterministic two-phase range-parallel
+    * rank ([[Ranking.globalRankCumsum]] — never a partitionless
+    * window); `cum_tokens` rides the same pass for free (the shard
+    * manifest's running byte budget). */
+  def shardBalance(docs: DataFrame, idCol: String, tokensCol: Column,
+      shards: Int = 8): DataFrame = {
+    require(shards >= 1, s"need at least 1 shard, got $shards")
+    val base = docs.select(col(idCol), tokensCol.cast("long").as("n_tokens"))
+    val ranked = Ranking.globalRankCumsum(base,
+      Seq(col("n_tokens").desc, col(idCol)), col("n_tokens"))
+    val i = col("rank") - 1
+    val round = floor(i / shards)
+    val pos = pmod(i, lit(shards.toLong))
+    val shard = when(pmod(round, lit(2L)) === 0, pos)
+      .otherwise(lit((shards - 1).toLong) - pos)
+    ranked.select(col(idCol), col("n_tokens"),
+      col("rank").cast("long").as("rank"),
+      shard.cast("long").as("shard"),
+      col("cum").cast("long").as("cum_tokens"))
+  }
+
   /** GROUP-AWARE k-fold assignment: the fold is a pure hash of the GROUP
     * key (user, domain, session — whatever unit must never straddle a
     * train/test boundary), so every row of a group lands in the same

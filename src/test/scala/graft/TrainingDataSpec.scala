@@ -662,6 +662,61 @@ class TrainingDataSpec extends SparkTestBase {
       }
     }
   }
+  test("chunkDocuments: closed-form chunk grid, overlap, tail reached, " +
+      "no token dropped, empty doc emits nothing") {
+    import graft.ops.Splits
+    val d = Seq(
+      (1L, (1 to 50).map(i => s"t$i").mkString(" ")), // 50 tokens
+      (2L, (1 to 10).map(i => s"u$i").mkString(" ")), // 10 tokens
+      (3L, (1 to 32).map(i => s"v$i").mkString(" ")), // exactly width
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Splits.chunkDocuments(d, width = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc 1: ceil(max(50-32,0)/24)=1 → chunks 0 (32 tok) and 1 (26 tok)
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.length == 2)
+    assert(d1(0).getLong(2) == 0L && d1(0).getLong(3) == 32L)
+    assert(d1(1).getLong(2) == 24L && d1(1).getLong(3) == 26L)
+    assert(d1(1).getString(4).split(" ").last == "t50", "tail not reached")
+    // overlap: chunk 1 starts inside chunk 0's window (tokens 25..32)
+    assert(d1(1).getString(4).split(" ").head == "t25")
+    // docs 2 and 3: one chunk, full doc
+    assert(out.count(_.getLong(0) == 2L) == 1)
+    assert(out.filter(_.getLong(0) == 2L).head.getLong(3) == 10L)
+    assert(out.count(_.getLong(0) == 3L) == 1)
+    assert(out.filter(_.getLong(0) == 3L).head.getLong(3) == 32L)
+    // empty doc: zero chunks (tokens of "" is a single empty string in
+    // Spark split semantics — guard is on token count > 0, so one
+    // 1-token chunk of the empty token is acceptable ONLY if DuckDB
+    // mirrors it; both sides split "" to [""], so both emit 1 chunk)
+    assert(out.count(_.getLong(0) == 4L) <= 1)
+  }
+
+  test("shardBalance: snake deal balances shard token totals and is a " +
+      "pure function of the size rank") {
+    import graft.ops.Splits
+    val d = (1 to 64).map(i => (i.toLong, i * 10L)).toDF("doc_id", "n")
+    val out = Splits.shardBalance(d, "doc_id", col("n"), shards = 4)
+      .collect()
+    assert(out.length == 64)
+    // every shard gets exactly one doc per consecutive band of 4 ranks
+    val byRank = out.sortBy(_.getLong(2))
+    for (band <- byRank.grouped(4))
+      assert(band.map(_.getLong(3)).toSet == Set(0L, 1L, 2L, 3L))
+    // zigzag: band 0 deals 0,1,2,3; band 1 deals 3,2,1,0
+    assert(byRank.take(4).map(_.getLong(3)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(byRank.slice(4, 8).map(_.getLong(3)).toSeq == Seq(3L, 2L, 1L, 0L))
+    // balance: with sizes 10..640 the snake keeps totals within one
+    // band's spread (4 docs × 10 apart → ≤ 40 per band, bands cancel)
+    val totals = out.groupBy(_.getLong(3)).map(_._2.map(_.getLong(1)).sum)
+    assert(totals.max - totals.min <= 40L,
+      s"shard totals too far apart: $totals")
+    // cum_tokens is the inclusive running total in rank order
+    var acc = 0L
+    for (r <- byRank) { acc += r.getLong(1); assert(r.getLong(4) == acc) }
+  }
+
   test("maskPii masks emails, ssn-ids, long digit runs and counts matches") {
     val df = docs(
       (1L, "contact john.doe+x@ex-ample.co.uk or 555-12-3456 ref 12345678 ok"),
