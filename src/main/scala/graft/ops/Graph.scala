@@ -202,4 +202,22 @@ object Graph {
         round(col("cn") / (col("da") + col("db") - col("cn"))
           .cast("double"), 6).as("jaccard"))
   }
+
+  /** Connected components of an undirected pair graph: (node,
+    * component_id = min reachable node id). This is the general closure
+    * behind [[Dedup.duplicateClusters]] exposed for graph analytics —
+    * same pointer-jumping min-label propagation (label-of-label
+    * shortcut, O(log diameter) rounds, per-round convergence detected
+    * by one aggregate), same checkpointing contract (pass
+    * `checkpointDir` on a real cluster — see duplicateClusters' note on
+    * executor-loss recovery). Only nodes that appear in `edges` are
+    * labeled; isolated nodes are the caller's left-join. */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame =
+    Dedup.duplicateClusters(
+        edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b")),
+        maxIters, checkpointDir)
+      .select(col("doc_id").as("node"),
+        col("cluster_id").as("component_id"))
 }

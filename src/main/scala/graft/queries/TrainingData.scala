@@ -474,6 +474,50 @@ object TrainingData extends QueryPack {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Clustering by connected components of the MUTUAL-kNN graph:
+    * reciprocal top-3 edges (the knn-graph operator's `mutual` lane)
+    * closed transitively — the classic density-free cluster discovery
+    * over an embedding corpus, sharing the pointer-jumping closure
+    * with dedup_clusters. */
+  val graphKnnComponents = GraftQuery(
+    "graph_knn_components",
+    Some(s"""
+      WITH RECURSIVE $NORM,
+      cent AS (SELECT vec_id AS cid, e, nrm FROM m WHERE vec_id < 16),
+      asg AS (SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> v.e[i]*c.e[i])) / (v.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m v CROSS JOIN cent c) t WHERE rn = 1),
+      probes AS (SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m q CROSS JOIN cent c) t WHERE rn <= 4),
+      p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+        ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+       FROM probes pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.query_id
+       JOIN m q ON q.vec_id = pr.query_id JOIN m c ON c.vec_id = a.vec_id),
+      top AS (SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM p) t
+       WHERE rn <= 3),
+      mut AS (SELECT t.query_id AS u, t.neighbor_id AS v
+        FROM top t JOIN top b
+          ON b.query_id = t.neighbor_id AND b.neighbor_id = t.query_id
+        WHERE t.query_id < t.neighbor_id),
+      edges AS (SELECT u, v FROM mut UNION SELECT v, u FROM mut),
+      verts AS (SELECT DISTINCT u FROM edges),
+      reach AS (SELECT u, u AS v FROM verts
+        UNION SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+      SELECT u AS node, CAST(MIN(v) AS BIGINT) AS component_id
+      FROM reach GROUP BY u ORDER BY node""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    val g = Similarity.knnGraph(embs, embs.filter(col("vec_id") < 16))
+      .filter(col("mutual") && col("query_id") < col("neighbor_id"))
+    graft.ops.Graph.connectedComponents(g, "query_id", "neighbor_id")
+      .orderBy("node")
+  }
+
   /** Deterministic triplet mining: cyclic same-label positives in
     * salted-hash order + IVF hard negatives (k=1) — contrastive
     * training-set assembly, end-to-end gated. */
@@ -1272,6 +1316,51 @@ object TrainingData extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Overlapping context-window chunking: long docs → training
+    * sequences of ≤32 tokens every 24 (8-token overlap), last window
+    * always reaching the tail. */
+  val dataChunk = GraftQuery(
+    "data_chunk",
+    Some("""
+      WITH tkt AS (SELECT doc_id, string_split_regex(text,'\s+') AS tk FROM documents),
+      n AS (SELECT doc_id, tk, len(tk) AS n FROM tkt),
+      idx AS (SELECT doc_id, tk, n,
+          unnest(range(0, CASE WHEN n = 0 THEN 0
+            ELSE 1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) END)) AS i
+        FROM n)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        CAST(i*24 AS BIGINT) AS start_tok,
+        CAST(least(32, n - i*24) AS BIGINT) AS n_tokens,
+        array_to_string(list_slice(tk, i*24+1, i*24+32), ' ') AS chunk_text
+      FROM idx ORDER BY doc_id, chunk_id""".trim)) { (spark, dir) =>
+    graft.ops.Splits.chunkDocuments(Tables.documents(spark, dir))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Snake-order balanced sharding by token count (zigzag deal over the
+    * deterministic size rank — near-equal shard token totals). */
+  val dataShard = GraftQuery(
+    "data_shard_balance",
+    Some("""
+      WITH t AS (SELECT doc_id,
+          CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      r AS (SELECT doc_id, n_tokens,
+          ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rank,
+          SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT doc_id, n_tokens, CAST(rank AS BIGINT) AS rank,
+        CAST(CASE WHEN ((rank-1)//8) % 2 = 0 THEN (rank-1)%8
+          ELSE 7 - (rank-1)%8 END AS BIGINT) AS shard,
+        CAST(cum AS BIGINT) AS cum_tokens
+      FROM r ORDER BY doc_id""".trim)) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Splits.shardBalance(docs, "doc_id",
+        size(graft.functions.Hashing.tokens(col("text"))))
+      .orderBy("doc_id")
+  }
+
   /** Top-3 characteristic terms per doc (rational TF-IDF). */
   val textTfidf = GraftQuery(
     "text_tfidf",
@@ -1759,8 +1848,9 @@ object TrainingData extends QueryPack {
     dedupContainmentCapped, dedupMinhash, dedupSimhash,
     dedupEmbedding, dedupSemantic,
     dedupClusters, dedupSurvivorship, dataSplit, dataSample, dataWeighted, dataPack,
+    dataChunk, dataShard,
     annBrute, annIvf, annIvfTrained, annLsh, annLshCandidates, annPq, annPqRerank, annIvfPq,
-    annIvfSq, annRange, annKnnGraph, dataTriplets,
+    annIvfSq, annRange, annKnnGraph, graphKnnComponents, dataTriplets,
     annPqTrained, annIvfAdcR, annMaxSim, annHardNegatives,
     annMaxSimIvf, annHardNegativesIvf, streamRetrievalParity,
     dedupParagraph)

@@ -177,4 +177,17 @@ class GraphSpec extends SparkTestBase {
     assert(got == Set(
       ("A", "B", 1L, 0.5), ("B", "C", 1L, 0.5)), s"got $got")
   }
+
+  test("connectedComponents: chains close transitively, components " +
+      "labeled by their min node, direction irrelevant") {
+    import spark.implicits._
+    // two components: {1,2,3,4} via a chain with mixed edge direction,
+    // {7,8} separate; node 9 isolated (absent from edges → unlabeled)
+    val e = Seq((2L, 1L), (2L, 3L), (4L, 3L), (8L, 7L))
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.connectedComponents(e, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L), s"got $got")
+  }
 }
