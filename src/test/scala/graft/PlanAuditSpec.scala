@@ -866,4 +866,37 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
       s"nothing in recall may plan as an un-broadcast cartesian:\n$plan")
   }
+
+  test("data_chunk: NARROW — tokenize + bounded explode, no exchange, " +
+      "no join, no window, no aggregate anywhere in the plan") {
+    val df = SparkEntry.queries("data_chunk")(spark, sfDir)
+    // audit the chunking itself, not the gate's presentation orderBy
+    val plan = graft.ops.Splits.chunkDocuments(
+      Tables.documents(spark, sfDir)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      !plan.contains("HashAggregate"),
+      s"chunking must be a pure per-row map + explode:\n$plan")
+    df.collect() // gate path still executes
+  }
+
+  test("data_shard_balance: the size rank is the range-parallel " +
+      "two-phase rank — no partitionless window over the corpus") {
+    val plan = planOf("data_shard_balance")
+    assert(plan.contains("graft_range_bucket(graft_deferred_bounds("),
+      s"deferred-boundary range-id projection missing (rank not " +
+        s"range-parallel):\n$plan")
+    // no window orders the whole corpus without a partition key
+    assert(!plan.contains("windowspecdefinition(n_tokens"),
+      s"partitionless corpus window in the plan:\n$plan")
+  }
+
+  test("graph_knn_components: edge mass stays corpus*k (the kNN " +
+      "retrieval keeps its audited shape) and the closure never plans " +
+      "a cartesian") {
+    val plan = planOf("graph_knn_components")
+    assert(!plan.contains("CartesianProduct"),
+      s"closure must stay equi-join shaped:\n$plan")
+  }
 }
