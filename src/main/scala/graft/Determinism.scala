@@ -59,7 +59,8 @@ object Determinism {
     "data_sample_stratified", "text_vocab_stats", "ts_hampel",
     "q30_percentile_disc_mode", "q34_outliers", "ts_lttb",
     "dedup_sorted_neighborhood", "dedup_sorted_multi",
-    "data_mix_temperature", "data_split", "data_triplets")
+    "data_mix_temperature", "data_split", "data_triplets",
+    "data_shard_balance")
 
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "invariant"

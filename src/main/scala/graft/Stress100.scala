@@ -192,6 +192,17 @@ object Stress100 {
       results(("containment_capped", f)) = time("containment_capped", f) {
         ops.Dedup.ngramContainmentCapped(docsF, cache = false).count()
       }
+      // transitive-closure engine at scale (round 8): mutual-kNN edges
+      // (corpus·k mass — cells scale with the corpus like the SemDeDup
+      // tier) closed by pointer jumping. The receipt is that ROUND
+      // COUNT stays O(log diameter) as the graph grows — a closure
+      // whose rounds grew with corpus size would show a super-linear
+      // knee here even though each round is join-linear.
+      results(("knn_components", f)) = time("knn_components", f) {
+        val g = ops.Similarity.knnGraph(embsF, centsF)
+          .filter(col("mutual") && col("query_id") < col("neighbor_id"))
+        ops.Graph.connectedComponents(g, "query_id", "neighbor_id").count()
+      }
       // substring excision: per-token constant cost by construction
       // (span census one aggregation, coverage re-expansion ×w bounded,
       // reassembly per-doc) — token tagging keeps replicas span-disjoint
@@ -293,7 +304,7 @@ object Stress100 {
     }
     for (op <- Seq("minhash_lsh", "ivfpq_k_scaled", "ivfpq_k_fixed",
         "semantic_dedup", "ngram_prefix", "ngram_capped",
-        "containment_capped", "substring_excise", "ivfadc_r",
+        "containment_capped", "knn_components", "substring_excise", "ivfadc_r",
         "assign_flat", "assign_hier", "curation_e2e", "vocab_rank",
         "sorted_nbhd", "rfm_rank", "calibration", "pareto", "auc_ranksum",
         "active_users", "link_predict", "basket_rules")

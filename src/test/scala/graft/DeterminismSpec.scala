@@ -36,7 +36,8 @@ class DeterminismSpec extends SparkTestBase {
     "data_sample_stratified", "text_vocab_stats", "ts_hampel",
     "q30_percentile_disc_mode", "q34_outliers", "ts_lttb",
     "dedup_sorted_neighborhood", "dedup_sorted_multi",
-    "data_mix_temperature", "data_split", "data_triplets")
+    "data_mix_temperature", "data_split", "data_triplets",
+    "data_shard_balance")
 
   test("globalRank is a permutation of 1..n and equals the single-task " +
       "window for every numRanges (boundary-independence)") {
