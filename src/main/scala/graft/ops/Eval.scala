@@ -135,6 +135,54 @@ object Eval {
     *
     * Scale: both lists are k rows per query — the join and both
     * aggregates are bounded by queries·k, never corpus-sized. */
+  /** MRR and binary-relevance NDCG@k of an approximate retrieval
+    * against the exact top-k list (the ranking twins of [[recallAtK]]:
+    * recall says WHETHER the right neighbors surfaced, these say WHERE
+    * in the list they landed). Relevance is membership in the exact
+    * list; the ideal DCG comes from the exact list's own ranks, so
+    * ndcg = 1 exactly when every exact neighbor is retrieved in order.
+    *
+    * Float discipline (§5): each 1/log₂(rank+1) gain is rounded to 6
+    * decimals and summed as DECIMAL(18,6) — order-independent, so the
+    * aggregate is engine-exact — and only the final ndcg division is
+    * published as a rounded double. MRR is a single IEEE division of
+    * exact small integers. Everything after retrieval is bounded by
+    * queries·k: the rank windows partition by query over ≤k rows, the
+    * hit join is co-keyed — nothing here ever touches the corpus. */
+  def rankMetrics(exact: DataFrame, approx: DataFrame,
+      queryCol: String = "query_id", neighborCol: String = "neighbor_id",
+      scoreCol: String = "cosine"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // both lists arrive ordered by the retrieval contract (score desc,
+    // neighbor asc, scores rounded to 6) — re-derive the rank here so
+    // the metric never trusts input row order
+    val w = Window.partitionBy(queryCol)
+      .orderBy(col(scoreCol).desc, col(neighborCol))
+    def gain(r: Column): Column =
+      round(lit(1.0) / log2(r.cast("double") + lit(1.0)), 6)
+        .cast(DecimalType(18, 6))
+    val exR = exact.select(col(queryCol), col(neighborCol), col(scoreCol))
+      .withColumn("r", row_number().over(w))
+    val apR = approx.select(col(queryCol), col(neighborCol), col(scoreCol))
+      .withColumn("r", row_number().over(w))
+    val ideal = exR.groupBy(queryCol).agg(
+      count(lit(1)).as("n_exact"), sum(gain(col("r"))).as("idcg"))
+    val hits = apR.join(exR.select(col(queryCol), col(neighborCol)),
+      Seq(queryCol, neighborCol))
+    val perQ = hits.groupBy(queryCol).agg(
+      count(lit(1)).as("n_hits"), min(col("r")).as("first_hit"),
+      sum(gain(col("r"))).as("dcg"))
+    ideal.join(perQ, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_exact").cast("long").as("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"),
+        round(when(col("first_hit").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_hit").cast("double")), 6)
+          .as("mrr"),
+        round(coalesce(col("dcg"), lit(0).cast(DecimalType(18, 6)))
+          .cast("double") / col("idcg").cast("double"), 6).as("ndcg"))
+      .orderBy(queryCol)
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame,
       queryCol: String = "query_id", neighborCol: String = "neighbor_id"): DataFrame = {
     val ex = exact.select(col(queryCol), col(neighborCol))

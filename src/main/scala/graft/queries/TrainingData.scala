@@ -1832,8 +1832,59 @@ object TrainingData extends QueryPack {
       Similarity.ivfTopK(embs, q, embs.filter(col("vec_id") < 16)))
   }
 
+  /** MRR + binary-relevance NDCG@5 of IVF retrieval vs the exact list
+    * (the ranking twins of ann_recall_eval — position quality, not just
+    * membership; decimal-summed log gains, §5 discipline). */
+  val annRankMetrics = GraftQuery(
+    "ann_rank_metrics",
+    Some(s"""
+      WITH $NORM,
+      q AS (SELECT * FROM m WHERE vec_id < 10),
+      bf AS (SELECT query_id, neighbor_id, rn FROM (
+        SELECT p.*, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+          FROM q JOIN m c ON c.vec_id != q.vec_id) p) t WHERE rn <= 5),
+      cent AS (SELECT vec_id AS cid, e, nrm FROM m WHERE vec_id < 16),
+      asg AS (SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> v.e[i]*c.e[i])) / (v.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m v CROSS JOIN cent c) t WHERE rn = 1),
+      probes AS (SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM q CROSS JOIN cent c) t WHERE rn <= 4),
+      iv AS (SELECT query_id, neighbor_id, rn FROM (
+        SELECT p.*, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM (
+          SELECT pr.query_id, a.vec_id AS neighbor_id,
+            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+          FROM probes pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.query_id
+          JOIN m q ON q.vec_id = pr.query_id JOIN m c ON c.vec_id = a.vec_id) p) t WHERE rn <= 5),
+      ideal AS (SELECT query_id, COUNT(*) AS n_exact,
+          SUM(CAST(ROUND(1/log2(rn+1), 6) AS DECIMAL(18,6))) AS idcg
+        FROM bf GROUP BY 1),
+      h AS (SELECT i.query_id, i.rn FROM iv i
+        JOIN bf b ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id),
+      perq AS (SELECT query_id, COUNT(*) AS n_hits, MIN(rn) AS first_hit,
+          SUM(CAST(ROUND(1/log2(rn+1), 6) AS DECIMAL(18,6))) AS dcg
+        FROM h GROUP BY 1)
+      SELECT e.query_id, CAST(e.n_exact AS BIGINT) AS n_exact,
+        CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
+        ROUND(CASE WHEN p.first_hit IS NULL THEN 0 ELSE 1.0/p.first_hit END, 6) AS mrr,
+        ROUND(CAST(COALESCE(p.dcg, 0) AS DOUBLE) / CAST(e.idcg AS DOUBLE), 6) AS ndcg
+      FROM ideal e LEFT JOIN perq p ON p.query_id = e.query_id
+      ORDER BY e.query_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    val q = embs.filter(col("vec_id") < 10)
+    graft.ops.Eval.rankMetrics(
+      Similarity.bruteForceTopK(embs, q),
+      Similarity.ivfTopK(embs, q, embs.filter(col("vec_id") < 16)))
+  }
+
   override def all: Seq[GraftQuery] = Seq(
-    dedupUrl, textGopher, textEntropy, annRecall,
+    dedupUrl, textGopher, textEntropy, annRecall, annRankMetrics,
     fuzzyVocab, vocabStats,
     langId, quality, tokensQ, fingerprintQ, textPii, textClean,
     textRepetition, textContamination, textTfidf, textSurprisal,

@@ -378,4 +378,35 @@ class EvalSpec extends SparkTestBase {
       .agg(avg("recall")).head().getDouble(0)
     assert(r > 0.2 && r <= 1.0, s"IVF mean recall $r out of plausible band")
   }
+
+  test("rankMetrics: closed-form MRR and NDCG on a hand-built list, " +
+      "perfect retrieval scores 1.0, full miss scores 0") {
+    import spark.implicits._
+    // exact top-3 per query: neighbors by descending score 30,20,10
+    val exact = Seq(
+      (1L, 101L, 0.9), (1L, 102L, 0.8), (1L, 103L, 0.7),
+      (2L, 201L, 0.9), (2L, 202L, 0.8), (2L, 203L, 0.7),
+      (3L, 301L, 0.9), (3L, 302L, 0.8), (3L, 303L, 0.7)
+    ).toDF("query_id", "neighbor_id", "cosine")
+    // q1: perfect; q2: first hit at rank 2, one other hit at rank 3;
+    // q3: zero hits
+    val approx = Seq(
+      (1L, 101L, 0.9), (1L, 102L, 0.8), (1L, 103L, 0.7),
+      (2L, 999L, 0.95), (2L, 202L, 0.8), (2L, 201L, 0.7),
+      (3L, 901L, 0.9), (3L, 902L, 0.8), (3L, 903L, 0.7)
+    ).toDF("query_id", "neighbor_id", "cosine")
+    val got = graft.ops.Eval.rankMetrics(exact, approx).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(got(1L) == ((3L, 1.0, 1.0)), s"q1: ${got(1L)}")
+    // q2: hits at approx ranks 2,3 → mrr 0.5,
+    // dcg = g(2)+g(3) = 0.630930+0.5; idcg = g(1)+g(2)+g(3)
+    val g = (r: Int) => BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ndcg2 = BigDecimal((g(2) + g(3)) / (g(1) + g(2) + g(3)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L)._1 == 2L && got(2L)._2 == 0.5, s"q2: ${got(2L)}")
+    assert(math.abs(got(2L)._3 - ndcg2) < 1e-9, s"q2 ndcg: ${got(2L)._3}")
+    assert(got(3L) == ((0L, 0.0, 0.0)), s"q3: ${got(3L)}")
+  }
 }
