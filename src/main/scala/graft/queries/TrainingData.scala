@@ -250,6 +250,55 @@ object TrainingData extends QueryPack {
     Dedup.minHashLsh(Tables.documents(spark, dir))
   }
 
+  /** The incremental dedup index DRIVER-GATED (round 8 — the parity
+    * pattern applied to the last spec-only streaming family): docs
+    * arrive as 4 hash-split micro-batches with one at-least-once
+    * REPLAY, each batch folded through [[graft.ops.DedupIndex.append]]
+    * (per-batch cost ∝ batch; pairs emitted the batch they become
+    * detectable; replay rewrites its own index partition instead of
+    * duplicating it). The union of per-batch emissions hash-equals the
+    * ONE-SHOT dedup_minhash_lsh oracle verbatim — the driver's compare
+    * IS the proof that the index never misses a cross-batch pair and
+    * never double-counts a replayed one. Per-batch pair sets are
+    * collect-rebuilt (they are near-dup-sized) so the result never
+    * depends on re-reading the temp index dirs deleted below. */
+  val streamDedupParity = GraftQuery(
+    "stream_dedup_parity",
+    Some(s"""
+      WITH $SH,
+      sig AS (SELECT doc_id, s, list_transform(range(0,64), p -> list_min(list_transform(s, g -> ('0x'||substr(md5(CAST(p AS VARCHAR)||':'||g),1,15))::BIGINT))) AS mh FROM sh),
+      bands AS (SELECT doc_id, band, md5(array_to_string(list_transform(list_slice(mh, band*4+1, band*4+4), x -> CAST(x AS VARCHAR)), ',')) AS bkey
+                FROM (SELECT doc_id, mh, unnest(range(0,16)) AS band FROM sig)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      j AS (SELECT id_a, id_b,
+         ROUND(len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
+       FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+      SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".trim)) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("dedup_parity")
+    val idxDir = tmpRoot.toString + "/index"
+    try {
+      // batches 0, 1, REPLAY 1 (at-least-once), 2, 3 — hash-split, so
+      // near-dup partners land in different batches routinely
+      val perBatch = Seq(0, 1, 1, 2, 3).map { b =>
+        val pairs = graft.ops.DedupIndex.append(spark, idxDir,
+          docs.filter(pmod(col("doc_id"), lit(4)) === b), b)
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(pairs.collect(): _*), pairs.schema)
+        pairs.unpersist()
+        local
+      }
+      // the replayed batch re-emits ITS pairs identically → distinct
+      perBatch.reduce(_ unionByName _).distinct()
+        .orderBy("id_a", "id_b")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   val dedupSimhash = GraftQuery(
     "dedup_simhash",
     Some("""
@@ -1896,7 +1945,7 @@ object TrainingData extends QueryPack {
     dedupExact, dedupNgram, dedupNgramPrefix, dedupSortedNeighborhood,
     dedupSortedMulti,
     dedupNgramCapped, dedupContainment,
-    dedupContainmentCapped, dedupMinhash, dedupSimhash,
+    dedupContainmentCapped, dedupMinhash, streamDedupParity, dedupSimhash,
     dedupEmbedding, dedupSemantic,
     dedupClusters, dedupSurvivorship, dataSplit, dataSample, dataWeighted, dataPack,
     dataChunk, dataShard,

@@ -30,7 +30,8 @@ class HygieneSpec extends SparkTestBase {
   for ((name, prefix) <- Seq(
       "stream_quality_parity" -> "quality_parity",
       "stream_growth_parity" -> "growth_parity",
-      "stream_retrieval_parity" -> "retrieval_parity")) {
+      "stream_retrieval_parity" -> "retrieval_parity",
+      "stream_dedup_parity" -> "dedup_parity")) {
     test(s"$name deletes its temp state dir (two evaluations, no new " +
         s"'$prefix*' entries)") {
       val before = tmpEntries(prefix)
