@@ -135,6 +135,39 @@ object Eval {
     *
     * Scale: both lists are k rows per query — the join and both
     * aggregates are bounded by queries·k, never corpus-sized. */
+  /** Average precision (the area under the precision-recall curve in
+    * its rank-sum form) — the PR-side twin of [[aucRankSum]], which is
+    * the ROC side: AP = (1/n₊) Σ_{k: yₖ=1} TP(k)/k over the ranking by
+    * (score DESC, tiebreak). Imbalanced corpora (near-dup flags, PII
+    * hits, quality failures — every label this engine produces is rare)
+    * make ROC AUC look optimistic; AP is the number a curation team
+    * actually tracks.
+    *
+    * Exactness: the ranking is the deterministic range-parallel
+    * two-phase rank (never a partitionless window); TP(k) rides the
+    * same pass as the rank's cumulative sum; each TP(k)/k precision is
+    * one IEEE division of exact longs rounded to 6 decimals and summed
+    * as DECIMAL(18,6) (order-independent), with only the final /n₊
+    * division published as a rounded double. */
+  def averagePrecision(df: DataFrame, scoreCol: Column, labelCol: Column,
+      tieCol: Column): DataFrame = {
+    val scored = df.filter(scoreCol.isNotNull)
+      .select(scoreCol.as("sc"), tieCol.as("tb"),
+        when(labelCol, lit(1L)).otherwise(lit(0L)).as("y"))
+    val ranked = Ranking.globalRankCumsum(scored,
+      Seq(col("sc").desc, col("tb")), col("y"))
+    val total = scored.agg(count(lit(1)).as("n"))
+    val pos = ranked.filter(col("y") === 1).agg(
+      count(lit(1)).as("n_pos"),
+      sum(round(col("cum").cast("double") / col("rank"), 6)
+        .cast(DecimalType(18, 6))).as("s"))
+    pos.crossJoin(broadcast(total))
+      .select(col("n_pos").cast("long").as("n_pos"),
+        col("n").cast("long").as("n"),
+        round(col("s").cast("double") / col("n_pos"), 6)
+          .as("avg_precision"))
+  }
+
   /** MRR and binary-relevance NDCG@k of an approximate retrieval
     * against the exact top-k list (the ranking twins of [[recallAtK]]:
     * recall says WHETHER the right neighbors surfaced, these say WHERE

@@ -39,6 +39,32 @@ object Evaluation extends QueryPack {
       col("o_totalprice"), col("o_orderstatus") === "F")
   }
 
+  /** Average precision on the same score/outcome pair — the PR-curve
+    * summary (rank-sum form, decimal-summed precisions; the ROC AUC's
+    * imbalance-robust twin). */
+  val q56AvgPrecision = GraftQuery(
+    "q56_avg_precision",
+    Some("""
+      WITH b AS (
+        SELECT o_totalprice AS sc, o_orderkey AS tb,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders WHERE o_totalprice IS NOT NULL),
+      r AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY sc DESC, tb) AS rk,
+               SUM(y) OVER (ORDER BY sc DESC, tb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+        FROM b),
+      t AS (SELECT COUNT(*) AS n FROM b),
+      p AS (SELECT COUNT(*) AS n_pos,
+          SUM(CAST(ROUND(CAST(tp AS DOUBLE)/rk, 6) AS DECIMAL(18,6))) AS s
+        FROM r WHERE y = 1)
+      SELECT CAST(p.n_pos AS BIGINT) AS n_pos, CAST(t.n AS BIGINT) AS n,
+        ROUND(CAST(p.s AS DOUBLE) / p.n_pos, 6) AS avg_precision
+      FROM p, t""".stripMargin.trim)) { (spark, dir) =>
+    Eval.averagePrecision(Tables.orders(spark, dir),
+      col("o_totalprice"), col("o_orderstatus") === "F", col("o_orderkey"))
+  }
+
   /** Decile calibration of the same score/outcome pair: bins by pure
     * integer rank math over (score, orderkey), per bin exact counts +
     * decimal score sum + the two IEEE plot ratios. */
@@ -144,5 +170,6 @@ object Evaluation extends QueryPack {
   }
 
   override def all: Seq[GraftQuery] =
-    Seq(q50Auc, q51Calibration, dataKfold, q52Basket, q53EventNgrams)
+    Seq(q50Auc, q51Calibration, q56AvgPrecision, dataKfold, q52Basket,
+      q53EventNgrams)
 }

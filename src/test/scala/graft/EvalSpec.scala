@@ -379,6 +379,33 @@ class EvalSpec extends SparkTestBase {
     assert(r > 0.2 && r <= 1.0, s"IVF mean recall $r out of plausible band")
   }
 
+  test("averagePrecision: hand-computed AP, perfect ranking = 1.0, " +
+      "all-positives = 1.0") {
+    import spark.implicits._
+    // ranking by score desc: ranks 1..5 = labels 1,0,1,1,0
+    // AP = (1/1 + 2/3 + 3/4) / 3 with per-term 6-decimal rounding
+    val d = Seq((50.0, 1L, true), (40.0, 2L, false), (30.0, 3L, true),
+      (20.0, 4L, true), (10.0, 5L, false)).toDF("sc", "id", "lab")
+    val got = graft.ops.Eval.averagePrecision(
+      d, col("sc"), col("lab"), col("id")).head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 5L)
+    val exp = ((BigDecimal(1.0) +
+        BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP) +
+        BigDecimal(0.75)) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got.getDouble(2) - exp) < 1e-9,
+      s"ap ${got.getDouble(2)} != $exp")
+    // perfect ranking: positives occupy the top ranks
+    val perfect = Seq((9.0, 1L, true), (8.0, 2L, true), (1.0, 3L, false))
+      .toDF("sc", "id", "lab")
+    assert(graft.ops.Eval.averagePrecision(
+      perfect, col("sc"), col("lab"), col("id")).head().getDouble(2) == 1.0)
+    // degenerate: every row positive
+    val allPos = Seq((2.0, 1L, true), (1.0, 2L, true)).toDF("sc", "id", "lab")
+    assert(graft.ops.Eval.averagePrecision(
+      allPos, col("sc"), col("lab"), col("id")).head().getDouble(2) == 1.0)
+  }
+
   test("rankMetrics: closed-form MRR and NDCG on a hand-built list, " +
       "perfect retrieval scores 1.0, full miss scores 0") {
     import spark.implicits._
