@@ -892,6 +892,29 @@ class PlanAuditSpec extends SparkTestBase {
       s"partitionless corpus window in the plan:\n$plan")
   }
 
+  test("q56_avg_precision: the score ranking is the range-parallel " +
+      "rank (TP rides its cumsum) — no partitionless corpus window") {
+    val plan = planOf("q56_avg_precision")
+    assert(plan.contains("graft_range_bucket(graft_deferred_bounds("),
+      s"deferred-boundary range-id projection missing:\n$plan")
+    assert(!plan.contains("windowspecdefinition(sc"),
+      s"partitionless score window in the plan:\n$plan")
+  }
+
+  test("ann_rank_metrics: rank windows partition by query (k rows " +
+      "each), the hit join is a co-keyed hash join, no cartesian") {
+    val plan = planOf("ann_rank_metrics")
+    assert(!plan.contains("CartesianProduct"),
+      s"metrics stage must stay equi-join shaped:\n$plan")
+    // every window (the metric's per-query ranks AND the retrieval's
+    // own top-k / cell-argmin windows) carries a per-vector partition
+    // key — nothing here ever windows the corpus in one task
+    val winDefs = "windowspecdefinition\\((\\w+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(winDefs.subsetOf(Set("query_id", "vec_id")),
+      s"non-per-key window in rank metrics: $winDefs\n$plan")
+  }
+
   test("graph_knn_components: edge mass stays corpus*k (the kNN " +
       "retrieval keeps its audited shape) and the closure never plans " +
       "a cartesian") {
