@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Ranking fusion for hybrid retrieval: a lexical ranker (BM25) and a
+  * vector ranker (embedding cosine) disagree on scale and calibration,
+  * so production search fuses them on RANKS, not scores — reciprocal
+  * rank fusion (Cormack/Clarke/Büttcher 2009, public) is the standard
+  * because it needs no tuning beyond one smoothing constant and
+  * degrades gracefully when an id appears in only one list.
+  */
+object Fusion {
+
+  /** Reciprocal-rank fusion of N id-aligned rankings.
+    *
+    * Each input is an (id, score) relation; its rank is the
+    * deterministic range-parallel global rank by (score DESC, id) —
+    * never a partitionless window, so a corpus-sized list ranks in
+    * parallel. An id absent from a list contributes nothing for it
+    * (and reports rank 0). Each contribution 1/(k0+rank) is one IEEE
+    * division of exact longs rounded to 6 decimals and summed as
+    * DECIMAL(18,6) (order-independent, engine-exact — SURVEY §5), the
+    * fused score published as a rounded double.
+    *
+    * Returns (id, rank_0 … rank_{n−1}, rrf) over the UNION of ids —
+    * full table; callers top-k with orderBy + limit, which plans as a
+    * bounded TakeOrdered, never a global sort.
+    */
+  def rrf(lists: Seq[DataFrame], idCol: String = "id",
+      scoreCol: String = "score", k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranking")
+    require(k0 >= 1, s"smoothing constant must be >= 1, got $k0")
+    val ranked = lists.zipWithIndex.map { case (df, i) =>
+      Ranking.globalRankCumsum(
+          df.select(col(idCol), col(scoreCol)),
+          Seq(col(scoreCol).desc, col(idCol)), lit(1L))
+        .select(col(idCol), col("rank").cast("long").as(s"rank_$i"))
+    }
+    // N-way full outer join on the id: co-partitioned equi-joins; the
+    // union of lists is the candidate set, nothing re-scans a corpus
+    val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val zero = lit(0).cast(DecimalType(18, 6))
+    val terms = lists.indices.map { i =>
+      when(col(s"rank_$i").isNotNull,
+        round(lit(1.0) / (lit(k0) + col(s"rank_$i")), 6)
+          .cast(DecimalType(18, 6))).otherwise(zero)
+    }
+    joined.select(
+      col(idCol) +:
+        lists.indices.map(i => coalesce(col(s"rank_$i"), lit(0L))
+          .as(s"rank_$i")) :+
+        round(terms.reduce(_ + _).cast("double"), 6).as("rrf"): _*)
+  }
+}

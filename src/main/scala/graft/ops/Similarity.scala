@@ -55,19 +55,28 @@ object Similarity {
   private def score(q: DataFrame, c: DataFrame): Column =
     round(cosineWithNorms(col("q.e"), col("c.e"), col("q.nrm"), col("c.nrm")), 6)
 
+  /** Raw cosine scores of every corpus vector against every query —
+    * the scored relation behind [[bruteForceTopK]], exposed for
+    * consumers that rank the FULL list themselves (e.g. RRF fusion,
+    * which range-parallel-ranks the whole scored corpus rather than
+    * keeping k rows): no per-query window here, so a caller never
+    * inherits a corpus-sized single-partition sort by accident. */
+  def bruteForceScores(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol)
+    val q = withNorm(queries, idCol, vecCol)
+    c.as("c").join(broadcast(q.as("q")),
+        col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        score(q, c).as("cosine"))
+  }
+
   /** Exact top-k: every query scored against every corpus vector.
     * `queries` must be small (it is broadcast); the corpus side never
     * shuffles until the final per-query top-k of survivors. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = withNorm(corpus, idCol, vecCol)
-    val q = withNorm(queries, idCol, vecCol)
-    val scored = c.as("c").join(broadcast(q.as("q")),
-        col("c.vec_id") =!= col("q.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        score(q, c).as("cosine"))
-    rankTopK(scored, k)
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rankTopK(bruteForceScores(corpus, queries, idCol, vecCol), k)
 
   /** IVF top-k: corpus assigned once to its nearest of `centroids`
     * (broadcast argmax join), each query probes its `nProbe` nearest

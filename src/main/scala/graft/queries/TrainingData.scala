@@ -909,6 +909,58 @@ object TrainingData extends QueryPack {
     TextAnalysis.bm25(Tables.documents(spark, dir), bm25Terms).orderBy("doc_id")
   }
 
+  /** Hybrid-search RRF fusion: the BM25 lexical ranking and the
+    * embedding-cosine ranking of the same id space fused on ranks
+    * (1/(60+r) reciprocal contributions, decimal-summed), top-20. */
+  val searchRrf = GraftQuery(
+    "search_rrf_fusion",
+    Some {
+      val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf$i" }
+        .mkString(",\n        ")
+      val dfs = bm25Terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+        .mkString(", ")
+      val terms = bm25Terms.indices.map { i =>
+        s"""((n_docs - df$i + 0.5) / (df$i + 0.5) * (CAST(tf$i AS DOUBLE) * 2.2)) /
+           |        (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
+          .stripMargin }
+        .mkString("\n        + ")
+      s"""
+      WITH $NORM,
+      base AS (SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS dl,
+        $tfs
+       FROM (SELECT doc_id, string_split_regex(text,'\\s+') AS tk FROM documents)),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(dl) AS BIGINT) AS sum_dl, $dfs FROM base),
+      lex AS (SELECT doc_id, ROUND($terms, 6) AS bm25 FROM base CROSS JOIN stats),
+      lr AS (SELECT doc_id AS id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r0 FROM lex),
+      qv AS (SELECT e, nrm FROM m WHERE vec_id = 0),
+      vs AS (SELECT c.vec_id AS id,
+          ROUND(list_sum(list_transform(range(1,65), i -> qv.e[i]*c.e[i])) / (qv.nrm*c.nrm), 6) AS cos
+        FROM m c, qv WHERE c.vec_id != 0),
+      vr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS r1 FROM vs),
+      f AS (SELECT COALESCE(lr.id, vr.id) AS id,
+          COALESCE(r0, 0) AS rank_0, COALESCE(r1, 0) AS rank_1,
+          ROUND(CAST(
+            (CASE WHEN r0 IS NULL THEN CAST(0 AS DECIMAL(18,6)) ELSE CAST(ROUND(1/(60.0+r0), 6) AS DECIMAL(18,6)) END) +
+            (CASE WHEN r1 IS NULL THEN CAST(0 AS DECIMAL(18,6)) ELSE CAST(ROUND(1/(60.0+r1), 6) AS DECIMAL(18,6)) END)
+          AS DOUBLE), 6) AS rrf
+        FROM lr FULL OUTER JOIN vr ON vr.id = lr.id)
+      SELECT CAST(id AS BIGINT) AS id, CAST(rank_0 AS BIGINT) AS rank_0,
+        CAST(rank_1 AS BIGINT) AS rank_1, rrf
+      FROM f ORDER BY rrf DESC, id LIMIT 20""".trim
+    }) { (spark, dir) =>
+    val lex = TextAnalysis.bm25(Tables.documents(spark, dir), bm25Terms)
+      .select(col("doc_id").as("id"), col("bm25").as("score"))
+    val embs = Tables.embeddings(spark, dir)
+    val vec = Similarity.bruteForceScores(embs, embs.filter(col("vec_id") === 0))
+      .select(col("neighbor_id").as("id"), col("cosine").as("score"))
+    graft.ops.Fusion.rrf(Seq(lex, vec))
+      .orderBy(col("rrf").desc, col("id")).limit(20)
+  }
+
   /** Inverted-index build: term → df + capped canonical postings. */
   val textInvertedIndex = GraftQuery(
     "text_inverted_index",
@@ -1938,7 +1990,7 @@ object TrainingData extends QueryPack {
     langId, quality, tokensQ, fingerprintQ, textPii, textClean,
     textRepetition, textContamination, textTfidf, textSurprisal,
     textBigramSurprisal,
-    textBm25, textInvertedIndex, textBpeMerges, textBpeEncode,
+    textBm25, searchRrf, textInvertedIndex, textBpeMerges, textBpeEncode,
     textRepeatedSpans, dedupSubstring,
     textHeavyHitters, textHeavyHittersBySource, pipelineFeatures, pipelineSplitLeakage,
     dataQuota, dataMix, dataCurriculum, dataEpochShuffle,

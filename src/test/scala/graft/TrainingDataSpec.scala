@@ -717,6 +717,25 @@ class TrainingDataSpec extends SparkTestBase {
     for (r <- byRank) { acc += r.getLong(1); assert(r.getLong(4) == acc) }
   }
 
+  test("Fusion.rrf: hand-computed reciprocal contributions, union of " +
+      "ids, absent-list rank reported as 0") {
+    import graft.ops.Fusion
+    val a = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "score")
+    val b = Seq((20L, 0.95), (40L, 0.5)).toDF("id", "score")
+    val got = Fusion.rrf(Seq(a, b)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val g = (r: Int) => BigDecimal(1.0 / (60.0 + r))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got.keySet == Set(10L, 20L, 30L, 40L))
+    assert(got(20L)._1 == 2L && got(20L)._2 == 1L)
+    assert(got(20L)._3 == (g(2) + g(1)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // id 10 only in list a: rank_1 reported 0, contribution only from a
+    assert(got(10L) == ((1L, 0L, g(1).toDouble)), s"got ${got(10L)}")
+    assert(got(40L) == ((0L, 2L, g(2).toDouble)), s"got ${got(40L)}")
+  }
+
   test("maskPii masks emails, ssn-ids, long digit runs and counts matches") {
     val df = docs(
       (1L, "contact john.doe+x@ex-ample.co.uk or 555-12-3456 ref 12345678 ok"),
