@@ -295,8 +295,19 @@ object Dedup {
     * exact; only candidate RECALL is capped. */
   private def cappedPairIntersections(docs: DataFrame, idCol: String,
       textCol: String, dfCap: Int, cache: Boolean): DataFrame = {
-    val exAll = shingleSets(docs, idCol, textCol)
+    // cache=true persists the EXPLODED SHINGLES — the tokenize+shingle
+    // compute is the expensive narrow work and it feeds two branches
+    // (the DF census and the tag join's probe side) that no exchange
+    // reuse covers once AQE broadcasts the hot set; everything after
+    // the tag join is join/aggregate work whose exchanges the planner
+    // already reuses. The cache is MEMORY_AND_DISK — LRU-evictable,
+    // but it DOES outlive the call; long-lived sessions profiling many
+    // corpora should pass cache=false or clear the cache between jobs.
+    val exBase = shingleSets(docs, idCol, textCol)
       .select(col("doc_id"), explode(col("s")).as("g"))
+    val exAll = if (cache)
+      exBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else exBase
     // The hot-shingle set is NOT plan-time-bounded: its size grows with
     // the corpus vocabulary (every boilerplate shingle lands here), so
     // it gets NO broadcast() hint — on a boilerplate-heavy 100 TB crawl
@@ -308,17 +319,11 @@ object Dedup {
     val hot = exAll.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("g"), lit(true).as("__hot"))
     // ONE join tags every exploded row; both the candidate filter and
-    // the per-doc census read the tag. cache=true persists the tagged
-    // table across its three consumers (both sides of the candidate
-    // self-join reuse one exchange, but the per-doc aggregate shuffles
-    // by doc_id and would otherwise recompute the tag join). The cache
-    // is MEMORY_AND_DISK — LRU-evictable, but it DOES outlive the call;
-    // long-lived sessions profiling many corpora should pass
-    // cache=false or clear the cache between jobs.
-    val taggedBase = exAll.join(hot, Seq("g"), "left")
-    val tagged = if (cache)
-      taggedBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else taggedBase
+    // the per-doc census read the tag (its recompute per consumer is
+    // join-only — the inputs are the cached shingles and the census
+    // output, and the candidate self-join's two sides additionally
+    // share one exchange).
+    val tagged = exAll.join(hot, Seq("g"), "left")
     // shared COLD shingles per pair, straight off the join (shingle sets
     // are distinct per doc, so each shared cold shingle matches once)
     val ex = tagged.filter(col("__hot").isNull)

@@ -125,16 +125,6 @@ object Eval {
       .orderBy("bin")
   }
 
-  /** Retrieval recall@k of an approximate neighbor list against the
-    * exact one — THE acceptance metric for every ANN configuration in
-    * the similarity family (how much recall does nProbe=4 buy at this
-    * cell count?). Both inputs are (query_id, neighbor_id) top-k lists;
-    * per query: hits = |approx ∩ exact| via a co-keyed inner join,
-    * recall = hits / |exact|. Queries with hits=0 still appear (left
-    * join from the exact side's per-query counts).
-    *
-    * Scale: both lists are k rows per query — the join and both
-    * aggregates are bounded by queries·k, never corpus-sized. */
   /** Average precision (the area under the precision-recall curve in
     * its rank-sum form) — the PR-side twin of [[aucRankSum]], which is
     * the ROC side: AP = (1/n₊) Σ_{k: yₖ=1} TP(k)/k over the ranking by
@@ -161,10 +151,14 @@ object Eval {
       count(lit(1)).as("n_pos"),
       sum(round(col("cum").cast("double") / col("rank"), 6)
         .cast(DecimalType(18, 6))).as("s"))
+    // zero positives: AP is conventionally 0 (nothing retrievable was
+    // ranked) — a clean shard with no flagged rows is a legitimate
+    // input, not a null in a metrics dashboard
     pos.crossJoin(broadcast(total))
       .select(col("n_pos").cast("long").as("n_pos"),
         col("n").cast("long").as("n"),
-        round(col("s").cast("double") / col("n_pos"), 6)
+        round(when(col("n_pos") === 0, lit(0.0))
+          .otherwise(col("s").cast("double") / col("n_pos")), 6)
           .as("avg_precision"))
   }
 
@@ -173,7 +167,10 @@ object Eval {
     * recall says WHETHER the right neighbors surfaced, these say WHERE
     * in the list they landed). Relevance is membership in the exact
     * list; the ideal DCG comes from the exact list's own ranks, so
-    * ndcg = 1 exactly when every exact neighbor is retrieved in order.
+    * ndcg = 1 exactly when every exact neighbor lands somewhere in the
+    * approx top-k (binary relevance grades positions of hits vs
+    * misses, not hit-vs-hit order), and decays as hits slip to lower
+    * ranks behind false neighbors; mrr isolates the first hit.
     *
     * Float discipline (§5): each 1/log₂(rank+1) gain is rounded to 6
     * decimals and summed as DECIMAL(18,6) — order-independent, so the
@@ -216,6 +213,16 @@ object Eval {
       .orderBy(queryCol)
   }
 
+  /** Retrieval recall@k of an approximate neighbor list against the
+    * exact one — THE acceptance metric for every ANN configuration in
+    * the similarity family (how much recall does nProbe=4 buy at this
+    * cell count?). Both inputs are (query_id, neighbor_id) top-k lists;
+    * per query: hits = |approx ∩ exact| via a co-keyed inner join,
+    * recall = hits / |exact|. Queries with hits=0 still appear (left
+    * join from the exact side's per-query counts).
+    *
+    * Scale: both lists are k rows per query — the join and both
+    * aggregates are bounded by queries·k, never corpus-sized. */
   def recallAtK(exact: DataFrame, approx: DataFrame,
       queryCol: String = "query_id", neighborCol: String = "neighbor_id"): DataFrame = {
     val ex = exact.select(col(queryCol), col(neighborCol))

@@ -33,9 +33,9 @@ object Fusion {
     require(lists.nonEmpty, "need at least one ranking")
     require(k0 >= 1, s"smoothing constant must be >= 1, got $k0")
     val ranked = lists.zipWithIndex.map { case (df, i) =>
-      Ranking.globalRankCumsum(
+      Ranking.globalRank(
           df.select(col(idCol), col(scoreCol)),
-          Seq(col(scoreCol).desc, col(idCol)), lit(1L))
+          Seq(col(scoreCol).desc, col(idCol)))
         .select(col(idCol), col("rank").cast("long").as(s"rank_$i"))
     }
     // N-way full outer join on the id: co-partitioned equi-joins; the

@@ -404,6 +404,12 @@ class EvalSpec extends SparkTestBase {
     val allPos = Seq((2.0, 1L, true), (1.0, 2L, true)).toDF("sc", "id", "lab")
     assert(graft.ops.Eval.averagePrecision(
       allPos, col("sc"), col("lab"), col("id")).head().getDouble(2) == 1.0)
+    // degenerate: zero positives — AP is a defined 0.0, never null
+    // (a clean shard with no flagged rows is a legitimate input)
+    val noPos = Seq((2.0, 1L, false), (1.0, 2L, false)).toDF("sc", "id", "lab")
+    val zp = graft.ops.Eval.averagePrecision(
+      noPos, col("sc"), col("lab"), col("id")).head()
+    assert(zp.getLong(0) == 0L && !zp.isNullAt(2) && zp.getDouble(2) == 0.0)
   }
 
   test("rankMetrics: closed-form MRR and NDCG on a hand-built list, " +
