@@ -319,11 +319,16 @@ object Dedup {
     val hot = exAll.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("g"), lit(true).as("__hot"))
     // ONE join tags every exploded row; both the candidate filter and
-    // the per-doc census read the tag (its recompute per consumer is
-    // join-only — the inputs are the cached shingles and the census
-    // output, and the candidate self-join's two sides additionally
-    // share one exchange).
-    val tagged = exAll.join(hot, Seq("g"), "left")
+    // the per-doc census read the tag. The tag join is ALSO persisted:
+    // it has three consumers (both candidate self-join sides plus the
+    // per-doc census) and re-running it per consumer measured 2.5×
+    // slower than the block-store read-back at sf0.1 — the two caches
+    // together hold the shingling exactly once and the tag exactly
+    // once, which is the minimum any plan shape pays.
+    val taggedBase = exAll.join(hot, Seq("g"), "left")
+    val tagged = if (cache)
+      taggedBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else taggedBase
     // shared COLD shingles per pair, straight off the join (shingle sets
     // are distinct per doc, so each shared cold shingle matches once)
     val ex = tagged.filter(col("__hot").isNull)
