@@ -89,6 +89,12 @@ object Bench {
     println(s"""{"aux":"median","n":$nRuns,"median":$med}""")
     println(s"""{"aux":"spread","n":$nRuns,"spread":$spread}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nRuns,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    // the SAME totals once more as a FINAL short line with no per-query
+    // map: the driver's tail capture truncates long lines from the FRONT,
+    // which swallowed the headline's leading total in rounds 7 AND 8
+    // (the >4 KB queries map pushed it out). This line is ~120 bytes, so
+    // it always survives the tail whole and parses on its own.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nRuns,"cpus":$cpus,"nq":${results.size},"sf":"$sfDir"}""")
     // full raw provenance: every run of every query, committed per round
     val rawPath = sys.env.getOrElse("SPARK_GRAFT_RAW", "scripts/bench_raw.json")
     try {

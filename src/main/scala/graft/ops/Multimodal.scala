@@ -56,6 +56,25 @@ object Multimodal {
     }
   }
 
+  /** aHash-parity cell source: treats the payload bytes AS the 8×8
+    * grayscale cell intensities (0..255) a real image decoder's
+    * downsample would produce — decode = the first `dim` unsigned byte
+    * values as doubles. Classic average-hash compares integer pixel
+    * intensities to their mean, and this decoder preserves exactly that
+    * arithmetic: every cell is an integer-valued double and the mean is
+    * an exact /64 division, so the 64-bit fingerprint is replayable
+    * bit-for-bit by an external integer-arithmetic oracle (the
+    * mm_phash_pairs gate) — no float rounding anywhere. */
+  class ByteCellDecoder(dim: Int = 64) extends Decoder {
+    override def decode(bytes: Array[Byte], meta: MediaMeta): Array[Double] = {
+      val n = math.min(dim, bytes.length)
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = (bytes(i) & 0xff).toDouble; i += 1 }
+      out
+    }
+  }
+
   /** Real-codec stub: the deployment point for an actual decoder.
     * Deliberately unimplemented in this environment (equivalent to `???`
     * but with a pointed message, so a misconfigured pipeline fails loud

@@ -297,6 +297,10 @@ object Similarity {
     val c = withNorm(corpus, idCol, vecCol).persist(MEMORY_AND_DISK)
     var cent = withNorm(seeds, idCol, vecCol)
       .select(col("vec_id").as("cid"), col("e"))
+    // each round's persist supersedes the previous one — release the
+    // stale round immediately so an iters-round refine leaves exactly
+    // ONE k-row table cached, not iters of them (session-cache hygiene)
+    var prevRound: Option[DataFrame] = None
     for (_ <- 0 until iters) {
       // narrow-map Lloyd assignment (no N·k rows, no per-vector window)
       import org.apache.spark.sql.GraftColumnBridge.{column, expression}
@@ -318,6 +322,8 @@ object Similarity {
         .select(col("cid"), coalesce(col("upd"), col("prev")).as("e"))
         .persist(MEMORY_AND_DISK)
       next.count() // materialize: flat lineage round to round
+      prevRound.foreach(_.unpersist(blocking = false))
+      prevRound = Some(next)
       cent = next
     }
     c.unpersist()

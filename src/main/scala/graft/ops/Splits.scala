@@ -227,9 +227,15 @@ object Splits {
       s"stride must be in [1, width], got $stride (width $width)")
     val tk = graft.functions.Hashing.tokens(col(textCol))
     docs
-      .select(col(idCol), tk.as("__tk"))
-      .select(col(idCol), col("__tk"), size(col("__tk")).as("__n"))
-      // chunk ids 0..⌈max(n−w,0)/s⌉ — empty docs emit no chunks
+      // blank docs (no non-whitespace char) emit NO chunks. The guard
+      // tests the TEXT, not the token count: split("", "\s+") returns
+      // [""] (size 1) in both engines, so a token-count guard would
+      // emit one phantom chunk of the empty token per blank doc.
+      .select(col(idCol), tk.as("__tk"),
+        col(textCol).rlike("\\S").as("__nb"))
+      .select(col(idCol), col("__tk"),
+        when(col("__nb"), size(col("__tk"))).otherwise(lit(0)).as("__n"))
+      // chunk ids 0..⌈max(n−w,0)/s⌉
       .select(col(idCol), col("__tk"), col("__n"),
         explode(when(col("__n") > 0, sequence(lit(0L),
             ceil(greatest(col("__n") - lit(width), lit(0)).cast("double") /

@@ -48,7 +48,16 @@ object Upsert {
     * on the (version, tieBreak) struct — fixed per-key state), cheaper
     * than the window/TopK row_number form: no per-key row retention at
     * all. `version` + `tieBreak` must totally order each key's writes
-    * for a deterministic result. */
+    * for a deterministic result.
+    *
+    * `emitOrd = true` additionally emits the FULL (version, tieBreak)
+    * ordering structs as [[ordCreatedCol]]/[[ordUpdatedCol]] — the
+    * state a downstream [[partialMergeStates]] fold needs to stay
+    * deterministic when `version` ALONE ties across batches (two
+    * batches carrying the same key at the same version): the merge can
+    * then compare the same total order the within-batch aggregate
+    * used, instead of the version projection that drops the
+    * tie-break. */
   def partialLatestByKey(
       df: DataFrame,
       keys: Seq[String],
@@ -57,14 +66,24 @@ object Upsert {
       updateCols: Seq[String],
       preserveCols: Seq[String],
       createdCol: String = "created_at",
-      updatedCol: String = "updated_at"): DataFrame = {
+      updatedCol: String = "updated_at",
+      emitOrd: Boolean = false): DataFrame = {
     val ord = struct(version +: tieBreak: _*)
     val aggs: Seq[Column] =
       updateCols.map(c => max_by(col(c), ord).as(c)) ++
         preserveCols.map(c => min_by(col(c), ord).as(c)) ++
-        Seq(min(version).as(createdCol), max(version).as(updatedCol))
+        Seq(min(version).as(createdCol), max(version).as(updatedCol)) ++
+        (if (emitOrd) Seq(min(ord).as(ordCreatedCol), max(ord).as(ordUpdatedCol))
+         else Nil)
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** State columns carrying the full (version, tieBreak) ordering
+    * structs through an incremental fold — see `emitOrd` on
+    * [[partialLatestByKey]] and `useOrd` on [[partialMergeStates]].
+    * Internal to the fold; drop them from the published result. */
+  val ordCreatedCol = "__created_ord"
+  val ordUpdatedCol = "__updated_ord"
 
   /** Merge two [[partialLatestByKey]] STATE tables (a batch's state is
     * `partialLatestByKey(batch)`): `updateCols` follow the side with
@@ -73,9 +92,15 @@ object Upsert {
     * commutative and associative, so batch-by-batch folding equals the
     * one-shot replay even when batches arrive OUT OF ORDER
     * (spec-proven) — the same mergeable-state algebra as
-    * `rollup_incremental`. Ties on created/updated across sides must
-    * not occur for determinism (they cannot when `version` totally
-    * orders each key's writes and a write lands in exactly one batch). */
+    * `rollup_incremental`. With `useOrd = false`, ties on
+    * created/updated across sides must not occur for determinism (they
+    * cannot when `version` totally orders each key's writes and a
+    * write lands in exactly one batch); with `useOrd = true` the
+    * states carry [[ordCreatedCol]]/[[ordUpdatedCol]] (built via
+    * `partialLatestByKey(..., emitOrd = true)`) and the merge compares
+    * THOSE — the full (version, tieBreak) total order — so a version
+    * tie across batches (e.g. micro-truncated timestamps colliding)
+    * still merges exactly like the one-shot replay. */
   def partialMergeStates(
       a: DataFrame,
       b: DataFrame,
@@ -83,20 +108,29 @@ object Upsert {
       updateCols: Seq[String],
       preserveCols: Seq[String],
       createdCol: String = "created_at",
-      updatedCol: String = "updated_at"): DataFrame = {
+      updatedCol: String = "updated_at",
+      useOrd: Boolean = false): DataFrame = {
     val joined = a.as("a").join(b.as("b"), keys, "full_outer")
     def ac(c: String) = col("a." + c)
     def bc(c: String) = col("b." + c)
+    // the comparison keys: the full ordering structs when carried,
+    // else the version projection (created/updated)
+    val (creKey, updKey) =
+      if (useOrd) (ordCreatedCol, ordUpdatedCol) else (createdCol, updatedCol)
     // presence markers: created/updated are never null inside a state row
-    val aAbsent = ac(updatedCol).isNull
-    val bPresent = bc(updatedCol).isNotNull
-    val takeBNew = aAbsent || (bPresent && bc(updatedCol) >= ac(updatedCol))
-    val takeBFirst = aAbsent || (bPresent && bc(createdCol) < ac(createdCol))
+    val aAbsent = ac(updKey).isNull
+    val bPresent = bc(updKey).isNotNull
+    val takeBNew = aAbsent || (bPresent && bc(updKey) >= ac(updKey))
+    val takeBFirst = aAbsent || (bPresent && bc(creKey) < ac(creKey))
     val sel: Seq[Column] = keys.map(col) ++
       updateCols.map(c => when(takeBNew, bc(c)).otherwise(ac(c)).as(c)) ++
       preserveCols.map(c => when(takeBFirst, bc(c)).otherwise(ac(c)).as(c)) ++
       Seq(least(ac(createdCol), bc(createdCol)).as(createdCol),
-        greatest(ac(updatedCol), bc(updatedCol)).as(updatedCol))
+        greatest(ac(updatedCol), bc(updatedCol)).as(updatedCol)) ++
+      (if (useOrd)
+        Seq(least(ac(ordCreatedCol), bc(ordCreatedCol)).as(ordCreatedCol),
+          greatest(ac(ordUpdatedCol), bc(ordUpdatedCol)).as(ordUpdatedCol))
+       else Nil)
     joined.select(sel: _*)
   }
 

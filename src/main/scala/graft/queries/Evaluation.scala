@@ -59,7 +59,8 @@ object Evaluation extends QueryPack {
           SUM(CAST(ROUND(CAST(tp AS DOUBLE)/rk, 6) AS DECIMAL(18,6))) AS s
         FROM r WHERE y = 1)
       SELECT CAST(p.n_pos AS BIGINT) AS n_pos, CAST(t.n AS BIGINT) AS n,
-        ROUND(CAST(p.s AS DOUBLE) / p.n_pos, 6) AS avg_precision
+        CASE WHEN p.n_pos = 0 THEN 0.0
+             ELSE ROUND(CAST(p.s AS DOUBLE) / p.n_pos, 6) END AS avg_precision
       FROM p, t""".stripMargin.trim)) { (spark, dir) =>
     Eval.averagePrecision(Tables.orders(spark, dir),
       col("o_totalprice"), col("o_orderstatus") === "F", col("o_orderkey"))

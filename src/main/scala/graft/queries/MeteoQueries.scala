@@ -410,10 +410,13 @@ object MeteoQueries extends QueryPack {
     * ONE-SHOT SQL verbatim: the driver's hash compare IS the proof
     * that fold-of-states ≡ single replay of the whole log.
     *
-    * Precondition (documented on partialMergeStates): `version` (ts)
-    * totally orders each key's writes — cross-batch merge compares
-    * created/updated only, so a ts tie across batches would be
-    * ambiguous; the events table has no (key, ts) ties at any SF. */
+    * The fold carries the FULL (ts, event_id) ordering structs
+    * (`emitOrd`/`useOrd`): the cross-batch merge compares the same
+    * total order the within-batch aggregate used, so a (key, ts) tie
+    * across batches — possible in principle once nanosecond timestamps
+    * truncate to micros — still merges exactly like the one-shot
+    * replay instead of depending on a generator property. The internal
+    * ord columns are dropped before publishing. */
   val streamUpsertParity = GraftQuery(
     "stream_upsert_parity",
     Some("""
@@ -448,9 +451,12 @@ object MeteoQueries extends QueryPack {
     Seq(0, 1, 1, 2, 3)
       .map(b => Upsert.partialLatestByKey(
         ev.filter(pmod(col("event_id"), lit(4)) === b),
-        keys, col("ts"), Seq(col("event_id")), updateCols, preserveCols))
+        keys, col("ts"), Seq(col("event_id")), updateCols, preserveCols,
+        emitOrd = true))
       .reduce((a, b) =>
-        Upsert.partialMergeStates(a, b, keys, updateCols, preserveCols))
+        Upsert.partialMergeStates(a, b, keys, updateCols, preserveCols,
+          useOrd = true))
+      .drop(Upsert.ordCreatedCol, Upsert.ordUpdatedCol)
       .orderBy("user_id", "event_type")
   }
 

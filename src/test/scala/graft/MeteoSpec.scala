@@ -150,6 +150,41 @@ class MeteoSpec extends SparkTestBase {
     }
   }
 
+  test("partial-upsert fold with ord structs: a VERSION tie across " +
+      "batches merges like the one-shot replay, in either fold order") {
+    // same key, same version (ts=5) in BOTH batches — only the
+    // tie-break (event_id) differs. A merge comparing created/updated
+    // alone cannot order these; the ord-struct merge can.
+    val writes = Seq(
+      (1L, 5L, 10L, "a10", "p10"), // batch 0 (event_id % 2 == 0)
+      (1L, 5L, 11L, "a11", "p11"), // batch 1 — ties on (key, version)
+      (1L, 3L, 12L, "a12", "p12"), // batch 0, earlier version
+      (2L, 7L, 13L, "a13", "p13")
+    ).toDF("k", "v", "eid", "u", "p")
+    val keys = Seq("k")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Upsert.partialLatestByKey(df, keys, col("v"), Seq(col("eid")),
+        Seq("u"), Seq("p"), emitOrd = true)
+    val oneShot = state(writes)
+      .drop(Upsert.ordCreatedCol, Upsert.ordUpdatedCol)
+      .collect().map(_.toString).sorted.toSeq
+    val b0 = writes.filter(col("eid") % 2 === 0)
+    val b1 = writes.filter(col("eid") % 2 === 1)
+    for (pair <- Seq((b0, b1), (b1, b0))) {
+      val folded = Upsert.partialMergeStates(
+          state(pair._1), state(pair._2), keys, Seq("u"), Seq("p"),
+          useOrd = true)
+        .drop(Upsert.ordCreatedCol, Upsert.ordUpdatedCol)
+        .collect().map(_.toString).sorted.toSeq
+      assert(folded == oneShot, s"fold != one-shot: $folded vs $oneShot")
+    }
+    // sanity: the tie resolved BY the tie-break — eid 11 wins the update
+    // lane, eid 12 (earliest version) keeps the preserve lane
+    val r = state(writes).filter(col("k") === 1L).head()
+    assert(r.getAs[String]("u") == "a11")
+    assert(r.getAs[String]("p") == "p12")
+  }
+
   test("fetch ledger lifecycle: pending -> success/error, rollup by status") {
     val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
     val t1 = Timestamp.valueOf("2026-01-01 00:01:00")

@@ -128,6 +128,28 @@ class MultimodalSpec extends SparkTestBase {
       s"banding diverged from all-pairs: got ${pairs.toSet}, want $direct")
   }
 
+  test("ByteCellDecoder: cells ARE the payload bytes (aHash arithmetic), " +
+      "fingerprint = bits above the exact /64 mean, partition-stable") {
+    // 64-byte payload, two intensity levels — mean sits strictly between
+    val bytes = Array.tabulate(64)(i => if (i % 3 == 0) 200.toByte else 60.toByte)
+    val ds = Seq(MediaRow(1L, bytes, MediaMeta("synthetic", 8, 8, 0, 0L))).toDS()
+    val dec = new Multimodal.ByteCellDecoder(64)
+    val cells = dec.decode(bytes, MediaMeta("synthetic", 8, 8, 0, 0L))
+    assert(cells.toSeq == bytes.toSeq.map(b => (b & 0xff).toDouble))
+    val got = Multimodal.perceptualHash(ds, dec).head().phash
+    // direct replay: bit i set iff byte_i >= mean — integer-exact
+    val mean = bytes.map(_ & 0xff).sum / 64.0
+    var want = 0L
+    for (i <- 0 until 64) if ((bytes(i) & 0xff) >= mean) want |= (1L << i)
+    assert(got == want, f"phash $got%x != direct $want%x")
+    // uniform payload: every cell equals the mean → all 64 bits set
+    val uni = Array.fill(64)(60.toByte)
+    val gotUni = Multimodal.perceptualHash(
+      Seq(MediaRow(2L, uni, MediaMeta("synthetic", 8, 8, 0, 0L))).toDS(),
+      dec).head().phash
+    assert(gotUni == -1L, f"uniform payload: $gotUni%x")
+  }
+
   // ---- probeHeader (round 5: the NOT-stubbed part) --------------------
 
   test("probeHeader parses real PNG/JPEG/GIF/WAV headers and refuses " +

@@ -669,7 +669,8 @@ class TrainingDataSpec extends SparkTestBase {
       (1L, (1 to 50).map(i => s"t$i").mkString(" ")), // 50 tokens
       (2L, (1 to 10).map(i => s"u$i").mkString(" ")), // 10 tokens
       (3L, (1 to 32).map(i => s"v$i").mkString(" ")), // exactly width
-      (4L, "")
+      (4L, ""),
+      (5L, " \t\n ") // whitespace-only: trim-based guards miss \t\n
     ).toDF("doc_id", "text")
     val out = Splits.chunkDocuments(d, width = 32, stride = 24)
       .orderBy("doc_id", "chunk_id").collect()
@@ -686,11 +687,12 @@ class TrainingDataSpec extends SparkTestBase {
     assert(out.filter(_.getLong(0) == 2L).head.getLong(3) == 10L)
     assert(out.count(_.getLong(0) == 3L) == 1)
     assert(out.filter(_.getLong(0) == 3L).head.getLong(3) == 32L)
-    // empty doc: zero chunks (tokens of "" is a single empty string in
-    // Spark split semantics — guard is on token count > 0, so one
-    // 1-token chunk of the empty token is acceptable ONLY if DuckDB
-    // mirrors it; both sides split "" to [""], so both emit 1 chunk)
-    assert(out.count(_.getLong(0) == 4L) <= 1)
+    // blank doc: ZERO chunks. The guard tests the text for a
+    // non-whitespace char (rlike "\S"), not the token count — split("")
+    // is [""] (size 1) in both engines, so a count guard would emit a
+    // phantom 1-token chunk of the empty token.
+    assert(out.count(_.getLong(0) == 4L) == 0)
+    assert(out.count(_.getLong(0) == 5L) == 0)
   }
 
   test("shardBalance: snake deal balances shard token totals and is a " +
@@ -1402,14 +1404,20 @@ class TrainingDataSpec extends SparkTestBase {
       // genuinely different pages must NOT collapse
       6L -> "https://example.com/a/b?page=2",
       7L -> "https://example.com/a/c",
-      8L -> "https://other.com/a/b").toDF("doc_id", "url")
+      8L -> "https://other.com/a/b",
+      // ':443'/':80' INSIDE a path or query value is content, not a
+      // default port — the strip is anchored to the authority
+      9L -> "https://example.com/r?next=host:443/x",
+      10L -> "https://example.com/p:80/q").toDF("doc_id", "url")
     val out = Dedup.urlDedup(urls, "url").orderBy("canonical_id").collect()
     val byId = out.map(r => r.getLong(1) -> (r.getString(0), r.getLong(2))).toMap
     assert(byId(1L) == ("example.com/a/b", 5L), s"got ${byId.get(1L)}")
     // ?page=2 survives (not a tracking param); distinct path and host survive
     assert(byId(6L)._1 == "example.com/a/b?page=2" && byId(6L)._2 == 1L)
     assert(byId(7L)._2 == 1L && byId(8L)._2 == 1L)
-    assert(out.length == 4)
+    assert(byId(9L)._1 == "example.com/r?next=host:443/x", s"got ${byId.get(9L)}")
+    assert(byId(10L)._1 == "example.com/p:80/q", s"got ${byId.get(10L)}")
+    assert(out.length == 6)
   }
 
   test("gopherFilter flags each rule independently and reports the first failure") {
