@@ -35,15 +35,23 @@ object DedupIndex {
   /** Sketch `newDocs`, emit near-dup pairs against the index AND within
     * the batch, then write the batch's sketch rows into its own index
     * partition (idempotent under replay — see class doc).
-    * Returns (id_a, id_b, jaccard) with id_a < id_b. Doc ids must be
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, UNORDERED — pairs
+    * are output-sized, so a consumer that needs order sorts once at the
+    * end instead of paying a global sort per batch. Doc ids must be
     * globally unique across all batches; `batchId` must be unique per
     * batch and stable across retries of the same batch (foreachBatch's
-    * batchId has exactly this contract). */
+    * batchId has exactly this contract).
+    * `indexFiles` bounds the file count of each batch's index
+    * partition: micro-batches at the session's shuffle parallelism
+    * would otherwise write 32+ near-empty files per batch per table,
+    * and every LATER append re-lists and re-opens all of them — the
+    * classic small-files tax, paid once per write but once per batch
+    * forever after on the read side. */
   def append(spark: SparkSession, root: String, newDocs: DataFrame,
       batchId: Long,
       idCol: String = "doc_id", textCol: String = "text",
       numPerms: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, indexFiles: Int = 4): DataFrame = {
     val sh = Dedup.shingleSets(newDocs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = Dedup.bandTable(sh, numPerms, bands)
@@ -76,13 +84,14 @@ object DedupIndex {
         .select(sh.columns.toSeq.map(col): _*))
       else sh
     val pairs = Dedup.verifyJaccard(cand, allShingles, threshold)
-      .orderBy("id_a", "id_b")
       // materialize BEFORE the appends below extend the index dirs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count()
 
-    newBands.write.mode("overwrite").parquet(s"${bandsDir(root)}/batch=$batchId")
-    sh.write.mode("overwrite").parquet(s"${shinglesDir(root)}/batch=$batchId")
+    newBands.coalesce(indexFiles).write.mode("overwrite")
+      .parquet(s"${bandsDir(root)}/batch=$batchId")
+    sh.coalesce(indexFiles).write.mode("overwrite")
+      .parquet(s"${shinglesDir(root)}/batch=$batchId")
     sh.unpersist(); newBands.unpersist()
     pairs
   }

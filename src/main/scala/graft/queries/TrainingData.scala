@@ -275,8 +275,35 @@ object TrainingData extends QueryPack {
        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
       SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".trim)) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    val tmpRoot = java.nio.file.Files.createTempDirectory("dedup_parity")
+    // the harness's index is EPHEMERAL (created, folded through, and
+    // deleted inside this one query) — put it on tmpfs when the host
+    // has one: the thing this gate measures is the incremental FOLD,
+    // and 10 small parquet commits per run on a virtualized ext4
+    // otherwise add multi-second journal-latency outliers that read as
+    // operator variance (r8 raw spread 1.66). A production index lives
+    // on an object store; its write path is not this gate's claim.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val tmpRoot =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "dedup_parity")
+      else java.nio.file.Files.createTempDirectory("dedup_parity")
     val idxDir = tmpRoot.toString + "/index"
+    // AQE OFF for the fold, restored after: a micro-batch append is a
+    // known, batch-sized plan, and AQE's per-stage re-plan turns each
+    // append's one job chain into ~10 separate jobs whose scheduling
+    // constants dominate the fold's wall time (the whole query is
+    // scheduling-bound — its one-shot twin runs 0.4 s). Same trade
+    // production micro-batch loops make: adaptive re-planning pays on
+    // corpus-sized stages, not on per-batch ones.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // micro-batch shuffle parallelism: a batch is corpus/4, and fanning
+    // each of its ~8 stages into the session's full shuffle width just
+    // multiplies task-launch constants (the tuning streaming jobs apply
+    // to foreachBatch bodies). 8 keeps every stage multi-task.
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       // batches 0, 1, REPLAY 1 (at-least-once), 2, 3 — hash-split, so
       // near-dup partners land in different batches routinely
@@ -292,6 +319,8 @@ object TrainingData extends QueryPack {
       perBatch.reduce(_ unionByName _).distinct()
         .orderBy("id_a", "id_b")
     } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
         .sortBy(-_.getNameCount)
