@@ -92,8 +92,12 @@ class PlanAuditSpec extends SparkTestBase {
     // hint-freedom: with size-based broadcasts killed, NO broadcast may
     // survive in the capped path — the hot set and the doc-hot subsets
     // must shuffle (a hint would pin a corpus-growing relation to the
-    // driver). cache=false so the persisted shingle table from the
-    // gated run cannot mask the join shapes.
+    // driver). cache=false AND clearCache first: the gated run above
+    // leaves its materialized RESULT cached (the round-9 lifecycle
+    // contract), and the CacheManager would substitute that cached
+    // fragment — compiled under the default thresholds — for this
+    // identical logical plan, masking the join shapes under audit.
+    spark.catalog.clearCache()
     val conf = spark.conf
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
@@ -921,5 +925,19 @@ class PlanAuditSpec extends SparkTestBase {
     val plan = planOf("graph_knn_components")
     assert(!plan.contains("CartesianProduct"),
       s"closure must stay equi-join shaped:\n$plan")
+  }
+
+  test("mm_phash_pairs: candidates come from the (band, bval) bucket " +
+      "equi-join with the Hamming verify INSIDE the join condition — " +
+      "no cartesian, no nested loop, no UDF in the pairing") {
+    val plan = planOf("mm_phash_pairs")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"phash pairing must stay a banded equi-join:\n$plan")
+    // the Hamming test evaluates as the buckets stream (join condition),
+    // not as a post-join filter over the candidate blow-up
+    assert("Join.*bit_count".r.findFirstIn(plan.replaceAll("\n", " "))
+        .isDefined,
+      s"Hamming verify must sit inside the band join:\n$plan")
   }
 }
