@@ -120,6 +120,26 @@ object Cli {
         truncate = false)
       spark.stop()
 
+    case Seq("tune", rest @ _*) =>
+      // the pre-deployment IVF measurement loop (SURVEY §2 29v): sweep
+      // (nCells, nProbe) over the gated recall metric and print the
+      // recall/cost frontier. Queries default to the corpus' lowest ids.
+      val dir = flag(rest, "--sf-dir").getOrElse(defaultSf)
+      def ints(name: String, dflt: Seq[Int]) = flag(rest, name)
+        .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(dflt)
+      val cells = ints("--cells", Seq(4, 8, 16))
+      val probes = ints("--probes", Seq(1, 2, 4, 8, 16))
+      val k = flag(rest, "--k").map(_.toInt).getOrElse(5)
+      val nQ = flag(rest, "--queries").map(_.toInt).getOrElse(10)
+      val spark = session()
+      val embs = Tables.embeddings(spark, dir)
+      val q = embs.orderBy(col("vec_id")).limit(nQ)
+      val rows = graft.ops.IndexTune.recallFrontier(embs, q, cells, probes, k)
+      println(f"${"n_cells"}%8s ${"n_probe"}%8s ${"recall@" + k}%10s ${"wall_sec"}%9s")
+      rows.foreach(r => println(
+        f"${r.n_cells}%8d ${r.n_probe}%8d ${r.mean_recall}%10.6f ${r.wall_sec}%9.3f"))
+      spark.stop()
+
     case Seq("dashboard", rest @ _*) =>
       val dir = flag(rest, "--sf-dir").getOrElse(defaultSf)
       val spark = session()
@@ -138,6 +158,8 @@ object Cli {
            |       oracle <q> | explain <q> [--sf-dir D]
            |       fetch --payload-file F [--source S] [--limit N]
            |       dashboard [--sf-dir D]
+           |       tune [--sf-dir D] [--cells 4,8,16] [--probes 1,2,4]
+           |            [--k N] [--queries N]
            |""".stripMargin)
   }
 }

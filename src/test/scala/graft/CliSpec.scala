@@ -50,6 +50,11 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown query"))
   }
 
+  test("unknown commands list `tune` in the usage text") {
+    val e = intercept[RuntimeException] { Cli.run(Array("nope")) }
+    assert(e.getMessage.contains("tune [--sf-dir D]"))
+  }
+
   test("flag parsing picks the value following the flag name") {
     // exercised through `oracle` + `list`; the --flag pairs are parsed
     // by the same sliding-window helper used by run/explain/fetch
