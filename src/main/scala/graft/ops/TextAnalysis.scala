@@ -653,4 +653,45 @@ object TextAnalysis {
       .select(col(idCol), col("n_chars"), col("n_distinct_chars"),
         round(log(2.0, col("n_chars")) -
           col("__clogc").cast("double") / col("n_chars"), 6).as("entropy"))
+
+  /** PMI-style bigram collocations (phrase mining): the top-`k` bigrams
+    * by association LIFT — `P(xy) / (P(x)·P(y))` = the exp₂ of
+    * pointwise mutual information, published as the RATIONAL lift
+    * rather than the log (the BM25 rule: log is not correctly-rounded
+    * in either engine; lift is monotone in PMI so the ranking is
+    * PMI's). Bigrams below `minCount` occurrences are noise-gated out
+    * (counts still enter the totals).
+    *
+    * Float discipline: the ratio is ONE left-associated chain of IEEE
+    * double multiplications and a division — correctly-rounded ops in a
+    * fixed written order, engine-exact, and overflow-safe at any corpus
+    * size (counts enter as doubles, never as multiplied integers).
+    *
+    * Scale shape: two map-side-combined counts (bigrams, unigrams), two
+    * un-hinted hash joins onto the vocabulary (corpus-growing — AQE
+    * decides the side), a 1-row broadcast of (N tokens, M bigrams), and
+    * a TakeOrdered top-k. Nothing corpus-sized sorts. */
+  def pmiBigrams(docs: DataFrame, minCount: Int = 3, k: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.Hashing.bigrams2
+    val tok = docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+    val bi = tok.select(explode(bigrams2(col("tk"))).as("bg"))
+    val bcAll = bi.groupBy("bg").agg(count(lit(1)).as("c_xy"))
+    val u = tok.select(explode(col("tk")).as("t"))
+    val uc = u.groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = u.agg(count(lit(1)).as("n"))
+      .crossJoin(bcAll.agg(sum(col("c_xy")).as("m")))
+    bcAll.filter(col("c_xy") >= minCount)
+      .join(uc.select(col("t").as("__x"), col("c").as("c_x")),
+        substring_index(col("bg"), " ", 1) === col("__x"))
+      .join(uc.select(col("t").as("__y"), col("c").as("c_y")),
+        substring_index(col("bg"), " ", -1) === col("__y"))
+      .crossJoin(broadcast(totals))
+      .select(col("bg").as("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        round(col("c_xy").cast("double") * col("n") * col("n") /
+          (col("m").cast("double") * col("c_x") * col("c_y")), 6)
+          .as("pmi_lift"))
+      .orderBy(col("pmi_lift").desc, col("bigram"))
+      .limit(k)
+  }
 }

@@ -1925,6 +1925,137 @@ object TrainingData extends QueryPack {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Deterministic frame/chunk sampling ORACLE-GATED (round 9 — the
+    * second multimodal [Q]): an ASCII payload fabricated per doc (byte
+    * j = 'a' + (id·13 + j·7) mod 26, length 40 + id mod 25 — both
+    * engines build it by the same integer math) runs the REAL
+    * [[graft.ops.Multimodal.frameSample]] operator (pure codegen
+    * offset-stride binary slicing, one output row per frame), and the
+    * sliced frames decode back to UTF-8 for the compare; the oracle
+    * replays the slicing grid (`least(maxFrames, (len−frameSize+stride)
+    * ÷ stride)`) with substr over the same fabricated string. Proves
+    * the frame grid, bounds, and byte offsets exactly. */
+  val mmFrameSlices = GraftQuery(
+    "mm_frame_slices",
+    Some("""
+      WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          CAST(40 + doc_id % 25 AS BIGINT) AS n FROM documents),
+      pay AS (SELECT id, n,
+          string_agg(chr(CAST(97 + (id*13 + j.i*7) % 26 AS INT)), '' ORDER BY j.i) AS p
+        FROM d CROSS JOIN (SELECT unnest(range(0, 64)) AS i) j
+        WHERE j.i < n GROUP BY id, n),
+      f AS (SELECT id, p, unnest(range(0, least(6, (n - 16 + 8) // 8))) AS fi
+        FROM pay)
+      SELECT id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+        CAST(fi * 8 AS BIGINT) AS frame_start,
+        substr(p, CAST(fi * 8 + 1 AS INT), 16) AS frame_text
+      FROM f ORDER BY media_id, frame_idx""".trim)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.map { id =>
+      val n = (40 + id % 25).toInt
+      val bytes = Array.tabulate(n)(j =>
+        (97 + (id * 13L + j * 7L) % 26L).toByte)
+      Multimodal.MediaRow(id, bytes,
+        Multimodal.MediaMeta("synthetic", 0, 0, 0, 0L))
+    }
+    Multimodal.frameSample(media.toDF(), frameSize = 16, stride = 8,
+        maxFrames = 6)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_start").cast("long").as("frame_start"),
+        decode(col("frame"), "UTF-8").as("frame_text"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** Container-header probing ORACLE-GATED (round 9 — the third
+    * multimodal [Q]): real RIFF/WAVE headers are fabricated per doc
+    * (44.1-style fmt chunk with channels = 1 + id mod 2, sample rate =
+    * 8000 + (id mod 5)·4000), every 7th payload TRUNCATED mid-header,
+    * and the REAL byte-level parser ([[graft.ops.Multimodal
+    * .probeHeader]] via `headerProbe` — the library's one UDF) must
+    * recover exactly what was encoded and refuse the corrupt rows as
+    * `ok=false` without throwing. The oracle states the encoded values
+    * directly — the gate proves the parser's chunk walk, little-endian
+    * reads, and corrupt-row safety, not arithmetic. */
+  val mmProbeParity = GraftQuery(
+    "mm_probe_parity",
+    Some("""
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+        CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'wav' END AS kind,
+        CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+                  ELSE 8000 + (doc_id % 5) * 4000 END AS INT) AS sample_rate,
+        CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+                  ELSE 1 + doc_id % 2 END AS INT) AS channels,
+        doc_id % 7 <> 0 AS ok
+      FROM documents ORDER BY media_id""".trim)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.map { id =>
+      val channels = (1 + id % 2).toInt
+      val rate = (8000 + (id % 5) * 4000).toInt
+      val b = new Array[Byte](36)
+      def ascii(off: Int, s: String): Unit =
+        s.getBytes("US-ASCII").copyToArray(b, off)
+      def le16(off: Int, v: Int): Unit = {
+        b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def le32(off: Int, v: Int): Unit = {
+        le16(off, v & 0xffff); le16(off + 2, (v >> 16) & 0xffff)
+      }
+      ascii(0, "RIFF"); le32(4, 28); ascii(8, "WAVE")
+      ascii(12, "fmt "); le32(16, 16)
+      le16(20, 1); le16(22, channels); le32(24, rate)
+      le32(28, rate * channels * 2); le16(32, channels * 2); le16(34, 16)
+      val payload = if (id % 7 == 0) b.take(20) else b
+      Multimodal.MediaRow(id, payload,
+        Multimodal.MediaMeta("synthetic", 0, 0, 0, 0L))
+    }
+    Multimodal.headerProbe(media.toDF(), "media")
+      .select(col("media_id"), col("probed.kind").as("kind"),
+        col("probed.sampleRate").as("sample_rate"),
+        col("probed.channels").as("channels"), col("probed.ok").as("ok"))
+      .orderBy("media_id")
+  }
+
+  /** PMI-style bigram collocations (round 9 — the phrase-mining lane):
+    * the top-50 bigrams by association LIFT, the exp₂ of pointwise
+    * mutual information — published as the RATIONAL lift rather than
+    * the log (the BM25 rule, §5: log is not correctly-rounded in either
+    * engine; lift is monotone in PMI, so the ranking is PMI's).
+    * Occurrence floor c_xy ≥ 3 (the standard noise gate). The ratio is
+    * computed as one left-associated double expression in BOTH engines
+    * — correctly-rounded IEEE ops in the same order, engine-exact, and
+    * overflow-safe at any corpus size (counts enter as doubles).
+    *
+    * Scale shape: two map-side-combined counts (bigrams, unigrams), two
+    * un-hinted hash joins onto the vocabulary (corpus-growing — AQE
+    * decides), a 1-row broadcast of (N, M), TakeOrdered(50). Nothing
+    * corpus-sized sorts. */
+  val textPmi = GraftQuery(
+    "text_pmi_bigrams",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split_regex(text,'\s+') AS tk FROM documents),
+      bi AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i]||' '||tk[i+1])) AS bg FROM tok),
+      bc AS (SELECT bg, COUNT(*) AS c_xy FROM bi GROUP BY bg),
+      u AS (SELECT unnest(tk) AS t FROM tok),
+      uc AS (SELECT t, COUNT(*) AS c FROM u GROUP BY t),
+      tot AS (SELECT (SELECT COUNT(*) FROM u) AS n, (SELECT SUM(c_xy) FROM bc) AS m),
+      j AS (SELECT bg, c_xy, x.c AS c_x, y.c AS c_y,
+          ROUND(CAST(c_xy AS DOUBLE) * n * n / (CAST(m AS DOUBLE) * x.c * y.c), 6) AS pmi_lift
+        FROM bc JOIN uc x ON x.t = split_part(bg, ' ', 1)
+                JOIN uc y ON y.t = split_part(bg, ' ', 2)
+                CROSS JOIN tot
+        WHERE c_xy >= 3)
+      SELECT bg AS bigram, CAST(c_xy AS BIGINT) AS c_xy,
+        CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y, pmi_lift
+      FROM j ORDER BY pmi_lift DESC, bigram LIMIT 50""".trim)) { (spark, dir) =>
+    TextAnalysis.pmiBigrams(Tables.documents(spark, dir))
+  }
+
   /** Gopher-rule document filter (round 8): the full pre-training gate
     * battery with per-rule flags and the first-failure audit column.
     * Thresholds calibrated so the synthetic corpus splits on the word-
@@ -2145,7 +2276,7 @@ object TrainingData extends QueryPack {
   }
 
   override def all: Seq[GraftQuery] = Seq(
-    mmPhashPairs, streamIndexParity,
+    mmPhashPairs, streamIndexParity, mmFrameSlices, mmProbeParity, textPmi,
     dedupUrl, textGopher, textEntropy, annRecall, annRankMetrics,
     fuzzyVocab, vocabStats,
     langId, quality, tokensQ, fingerprintQ, textPii, textClean,

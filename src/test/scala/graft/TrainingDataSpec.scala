@@ -1420,6 +1420,24 @@ class TrainingDataSpec extends SparkTestBase {
     assert(out.length == 6)
   }
 
+  test("pmiBigrams: hand-computed lifts, count floor, deterministic " +
+      "tie order, totals taken BEFORE the floor") {
+    val d = Seq(
+      (1L, "new york new york new york"),          // "new york" x3
+      (2L, "san francisco san francisco san francisco"),
+      (3L, "the the the the the the the")           // "the the" x6
+    ).toDF("doc_id", "text")
+    // N = 19 tokens, M = 16 bigrams (york-new/francisco-san bridges
+    // count toward M even though they fall below the floor)
+    val out = TextAnalysis.pmiBigrams(d, minCount = 3, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("new york", 3L, 3L, 3L, 7.520833),       // 3*19*19/(16*3*3), tie
+      ("san francisco", 3L, 3L, 3L, 7.520833),  // broken by bigram asc
+      ("the the", 6L, 7L, 7L, 2.762755)))       // 6*19*19/(16*7*7)
+  }
+
   test("gopherFilter flags each rule independently and reports the first failure") {
     val good = ("the of and " + Seq.fill(30)("word").mkString(" ")) // 33 words, 3 distinct stops
     val rows = Seq(
