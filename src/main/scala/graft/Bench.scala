@@ -69,6 +69,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       spark.catalog.clearCache()
       val times = (1 to nRuns).map { _ =>
+        // clear the session cache before EVERY timed run: the round-9
+        // lifecycle contract materializes operator RESULTS into the
+        // cache (so a long-lived session can release the working
+        // tables), and without this the CacheManager would substitute
+        // run 1's cached result into runs 2..n — a 0.3s "measurement"
+        // of a cache read, not of the operator (observed: ngram_capped
+        // raws [1.9, 0.36, 0.36]). Every timed run pays the full
+        // operator; the priming run above already absorbed one-time
+        // codegen/JIT.
+        spark.catalog.clearCache()
         // GC at the RUN boundary too: a run leaves shuffle/broadcast
         // references whose (blocking) ContextCleaner work otherwise
         // fires when the JVM happens to GC — i.e. mid-way through a

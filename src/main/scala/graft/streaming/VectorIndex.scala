@@ -31,6 +31,12 @@ object VectorIndex {
       batchId: Long, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit =
     Similarity.cellAssignments(batch, centroids, keep = 1, idCol, vecCol)
+      // co-locate each cell before the partitioned write: ONE file per
+      // cell per batch instead of (cells × writer-tasks) near-empty
+      // files — every later query re-lists and re-opens the probed
+      // cells' files, so the small-files tax compounds per batch (the
+      // DedupIndex.append lesson applied to the vector lane)
+      .repartition(col("cid"))
       .write.mode("overwrite")
       .partitionBy("cid")
       .parquet(s"$indexDir/batch=$batchId")
