@@ -83,12 +83,18 @@ OVERHEAD_SEC = 0.3  # spark job-launch constant at local mode; below this
 
 def write_md(duck, spark_q, sf_dir, threads, path="BASELINE.md"):
     names = sorted(set(duck) | set(spark_q))
-    rows, no_oracle = [], []
+    rows, no_oracle, duck_over = [], [], []
     for n in names:
         d = duck.get(n, {}).get("sec")
         s = spark_q.get(n)
         if d is None or s is None:
-            no_oracle.append(n)
+            # distinguish "has an oracle but DuckDB blew the budget"
+            # (an engine result, worth reporting) from "no oracle"
+            err = duck.get(n, {}).get("err")
+            if err and s is not None:
+                duck_over.append((n, s, err))
+            else:
+                no_oracle.append(n)
             continue
         rows.append((n, s, d, s / d if d > 0 else float("inf")))
     tot_s = sum(r[1] for r in rows)
@@ -135,6 +141,12 @@ def write_md(duck, spark_q, sf_dir, threads, path="BASELINE.md"):
         f.write("|---|---|---|---|\n")
         for n, s, d, r in sorted(rows, key=lambda x: -x[3]):
             f.write(f"| {n} | {s:.3f} | {d:.3f} | {r:.2f} |\n")
+        if duck_over:
+            f.write("\nOracle-gated but DuckDB exceeded the per-query "
+                    f"budget at this SF (spark time shown; these are "
+                    f"RATIO WINS excluded from the totals above):\n")
+            for n, s, err in sorted(duck_over):
+                f.write(f"- {n}: spark {s:.3f}s, duckdb {err}\n")
         if no_oracle:
             f.write("\nNo-oracle / unbenched (rows-only gate or spec-only): "
                     + ", ".join(sorted(no_oracle)) + "\n")
