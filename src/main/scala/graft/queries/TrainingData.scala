@@ -275,36 +275,13 @@ object TrainingData extends QueryPack {
        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
       SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".trim)) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    // the harness's index is EPHEMERAL (created, folded through, and
-    // deleted inside this one query) — put it on tmpfs when the host
-    // has one: the thing this gate measures is the incremental FOLD,
-    // and 10 small parquet commits per run on a virtualized ext4
-    // otherwise add multi-second journal-latency outliers that read as
-    // operator variance (r8 raw spread 1.66). A production index lives
-    // on an object store; its write path is not this gate's claim.
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val tmpRoot =
-      if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm))
-        java.nio.file.Files.createTempDirectory(shm, "dedup_parity")
-      else java.nio.file.Files.createTempDirectory("dedup_parity")
+    // ephemeral tmpfs index + micro-batch engine scoping: see
+    // [[GateHarness]] — the gate measures the FOLD, not the sandbox's
+    // disk journal or corpus-scale adaptive planning (the whole query
+    // is scheduling-bound; its one-shot twin runs 0.4 s).
+    val tmpRoot = GateHarness.ephemeralDir("dedup_parity")
     val idxDir = tmpRoot.toString + "/index"
-    // AQE OFF for the fold, restored after: a micro-batch append is a
-    // known, batch-sized plan, and AQE's per-stage re-plan turns each
-    // append's one job chain into ~10 separate jobs whose scheduling
-    // constants dominate the fold's wall time (the whole query is
-    // scheduling-bound — its one-shot twin runs 0.4 s). Same trade
-    // production micro-batch loops make: adaptive re-planning pays on
-    // corpus-sized stages, not on per-batch ones.
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // micro-batch shuffle parallelism: a batch is corpus/4, and fanning
-    // each of its ~8 stages into the session's full shuffle width just
-    // multiplies task-launch constants (the tuning streaming jobs apply
-    // to foreachBatch bodies). 8 keeps every stage multi-task.
-    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    try GateHarness.microBatchScoped(spark) {
       // batches 0, 1, REPLAY 1 (at-least-once), 2, 3 — hash-split, so
       // near-dup partners land in different batches routinely
       val perBatch = Seq(0, 1, 1, 2, 3).map { b =>
@@ -318,14 +295,7 @@ object TrainingData extends QueryPack {
       // the replayed batch re-emits ITS pairs identically → distinct
       perBatch.reduce(_ unionByName _).distinct()
         .orderBy("id_a", "id_b")
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally GateHarness.deleteRecursively(tmpRoot)
   }
 
   val dedupSimhash = GraftQuery(
@@ -1197,9 +1167,10 @@ object TrainingData extends QueryPack {
     val embs = Tables.embeddings(spark, dir)
     val queries = embs.filter(col("vec_id") < 10)
     val cents = embs.filter(col("vec_id") < 16)
-    val tmpRoot = java.nio.file.Files.createTempDirectory("retrieval_parity")
+    // ephemeral tmpfs state + micro-batch scoping: see [[GateHarness]]
+    val tmpRoot = GateHarness.ephemeralDir("retrieval_parity")
     val stateDir = tmpRoot.toString + "/state"
-    try {
+    try GateHarness.microBatchScoped(spark) {
       // 0, 1, REPLAY 1 (at-least-once delivery), 2, 3
       for (b <- Seq(0, 1, 1, 2, 3))
         graft.streaming.StreamingRetrieval.foldHardNegatives(
@@ -1210,12 +1181,7 @@ object TrainingData extends QueryPack {
       spark.createDataFrame(
           java.util.Arrays.asList(resolved.collect(): _*), resolved.schema)
         .orderBy("query_id", "neighbor_id")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally GateHarness.deleteRecursively(tmpRoot)
   }
 
   /** IVF-composed MaxSim — the ANN-candidate composition GATED: the
@@ -2239,21 +2205,10 @@ object TrainingData extends QueryPack {
     val embs = Tables.embeddings(spark, dir)
     val q = embs.filter(col("vec_id") < 10)
     val centroids = embs.filter(col("vec_id") < 16)
-    // ephemeral index on tmpfs when available (see stream_dedup_parity)
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val tmpRoot =
-      if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm))
-        java.nio.file.Files.createTempDirectory(shm, "vecidx_parity")
-      else java.nio.file.Files.createTempDirectory("vecidx_parity")
+    // ephemeral tmpfs index + micro-batch scoping: see [[GateHarness]]
+    val tmpRoot = GateHarness.ephemeralDir("vecidx_parity")
     val idx = tmpRoot.toString + "/index"
-    // micro-batch scoping, same rationale as stream_dedup_parity: the
-    // fold's plans are batch-sized and known
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    try GateHarness.microBatchScoped(spark) {
       // batches 0, 1, REPLAY 1 (at-least-once), 2, 3
       Seq(0, 1, 1, 2, 3).foreach { b =>
         VectorIndex.appendBatch(
@@ -2265,14 +2220,7 @@ object TrainingData extends QueryPack {
       val local = spark.createDataFrame(
         java.util.Arrays.asList(approx.collect(): _*), approx.schema)
       graft.ops.Eval.rankMetrics(Similarity.bruteForceTopK(embs, q), local)
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally GateHarness.deleteRecursively(tmpRoot)
   }
 
   override def all: Seq[GraftQuery] = Seq(
