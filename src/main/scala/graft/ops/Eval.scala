@@ -139,6 +139,55 @@ object Eval {
     * one IEEE division of exact longs rounded to 6 decimals and summed
     * as DECIMAL(18,6) (order-independent), with only the final /n₊
     * division published as a rounded double. */
+  /** Precision/recall curve at `bins` rank cutoffs (the operating-point
+    * view next to [[aucRankSum]]'s threshold-free summary and
+    * [[averagePrecision]]'s area): rows rank by (score DESC, tiebreak),
+    * each decile boundary is a candidate decision threshold, and the
+    * row reports the confusion counts + precision/recall/F1 of
+    * "predict positive above this rank". The curve a curation team
+    * reads to PICK the threshold its filters run at.
+    *
+    * Exactness: the ranking is the deterministic range-parallel
+    * two-phase rank with TP riding its cumulative sum (one pass — the
+    * calibration/AP machinery); bin boundaries are pure integer rank
+    * math; the published ratios are IEEE divisions of exact longs in a
+    * fixed written order (F1 composed from the raw ratios before the
+    * single rounding). Zero-TP bins publish F1 = 0 (the 0/0 edge made
+    * deterministic). Scale: everything after the rank is a `bins`-row
+    * aggregate. */
+  def prCurve(df: DataFrame, scoreCol: Column, labelCol: Column,
+      tieCol: Column, bins: Int = 10): DataFrame = {
+    val base = df.filter(scoreCol.isNotNull)
+      .select(scoreCol.as("__s"), tieCol.as("__tb"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+    val ranked = Ranking.globalRankCumsum(base,
+      Seq(col("__s").desc, col("__tb")), col("__y"))
+    val totals = base.agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val p = col("tp").cast("double") / col("cut")
+    val r = col("tp").cast("double") / col("n_pos")
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("bin", (expr(s"((rank - 1) * $bins) div n") + 1))
+      .groupBy("bin")
+      .agg(max(col("rank")).as("cut"),
+        max(struct(col("rank"), col("cum"))).as("__b"),
+        max(col("n")).as("n"), max(col("n_pos")).as("n_pos"))
+      .select(col("bin").cast("long").as("bin"),
+        col("cut").cast("long").as("cut_rank"),
+        expr("__b.cum").cast("long").as("tp"),
+        col("cut"), col("n_pos"))
+      .select(col("bin"), col("cut_rank"), col("tp"),
+        (col("cut") - col("tp")).cast("long").as("fp"),
+        (col("n_pos") - col("tp")).cast("long").as("fn"),
+        round(p, 6).as("prec"),
+        // zero-positive corpus: recall's 0/0 pinned to 0 (the
+        // averagePrecision convention), keeping the curve deterministic
+        when(col("n_pos") === 0, lit(0.0))
+          .otherwise(round(r, 6)).as("recall"),
+        when(col("tp") === 0, lit(0.0))
+          .otherwise(round(lit(2) * p * r / (p + r), 6)).as("f1"))
+      .orderBy("bin")
+  }
+
   def averagePrecision(df: DataFrame, scoreCol: Column, labelCol: Column,
       tieCol: Column): DataFrame = {
     val scored = df.filter(scoreCol.isNotNull)

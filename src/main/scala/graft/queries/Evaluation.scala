@@ -66,6 +66,44 @@ object Evaluation extends QueryPack {
       col("o_totalprice"), col("o_orderstatus") === "F", col("o_orderkey"))
   }
 
+  /** Precision/recall curve at decile rank cutoffs over the same
+    * score/outcome pair — the operating-point view (round 9): each
+    * decile boundary is a candidate decision threshold; confusion
+    * counts are pure integer rank math, the three ratios fixed-order
+    * IEEE divisions, F1's 0/0 edge pinned to 0. */
+  val q57PrCurve = GraftQuery(
+    "q57_pr_curve",
+    Some("""
+      WITH b AS (
+        SELECT o_totalprice AS sc, o_orderkey AS tb,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders WHERE o_totalprice IS NOT NULL),
+      r AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY sc DESC, tb) AS rk,
+               SUM(y) OVER (ORDER BY sc DESC, tb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+               COUNT(*) OVER () AS n,
+               SUM(y) OVER () AS n_pos
+        FROM b),
+      g AS (
+        SELECT ((rk - 1) * 10) // n + 1 AS bin, MAX(rk) AS cut,
+               MAX_BY(tp, rk) AS tp, MAX(n_pos) AS n_pos
+        FROM r GROUP BY 1)
+      SELECT CAST(bin AS BIGINT) AS bin, CAST(cut AS BIGINT) AS cut_rank,
+        CAST(tp AS BIGINT) AS tp, CAST(cut - tp AS BIGINT) AS fp,
+        CAST(n_pos - tp AS BIGINT) AS fn,
+        ROUND(CAST(tp AS DOUBLE) / cut, 6) AS prec,
+        CASE WHEN n_pos = 0 THEN 0.0
+             ELSE ROUND(CAST(tp AS DOUBLE) / n_pos, 6) END AS recall,
+        CASE WHEN tp = 0 THEN 0.0
+             ELSE ROUND(2 * (CAST(tp AS DOUBLE) / cut) * (CAST(tp AS DOUBLE) / n_pos)
+                    / (CAST(tp AS DOUBLE) / cut + CAST(tp AS DOUBLE) / n_pos), 6)
+        END AS f1
+      FROM g ORDER BY bin""".stripMargin.trim)) { (spark, dir) =>
+    Eval.prCurve(Tables.orders(spark, dir),
+      col("o_totalprice"), col("o_orderstatus") === "F", col("o_orderkey"))
+  }
+
   /** Decile calibration of the same score/outcome pair: bins by pure
     * integer rank math over (score, orderkey), per bin exact counts +
     * decimal score sum + the two IEEE plot ratios. */
@@ -171,6 +209,6 @@ object Evaluation extends QueryPack {
   }
 
   override def all: Seq[GraftQuery] =
-    Seq(q50Auc, q51Calibration, q56AvgPrecision, dataKfold, q52Basket,
-      q53EventNgrams)
+    Seq(q50Auc, q51Calibration, q56AvgPrecision, q57PrCurve, dataKfold,
+      q52Basket, q53EventNgrams)
 }

@@ -412,6 +412,35 @@ class EvalSpec extends SparkTestBase {
     assert(zp.getLong(0) == 0L && !zp.isNullAt(2) && zp.getDouble(2) == 0.0)
   }
 
+  test("prCurve: hand-computed confusion counts and ratios at every " +
+      "cutoff; zero-positive corpus stays defined") {
+    import spark.implicits._
+    // 10 rows ranked by score desc = ids 1..10; positives at ranks
+    // 1, 2, 7. bins=5 → cutoffs at ranks 2, 4, 6, 8, 10.
+    val d = (1 to 10).map(i =>
+        ((11 - i).toDouble, i.toLong, Set(1, 2, 7).contains(i)))
+      .toDF("sc", "id", "lab")
+    val got = graft.ops.Eval.prCurve(
+        d, col("sc"), col("lab"), col("id"), bins = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 0L, 1L, 1.0, 0.666667, 0.8),
+      (2L, 4L, 2L, 2L, 1L, 0.5, 0.666667, 0.571429),
+      (3L, 6L, 2L, 4L, 1L, 0.333333, 0.666667, 0.444444),
+      (4L, 8L, 3L, 5L, 0L, 0.375, 1.0, 0.545455),
+      (5L, 10L, 3L, 7L, 0L, 0.3, 1.0, 0.461538)), got.mkString(", "))
+    // zero positives: recall and F1 pinned to 0 (the AP convention)
+    val noPos = (1 to 4).map(i => ((5 - i).toDouble, i.toLong, false))
+      .toDF("sc", "id", "lab")
+    val zp = graft.ops.Eval.prCurve(
+        noPos, col("sc"), col("lab"), col("id"), bins = 2)
+      .collect()
+    assert(zp.forall(r => r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0 &&
+      r.getDouble(7) == 0.0), zp.mkString(", "))
+  }
+
   test("rankMetrics: closed-form MRR and NDCG on a hand-built list, " +
       "perfect retrieval scores 1.0, full miss scores 0") {
     import spark.implicits._
