@@ -42,6 +42,40 @@ object Splits {
         .otherwise("test"))
   }
 
+  /** Dedup-SAFE split: near-dup CLUSTERS are assigned to splits
+    * atomically, so no near-dup pair can straddle train/test — the
+    * leakage `pipeline_split_leakage` audits is PREVENTED by
+    * construction (hash-splitting documents independently puts ~2·p·(1−p)
+    * of every near-dup cluster's pairs across the boundary, and a test
+    * doc whose near-twin was trained on is contamination, not signal).
+    *
+    * `pairs` is any of the dedup family's (id_a, id_b) outputs; docs in
+    * no pair are singleton clusters of themselves. The split key is the
+    * cluster's canonical id ([[Dedup.duplicateClusters]] — min reachable
+    * id via the pointer-jumping closure), bucketed exactly like
+    * [[assign]], so singleton docs land where plain `assign` would have
+    * put them.
+    *
+    * Scale: the closure is the shared pointer-jumping engine (rounds
+    * O(log diameter), never corpus²); everything after is one left join
+    * + a narrow bucket map. Returns (idCol, cluster_id, split). */
+  def assignClusterSafe(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", salt: String = "split",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100)
+    val clusters = Dedup.duplicateClusters(pairs)
+      .withColumnRenamed("doc_id", "__cid_doc")
+    val keyed = docs.select(col(idCol))
+      .join(clusters, col(idCol) === col("__cid_doc"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    val b = bucket(col("cluster_id"), salt)
+    keyed.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Deterministic stratified sample: the `fraction` of each `strataCol`
     * group with the smallest id-hashes (hash order is uniform, so this
     * is an unbiased per-group sample that is STABLE across runs — rows

@@ -389,6 +389,44 @@ object TrainingData extends QueryPack {
       .orderBy("split")
   }
 
+  /** Dedup-safe split (round 9): near-dup clusters assigned to splits
+    * ATOMICALLY — the leakage `pipeline_split_leakage` audits is
+    * prevented by construction. Clusters from the same shingle-Jaccard
+    * pairs + pointer-jumping closure dedup_clusters gates; singletons
+    * bucket exactly like data_split. The oracle replays closure
+    * (recursive CTE) + the md5 bucket on the canonical cluster id. */
+  val dataSplitClusterSafe = GraftQuery(
+    "data_split_cluster_safe",
+    Some(s"""
+      WITH RECURSIVE $SH,
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+      pairs AS (SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+           len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE) AS jac
+        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b) t WHERE jac >= 0.5),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      verts AS (SELECT DISTINCT u FROM edges),
+      reach AS (
+        SELECT u, u AS v FROM verts
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+      ),
+      cl AS (SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id FROM reach GROUP BY u),
+      k AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+      b AS (SELECT doc_id, cluster_id,
+            ('0x'||substr(md5('split:'||CAST(cluster_id AS VARCHAR)),1,15))::BIGINT % 100 AS bk
+            FROM k)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, cluster_id,
+        CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+      FROM b ORDER BY doc_id""".trim)) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Splits.assignClusterSafe(docs,
+        Dedup.ngramJaccard(docs, threshold = 0.5).select("id_a", "id_b"))
+      .orderBy("doc_id")
+  }
+
   val dataSample = GraftQuery(
     "data_sample_stratified",
     Some("""
@@ -2239,7 +2277,8 @@ object TrainingData extends QueryPack {
     dedupNgramCapped, dedupContainment,
     dedupContainmentCapped, dedupMinhash, streamDedupParity, dedupSimhash,
     dedupEmbedding, dedupSemantic,
-    dedupClusters, dedupSurvivorship, dataSplit, dataSample, dataWeighted, dataPack,
+    dedupClusters, dedupSurvivorship, dataSplit, dataSplitClusterSafe,
+    dataSample, dataWeighted, dataPack,
     dataChunk, dataShard,
     annBrute, annIvf, annIvfTrained, annLsh, annLshCandidates, annPq, annPqRerank, annIvfPq,
     annIvfSq, annRange, annKnnGraph, graphKnnComponents, dataTriplets,

@@ -695,6 +695,33 @@ class TrainingDataSpec extends SparkTestBase {
     assert(out.count(_.getLong(0) == 5L) == 0)
   }
 
+  test("assignClusterSafe: no near-dup pair straddles a split; " +
+      "singletons land where plain assign puts them") {
+    import graft.ops.{Dedup, Splits}
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.5)
+      .select("id_a", "id_b")
+    val out = Splits.assignClusterSafe(docs, pairs)
+    val bySplit = out.select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty, "corpus must contain near-dup pairs for this test")
+    for ((a, b) <- ps)
+      assert(bySplit(a) == bySplit(b),
+        s"pair ($a, $b) straddles ${bySplit(a)}/${bySplit(b)}")
+    // every doc exactly once; singleton docs (cluster_id == doc_id)
+    // bucket exactly like the plain per-doc assign
+    assert(out.count() == docs.count())
+    val plain = Splits.assign(docs, "doc_id").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val singletons = out.filter(col("cluster_id") === col("doc_id"))
+      .select("doc_id", "split").collect()
+    assert(singletons.nonEmpty)
+    for (r <- singletons)
+      assert(r.getString(1) == plain(r.getLong(0)),
+        s"singleton ${r.getLong(0)} diverges from plain assign")
+  }
+
   test("shardBalance: snake deal balances shard token totals and is a " +
       "pure function of the size rank") {
     import graft.ops.Splits
