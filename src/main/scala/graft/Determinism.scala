@@ -60,7 +60,8 @@ object Determinism {
     "q30_percentile_disc_mode", "q34_outliers", "ts_lttb",
     "dedup_sorted_neighborhood", "dedup_sorted_multi",
     "data_mix_temperature", "data_split", "data_triplets",
-    "data_shard_balance", "q56_avg_precision", "search_rrf_fusion")
+    "data_shard_balance", "q56_avg_precision", "search_rrf_fusion",
+    "q57_pr_curve") // round 9: PR curve rides globalRankCumsum
 
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "invariant"

@@ -37,7 +37,8 @@ class DeterminismSpec extends SparkTestBase {
     "q30_percentile_disc_mode", "q34_outliers", "ts_lttb",
     "dedup_sorted_neighborhood", "dedup_sorted_multi",
     "data_mix_temperature", "data_split", "data_triplets",
-    "data_shard_balance", "q56_avg_precision", "search_rrf_fusion")
+    "data_shard_balance", "q56_avg_precision", "search_rrf_fusion",
+    "q57_pr_curve") // round 9: PR curve rides globalRankCumsum
 
   test("globalRank is a permutation of 1..n and equals the single-task " +
       "window for every numRanges (boundary-independence)") {

@@ -927,6 +927,43 @@ class PlanAuditSpec extends SparkTestBase {
       s"closure must stay equi-join shaped:\n$plan")
   }
 
+  test("q57_pr_curve: the score ranking is the range-parallel deferred-" +
+      "boundary rank (no partitionless corpus window); everything after " +
+      "is a bins-row aggregate with map-side combine") {
+    val plan = planOf("q57_pr_curve")
+    assert(plan.contains("graft_range_bucket(graft_deferred_bounds("),
+      s"deferred-boundary range-id projection missing:\n$plan")
+    assert(!plan.contains("windowspecdefinition(__s"),
+      s"partitionless score window in the plan:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial_count"),
+      s"bin aggregate must combine map-side:\n$plan")
+  }
+
+  test("text_pmi_bigrams: top-k is a bounded heap (TakeOrdered), both " +
+      "counts combine map-side, totals ride one broadcast, no cartesian " +
+      "beyond it") {
+    val plan = planOf("text_pmi_bigrams")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 must be a bounded heap, not a full sort:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"bigram/unigram counts must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"only the broadcast 1-row totals may cross:\n$plan")
+  }
+
+  test("mm_frame_slices: the slicing itself is NARROW codegen (no " +
+      "exchange before the publish sort, no UDF)") {
+    val plan = planOf("mm_frame_slices")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      s"frame slicing left codegen:\n$plan")
+    // exactly ONE exchange in the FINAL plan: the presentation sort's
+    // range partitioning — generation + slicing add none
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange ".r.findAllIn(finalPlan).length
+    assert(exchanges <= 1,
+      s"frame slicing shuffles before the sort:\n$finalPlan")
+  }
+
   test("mm_phash_pairs: candidates come from the (band, bval) bucket " +
       "equi-join with the Hamming verify INSIDE the join condition — " +
       "no cartesian, no nested loop, no UDF in the pairing") {
