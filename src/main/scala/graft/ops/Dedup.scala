@@ -818,6 +818,59 @@ object Dedup {
     regexp_replace(noPort, "/+$", "")
   }
 
+  /** The production dedup CASCADE with per-stage funnel accounting —
+    * the order a 100 TB crawl actually dedups in, cheapest key first so
+    * each stage shrinks the next one's input:
+    *   1. URL canonicalization (no content bytes touched — one hash
+    *      aggregate over the URL column; first fetch per canonical URL
+    *      survives);
+    *   2. exact content (md5 hash aggregate over stage-1 survivors);
+    *   3. near-dup (MinHash-LSH pairs + pointer-jumping clusters over
+    *      stage-2 survivors; each cluster's min-id canonical survives).
+    * Returns the 3-row funnel report (stage, n_in, n_removed, n_out) —
+    * the curation dashboard's removal accounting; survivors themselves
+    * are reproducible from the per-stage operators.
+    *
+    * Scale: stage costs are one aggregate, one aggregate, and the
+    * audited LSH+closure path, each over an input the previous stage
+    * already shrank; per-stage survivor sets persist across their two
+    * consumers (filter + count) and are released before returning. */
+  def dedupCascade(docs: DataFrame, urlCol: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol), col(textCol), col(urlCol))
+      .persist(MEMORY_AND_DISK)
+    val n0 = base.count()
+    val s1 = base.select(urlCanonical(col(urlCol)).as("__cu"), col(idCol))
+      .groupBy("__cu").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val d1 = base.join(s1, idCol).persist(MEMORY_AND_DISK)
+    val n1 = d1.count()
+    val s2 = d1.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol)).select(idCol)
+    val d2 = d1.join(s2, idCol).persist(MEMORY_AND_DISK)
+    val n2 = d2.count()
+    val pairs = minHashLsh(d2, idCol, textCol, threshold = threshold)
+    val clusters = duplicateClusters(pairs.select("id_a", "id_b"))
+      .withColumnRenamed("doc_id", "__cd")
+    val n3 = d2.select(col(idCol))
+      .join(clusters, col(idCol) === col("__cd"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .count()
+    pairs.unpersist(blocking = false) // minHashLsh's materialized result
+    base.unpersist(blocking = false)
+    d1.unpersist(blocking = false)
+    d2.unpersist(blocking = false)
+    import spark.implicits._
+    Seq(
+      ("1_url", n0, n0 - n1, n1),
+      ("2_exact", n1, n1 - n2, n2),
+      ("3_neardup", n2, n2 - n3, n3))
+      .toDF("stage", "n_in", "n_removed", "n_out")
+  }
+
   /** Exact dedup keyed on the canonical URL: one hash aggregate —
     * canonical id = min(id) (first fetch wins), copy count, and the
     * canonical URL itself. The upstream twin of [[exactRollup]]

@@ -2060,6 +2060,100 @@ object TrainingData extends QueryPack {
     TextAnalysis.pmiBigrams(Tables.documents(spark, dir))
   }
 
+  /** The production dedup CASCADE gated end to end (round 9): URL
+    * canonicalization → exact content → MinHash-LSH near-dup clusters,
+    * cheapest key first, with the 3-row funnel report a curation
+    * dashboard shows. URLs are the dedup_url gate's derived column
+    * (identical in both engines); the oracle replays the whole
+    * cascade — canonicalization chain, md5 rollup, minhash banding,
+    * exact-Jaccard verify, recursive-CTE closure, canonical-survivor
+    * count — so the hash compare proves every stage AND their
+    * composition. */
+  val pipelineDedupCascade = GraftQuery(
+    "pipeline_dedup_cascade",
+    Some("""
+      WITH RECURSIVE u AS (SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTP://www.' ELSE 'http://' END ||
+        CASE WHEN doc_id % 10 < 2 THEN 'Mirror'
+             WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END || '.example.com' ||
+        CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+        '/d/' || CASE WHEN doc_id % 10 < 2 THEN 'p' || CAST(doc_id // 10 AS VARCHAR)
+                      ELSE CAST(doc_id AS VARCHAR) END ||
+        CASE doc_id % 4 WHEN 0 THEN '?utm_source=rss&utm_medium=feed'
+                        WHEN 1 THEN '/' WHEN 2 THEN '#section-2' ELSE '' END AS url
+       FROM documents),
+      c0 AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          lower(url),
+          '^[a-z][a-z0-9+.-]*://', ''),
+          '^www\.', ''),
+          '#.*$', ''),
+          '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+          '[?&]+$', '') AS cu0
+       FROM u),
+      cc AS (SELECT doc_id, regexp_replace(
+          regexp_replace(regexp_extract(cu0, '^[^/]*'), ':(80|443)$', '') ||
+            regexp_replace(cu0, '^[^/]*', ''), '/+$', '') AS cu
+       FROM c0),
+      s1 AS (SELECT MIN(doc_id) AS doc_id FROM cc GROUP BY cu),
+      d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN s1 USING (doc_id)),
+      s2 AS (SELECT MIN(doc_id) AS doc_id FROM d1 GROUP BY md5(text)),
+      d2 AS (SELECT d1.doc_id, d1.text FROM d1 JOIN s2 USING (doc_id)),
+      sh2 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS s
+              FROM (SELECT doc_id, string_split_regex(text,'\s+') AS tk FROM d2)),
+      sig AS (SELECT doc_id, s, list_transform(range(0,64), p -> list_min(list_transform(s, g -> ('0x'||substr(md5(CAST(p AS VARCHAR)||':'||g),1,15))::BIGINT))) AS mh FROM sh2),
+      bands AS (SELECT doc_id, band, md5(array_to_string(list_transform(list_slice(mh, band*4+1, band*4+4), x -> CAST(x AS VARCHAR)), ',')) AS bkey
+                FROM (SELECT doc_id, mh, unnest(range(0,16)) AS band FROM sig)),
+      candp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      jp AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+           len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE) AS jac
+         FROM candp JOIN sh2 x ON x.doc_id = id_a JOIN sh2 y ON y.doc_id = id_b) t WHERE jac >= 0.5),
+      edges AS (SELECT id_a AS uu, id_b AS vv FROM jp UNION SELECT id_b, id_a FROM jp),
+      verts AS (SELECT DISTINCT uu FROM edges),
+      reach AS (
+        SELECT uu, uu AS vv FROM verts
+        UNION
+        SELECT e.uu, r.vv FROM edges e JOIN reach r ON e.vv = r.uu
+      ),
+      cl AS (SELECT uu AS doc_id, MIN(vv) AS cluster_id FROM reach GROUP BY uu),
+      k0 AS (SELECT COUNT(*) AS v FROM documents),
+      k1 AS (SELECT COUNT(*) AS v FROM d1),
+      k2 AS (SELECT COUNT(*) AS v FROM d2),
+      k3 AS (SELECT COUNT(*) AS v FROM d2 LEFT JOIN cl ON cl.doc_id = d2.doc_id
+             WHERE cl.cluster_id IS NULL OR cl.cluster_id = d2.doc_id)
+      SELECT * FROM (
+        SELECT '1_url' AS stage, k0.v AS n_in, k0.v - k1.v AS n_removed, k1.v AS n_out FROM k0, k1
+        UNION ALL
+        SELECT '2_exact', k1.v, k1.v - k2.v, k2.v FROM k1, k2
+        UNION ALL
+        SELECT '3_neardup', k2.v, k2.v - k3.v, k3.v FROM k2, k3) t
+      ORDER BY stage""".trim)) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val url = concat(
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("https://"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("HTTP://www."))
+        .otherwise(lit("http://")),
+      // refetch pairs: every 10th/10th+1 doc is the SAME page on a
+      // shared mirror host (differing only in scheme/case/port/tracking
+      // noise) — stage 1 removes the refetches, leaving content work
+      // (the corpus' planted near-dups) for stage 3
+      when(pmod(col("doc_id"), lit(10)) < 2, lit("Mirror"))
+        .when(pmod(col("doc_id"), lit(2)) === 0, upper(col("source")))
+        .otherwise(col("source")),
+      lit(".example.com"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/d/"),
+      when(pmod(col("doc_id"), lit(10)) < 2,
+        concat(lit("p"), expr("doc_id div 10").cast("string")))
+        .otherwise(col("doc_id").cast("string")),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("?utm_source=rss&utm_medium=feed"))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("/"))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit("#section-2"))
+        .otherwise(lit("")))
+    Dedup.dedupCascade(docs.withColumn("url", url), "url")
+      .orderBy("stage")
+  }
+
   /** Gopher-rule document filter (round 8): the full pre-training gate
     * battery with per-rule flags and the first-failure audit column.
     * Thresholds calibrated so the synthetic corpus splits on the word-
@@ -2263,6 +2357,7 @@ object TrainingData extends QueryPack {
 
   override def all: Seq[GraftQuery] = Seq(
     mmPhashPairs, streamIndexParity, mmFrameSlices, mmProbeParity, textPmi,
+    pipelineDedupCascade,
     dedupUrl, textGopher, textEntropy, annRecall, annRankMetrics,
     fuzzyVocab, vocabStats,
     langId, quality, tokensQ, fingerprintQ, textPii, textClean,

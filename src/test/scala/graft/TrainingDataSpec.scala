@@ -695,6 +695,28 @@ class TrainingDataSpec extends SparkTestBase {
     assert(out.count(_.getLong(0) == 5L) == 0)
   }
 
+  test("dedupCascade: each stage removes exactly its own duplicate " +
+      "class, funnel counts chain") {
+    import graft.ops.Dedup
+    val near1 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near2 = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, "alpha text one", "https://a.com/x"),
+      (2L, "beta text two", "HTTP://www.a.com/x/"),   // url-dup of 1
+      (3L, "gamma text three", "https://b.com/y"),
+      (4L, "gamma text three", "https://b.com/z"),    // exact-dup of 3
+      (5L, near1, "https://c.com/p"),
+      (6L, near2, "https://c.com/q")                  // near-dup of 5
+    ).toDF("doc_id", "text", "url")
+    val got = Dedup.dedupCascade(d, "url", threshold = 0.5)
+      .orderBy("stage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("1_url", 6L, 1L, 5L),
+      ("2_exact", 5L, 1L, 4L),
+      ("3_neardup", 4L, 1L, 3L)), got.mkString(", "))
+  }
+
   test("assignClusterSafe: no near-dup pair straddles a split; " +
       "singletons land where plain assign puts them") {
     import graft.ops.{Dedup, Splits}
