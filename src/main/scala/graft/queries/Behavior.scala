@@ -12,11 +12,11 @@ import graft.{GraftQuery, QueryPack, Tables}
   */
 object Behavior extends QueryPack {
 
-  /** Weekly cohort retention matrix — see
-    * [[graft.ops.Behavior.cohortRetention]]. */
-  val q38 = GraftQuery(
-    "q38_retention",
-    Some("""
+  /** Shared oracle: the weekly cohort-retention matrix — used verbatim
+    * by the one-shot `q38_retention` AND the incremental
+    * `stream_retention_parity` (fold-of-batches must equal the one-shot
+    * replay; the shared SQL makes the hash compare that proof). */
+  private val RETENTION_ORACLE = """
       WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
                  FROM events GROUP BY user_id),
       a AS (SELECT DISTINCT e.user_id,
@@ -29,9 +29,41 @@ object Behavior extends QueryPack {
       SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
         CAST(ROUND(c.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS DOUBLE) AS retention
       FROM c JOIN s ON c.cohort_week = s.cohort_week
-      ORDER BY c.cohort_week, c.week_offset""".stripMargin.trim)) { (spark, dir) =>
+      ORDER BY c.cohort_week, c.week_offset""".stripMargin.trim
+
+  /** Weekly cohort retention matrix — see
+    * [[graft.ops.Behavior.cohortRetention]]. */
+  val q38 = GraftQuery(
+    "q38_retention",
+    Some(RETENTION_ORACLE)) { (spark, dir) =>
     graft.ops.Behavior.cohortRetention(Tables.events(spark, dir))
       .orderBy("cohort_week", "week_offset")
+  }
+
+  /** The incremental RETENTION lane driver-gated (round 9 — the parity
+    * pattern applied to [[graft.ops.Behavior.retentionAppend]]): events
+    * arrive as 4 hash-split micro-batches with one at-least-once
+    * REPLAY, each folded into the batch-owned-partition state (distinct
+    * user-days + per-batch first-day minima; a hash split routinely
+    * delivers a user's EARLIEST event in a later batch, so the
+    * re-cohorting-on-refresh contract is exercised, not just spec'd).
+    * The final matrix hash-equals q38_retention's ONE-SHOT oracle
+    * verbatim. */
+  val streamRetentionParity = GraftQuery(
+    "stream_retention_parity",
+    Some(RETENTION_ORACLE)) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val tmpRoot = GateHarness.ephemeralDir("retention_parity")
+    try GateHarness.microBatchScoped(spark) {
+      var last: org.apache.spark.sql.DataFrame = null
+      for (b <- Seq(0, 1, 1, 2, 3))
+        last = graft.ops.Behavior.retentionAppend(spark,
+          tmpRoot.toString + "/state",
+          ev.filter(pmod(col("event_id"), lit(4)) === b), b)
+      spark.createDataFrame(
+          java.util.Arrays.asList(last.collect(): _*), last.schema)
+        .orderBy("cohort_week", "week_offset")
+    } finally GateHarness.deleteRecursively(tmpRoot)
   }
 
   /** Ordered funnel view → click → purchase — see
@@ -66,9 +98,7 @@ object Behavior extends QueryPack {
     * (see `graft.ops.Behavior.activeUsers`). The oracle's correlated
     * per-day counts are the definition; the engine's replicated form
     * must match them exactly. */
-  val q46 = GraftQuery(
-    "q46_active_users",
-    Some("""
+  private val ACTIVE_USERS_ORACLE = """
       WITH ud AS (SELECT DISTINCT epoch(ts)::BIGINT // 86400 AS d, user_id FROM events),
       days AS (SELECT unnest(range((SELECT min(d) FROM ud), (SELECT max(d) FROM ud) + 1)) AS day),
       m AS (SELECT day,
@@ -78,8 +108,36 @@ object Behavior extends QueryPack {
        FROM days)
       SELECT CAST(day AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
              CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau
-      FROM m ORDER BY day""".trim)) { (spark, dir) =>
+      FROM m ORDER BY day""".trim
+
+  val q46 = GraftQuery(
+    "q46_active_users",
+    Some(ACTIVE_USERS_ORACLE)) { (spark, dir) =>
     graft.ops.Behavior.activeUsers(Tables.events(spark, dir)).orderBy("day")
+  }
+
+  /** The incremental DAU/WAU/MAU lane driver-gated (round 9 —
+    * [[graft.ops.Behavior.activeUsersAppend]] through the parity
+    * pattern): 4 hash-split batches + one at-least-once replay, each
+    * compacted to its own (user, day) partition; the refreshed metric
+    * after the last fold hash-equals q46_active_users' ONE-SHOT oracle
+    * verbatim — the interval-merge counters lose nothing cross-batch
+    * and double-count nothing under replay. */
+  val streamActiveParity = GraftQuery(
+    "stream_active_parity",
+    Some(ACTIVE_USERS_ORACLE)) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val tmpRoot = GateHarness.ephemeralDir("active_parity")
+    try GateHarness.microBatchScoped(spark) {
+      var last: org.apache.spark.sql.DataFrame = null
+      for (b <- Seq(0, 1, 1, 2, 3))
+        last = graft.ops.Behavior.activeUsersAppend(spark,
+          tmpRoot.toString + "/state",
+          ev.filter(pmod(col("event_id"), lit(4)) === b), b)
+      spark.createDataFrame(
+          java.util.Arrays.asList(last.collect(): _*), last.schema)
+        .orderBy("day")
+    } finally GateHarness.deleteRecursively(tmpRoot)
   }
 
   /** RFM segmentation: per purchaser recency/frequency/monetary
@@ -269,5 +327,6 @@ object Behavior extends QueryPack {
   }
 
   override def all: Seq[GraftQuery] =
-    Seq(q38, q39, q46, q48, q49, q54, q55, streamGrowthParity)
+    Seq(q38, q39, q46, q48, q49, q54, q55, streamGrowthParity,
+      streamRetentionParity, streamActiveParity)
 }
