@@ -117,10 +117,11 @@ object Behavior {
     * (user, day) — the only event-scale work — and writes its rows
     * under `batch=<id>` with dynamic OVERWRITE, so an at-least-once
     * replay rewrites its own partition instead of duplicating. The
-    * metric refresh runs [[activeUsers]]' replication+distinct over the
-    * compacted state (users × days cardinality — the union dedups
-    * cross-batch repeats inside the metric's own distinct), equal by
-    * construction to the one-shot operator on every event so far. */
+    * metric refresh runs [[activeUsersFromDays]]' interval-merge +
+    * sweep over the compacted state (users × days cardinality — the
+    * union dedups cross-batch repeats inside the metric's own
+    * distinct), equal by construction to the one-shot operator on
+    * every event so far. */
   def activeUsersAppend(spark: org.apache.spark.sql.SparkSession,
       root: String, newEvents: DataFrame, batchId: Long,
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
