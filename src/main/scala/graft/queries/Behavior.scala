@@ -93,11 +93,12 @@ object Behavior extends QueryPack {
   }
 
   /** Rolling active users (DAU/WAU/MAU): distinct-user counts over the
-    * trailing 1/7/30 days per day — compact-to-(user, day), bounded
-    * day replication, never a window or per-day rescan of the feed
-    * (see `graft.ops.Behavior.activeUsers`). The oracle's correlated
-    * per-day counts are the definition; the engine's replicated form
-    * must match them exactly. */
+    * trailing 1/7/30 days per day — compact-to-(user, day), then
+    * interval-merge + sweep (±1 run-boundary deltas, day-axis prefix
+    * sum), never a window or per-day rescan of the feed (see
+    * `graft.ops.Behavior.activeUsers`). The oracle's correlated
+    * per-day counts are the definition; the engine's swept form must
+    * match them exactly. */
   private val ACTIVE_USERS_ORACLE = """
       WITH ud AS (SELECT DISTINCT epoch(ts)::BIGINT // 86400 AS d, user_id FROM events),
       days AS (SELECT unnest(range((SELECT min(d) FROM ud), (SELECT max(d) FROM ud) + 1)) AS day),

@@ -394,4 +394,21 @@ class TimeSeriesSpec extends SparkTestBase {
       .collect().map(_.toString).sorted.toSeq
     assert(merged == oneShot, "merged/replayed state diverged from one-shot")
   }
+
+  test("stream_m4_parity fold shape: sequential pairwise m4Merge in " +
+      "arrival order (with an at-least-once replay) equals one-shot") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val oneShot = graft.ops.Resample.m4Downsample(ev)
+      .collect().map(_.toString).sorted.toSeq
+    // the gate's exact shape: per-batch state, left fold state := state
+    // ⊔ batch — foreachBatch maintenance, not a single n-way union
+    val folded = Seq(0, 1, 1, 2, 3)
+      .map(b => graft.ops.Resample.m4State(
+        ev.filter(pmod(col("event_id"), lit(4)) === b)))
+      .reduce((s, b) => graft.ops.Resample.m4Merge(Seq(s, b)))
+    val got = graft.ops.Resample.m4Finalize(folded)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == oneShot, "sequential fold diverged from one-shot")
+  }
 }
