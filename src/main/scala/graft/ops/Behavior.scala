@@ -223,11 +223,15 @@ object Behavior {
       .withColumn("wau", sum(coalesce(col("__dw"), lit(0L))).over(wd))
       .withColumn("mau", sum(coalesce(col("__dm"), lit(0L))).over(wd))
       .select(col("day"), col("dau"), col("wau"), col("mau"))
-    // materialize the (days × 4 longs)-sized result eagerly: the
-    // returned frame is a checkpoint scan, structurally incapable of
-    // re-reading the feed however many times a caller consumes it;
-    // blocks are context-cleaned once the frame is unreachable.
-    out.localCheckpoint(true)
+    // LAZY checkpoint of the (days × 4 longs)-sized result: once
+    // consumed, the frame is a checkpoint scan, structurally incapable
+    // of re-reading the feed however many times it is re-consumed;
+    // blocks are context-cleaned once the frame is unreachable. Lazy,
+    // not eager (round 10): [[activeUsersAppend]] returns a refresh
+    // per fold but a maintenance loop only READS the latest one —
+    // eager materialization billed 3 unconsumed refreshes to the
+    // stream_active_parity gate (its one visible cost driver).
+    out.localCheckpoint(false)
   }
 
   def funnel(events: DataFrame, steps: Seq[String],

@@ -42,7 +42,7 @@ object Behavior extends QueryPack {
 
   /** The incremental RETENTION lane driver-gated (round 9 — the parity
     * pattern applied to [[graft.ops.Behavior.retentionAppend]]): events
-    * arrive as 4 hash-split micro-batches with one at-least-once
+    * arrive as 3 hash-split micro-batches with one at-least-once
     * REPLAY, each folded into the batch-owned-partition state (distinct
     * user-days + per-batch first-day minima; a hash split routinely
     * delivers a user's EARLIEST event in a later batch, so the
@@ -56,10 +56,10 @@ object Behavior extends QueryPack {
     val tmpRoot = GateHarness.ephemeralDir("retention_parity")
     try GateHarness.microBatchScoped(spark) {
       var last: org.apache.spark.sql.DataFrame = null
-      for (b <- Seq(0, 1, 1, 2, 3))
+      for (b <- Seq(0, 1, 1, 2))
         last = graft.ops.Behavior.retentionAppend(spark,
           tmpRoot.toString + "/state",
-          ev.filter(pmod(col("event_id"), lit(4)) === b), b)
+          ev.filter(pmod(col("event_id"), lit(3)) === b), b)
       spark.createDataFrame(
           java.util.Arrays.asList(last.collect(): _*), last.schema)
         .orderBy("cohort_week", "week_offset")
@@ -119,7 +119,7 @@ object Behavior extends QueryPack {
 
   /** The incremental DAU/WAU/MAU lane driver-gated (round 9 —
     * [[graft.ops.Behavior.activeUsersAppend]] through the parity
-    * pattern): 4 hash-split batches + one at-least-once replay, each
+    * pattern): 3 hash-split batches + one at-least-once replay, each
     * compacted to its own (user, day) partition; the refreshed metric
     * after the last fold hash-equals q46_active_users' ONE-SHOT oracle
     * verbatim — the interval-merge counters lose nothing cross-batch
@@ -131,10 +131,10 @@ object Behavior extends QueryPack {
     val tmpRoot = GateHarness.ephemeralDir("active_parity")
     try GateHarness.microBatchScoped(spark) {
       var last: org.apache.spark.sql.DataFrame = null
-      for (b <- Seq(0, 1, 1, 2, 3))
+      for (b <- Seq(0, 1, 1, 2))
         last = graft.ops.Behavior.activeUsersAppend(spark,
           tmpRoot.toString + "/state",
-          ev.filter(pmod(col("event_id"), lit(4)) === b), b)
+          ev.filter(pmod(col("event_id"), lit(3)) === b), b)
       spark.createDataFrame(
           java.util.Arrays.asList(last.collect(): _*), last.schema)
         .orderBy("day")
@@ -301,13 +301,16 @@ object Behavior extends QueryPack {
       FROM fl FULL OUTER JOIN ch USING (d)
       ORDER BY day""".trim)) { (spark, dir) =>
     val events = Tables.events(spark, dir)
-    val tmpRoot = java.nio.file.Files.createTempDirectory("growth_parity")
+    // tmpfs state + micro-batch engine scoping: see [[GateHarness]]
+    // (round 10 — this gate predates the harness and was the one
+    // parity row still paying ext4 journal latency per commit)
+    val tmpRoot = GateHarness.ephemeralDir("growth_parity")
     val stateDir = tmpRoot.toString + "/state"
-    try {
-      // 0, 1, REPLAY 1 (at-least-once delivery), 2, 3
-      for (b <- Seq(0, 1, 1, 2, 3))
+    try GateHarness.microBatchScoped(spark) {
+      // 0, 1, REPLAY 1 (at-least-once delivery), 2
+      for (b <- Seq(0, 1, 1, 2))
         graft.streaming.StreamingActivity.foldBatch(
-          events.filter(pmod(col("event_id"), lit(4)) === b), stateDir)
+          events.filter(pmod(col("event_id"), lit(3)) === b), stateDir)
       // materialize the days-sized result so the state directory can be
       // deleted NOW (the r5 form left one temp dir behind per
       // evaluation). COLLECT + rebuild, not localCheckpoint: checkpoint
@@ -319,12 +322,7 @@ object Behavior extends QueryPack {
       spark.createDataFrame(
           java.util.Arrays.asList(resolved.collect(): _*), resolved.schema)
         .orderBy("day")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally GateHarness.deleteRecursively(tmpRoot)
   }
 
   override def all: Seq[GraftQuery] =

@@ -401,7 +401,7 @@ object MeteoQueries extends QueryPack {
 
   /** The partial-upsert INCREMENTAL lane driver-gated (round 8 — the
     * `stream_growth_parity`/`stream_retrieval_parity` pattern applied
-    * to the upsert family): events arrive as 4 hash-split micro-batches
+    * to the upsert family): events arrive as 3 hash-split micro-batches
     * with one at-least-once REPLAY, each batch collapsed to its
     * per-key partial-upsert state ([[Upsert.partialLatestByKey]]), the
     * states folded pairwise ([[Upsert.partialMergeStates]] — the
@@ -446,11 +446,11 @@ object MeteoQueries extends QueryPack {
       get_json_object(col("props"), "$.k").cast("long").as("latest_prop_k"),
       col("event_id").as("first_event_id"),
       col("value").as("first_value"))
-    // batches 0, 1, REPLAY 1 (at-least-once), 2, 3 — hash-split, so
+    // batches 0, 1, REPLAY 1 (at-least-once), 2 — hash-split, so
     // batch order bears no relation to event time (out-of-order lane)
-    Seq(0, 1, 1, 2, 3)
+    Seq(0, 1, 1, 2)
       .map(b => Upsert.partialLatestByKey(
-        ev.filter(pmod(col("event_id"), lit(4)) === b),
+        ev.filter(pmod(col("event_id"), lit(3)) === b),
         keys, col("ts"), Seq(col("event_id")), updateCols, preserveCols,
         emitOrd = true))
       .reduce((a, b) =>

@@ -176,7 +176,7 @@ object TimeSeries extends QueryPack {
 
   /** The MERGEABLE-M4 incremental lane driver-gated (round 10, judge
     * r9 #3 — the last incremental family without a hash-gated
-    * batch-parity twin): events arrive as 4 hash-split micro-batches
+    * batch-parity twin): events arrive as 3 hash-split micro-batches
     * with one at-least-once REPLAY of batch 1, each reduced to its
     * [[graft.ops.Resample.m4State]] extremal structs and folded
     * pairwise through [[graft.ops.Resample.m4Merge]] in arrival order;
@@ -193,9 +193,9 @@ object TimeSeries extends QueryPack {
     Some(M4_ORACLE)) { (spark, dir) =>
     val ev = Tables.events(spark, dir)
     GateHarness.microBatchScoped(spark) {
-      val folded = Seq(0, 1, 1, 2, 3)
+      val folded = Seq(0, 1, 1, 2)
         .map(b => Resample.m4State(
-          ev.filter(pmod(col("event_id"), lit(4)) === b)))
+          ev.filter(pmod(col("event_id"), lit(3)) === b)))
         .reduce((s, b) => Resample.m4Merge(Seq(s, b)))
       val out = Resample.m4Finalize(folded)
         .orderBy("event_type", "bucket", "role")

@@ -252,7 +252,7 @@ object TrainingData extends QueryPack {
 
   /** The incremental dedup index DRIVER-GATED (round 8 — the parity
     * pattern applied to the last spec-only streaming family): docs
-    * arrive as 4 hash-split micro-batches with one at-least-once
+    * arrive as 3 hash-split micro-batches with one at-least-once
     * REPLAY, each batch folded through [[graft.ops.DedupIndex.append]]
     * (per-batch cost ∝ batch; pairs emitted the batch they become
     * detectable; replay rewrites its own index partition instead of
@@ -282,11 +282,11 @@ object TrainingData extends QueryPack {
     val tmpRoot = GateHarness.ephemeralDir("dedup_parity")
     val idxDir = tmpRoot.toString + "/index"
     try GateHarness.microBatchScoped(spark) {
-      // batches 0, 1, REPLAY 1 (at-least-once), 2, 3 — hash-split, so
+      // batches 0, 1, REPLAY 1 (at-least-once), 2 — hash-split, so
       // near-dup partners land in different batches routinely
-      val perBatch = Seq(0, 1, 1, 2, 3).map { b =>
+      val perBatch = Seq(0, 1, 1, 2).map { b =>
         val pairs = graft.ops.DedupIndex.append(spark, idxDir,
-          docs.filter(pmod(col("doc_id"), lit(4)) === b), b)
+          docs.filter(pmod(col("doc_id"), lit(3)) === b), b)
         val local = spark.createDataFrame(
           java.util.Arrays.asList(pairs.collect(): _*), pairs.schema)
         pairs.unpersist()
@@ -1164,7 +1164,7 @@ object TrainingData extends QueryPack {
 
   /** The streaming-retrieval fold DRIVER-GATED (round 8, judge r7
     * stretch: the last spec-only family gets a hash-gated twin, the
-    * stream_growth_parity pattern): the embeddings corpus arrives as 4
+    * stream_growth_parity pattern): the embeddings corpus arrives as 3
     * micro-batches (with one at-least-once REPLAY of batch 1) folded
     * through [[graft.streaming.StreamingRetrieval.foldHardNegatives]]
     * — per batch only the batch's vectors score against the anchors'
@@ -1209,10 +1209,10 @@ object TrainingData extends QueryPack {
     val tmpRoot = GateHarness.ephemeralDir("retrieval_parity")
     val stateDir = tmpRoot.toString + "/state"
     try GateHarness.microBatchScoped(spark) {
-      // 0, 1, REPLAY 1 (at-least-once delivery), 2, 3
-      for (b <- Seq(0, 1, 1, 2, 3))
+      // 0, 1, REPLAY 1 (at-least-once delivery), 2
+      for (b <- Seq(0, 1, 1, 2))
         graft.streaming.StreamingRetrieval.foldHardNegatives(
-          embs.filter(pmod(col("vec_id"), lit(4)) === b), b, stateDir,
+          embs.filter(pmod(col("vec_id"), lit(3)) === b), b, stateDir,
           queries, cents)
       val resolved = graft.streaming.StreamingRetrieval
         .hardNegativesCurrent(spark, stateDir)
@@ -2318,7 +2318,7 @@ object TrainingData extends QueryPack {
   /** The incremental VECTOR index driver-gated end-to-end (round 9,
     * judge r8 #8 — composing the round-8 metric lane with the streaming
     * index the way `stream_retrieval_parity` composed the fold):
-    * vectors arrive as 4 hash-split micro-batches with one
+    * vectors arrive as 3 hash-split micro-batches with one
     * at-least-once REPLAY, each folded through
     * [[graft.streaming.VectorIndex.appendBatch]] (per-batch cell
     * assignment, cid-partitioned append, replay rewrites its own batch
@@ -2341,10 +2341,10 @@ object TrainingData extends QueryPack {
     val tmpRoot = GateHarness.ephemeralDir("vecidx_parity")
     val idx = tmpRoot.toString + "/index"
     try GateHarness.microBatchScoped(spark) {
-      // batches 0, 1, REPLAY 1 (at-least-once), 2, 3
-      Seq(0, 1, 1, 2, 3).foreach { b =>
+      // batches 0, 1, REPLAY 1 (at-least-once), 2
+      Seq(0, 1, 1, 2).foreach { b =>
         VectorIndex.appendBatch(
-          embs.filter(pmod(col("vec_id"), lit(4)) === b), centroids, idx, b)
+          embs.filter(pmod(col("vec_id"), lit(3)) === b), centroids, idx, b)
       }
       val approx = VectorIndex.queryTopK(spark, idx, q, centroids)
       // rebuild locally: the result must not depend on re-reading the
