@@ -152,6 +152,23 @@ class LakeSpec extends SparkTestBase {
     assert(Layout.pruneFraction(rStats, "x", 37.0) > 0.9)
   }
 
+  test("layout_prune_stats: equi-count file cuts, and a point probe " +
+      "prunes on BOTH z-order dimensions") {
+    val out = graft.queries.Extended.layoutPruneStats.run(spark, sfDir).collect()
+    assert(out.length == 64, s"expected 64 files, got ${out.length}")
+    // integer rank cuts: file sizes differ by at most 1 row
+    val sizes = out.map(_.getAs[Long]("n_rows"))
+    assert(sizes.max - sizes.min <= 1L,
+      s"equi-count boundaries violated: ${sizes.min}..${sizes.max}")
+    // the z-order claim: a mid-domain point probe on EITHER dimension
+    // opens well under half the files (a 1-D sort layout prunes only
+    // its sort key — the non-sort dim would hit every file)
+    val hitA = out.count(_.getAs[Boolean]("hit_a"))
+    val hitB = out.count(_.getAs[Boolean]("hit_b"))
+    assert(hitA <= 32 && hitA >= 1, s"hit_a=$hitA of 64")
+    assert(hitB <= 32 && hitB >= 1, s"hit_b=$hitB of 64")
+  }
+
   test("quantile z-order buckets keep heavy-tailed data balanced across files") {
     val dir = Files.createTempDirectory("zq")
     val out = dir.resolve("zq").toString
