@@ -142,6 +142,77 @@ object Splits {
       .limit(k)
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, public — "Data
+    * Selection for Language Models via Importance Resampling"): select
+    * `budget` documents from the raw corpus so the sample's hashed
+    * n-gram profile moves toward a TARGET domain's profile — the
+    * curation rung between the quality filter and the temperature mix
+    * (filter junk → reweight toward the domain you train for → balance
+    * sources).
+    *
+    * Features are hashed token buckets (the paper's hashed n-gram
+    * device): every token maps to one of `buckets` integer cells via
+    * the portable 60-bit hash, and a document's importance weight is
+    * the RATIO of its target-profile mass to its raw-profile mass,
+    *
+    *   w(d) = (Σ_g ct[b(g)] / Nt) / (Σ_g cr[b(g)] / Nr)
+    *
+    * computed as ONE IEEE division of exact integer-multiplied operands
+    * (`(sct·Nr)/(scr·Nt)` — engine-reproducible; the paper's
+    * log-likelihood-ratio form orders identically for the single-sum
+    * linear estimator but needs `log`, which is not correctly-rounded
+    * in either engine). Selection is [[weightedSample]]'s deterministic
+    * priority machinery verbatim: priority = hash(salt:id)/w, keep the
+    * `budget` smallest — Gumbel-style weighted sampling without
+    * `rand()`, reproducible across runs/engines/retries. Documents
+    * with ZERO target-bucket mass (w = 0) are excluded before the
+    * division — they carry no target evidence and a 0-weight priority
+    * is +∞ in both engines anyway.
+    *
+    * Scale shape: tokenize is narrow; the only corpus-scale shuffle is
+    * the map-side-combined (doc, bucket) count (≤ `buckets` rows per
+    * doc); the two bucket profiles are ≤ `buckets`-row broadcasts and
+    * the totals a 1-row broadcast; selection is TakeOrdered (bounded
+    * heaps), never a full sort. Overflow note: the exact integer
+    * products bound |sct·Nr| by grams-per-doc · Nt · Nr — fine through
+    * petabyte gate scales; past that, pre-divide each profile by its
+    * total (two extra rounded divisions) before the ratio.
+    *
+    * Returns the selected rows of `docs` plus (w, priority). */
+  def importanceResample(docs: DataFrame, isTarget: Column, idCol: String,
+      textCol: String, budget: Int, buckets: Int = 64,
+      salt: String = "dsir"): DataFrame = {
+    val tb = docs
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(graft.functions.Hashing.tokens(col(textCol))).as("__t"))
+      .withColumn("__b", pmod(hash60(col("__t")), lit(buckets.toLong)))
+    // ONE map-side-combined shape for everything corpus-scale: the
+    // per-(doc, bucket) gram counts. Both bucket profiles ride a single
+    // aggregation of it (raw = all docs, target = the flagged docs —
+    // one `when`, not a second scan), totals fold off the 64-row
+    // profile for free, and the scoring join consumes it again — so
+    // the corpus tokenizes exactly twice (profile pass + scoring
+    // pass), the natural two-pass DSIR shape, never four times.
+    val pdb = tb.groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("__k"))
+    val profile = pdb.groupBy("__b").agg(
+      sum(col("__k")).as("__cr"),
+      sum(when(col("__tgt"), col("__k")).otherwise(0L)).as("__ct"))
+    val totals = profile.agg(
+      sum(col("__cr")).as("__nr"), sum(col("__ct")).as("__nt"))
+    val sums = pdb
+      .join(broadcast(profile), "__b")
+      .groupBy(idCol)
+      .agg(sum(col("__k") * col("__ct")).as("__sct"),
+        sum(col("__k") * col("__cr")).as("__scr"))
+    val weighted = sums.crossJoin(broadcast(totals))
+      .filter(col("__sct") > 0)
+      .withColumn("w", (col("__sct") * col("__nr")).cast("double") /
+        (col("__scr") * col("__nt")).cast("double"))
+      .select(col(idCol), col("w"))
+    weightedSample(docs.join(weighted, idCol), idCol, "w", budget, salt)
+  }
+
   /** Temperature-scaled source mixing: resample the corpus to `budget`
     * rows with per-source shares w_s/Σw where w_s = `weightOfCount`(n_s)
     * — the standard multilingual/source-rebalancing sampler (a concave

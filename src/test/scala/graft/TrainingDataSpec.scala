@@ -584,6 +584,44 @@ class TrainingDataSpec extends SparkTestBase {
       s"sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("importanceResample recovers a planted target-domain shift " +
+      "and is deterministic") {
+    import graft.ops.Splits
+    // raw corpus: 80% 'web' docs on vocabulary A, 20% 'wiki' docs on
+    // vocabulary B, one shared token so every doc has nonzero target
+    // mass (w > 0) and stays eligible. Target = the wiki domain; a
+    // DSIR resample must recover it — wiki weights dwarf web weights
+    // because web grams' target-bucket counts come only from the
+    // shared token.
+    val docs = (0 until 200).map { i =>
+      val isWiki = i % 5 == 0
+      val vocab =
+        if (isWiki) Seq("alpha", "beta", "gamma", "delta")
+        else Seq("one", "two", "three", "four")
+      val words = (0 until 30).map(j => vocab((i * 7 + j) % vocab.length))
+      (i.toLong, if (isWiki) "wiki" else "web",
+        (words :+ "the").mkString(" "))
+    }.toDF("doc_id", "dom", "text")
+    val s1 = Splits.importanceResample(
+      docs, col("dom") === "wiki", "doc_id", "text", 50).collect()
+    val s2 = Splits.importanceResample(
+      docs, col("dom") === "wiki", "doc_id", "text", 50).collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq,
+      "resample not deterministic")
+    assert(s1.length == 50)
+    val wikiFrac = s1.count(_.getAs[String]("dom") == "wiki") / 50.0
+    // raw wiki share is 0.20; the resampler must pull the sample far
+    // toward the target domain
+    assert(wikiFrac >= 0.7,
+      s"resample failed to recover the target shift: wiki frac $wikiFrac")
+    // every selected wiki doc outweighs every selected web doc
+    val (wikiW, webW) = s1.partition(_.getAs[String]("dom") == "wiki")
+    if (wikiW.nonEmpty && webW.nonEmpty)
+      assert(wikiW.map(_.getAs[Double]("w")).min >
+        webW.map(_.getAs[Double]("w")).max,
+        "wiki weights do not dominate web weights")
+  }
+
   test("topTerms ranks rare-but-frequent terms first, k per doc") {
     val d = docs(
       1L -> "zebra zebra zebra common common",
