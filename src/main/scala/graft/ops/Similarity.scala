@@ -667,6 +667,128 @@ object Similarity {
       .agg(avg(col("err"))).head().getDouble(0)
   }
 
+  // ---- OPQ: optimized product quantization (parametric) --------------
+
+  /** Parametric OPQ rotation (Ge et al., CVPR 2013, public — "Optimized
+    * Product Quantization for Approximate Nearest Neighbor Search"):
+    * an ORTHONORMAL change of basis under which product quantization
+    * wastes less of its codebook budget. Plain PQ carves the raw
+    * coordinates into m arbitrary contiguous subspaces; when variance
+    * is unevenly spread (correlated dims, anisotropic embeddings),
+    * some subspaces carry most of the energy and their k codewords
+    * saturate while others idle. The parametric OPQ solution: rotate
+    * into the PCA basis and ALLOCATE the principal directions to
+    * subspaces so each carries a comparable variance PRODUCT (Ge's
+    * balanced eigenvalue allocation — greedy: next-largest λ goes to
+    * the unfilled subspace with the smallest Σlog λ) — the optimal
+    * split under a Gaussian model. (The non-parametric alternating
+    * variant needs a 64×64 SVD per iteration for marginal extra gain —
+    * not worth hand-rolling here; the parametric form is the published
+    * strong default.)
+    *
+    * Deterministic + driver-cheap by construction: the covariance is
+    * computed over the `sample` smallest-id corpus vectors (the
+    * [[pqTrain]] seed contract — a bounded, data-independent-size
+    * collect), eigendecomposition is cyclic Jacobi on the 64×64
+    * symmetric matrix (fixed sweep count, no library dependency, no
+    * randomness). Returns the rotation as dim orthonormal ROWS:
+    * rotated = R · x. */
+  def opqRotation(corpus: DataFrame, m: Int = 8, sample: Int = 2048,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val xs = withNorm(corpus, idCol, vecCol)
+      .orderBy("vec_id").limit(sample).select("e")
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(xs.nonEmpty, "opqRotation needs a non-empty corpus")
+    val dim = xs.head.length
+    val subDim = dim / m
+    val n = xs.length.toDouble
+    val mu = Array.tabulate(dim)(i => xs.iterator.map(_(i)).sum / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    for (x <- xs; i <- 0 until dim; j <- i until dim) {
+      val v = (x(i) - mu(i)) * (x(j) - mu(j))
+      cov(i)(j) += v
+    }
+    for (i <- 0 until dim; j <- i until dim) {
+      cov(i)(j) /= n; cov(j)(i) = cov(i)(j)
+    }
+    val (lambda, vecs) = jacobiEigen(cov)
+    // descending-λ order; allocate to the unfilled subspace with the
+    // smallest running Σ log λ (balanced variance products)
+    val order = (0 until dim).sortBy(i => -lambda(i))
+    val logSum = Array.fill(m)(0.0)
+    val filled = Array.fill(m)(0)
+    val slots = Array.ofDim[Int](m, subDim)
+    for (idx <- order) {
+      val s = (0 until m).filter(filled(_) < subDim).minBy(logSum(_))
+      slots(s)(filled(s)) = idx
+      filled(s) += 1
+      logSum(s) += math.log(math.max(lambda(idx), 1e-12))
+    }
+    // rotation rows = eigenvectors (columns of `vecs`) in slot order
+    slots.flatten.map(c => Array.tabulate(dim)(r => vecs(r)(c)))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic, dependency-free, fine for plan-time-bounded sizes
+    * (64×64 here). Returns (eigenvalues, eigenvector COLUMNS). */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]],
+      sweeps: Int = 16): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone)
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 0 until sweeps; p <- 0 until n - 1; q <- p + 1 until n) {
+      val apq = a(p)(q)
+      if (math.abs(apq) > 1e-13) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        val t =
+          if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        var k = 0
+        while (k < n) { // rotate columns p,q of a
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+          k += 1
+        }
+        k = 0
+        while (k < n) { // rotate rows p,q of a
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+          k += 1
+        }
+        k = 0
+        while (k < n) { // accumulate eigenvectors
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+          k += 1
+        }
+      }
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Apply an orthonormal rotation to the vector column — a NARROW map
+    * (dim native dot products per row against literal rotation rows,
+    * all inside whole-stage codegen; no shuffle, no join). The rotated
+    * column replaces `vecCol` as a double array, which every PQ/IVF
+    * entry point accepts ([[withNorm]] handles both widths), so a
+    * rotation composes with the whole family: rotate once, then
+    * train/encode/search exactly as before. */
+  def rotate(embs: DataFrame, r: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embs.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => col(vecCol)
+      case _ => toDouble(col(vecCol))
+    }
+    val rows = r.map(row => dot(e, typedlit(row.toSeq)))
+    embs.withColumn(vecCol, array(rows.toIndexedSeq: _*))
+  }
+
   // ---- IVFADC+R: per-cell residual product quantization -------------
 
   /** (vec_id, cell, r, nrm) — every corpus vector with its coarse cell

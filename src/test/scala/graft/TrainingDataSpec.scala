@@ -475,6 +475,45 @@ class TrainingDataSpec extends SparkTestBase {
       s"recall $recall collapsed — encode or ADC scoring broken")
   }
 
+  test("OPQ rotation: orthonormal, strictly lowers trained-PQ " +
+      "distortion on an anisotropic corpus, non-inferior on the " +
+      "isotropic one") {
+    import spark.implicits._
+    // anisotropic trap: ALL the variance lives in dims 0..7 — exactly
+    // plain PQ's first contiguous subspace, so its 16 codewords must
+    // quantize an 8-dim energetic blob while the other 7 subspaces
+    // idle. Balanced eigenvalue allocation spreads the 8 energetic
+    // principal directions one per subspace.
+    val rnd = new scala.util.Random(7)
+    val aniso = (0 until 400).map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        rnd.nextGaussian() * (if (j < 8) 10.0 else 0.1)))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.opqRotation(aniso, m = 8, sample = 400)
+    for (i <- 0 until 64; j <- i until 64) {
+      val d = (0 until 64).map(k => r(i)(k) * r(j)(k)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"R not orthonormal at ($i,$j): $d")
+    }
+    val rotated = Similarity.rotate(aniso, r)
+    val dPlain = Similarity.pqDistortion(
+      aniso, Similarity.pqTrain(aniso, iters = 2))
+    val dOpq = Similarity.pqDistortion(
+      rotated, Similarity.pqTrain(rotated, iters = 2))
+    assert(dOpq < dPlain,
+      s"OPQ must beat plain PQ on anisotropic data: $dOpq !< $dPlain")
+    // the gate corpus is near-isotropic (random unit vectors): the
+    // rotation buys ~nothing there, but must not hurt
+    val embs = Tables.embeddings(spark, sfDir)
+    val rr = Similarity.rotate(embs, Similarity.opqRotation(embs))
+    val dRaw = Similarity.pqDistortion(
+      embs, Similarity.pqTrain(embs, iters = 2))
+    val dRot = Similarity.pqDistortion(
+      rr, Similarity.pqTrain(rr, iters = 2))
+    assert(dRot <= dRaw * 1.05,
+      s"rotation degraded the isotropic corpus: $dRot vs $dRaw")
+  }
+
   test("IVFADC residual codebooks: tighter than raw-vector PQ at the " +
       "same budget, recall at fixed probe not below plain IVF-PQ, and " +
       "k ≥ cell-size probe-all is exact") {
