@@ -153,6 +153,11 @@ object Bench {
     val runSf1 = (only.isEmpty || only.contains(Set("__sf1__"))) &&
       sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))
+    // compact sf1 summary, embedded in the FINAL short headline below:
+    // the driver's tail capture keeps only the last few KB, so a tier
+    // summary printed among the fat aux lines would not reliably reach
+    // BENCH_r{N}.json — extra keys on the short line parse everywhere
+    var sf1Brief = ""
     if (runSf1) {
       val t0 = System.nanoTime()
       def elapsed: Double = (System.nanoTime() - t0) / 1e9
@@ -177,6 +182,7 @@ object Bench {
       val tot1 = sf1Results.map(_._2.min).sum
       val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
       println(s"""{"aux":"sf1","n":$sf1Runs,"dir":"$sf1Dir","total":$tot1,"nq":${sf1Results.size},"skipped":$skippedJson,"queries":$q1}""")
+      sf1Brief = f""","sf1_total":$tot1%.2f,"sf1_nq":${sf1Results.size},"sf1_skipped":${skipped.size}"""
       try {
         val rawPath = sys.env.getOrElse("SPARK_GRAFT_RAW", "scripts/bench_raw.json")
         val raw = sf1Results.map { case (k, v) =>
@@ -197,7 +203,7 @@ object Bench {
     // which swallowed the headline's leading total in rounds 7 AND 8
     // (the >4 KB queries map pushed it out). This line is ~120 bytes, so
     // it always survives the tail whole and parses on its own.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nRuns,"cpus":$cpus,"nq":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nRuns,"cpus":$cpus,"nq":${results.size},"sf":"$sfDir"$sf1Brief}""")
     // full raw provenance: every run of every query, committed per round
     val rawPath = sys.env.getOrElse("SPARK_GRAFT_RAW", "scripts/bench_raw.json")
     try {
