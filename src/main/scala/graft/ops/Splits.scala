@@ -181,20 +181,36 @@ object Splits {
     * Returns the selected rows of `docs` plus (w, priority). */
   def importanceResample(docs: DataFrame, isTarget: Column, idCol: String,
       textCol: String, budget: Int, buckets: Int = 64,
-      salt: String = "dsir"): DataFrame = {
-    val tb = docs
+      salt: String = "dsir"): DataFrame =
+    importanceFromBuckets(
+      importanceBuckets(docs, isTarget, idCol, textCol, buckets),
+      docs, idCol, budget, salt)
+
+  /** The mergeable CORE of [[importanceResample]]: per-(doc, bucket)
+    * hashed-gram counts — ONE map-side-combined shape for everything
+    * corpus-scale. A hash split of the corpus partitions DOCUMENTS, so
+    * batches produce DISJOINT (doc, bucket) rows: incremental
+    * maintenance is batch-owned-partition appends (a replay rewrites
+    * its own partition) and the assembled state IS the one-shot table
+    * — no versioned-counter machinery needed. */
+  def importanceBuckets(docs: DataFrame, isTarget: Column, idCol: String,
+      textCol: String, buckets: Int = 64): DataFrame =
+    docs
       .select(col(idCol), isTarget.as("__tgt"),
         explode(graft.functions.Hashing.tokens(col(textCol))).as("__t"))
       .withColumn("__b", pmod(hash60(col("__t")), lit(buckets.toLong)))
-    // ONE map-side-combined shape for everything corpus-scale: the
-    // per-(doc, bucket) gram counts. Both bucket profiles ride a single
-    // aggregation of it (raw = all docs, target = the flagged docs —
-    // one `when`, not a second scan), totals fold off the 64-row
-    // profile for free, and the scoring join consumes it again — so
-    // the corpus tokenizes exactly twice (profile pass + scoring
-    // pass), the natural two-pass DSIR shape, never four times.
-    val pdb = tb.groupBy(col(idCol), col("__tgt"), col("__b"))
+      .groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(count(lit(1)).as("__k"))
+
+  /** Finish [[importanceResample]] from the (doc, bucket) count table:
+    * both bucket profiles ride a single aggregation of it (raw = all
+    * docs, target = the flagged docs — one `when`, not a second scan),
+    * totals fold off the ≤`buckets`-row profile for free, and the
+    * scoring join consumes it again — with the one-shot core the
+    * corpus tokenizes exactly twice (profile pass + scoring pass), the
+    * natural two-pass DSIR shape, never four times. */
+  def importanceFromBuckets(pdb: DataFrame, docs: DataFrame, idCol: String,
+      budget: Int, salt: String = "dsir"): DataFrame = {
     val profile = pdb.groupBy("__b").agg(
       sum(col("__k")).as("__cr"),
       sum(when(col("__tgt"), col("__k")).otherwise(0L)).as("__ct"))

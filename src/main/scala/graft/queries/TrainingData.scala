@@ -1476,9 +1476,9 @@ object TrainingData extends QueryPack {
     * one-division rational weight `(sct·Nr)/(scr·Nt)`, and the
     * priority selection verbatim). See
     * [[graft.ops.Splits.importanceResample]]. */
-  val dataImportance = GraftQuery(
-    "data_importance_resample",
-    Some("""
+  /** Shared by the one-shot gate and the incremental parity gate (the
+    * parity claim is hash-equality with THIS definition). */
+  private val IMPORTANCE_ORACLE = """
       WITH tok AS (SELECT doc_id, lang, unnest(string_split_regex(text, '\s+')) AS t FROM documents),
       tb AS (SELECT doc_id, lang, ('0x'||substr(md5(t),1,15))::BIGINT % 64 AS b FROM tok),
       raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY b),
@@ -1494,13 +1494,56 @@ object TrainingData extends QueryPack {
       SELECT d.doc_id, d.lang, ROUND(w.w, 6) AS w,
         CAST(('0x'||substr(md5('dsir:'||CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE) / w.w AS priority
       FROM w JOIN documents d USING (doc_id)
-      ORDER BY priority, d.doc_id LIMIT 150""".trim)) { (spark, dir) =>
+      ORDER BY priority, d.doc_id LIMIT 150""".trim
+
+  val dataImportance = GraftQuery(
+    "data_importance_resample",
+    Some(IMPORTANCE_ORACLE)) { (spark, dir) =>
     graft.ops.Splits.importanceResample(
         Tables.documents(spark, dir).select("doc_id", "lang", "text"),
         col("lang") === "de", "doc_id", "text", 150)
       .select(col("doc_id"), col("lang"), round(col("w"), 6).as("w"),
         col("priority"))
       .orderBy("priority", "doc_id")
+  }
+
+  /** The importance-resample lane's incremental twin DRIVER-GATED
+    * (round 10, same round as the one-shot — the parity pattern applied
+    * at birth): documents arrive as 3 hash-split micro-batches with one
+    * at-least-once REPLAY of batch 1, each reduced to its
+    * [[graft.ops.Splits.importanceBuckets]] (doc, bucket) counts and
+    * written under a batch-owned OVERWRITE partition (a hash split
+    * partitions DOCUMENTS, so batches produce disjoint rows and a
+    * replay rewrites its own partition — the assembled state IS the
+    * one-shot table, no versioned counters); the refresh runs
+    * [[graft.ops.Splits.importanceFromBuckets]] over the assembled
+    * state and must hash-equal data_importance_resample's ONE-SHOT
+    * oracle verbatim — profiles, totals, weights and the priority
+    * selection all provably insensitive to the batching. */
+  val streamImportanceParity = GraftQuery(
+    "stream_importance_parity",
+    Some(IMPORTANCE_ORACLE)) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val tmpRoot = GateHarness.ephemeralDir("dsir_parity")
+    val stateDir = tmpRoot.toString + "/buckets"
+    try GateHarness.microBatchScoped(spark) {
+      for (b <- Seq(0, 1, 1, 2))
+        graft.ops.Splits.importanceBuckets(
+            docs.filter(pmod(col("doc_id"), lit(3)) === b),
+            col("lang") === "de", "doc_id", "text")
+          .withColumn("batch", lit(b))
+          .write.partitionBy("batch").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic").parquet(stateDir)
+      val state = spark.read.parquet(stateDir)
+        .select(col("doc_id"), col("__tgt"), col("__b"), col("__k"))
+      val out = graft.ops.Splits
+        .importanceFromBuckets(state, docs, "doc_id", 150)
+        .select(col("doc_id"), col("lang"), round(col("w"), 6).as("w"),
+          col("priority"))
+        .orderBy("priority", "doc_id")
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally GateHarness.deleteRecursively(tmpRoot)
   }
 
   /** Sequence packing: documents → fixed token-budget packs. */
@@ -2447,7 +2490,7 @@ object TrainingData extends QueryPack {
     dedupContainmentCapped, dedupMinhash, streamDedupParity, dedupSimhash,
     dedupEmbedding, dedupSemantic,
     dedupClusters, dedupSurvivorship, dataSplit, dataSplitClusterSafe,
-    dataSample, dataWeighted, dataImportance, dataPack,
+    dataSample, dataWeighted, dataImportance, streamImportanceParity, dataPack,
     dataChunk, dataShard,
     annBrute, annIvf, annIvfTrained, annLsh, annLshCandidates, annPq, annPqRerank, annIvfPq,
     annIvfSq, annRange, annKnnGraph, graphKnnComponents, dataTriplets,

@@ -964,6 +964,35 @@ class PlanAuditSpec extends SparkTestBase {
       s"frame slicing shuffles before the sort:\n$finalPlan")
   }
 
+  test("layout_prune_stats: the z-rank is the range-parallel deferred-" +
+      "boundary rank (no partitionless corpus window), file stats " +
+      "combine map-side, bounds/probes ride broadcasts") {
+    val plan = planOf("layout_prune_stats")
+    assert(plan.contains("graft_range_bucket(graft_deferred_bounds("),
+      s"deferred-boundary range-id projection missing:\n$plan")
+    assert(!plan.contains("windowspecdefinition(__z"),
+      s"partitionless z window in the plan:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"per-file stats must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"bounds/probe joins must broadcast, not cartesian:\n$plan")
+  }
+
+  test("data_importance_resample: one map-side-combined (doc, bucket) " +
+      "count feeds broadcast profile/total joins; selection is a " +
+      "bounded heap, never a full sort") {
+    val plan = planOf("data_importance_resample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"priority selection must be a bounded heap:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"(doc, bucket) gram counts must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoop"),
+      s"profile/totals must ride broadcasts:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian anywhere in the scoring path:\n$plan")
+  }
+
   test("mm_phash_pairs: candidates come from the (band, bval) bucket " +
       "equi-join with the Hamming verify INSIDE the join condition — " +
       "no cartesian, no nested loop, no UDF in the pairing") {

@@ -661,6 +661,31 @@ class TrainingDataSpec extends SparkTestBase {
         "wiki weights do not dominate web weights")
   }
 
+  test("importanceBuckets: hash-split batches assemble to the one-shot " +
+      "state, and the finish over the union equals the one-shot resample") {
+    import graft.ops.Splits
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+    val tgt = col("lang") === "de"
+    val oneShot = Splits.importanceBuckets(docs, tgt, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    // a hash split partitions DOCUMENTS → per-batch (doc, bucket) rows
+    // are disjoint and their union IS the one-shot table (replay safety
+    // then comes from batch-owned overwrite partitions, which the
+    // driver gate exercises on disk)
+    val parts = (0 until 3).map(b =>
+      Splits.importanceBuckets(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), tgt,
+        "doc_id", "text"))
+    val union = parts.reduce(_ unionByName _)
+    assert(union.collect().map(_.toString).sorted.toSeq == oneShot,
+      "per-batch bucket counts diverged from the one-shot state")
+    val direct = Splits.importanceResample(docs, tgt, "doc_id", "text", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val folded = Splits.importanceFromBuckets(union, docs, "doc_id", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(direct == folded, "finish over the union diverged from one-shot")
+  }
+
   test("topTerms ranks rare-but-frequent terms first, k per doc") {
     val d = docs(
       1L -> "zebra zebra zebra common common",
