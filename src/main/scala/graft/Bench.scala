@@ -64,6 +64,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the status listeners run even with the UI off, and their
+      // retained state defaults (1000 SQL executions × per-task metric
+      // aggregation, 1000 jobs/stages) grow across a 180-query sweep —
+      // the parity gates (many small jobs per query) measured 2-3×
+      // slower IN-SWEEP than focused on identical code. Cap retention
+      // so listener bookkeeping stays constant over the sweep.
+      .config("spark.sql.ui.retainedExecutions", "15")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.ui.retainedDeadExecutors", "5")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopK.ensureRegistered(spark)
@@ -147,7 +158,11 @@ object Bench {
     // are LOGGED, never silently dropped).
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata_sf1")
     val sf1Runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "1").toInt)
-    val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "1800").toDouble
+    // 900 s ≈ 3.4× the observed full-tier time (267 s at round-10
+    // HEAD): enough headroom for host swings, bounded enough that a
+    // regression to quadratic cannot stretch the driver's bench run
+    // past its patience (skips are logged, never silent)
+    val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "900").toDouble
     // focused tier-only iteration: SPARK_GRAFT_ONLY=__sf1__ empties the
     // main sweep (no query is named that) and still runs the tier
     val runSf1 = (only.isEmpty || only.contains(Set("__sf1__"))) &&
