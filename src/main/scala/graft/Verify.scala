@@ -15,6 +15,14 @@ object Verify {
       // side sees the same physical type it computes (not INT96/ns)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // status listeners run even with the UI off and their retained
+      // state grows across a 174-query single-JVM dump, taxing every
+      // later job (the Bench round-10 finding — capping retention cut
+      // that sweep 20% on identical code); same treatment here
+      .config("spark.sql.ui.retainedExecutions", "15")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopK.ensureRegistered(spark)
