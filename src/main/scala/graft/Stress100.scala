@@ -43,6 +43,12 @@ object Stress100 {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // listener-retention caps: the round-10 bench finding (retained
+      // SQL-execution bookkeeping grows across a long single-JVM sweep
+      // and taxes later jobs); same treatment as Bench/Verify
+      .config("spark.sql.ui.retainedExecutions", "15")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.functions.Hashing.tokens
