@@ -167,4 +167,92 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }
+
+  // ---- HyperLogLog (cross-engine exact registers) ----------------------
+
+  /** Register-table HyperLogLog distinct-count sketch, built entirely
+    * from integer arithmetic BOTH engines compute bit-identically — so
+    * unlike [[approxSummary]]'s native HLL++ (whose binary sketch is
+    * engine-private), this one is ORACLE-GATEABLE end to end: the
+    * DuckDB twin replays hash → bucket → rho → max and lands on the
+    * same registers, the same scaled-integer harmonic sum, and (via
+    * the identical literal IEEE expression) the same estimate.
+    *
+    * Layout: the stable 60-bit hash's low log2(m) bits pick the
+    * register (`h & (m-1)` ≡ `h % m` on the non-negative hash), the
+    * remaining 60-log2(m) bits feed rho = leading-zero count + 1,
+    * computed WITHOUT floats as `(61-log2(m)) - length(bin(rest))`
+    * (bin is minimal-length in both engines; the all-zero remainder
+    * gets the conventional maximal rho). One map-side-combined MAX
+    * aggregation reduces the corpus to ≤ m rows per group — the whole
+    * point at 100 TB, where exact COUNT(DISTINCT) shuffles every key.
+    *
+    * Returns (keyCols*, bucket, r) — the mergeable state
+    * ([[hllMerge]]: union + MAX, associative, commutative, IDEMPOTENT,
+    * so at-least-once replay is absorbed for free). */
+  def hllState(df: DataFrame, keyCols: Seq[String], valCol: String,
+      m: Int = 256): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
+    val bits = java.lang.Integer.numberOfTrailingZeros(m)
+    val maxRho = 60 - bits + 1
+    val h = graft.functions.Hashing.hash60(
+      concat(lit("hll:"), col(valCol).cast("string")))
+    df.select(keyCols.map(col) :+ h.as("h"): _*)
+      .select(keyCols.map(col) :+
+        col("h").bitwiseAND(lit((m - 1).toLong)).as("bucket") :+
+        shiftright(col("h"), bits).as("rest"): _*)
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(max(when(col("rest") === 0L, lit(maxRho.toLong))
+        .otherwise(lit(maxRho.toLong) - length(bin(col("rest")))))
+        .as("r"))
+  }
+
+  /** Merge any number of [[hllState]] tables (any order, duplicates
+    * welcome — register MAX is idempotent). */
+  def hllMerge(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(max(col("r")).as("r"))
+
+  /** State → per-group sketch summary: hit-register count, max rho,
+    * the harmonic sum as the EXACT scaled integer
+    * `s_fp = Σ_buckets 2^(r_max - r_b)` (missing buckets enter at
+    * r = 0; every term is a power of two ≤ 2^r_max, the BIGINT sum is
+    * exact and fold-order-free — the float sum Σ2^-r would be
+    * neither), and the raw HLL estimate
+    * `alpha_m · m² · 2^r_max / s_fp` — one literal-alpha multiply and
+    * ONE IEEE division off exact integers, identical in both engines.
+    * `use_linear` flags the small-range regime (hit < m and raw
+    * estimate ≤ 2.5m) where a consumer should prefer linear counting
+    * `m·ln(m/(m-n_hit))` — applied caller-side because `ln` is not
+    * correctly rounded in either engine (the one HLL step that is not
+    * oracle-exact; same boundary as the project-wide no-log rule).
+    *
+    * Everything here is register-table-sized (groups × ≤ m rows); the
+    * per-group window is co-partitioned with the groupBy. */
+  def hllFinalize(state: DataFrame, keyCols: Seq[String],
+      m: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // alpha_m · m², literal-for-literal the oracle's expression text
+    // (left-assoc: ((0.7213/(1+1.079/m)) · m²) — one extra rounding vs
+    // fusing, but the SAME one in both engines)
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m.toDouble) * (m.toDouble * m)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    state
+      .withColumn("r_max", max(col("r")).over(w))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_hit"), max(col("r")).as("r_max"),
+        sum(pow(lit(2.0), col("r_max") - col("r")).cast("long"))
+          .as("s_present"))
+      .withColumn("s_fp", col("s_present") +
+        (lit(m.toLong) - col("n_hit")) *
+          pow(lit(2.0), col("r_max")).cast("long"))
+      .withColumn("est_raw", round(
+        lit(alphaM2) * pow(lit(2.0), col("r_max")) / col("s_fp"), 3))
+      .withColumn("use_linear",
+        col("n_hit") < m.toLong && col("est_raw") <= lit(2.5 * m))
+      .select((keyCols.map(col) :+ lit(m.toLong).as("m") :+
+        col("n_hit") :+ col("r_max").cast("long").as("r_max") :+
+        col("s_fp") :+ col("est_raw") :+ col("use_linear")): _*)
+  }
 }

@@ -461,7 +461,89 @@ object Extended extends QueryPack {
       .orderBy("file_id")
   }
 
+  /** Shared oracle body for the HLL gates: hash → register → max-rho
+    * table → scaled-integer harmonic sum → raw estimate, replayed
+    * verbatim against [[graft.ops.Sketches.hllState]]/`hllFinalize`
+    * (see there for the cross-engine arithmetic contract). */
+  private val HLL_CTES =
+    """h AS (SELECT event_type,
+      |        ('0x'||substr(md5('hll:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+      |      FROM events),
+      |reg AS (SELECT event_type, h % 256 AS bucket,
+      |        MAX(CASE WHEN h // 256 = 0 THEN 53
+      |                 ELSE 53 - len(bin(h // 256)) END) AS r
+      |      FROM h GROUP BY 1, 2),
+      |mx AS (SELECT event_type, r,
+      |        MAX(r) OVER (PARTITION BY event_type) AS r_max FROM reg),
+      |f AS (SELECT event_type,
+      |        CAST(COUNT(*) AS BIGINT) AS n_hit,
+      |        CAST(r_max AS BIGINT) AS r_max,
+      |        CAST(SUM(CAST(pow(2.0, r_max - r) AS BIGINT)) AS BIGINT) AS s_present
+      |      FROM mx GROUP BY event_type, r_max),
+      |g AS (SELECT event_type, n_hit, r_max,
+      |        s_present + (256 - n_hit) * CAST(pow(2.0, r_max) AS BIGINT) AS s_fp
+      |      FROM f),
+      |g2 AS (SELECT event_type, n_hit, r_max, s_fp,
+      |        ROUND(0.7213/(1.0 + 1.079/256.0) * 65536.0 * pow(2.0, r_max) / s_fp, 3) AS est_raw
+      |      FROM g)""".stripMargin
+
+  /** HyperLogLog distinct users per event type, registers through
+    * estimate in cross-engine-exact arithmetic, with the exact
+    * COUNT(DISTINCT) twin alongside (the accuracy receipt the sketch's
+    * consumer wants on the same dashboard row). The corpus reduces in
+    * ONE map-side-combined max aggregation to ≤ 256 rows per group —
+    * the shape that replaces the full distinct-key shuffle at 100 TB.
+    * (The exact twin here costs what it costs; it is the gate's
+    * point, not the operator's scale path.) */
+  val hllDistinct = GraftQuery(
+    "sketch_hll_distinct",
+    Some(s"""
+      WITH $HLL_CTES,
+      ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+             FROM events GROUP BY 1)
+      SELECT g2.event_type, CAST(256 AS BIGINT) AS m, n_hit, r_max, s_fp, est_raw,
+        (n_hit < 256 AND est_raw <= 640.0) AS use_linear,
+        ex.exact_distinct
+      FROM g2 JOIN ex USING (event_type) ORDER BY event_type""".trim)) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val sk = graft.ops.Sketches.hllFinalize(
+      graft.ops.Sketches.hllState(ev, Seq("event_type"), "user_id"),
+      Seq("event_type"))
+    val ex = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sk.join(ex, "event_type").orderBy("event_type")
+  }
+
+  /** The HLL lane's incremental twin DRIVER-GATED: events arrive as 3
+    * hash-split micro-batches with one at-least-once REPLAY of batch 1,
+    * each reduced to its register table and folded PAIRWISE through
+    * [[graft.ops.Sketches.hllMerge]] in arrival order (the foreachBatch
+    * shape); the finalized summary hash-equals the one-shot oracle
+    * VERBATIM. Like the M4 lane, register MAX is idempotent, so replay
+    * safety needs no versioned on-disk state and the whole gate is one
+    * lazy plan over register-sized rows. */
+  val streamHllParity = GraftQuery(
+    "stream_hll_parity",
+    Some(s"""
+      WITH $HLL_CTES
+      SELECT event_type, CAST(256 AS BIGINT) AS m, n_hit, r_max, s_fp, est_raw,
+        (n_hit < 256 AND est_raw <= 640.0) AS use_linear
+      FROM g2 ORDER BY event_type""".trim)) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    GateHarness.microBatchScoped(spark) {
+      val folded = Seq(0, 1, 1, 2)
+        .map(b => graft.ops.Sketches.hllState(
+          ev.filter(pmod(col("event_id"), lit(3)) === b),
+          Seq("event_type"), "user_id"))
+        .reduce((s, b) => graft.ops.Sketches.hllMerge(Seq(s, b), Seq("event_type")))
+      val out = graft.ops.Sketches.hllFinalize(folded, Seq("event_type"))
+        .orderBy("event_type")
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    }
+  }
+
   override def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q36, q37, q40, curation, q31, q33, q35, q41,
-      layoutPruneStats)
+      layoutPruneStats, hllDistinct, streamHllParity)
 }

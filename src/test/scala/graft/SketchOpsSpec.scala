@@ -221,4 +221,54 @@ class SketchOpsSpec extends SparkTestBase {
       if (id == 1L) removed == 0L
       else removed == 8L && txt == s"tail$id" })
   }
+
+  // ---- HyperLogLog (cross-engine registers) ---------------------------
+
+  private def hllCorpus(n: Long) =
+    spark.range(n).select(lit("g").as("grp"), col("id").cast("string").as("v"))
+
+  test("hll: finalize columns agree with a BigInt replay of the " +
+      "register table (the s_fp/est contract the oracle gates)") {
+    val st = Sketches.hllState(hllCorpus(1000), Seq("grp"), "v")
+    val regs = st.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val rMax = regs.values.max
+    val sFp = regs.values.map(r => BigInt(1) << (rMax - r).toInt).sum +
+      BigInt(256 - regs.size) * (BigInt(1) << rMax.toInt)
+    val row = Sketches.hllFinalize(st, Seq("grp")).collect().head
+    assert(row.getLong(2) == regs.size.toLong)   // n_hit
+    assert(row.getLong(3) == rMax)               // r_max
+    assert(BigInt(row.getLong(4)) == sFp)        // s_fp exact
+    val est = 0.7213 / (1.0 + 1.079 / 256.0) * (256.0 * 256) *
+      math.pow(2.0, rMax.toDouble) / row.getLong(4)
+    assert(math.abs(row.getDouble(5) - est) < 0.001)
+  }
+
+  test("hll: raw estimate within 20% of truth outside the small-range " +
+      "regime, and the regime flag fires inside it") {
+    val big = Sketches.hllFinalize(
+      Sketches.hllState(hllCorpus(5000), Seq("grp"), "v"), Seq("grp"))
+      .collect().head
+    assert(!big.getBoolean(6), "5000 distinct must be past linear range")
+    assert(math.abs(big.getDouble(5) - 5000.0) / 5000.0 < 0.20,
+      s"est ${big.getDouble(5)}")
+    val small = Sketches.hllFinalize(
+      Sketches.hllState(hllCorpus(100), Seq("grp"), "v"), Seq("grp"))
+      .collect().head
+    assert(small.getBoolean(6), "100 distinct must flag linear counting")
+  }
+
+  test("hll: merge of disjoint halves == one-shot state, and an " +
+      "at-least-once replayed batch is absorbed (idempotent max)") {
+    val all = hllCorpus(2000)
+    val a = all.filter(col("v").cast("long") % 2 === 0)
+    val b = all.filter(col("v").cast("long") % 2 === 1)
+    val oneShot = Sketches.hllState(all, Seq("grp"), "v")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val merged = Sketches.hllMerge(
+      Seq(Sketches.hllState(a, Seq("grp"), "v"),
+        Sketches.hllState(b, Seq("grp"), "v"),
+        Sketches.hllState(b, Seq("grp"), "v")), Seq("grp"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(merged == oneShot)
+  }
 }
