@@ -455,4 +455,53 @@ object Resample {
         col("__best.__a").cast("double").as("abs_cusum"),
         col("n_cells"))
   }
+
+  /** Theil–Sen robust trend per key: the median of all pairwise slopes
+    * of the per-day mean series, plus the matching median-residual
+    * intercept — the rank-based trend line that one wild day cannot
+    * bend (breakdown point 29%, vs OLS's 0%).
+    *
+    * Determinism/scale contract, same split as the rest of the family:
+    * the corpus collapses to the (key × day) grid in ONE
+    * map-side-combined decimal-exact mean (the only pass that sees raw
+    * rows — at 100 TB this is the job); the O(days²) pair join, both
+    * medians, and the residual pass are grid-sized (30 days = 435
+    * pairs — constant in corpus rows). Medians are LOWER medians
+    * picked by rank with total-order tie-breaks ((slope, d1, d2) /
+    * (residual, day)) — a selected input value, never an interpolated
+    * average — and every float op is one sub/mult/div of
+    * cross-engine-identical doubles, so the whole line is
+    * oracle-exact. */
+  def theilSen(events: DataFrame, key: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    import graft.functions.Exact.dec
+    val grid = events.filter(col(valCol).isNotNull)
+      .groupBy(col(key), to_date(col(tsCol)).as("d"))
+      .agg(round(sum(dec(col(valCol))).cast("double") / count(col(valCol)), 6)
+        .as("m"))
+      .withColumn("di", datediff(col("d"), lit("1970-01-01")).cast("long"))
+    val a = grid.select(col(key), col("di").as("d1"), col("m").as("m1"))
+    val b = grid.select(col(key).as("__k2"), col("di").as("d2"), col("m").as("m2"))
+    val pairs = a.join(b, col(key) === col("__k2") && col("d1") < col("d2"))
+      .select(col(key), col("d1"), col("d2"),
+        ((col("m2") - col("m1")) / (col("d2") - col("d1")).cast("double"))
+          .as("slope"))
+    val wSlope = Window.partitionBy(col(key))
+      .orderBy(col("slope"), col("d1"), col("d2"))
+    val wKey = Window.partitionBy(col(key))
+    val medSlope = pairs
+      .withColumn("rn", row_number().over(wSlope))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col(key), col("slope"), col("n").as("n_pairs"))
+    val wRes = Window.partitionBy(col(key)).orderBy(col("res"), col("di"))
+    grid.join(medSlope, key)
+      .withColumn("res", col("m") - col("slope") * col("di"))
+      .withColumn("rn", row_number().over(wRes))
+      .withColumn("nd", count(lit(1)).over(wKey))
+      .filter(col("rn") === expr("(nd + 1) div 2"))
+      .select(col(key), col("nd").as("n_days"), col("n_pairs"),
+        round(col("slope"), 6).as("slope"),
+        round(col("res"), 6).as("intercept"))
+  }
 }

@@ -83,7 +83,36 @@ object Similarity {
     * cells and ranks only the vectors inside them. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       nProbe: Int = 4, k: Int = 5,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKCore(corpus, queries, centroids, nProbe, k, idCol, vecCol, None)
+
+  /** Metadata-FILTERED IVF top-k — the vector-DB "filtered search"
+    * rung: `allowed` (a one-column relation of admissible neighbor
+    * ids, e.g. `documents WHERE lang = 'en'`) prunes the index's
+    * POSTING LISTS (one semi-join on the (vec_id, cell) assignment
+    * relation) before any scoring, so each query ranks over admissible
+    * candidates only. Filter-then-rank, never rank-then-filter:
+    * post-filtering an unfiltered top-k silently under-fills k and
+    * MISSES admissible neighbors that sat just outside the global
+    * top-k (the spec plants exactly that case). The index itself is
+    * untouched — same assignment, same probes — so one index serves
+    * every predicate; candidate mass only ever shrinks.
+    *
+    * Strategy note for very selective predicates: when the survivor
+    * set is small enough to scan, [[bruteForceTopK]] over the
+    * semi-joined corpus is exact and cheaper than probing (no recall
+    * loss from cell boundaries); this probed form is the scale path
+    * when survivors are still corpus-shaped. Both are deterministic
+    * and oracle-gateable. */
+  def filteredIvfTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, allowed: DataFrame, nProbe: Int = 4, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKCore(corpus, queries, centroids, nProbe, k, idCol, vecCol,
+      Some(allowed))
+
+  private def ivfTopKCore(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, nProbe: Int, k: Int,
+      idCol: String, vecCol: String, allowed: Option[DataFrame]): DataFrame = {
     val c = withNorm(corpus, idCol, vecCol)
     val q = withNorm(queries, idCol, vecCol)
     val cent = withNorm(centroids, idCol, vecCol)
@@ -102,7 +131,15 @@ object Similarity {
         .select(col("vec_id").as("qid"), explode(cells).as("cid"))
     }
 
-    val assign = nearestCells(c, 1).select(col("qid").as("vec_id"), col("cid"))
+    val assignAll = nearestCells(c, 1).select(col("qid").as("vec_id"), col("cid"))
+    // the predicate prunes posting lists, not the index: a semi-join on
+    // the assignment relation keeps the plan a filter over (vec_id, cell)
+    // pairs — co-partitioned with the probe join that follows
+    val assign = allowed match {
+      case Some(ok) => assignAll.join(
+        ok.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_semi")
+      case None => assignAll
+    }
     val probes = nearestCells(q, nProbe).select(col("qid").as("query_id"), col("cid"))
     val scored = probes
       .join(assign, "cid")

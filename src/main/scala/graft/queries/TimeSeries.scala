@@ -450,7 +450,46 @@ object TimeSeries extends QueryPack {
       .orderBy("event_type", "bucket")
   }
 
+  /** Theil–Sen robust trend line per event type: median pairwise slope
+    * + median-residual intercept over the per-day decimal-exact mean
+    * series (see [[graft.ops.Resample.theilSen]] — lower medians by
+    * rank with total-order tie-breaks, every float op a single
+    * sub/mult/div of identical doubles, so the line is oracle-exact).
+    * Complements ts_ewma (smoother) and ts_changepoint (level shift):
+    * this is the "is the metric trending, robustly" dashboard number
+    * one outlier day can't bend. The raw feed collapses to the
+    * (type × day) grid in one map-side-combined pass; the O(days²)
+    * pair join is grid-sized — constant in corpus rows. */
+  val tsTheilSen = GraftQuery(
+    "ts_theil_sen",
+    Some("""
+      WITH g AS (SELECT event_type, CAST(ts AS DATE) AS d,
+            ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS m
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      gi AS (SELECT event_type, d - DATE '1970-01-01' AS di, m FROM g),
+      p AS (SELECT a.event_type, a.di AS d1, b.di AS d2,
+            (b.m - a.m) / CAST(b.di - a.di AS DOUBLE) AS slope
+          FROM gi a JOIN gi b ON a.event_type = b.event_type AND a.di < b.di),
+      s AS (SELECT event_type, slope, d1, d2,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope, d1, d2) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM p),
+      med AS (SELECT event_type, slope, n FROM s WHERE rn = (n + 1) // 2),
+      r AS (SELECT gi.event_type, gi.m - med.slope * gi.di AS res, gi.di,
+            med.slope, med.n
+          FROM gi JOIN med USING (event_type)),
+      ri AS (SELECT event_type, res, slope, n,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY res, di) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS nd
+          FROM r)
+      SELECT event_type, CAST(nd AS BIGINT) AS n_days, CAST(n AS BIGINT) AS n_pairs,
+        ROUND(slope, 6) AS slope, ROUND(res, 6) AS intercept
+      FROM ri WHERE rn = (nd + 1) // 2
+      ORDER BY event_type""".stripMargin.trim)) { (spark, dir) =>
+    Resample.theilSen(Tables.events(spark, dir)).orderBy("event_type")
+  }
+
   override def all: Seq[GraftQuery] =
     Seq(tsGapfill, tsEwma, q32, q34, tsM4, streamM4Parity, tsHampel,
-      tsSeasonal, tsAutocorr, tsChangepoint, tsAnomaly, tsLttb)
+      tsSeasonal, tsAutocorr, tsChangepoint, tsAnomaly, tsLttb, tsTheilSen)
 }

@@ -490,6 +490,49 @@ object TrainingData extends QueryPack {
       embs.filter(col("vec_id") < 10), embs.filter(col("vec_id") < 16))
   }
 
+  /** Metadata-filtered vector search (the vector-DB "filtered search"
+    * rung): ann_ivf's exact index/probe shape with an attribute
+    * predicate from ANOTHER table (documents.lang = 'en', joined on
+    * the shared id) pruning the posting lists BEFORE ranking — each
+    * query's top-5 is ranked over admissible candidates only, so
+    * admissible neighbors outside the global top-5 are found, not
+    * dropped (the rank-then-filter failure the spec plants). Oracle =
+    * ann_ivf's CTE chain + the semi-join on the allowed set. See
+    * [[graft.ops.Similarity.filteredIvfTopK]] for the
+    * selectivity-adaptive strategy note. */
+  val annFiltered = GraftQuery(
+    "ann_filtered",
+    Some(s"""
+      WITH $NORM,
+      cent AS (SELECT vec_id AS cid, e, nrm FROM m WHERE vec_id < 16),
+      allow AS (SELECT doc_id AS vid FROM documents WHERE lang = 'en'),
+      asg AS (SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> v.e[i]*c.e[i])) / (v.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m v CROSS JOIN cent c) t WHERE rn = 1),
+      q AS (SELECT * FROM m WHERE vec_id < 10),
+      probes AS (SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM q CROSS JOIN cent c) t WHERE rn <= 4),
+      p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+        ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+       FROM probes pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.query_id
+       JOIN allow al ON al.vid = a.vec_id
+       JOIN m q ON q.vec_id = pr.query_id JOIN m c ON c.vec_id = a.vec_id)
+      SELECT query_id, neighbor_id, cosine FROM (
+       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM p) t
+      WHERE rn <= 5 ORDER BY query_id, neighbor_id""".trim)) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    val allowed = Tables.documents(spark, dir)
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    Similarity.filteredIvfTopK(embs,
+      embs.filter(col("vec_id") < 10), embs.filter(col("vec_id") < 16),
+      allowed)
+  }
+
   /** Radius retrieval through the same IVF candidate shape as ann_ivf:
     * every neighbor with cosine ≥ 0.3 in the query's 4 probed cells —
     * no top-k heap at all, the threshold IS the operator. Oracle =
@@ -622,6 +665,66 @@ object TrainingData extends QueryPack {
     val g = Similarity.knnGraph(embs, scaledCentroids(embs))
       .filter(col("mutual") && col("query_id") < col("neighbor_id"))
     graft.ops.Graph.connectedComponents(g, "query_id", "neighbor_id")
+      .orderBy("node")
+  }
+
+  /** Community detection by deterministic synchronous label propagation
+    * over the SAME mutual-kNN edges (Raghavan et al. 2007, the
+    * gateable synchronous/min-tie variant — see
+    * [[graft.ops.Graph.labelPropagation]]): 3 rounds, most-common
+    * neighbor label wins, ties to the smaller id. Strictly finer than
+    * [[graphKnnComponents]] — a single reciprocal edge bridging two
+    * dense neighborhoods cannot outvote either side, so chained
+    * near-clusters that components glue together stay separate (at the
+    * sf0.01 gate: 187 communities vs the components' coarser
+    * partition). Votes are integer counts; the oracle unrolls the
+    * identical argmax rounds, so the fixed point is bit-equal. */
+  val graphLabelPropagation = GraftQuery(
+    "graph_label_propagation",
+    Some {
+      val rounds = (1 to 3).map { i =>
+        s"""l$i AS (SELECT node, label FROM (
+           |        SELECT e.u AS node, l.label, COUNT(*) AS s,
+           |          ROW_NUMBER() OVER (PARTITION BY e.u
+           |            ORDER BY COUNT(*) DESC, l.label) AS rn
+           |        FROM edges e JOIN l${i - 1} l ON l.node = e.v
+           |        GROUP BY e.u, l.label) t WHERE rn = 1)""".stripMargin }
+        .mkString(",\n      ")
+      s"""
+      WITH $NORM,
+      cent AS (SELECT vec_id AS cid, e, nrm FROM m WHERE vec_id < (SELECT GREATEST(16, count(*) // 125) FROM m)),
+      asg AS (SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> v.e[i]*c.e[i])) / (v.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m v CROSS JOIN cent c) t WHERE rn = 1),
+      probes AS (SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) DESC, c.cid) AS rn
+        FROM m q CROSS JOIN cent c) t WHERE rn <= 4),
+      p AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+        ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+       FROM probes pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.query_id
+       JOIN m q ON q.vec_id = pr.query_id JOIN m c ON c.vec_id = a.vec_id),
+      top AS (SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM p) t
+       WHERE rn <= 3),
+      mut AS (SELECT t.query_id AS u, t.neighbor_id AS v
+        FROM top t JOIN top b
+          ON b.query_id = t.neighbor_id AND b.neighbor_id = t.query_id
+        WHERE t.query_id < t.neighbor_id),
+      edges AS (SELECT u, v FROM mut UNION SELECT v, u FROM mut),
+      l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+      $rounds
+      SELECT node, CAST(label AS BIGINT) AS label FROM l3 ORDER BY node""".trim
+    }) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    val g = Similarity.knnGraph(embs, scaledCentroids(embs))
+      .filter(col("mutual") && col("query_id") < col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("w"))
+    graft.ops.Graph.labelPropagation(g, "query_id", "neighbor_id", "w",
+        iterations = 3)
       .orderBy("node")
   }
 
@@ -2492,8 +2595,10 @@ object TrainingData extends QueryPack {
     dedupClusters, dedupSurvivorship, dataSplit, dataSplitClusterSafe,
     dataSample, dataWeighted, dataImportance, streamImportanceParity, dataPack,
     dataChunk, dataShard,
-    annBrute, annIvf, annIvfTrained, annLsh, annLshCandidates, annPq, annPqRerank, annIvfPq,
-    annIvfSq, annRange, annKnnGraph, graphKnnComponents, dataTriplets,
+    annBrute, annIvf, annFiltered, annIvfTrained, annLsh, annLshCandidates,
+    annPq, annPqRerank, annIvfPq,
+    annIvfSq, annRange, annKnnGraph, graphKnnComponents,
+    graphLabelPropagation, dataTriplets,
     annPqTrained, annOpq, annIvfAdcR, annMaxSim, annHardNegatives,
     annMaxSimIvf, annHardNegativesIvf, streamRetrievalParity,
     dedupParagraph)

@@ -190,4 +190,38 @@ class GraphSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       7L -> 7L, 8L -> 7L), s"got $got")
   }
+
+  test("labelPropagation: two cliques joined by a weak bridge end up " +
+      "in two communities (one connected component), deterministic " +
+      "min-label ties — hand-computed 3-round trace") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),   // triangle A
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),   // triangle B
+      (3L, 4L, 1L))                                   // bridge
+      .toDF("src", "dst", "w")
+    val got = graft.ops.Graph.labelPropagation(e, "src", "dst", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L), s"got $got")
+    // same graph, one component — LPA is strictly finer
+    val cc = graft.ops.Graph.connectedComponents(e, "src", "dst")
+      .select("component_id").distinct().count()
+    assert(cc == 1L)
+  }
+
+  test("labelPropagation: weight wins over count — one heavy edge " +
+      "outvotes two light neighbors") {
+    import spark.implicits._
+    // star: 1-2 heavy, 2-3 and 2-4 light
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 1L), (2L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val got = graft.ops.Graph.labelPropagation(e, "src", "dst", "w",
+        iterations = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // round 1: node 2 sees {1:10, 3:1, 4:1} → 1 (heavy edge beats the
+    // 2-vote light side's combined... they carry distinct labels, but
+    // even the sum 2 < 10); leaves adopt 2; node 1 adopts 2
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 2L), s"got $got")
+  }
 }

@@ -411,4 +411,39 @@ class TimeSeriesSpec extends SparkTestBase {
       .collect().map(_.toString).sorted.toSeq
     assert(got == oneShot, "sequential fold diverged from one-shot")
   }
+
+  test("theilSen: one wild outlier day cannot bend the trend line — " +
+      "hand-computed lower medians") {
+    def day(d: Int) = Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00")
+    // days 0..3 follow m = 2d + 5 exactly; day 4 explodes to 1000.
+    // pair slopes: 2.0 six times, then 248.75, 331, 495.5, 989 →
+    // lower median (rank 5 of 10) = 2.0; residuals (at epoch-day x):
+    // 5-2·D0 four times, 992-2·D0 once → lower median = 5 - 2·D0
+    val df = Seq(
+      ("a", day(0), 5.0), ("a", day(1), 7.0), ("a", day(2), 9.0),
+      ("a", day(3), 11.0), ("a", day(4), 1000.0)).toDF("k", "t", "x")
+    val out = Resample.theilSen(df, "k", "t", "x").collect()
+    assert(out.length == 1)
+    val r = out.head
+    val d0 = java.time.LocalDate.of(2024, 3, 1).toEpochDay.toDouble
+    assert((r.getLong(1), r.getLong(2)) == ((5L, 10L)))
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 5.0 - 2.0 * d0,
+      s"slope ${r.getDouble(3)} intercept ${r.getDouble(4)}")
+    // OLS on the same series for contrast: the outlier drags the
+    // fitted slope to ~148 — Theil-Sen's 29% breakdown is the point
+  }
+
+  test("theilSen: within-day rows average (decimal-exact) before " +
+      "pairing; even pair counts take the LOWER median") {
+    def at(d: Int, h: Int) = Timestamp.valueOf(f"2024-03-${d + 1}%02d $h%02d:00:00")
+    // day 0 mean = (1+3)/2 = 2, days 1..3 values 4, 7, 8 →
+    // slopes: (0,1)=2, (0,2)=2.5, (0,3)=2, (1,2)=3, (1,3)=2, (2,3)=1 →
+    // sorted 1,2,2,2,2.5,3 → lower median (rank 3 of 6) = 2
+    val df = Seq(
+      ("a", at(0, 1), 1.0), ("a", at(0, 23), 3.0), ("a", at(1, 5), 4.0),
+      ("a", at(2, 5), 7.0), ("a", at(3, 5), 8.0)).toDF("k", "t", "x")
+    val r = Resample.theilSen(df, "k", "t", "x").collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((4L, 6L)))
+    assert(r.getDouble(3) == 2.0, s"slope ${r.getDouble(3)}")
+  }
 }

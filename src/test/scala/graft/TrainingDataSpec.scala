@@ -376,6 +376,32 @@ class TrainingDataSpec extends SparkTestBase {
       bf.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("filteredIvfTopK: filter-then-rank finds the admissible neighbor " +
+      "a post-filtered top-k would drop; all-allowed equals plain IVF") {
+    // corpus: 2 is the query's global top-1, 3 the runner-up, 4 far.
+    // one centroid, nProbe=1 → every vector is a candidate.
+    val e = embTable(
+      2L -> vec(1, flip = 3), 3L -> vec(1, flip = 5), 4L -> vec(7),
+      10L -> vec(1))
+    val q = e.filter(col("vec_id") === 10)
+    val cent = e.filter(col("vec_id") === 2)
+    import spark.implicits._
+    val allowed = Seq(3L, 4L).toDF("vec_id")
+    val got = Similarity.filteredIvfTopK(e, q, cent, allowed,
+      nProbe = 1, k = 1).collect()
+    // global top-1 is the EXCLUDED id 2 — post-filtering a k=1 result
+    // would return nothing; filtered search ranks the admissible set
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, 3L)), s"got ${got.mkString(",")}")
+    // an all-allowing predicate reduces to the unfiltered operator
+    val all = e.select(col("vec_id"))
+    val withAll = Similarity.filteredIvfTopK(e, q, cent, all,
+      nProbe = 1, k = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = Similarity.ivfTopK(e, q, cent, nProbe = 1, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withAll == plain)
+  }
+
   test("ivfTopK recall on real embeddings; probing all cells is exact") {
     val embs = Tables.embeddings(spark, sfDir)
     val q = embs.filter(col("vec_id") < 5)
