@@ -307,13 +307,37 @@ object Stress100 {
         ops.Association.basketRules(liF, "l_orderkey", "l_partkey",
           minSupport = 3, maxBasket = 16).count()
       }
+      // r10 HLL: rows AND distinct users scale with f, register state
+      // stays ≤ m per group — the map-side-combined MAX must keep the
+      // shuffle constant-sized, so the curve is the scan, nothing else
+      results(("hll_distinct", f)) = time("hll_distinct", f) {
+        ops.Sketches.hllFinalize(
+          ops.Sketches.hllState(eventsF, Seq("event_type"), "user_id"),
+          Seq("event_type")).count()
+      }
+      // r10 Theil-Sen: the day grid is FIXED while rows scale — the
+      // decimal-mean reduction is the only pass that sees raw rows;
+      // pair mass (days²) must stay constant across factors
+      results(("theil_sen", f)) = time("theil_sen", f) {
+        ops.Resample.theilSen(eventsF).count()
+      }
+      // r10 LPA: 3 synchronous vote rounds over the link-predict edge
+      // list (keys scale with f, wedge mass per key constant) — each
+      // round one edge-sized join + vote sum, so rounds · edges linear
+      results(("label_prop", f)) = time("label_prop", f) {
+        ops.Graph.labelPropagation(
+          ops.Graph.bipartiteLinkPredict(liF, "l_partkey", "l_suppkey")
+            .select(col("a"), col("b"), col("cn")),
+          "a", "b", "cn").count()
+      }
     }
     for (op <- Seq("minhash_lsh", "ivfpq_k_scaled", "ivfpq_k_fixed",
         "semantic_dedup", "ngram_prefix", "ngram_capped",
         "containment_capped", "knn_components", "substring_excise", "ivfadc_r",
         "assign_flat", "assign_hier", "curation_e2e", "vocab_rank",
         "sorted_nbhd", "rfm_rank", "calibration", "pareto", "auc_ranksum",
-        "active_users", "link_predict", "basket_rules")
+        "active_users", "link_predict", "basket_rules",
+        "hll_distinct", "theil_sen", "label_prop")
         if only.forall(_.contains(op))) {
       val r10 = results((op, 100)) / results((op, 10))
       val r1 = results((op, 100)) / results((op, 1))

@@ -1006,4 +1006,48 @@ class PlanAuditSpec extends SparkTestBase {
         .isDefined,
       s"Hamming verify must sit inside the band join:\n$plan")
   }
+
+  test("sketch_hll_distinct: the register MAX combines map-side (the " +
+      "shuffle moves ≤ m rows per group per partition, never the " +
+      "corpus) and no join in the sketch path is a cartesian") {
+    val plan = planOf("sketch_hll_distinct")
+    assert(plan.contains("partial_max"),
+      s"register reduction must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian in the sketch path:\n$plan")
+  }
+
+  test("ann_filtered: the lang predicate is PUSHED to the documents " +
+      "scan and prunes posting lists through a LeftSemi join — never " +
+      "a post-rank filter") {
+    val plan = planOf("ann_filtered")
+    assert(plan.contains("LeftSemi"),
+      s"allow-set must prune via semi-join:\n$plan")
+    assert(plan.contains("EqualTo(lang,en)") ||
+      plan.contains("PushedFilters: [IsNotNull(lang)"),
+      s"lang predicate must reach the documents scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian in the filtered-search path:\n$plan")
+  }
+
+  test("ts_theil_sen: the only corpus-sized pass is the map-side-" +
+      "combined decimal grid mean; the pair join is a key equi-join " +
+      "(grid-sized), not a cartesian") {
+    val plan = planOf("ts_theil_sen")
+    assert(plan.contains("partial_sum"),
+      s"grid mean must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"day-pair generation must stay a key equi-join:\n$plan")
+  }
+
+  test("graph_label_propagation: every vote round aggregates partially " +
+      "before its shuffle and the argmax window shares the vote " +
+      "aggregation's partitioning (no extra exchange between them)") {
+    val plan = planOf("graph_label_propagation")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"vote sums must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian in the vote rounds:\n$plan")
+  }
 }
