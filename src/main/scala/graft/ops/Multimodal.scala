@@ -362,4 +362,78 @@ object Multimodal {
     val probe = udf((b: Array[Byte]) => probeHeader(b))
     df.withColumn("probed", probe(col(binCol)))
   }
+
+  /** One fixed-length PCM frame's integer summary — see
+    * [[pcmFrameEnergy]]. */
+  case class PcmFrame(media_id: Long, frame_idx: Int, n_samples: Int,
+      energy: Long, peak: Int, silence: Boolean)
+
+  /** REAL PCM16 audio analysis (codec-free — like [[probeHeader]],
+    * this is raw container+sample parsing, not a stubbed codec): walk
+    * the RIFF chunk list to the `data` chunk, decode little-endian
+    * signed 16-bit mono samples, and reduce each non-overlapping
+    * `frameSamples`-sample frame to integer sum-of-|amplitude| energy
+    * and peak — the silence-trim / voice-activity primitives an audio
+    * curation pipeline gates on (energy 0 ⇒ `silence`). All integer,
+    * so the whole lane is oracle-exact.
+    *
+    * Garbage tolerance, the 100 TB crawl contract shared with the
+    * probe: a truncated payload yields only the COMPLETE frames its
+    * bytes actually contain (declared chunk size is clamped to the
+    * bytes present); a payload with no parseable RIFF/data chunk
+    * yields no rows rather than throwing. Runs as a `mapPartitions`
+    * batch like the decode family — per-partition cost is the bytes
+    * scanned, no shuffle at all until the caller aggregates. */
+  def pcmFrameEnergy(media: Dataset[MediaRow],
+      frameSamples: Int = 16): Dataset[PcmFrame] = {
+    require(frameSamples > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val b = row.media
+        def u8(i: Int) = b(i) & 0xff
+        def le32(i: Int) = (u8(i).toLong | u8(i + 1).toLong << 8 |
+          u8(i + 2).toLong << 16 | u8(i + 3).toLong << 24).toInt
+        def ascii(i: Int, n: Int) = new String(b, i, n, "US-ASCII")
+        if (b == null || b.length < 12 || ascii(0, 4) != "RIFF" ||
+            ascii(8, 4) != "WAVE") Iterator.empty
+        else {
+          // chunk walk: [id 4][size LE32][payload size] from offset 12
+          var off = 12
+          var dataOff = -1
+          var dataLen = 0
+          while (dataOff < 0 && off + 8 <= b.length) {
+            val id = ascii(off, 4)
+            val sz = le32(off + 4)
+            if (id == "data") {
+              dataOff = off + 8
+              // clamp to the bytes present — truncated crawl payloads
+              dataLen = math.max(0, math.min(sz, b.length - dataOff))
+            } else off += 8 + sz + (sz & 1) // RIFF pads odd chunks
+          }
+          if (dataOff < 0) Iterator.empty
+          else {
+            val nSamples = dataLen / 2
+            val nFrames = nSamples / frameSamples
+            (0 until nFrames).iterator.map { fi =>
+              var energy = 0L
+              var peak = 0
+              var j = fi * frameSamples
+              val end = j + frameSamples
+              while (j < end) {
+                val lo = u8(dataOff + 2 * j)
+                val hi = b(dataOff + 2 * j + 1).toInt // sign-extends
+                val a = math.abs((hi << 8) | lo)
+                energy += a
+                if (a > peak) peak = a
+                j += 1
+              }
+              PcmFrame(row.media_id, fi, frameSamples, energy, peak,
+                silence = energy == 0L)
+            }
+          }
+        }
+      }
+    }
+  }
 }

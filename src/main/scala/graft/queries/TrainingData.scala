@@ -2245,6 +2245,71 @@ object TrainingData extends QueryPack {
       .orderBy("media_id")
   }
 
+  /** PCM frame energy ORACLE-GATED (round 10 — the fourth multimodal
+    * [Q], and the first over SAMPLE data rather than headers): real
+    * 44-byte RIFF/WAVE files with 64 16-bit LE mono samples are
+    * fabricated per doc (sample j = ((id·31 + j·17) mod 4096) − 2048;
+    * docs ≡ 0 mod 5 get frame 2 zeroed — planted silence; docs ≡ 0
+    * mod 7 are TRUNCATED to 50 samples mid-frame), and the REAL
+    * chunk-walking PCM decoder ([[graft.ops.Multimodal
+    * .pcmFrameEnergy]]) must reproduce the closed-form integer
+    * energies: full files yield 4 frames, truncated ones only their 3
+    * complete frames, silence flags exactly the zeroed frame. The
+    * oracle regenerates the samples arithmetically — the gate proves
+    * the byte walk, the sign-extending LE16 decode, and the
+    * truncation clamp, not the arithmetic. */
+  val mmAudioEnergy = GraftQuery(
+    "mm_audio_energy",
+    Some("""
+      WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 4 END AS nf FROM documents),
+      f AS (SELECT id, unnest(range(0, nf)) AS fi FROM d),
+      s AS (SELECT id, fi, unnest(range(fi*16, fi*16+16)) AS j FROM f),
+      v AS (SELECT id, fi,
+          CASE WHEN id % 5 = 0 AND j >= 32 AND j < 48 THEN 0
+               ELSE (id*31 + j*17) % 4096 - 2048 END AS smp FROM s)
+      SELECT id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+        CAST(16 AS BIGINT) AS n_samples,
+        CAST(SUM(abs(smp)) AS BIGINT) AS energy,
+        CAST(MAX(abs(smp)) AS BIGINT) AS peak,
+        SUM(abs(smp)) = 0 AS silence
+      FROM v GROUP BY id, fi ORDER BY media_id, frame_idx""".trim)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.map { id =>
+      val b = new Array[Byte](44 + 128)
+      def ascii(off: Int, s: String): Unit =
+        s.getBytes("US-ASCII").copyToArray(b, off)
+      def le16(off: Int, v: Int): Unit = {
+        b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def le32(off: Int, v: Int): Unit = {
+        le16(off, v & 0xffff); le16(off + 2, (v >> 16) & 0xffff)
+      }
+      ascii(0, "RIFF"); le32(4, 36 + 128); ascii(8, "WAVE")
+      ascii(12, "fmt "); le32(16, 16)
+      le16(20, 1); le16(22, 1); le32(24, 8000)
+      le32(28, 16000); le16(32, 2); le16(34, 16)
+      ascii(36, "data"); le32(40, 128)
+      for (j <- 0 until 64) {
+        val v = if (id % 5 == 0 && j >= 32 && j < 48) 0
+          else ((id * 31L + j * 17L) % 4096L - 2048L).toInt
+        le16(44 + 2 * j, v & 0xffff)
+      }
+      val payload = if (id % 7 == 0) b.take(44 + 100) else b
+      Multimodal.MediaRow(id, payload,
+        Multimodal.MediaMeta("synthetic", 0, 0, 0, 0L))
+    }
+    Multimodal.pcmFrameEnergy(media)
+      .toDF()
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("n_samples").cast("long").as("n_samples"), col("energy"),
+        col("peak").cast("long").as("peak"), col("silence"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** PMI-style bigram collocations (round 9 — the phrase-mining lane):
     * the top-50 bigrams by association LIFT, the exp₂ of pointwise
     * mutual information — published as the RATIONAL lift rather than
@@ -2576,7 +2641,8 @@ object TrainingData extends QueryPack {
   }
 
   override def all: Seq[GraftQuery] = Seq(
-    mmPhashPairs, streamIndexParity, mmFrameSlices, mmProbeParity, textPmi,
+    mmPhashPairs, streamIndexParity, mmFrameSlices, mmProbeParity,
+    mmAudioEnergy, textPmi,
     pipelineDedupCascade,
     dedupUrl, textGopher, textEntropy, annRecall, annRankMetrics,
     fuzzyVocab, vocabStats,

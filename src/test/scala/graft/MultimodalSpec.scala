@@ -268,4 +268,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(out == Set((1L, "png", 64, 32, true),
       (2L, "unknown", 0, 0, false)), s"got $out")
   }
+
+  test("pcmFrameEnergy: chunk walk skips a padded pre-data chunk, LE16 " +
+      "decode sign-extends, truncation clamps to complete frames, " +
+      "garbage yields no rows") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // hand-built WAV: RIFF/WAVE, then an ODD-sized junk chunk (walker
+    // must honor RIFF's pad byte), then data with 8 samples:
+    // [1, -1, 2, -2, 100, -100, 0, 0] → frames of 4:
+    //   f0 energy 6 peak 2, f1 energy 200 peak 100
+    def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16((v >> 16) & 0xffff)
+    val samples = Seq(1, -1, 2, -2, 100, -100, 0, 0)
+    val wav = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(0) ++
+      "WAVE".getBytes("US-ASCII").toSeq ++
+      "junk".getBytes("US-ASCII").toSeq ++ le32(3) ++
+      Seq[Byte](9, 9, 9, 0) ++ // 3 payload bytes + 1 RIFF pad
+      "data".getBytes("US-ASCII").toSeq ++ le32(16) ++
+      samples.flatMap(le16)).toArray
+    def rowsOf(b: Array[Byte]) = Seq(Multimodal.MediaRow(1L, b,
+      Multimodal.MediaMeta("synthetic", 0, 0, 0, 0L))).toDS()
+    val got = Multimodal.pcmFrameEnergy(rowsOf(wav), frameSamples = 4)
+      .collect().map(f => (f.frame_idx, f.energy, f.peak, f.silence)).toSet
+    assert(got == Set((0, 6L, 2, false), (1, 200L, 100, false)), s"got $got")
+    // truncate mid-frame-1: only frame 0 survives
+    val cut = Multimodal.pcmFrameEnergy(rowsOf(wav.dropRight(6)),
+      frameSamples = 4).collect()
+    assert(cut.map(_.frame_idx).toSeq == Seq(0))
+    // all-zero samples flag silence
+    val quiet = wav.clone()
+    for (i <- (wav.length - 16) until wav.length) quiet(i) = 0
+    assert(Multimodal.pcmFrameEnergy(rowsOf(quiet), frameSamples = 4)
+      .collect().forall(_.silence))
+    // garbage: no RIFF, no rows — never a throw
+    assert(Multimodal.pcmFrameEnergy(rowsOf("not audio at all".getBytes),
+      frameSamples = 4).collect().isEmpty)
+  }
 }
