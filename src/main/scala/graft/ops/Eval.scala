@@ -80,6 +80,45 @@ object Eval {
             (lit(2.0) * col("n_pos") * col("n_neg"))))
   }
 
+  /** Per-GROUP tie-aware AUC — the sliced-evaluation form (model audit
+    * by segment, fairness review by cohort, per-source quality of a
+    * curation classifier): [[aucRankSum]]'s exact rank-sum computed
+    * independently inside every group, one row per group.
+    *
+    * Same NULL pins as the global form (NULL label → negative, NULL
+    * score dropped). Scale shape: the fact collapses to per-(group,
+    * distinct score) counts in ONE map-side-combined pass; the
+    * cumulative-negative prefix runs in a window PARTITIONED BY GROUP
+    * over those counts — groups parallelize, and a group's window
+    * sees its own distinct scores only. That is the right lane when
+    * slices are many and individually bounded (segments, sources,
+    * cohorts); for ONE giant slice use the global form, whose
+    * range-parallel rank never funnels a slice through one task. */
+  def groupedAucRankSum(df: DataFrame, groupCol: Column,
+      scoreCol: Column, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = df
+      .select(groupCol.as("grp"), scoreCol.as("__s"),
+        coalesce(labelCol.cast("int"), lit(0)).as("__y"))
+      .filter(col("__s").isNotNull)
+      .groupBy("grp", "__s")
+      .agg(sum(col("__y")).cast("long").as("__pos"),
+        sum(lit(1L) - col("__y")).cast("long").as("__neg"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("__negbelow", sum(col("__neg")).over(w) - col("__neg"))
+      .groupBy("grp")
+      .agg(sum(col("__pos")).cast("long").as("n_pos"),
+        sum(col("__neg")).cast("long").as("n_neg"),
+        sum(col("__pos") * (lit(2L) * col("__negbelow") + col("__neg")))
+          .cast("long").as("u2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg"))))
+  }
+
   /** Calibration table: rows bucketed into `buckets` equal-count bins by
     * ascending score (pure integer rank math — `(rank−1)·b div n + 1`,
     * the [[Behavior.rfmSegments]] quartile recipe, so bin edges never

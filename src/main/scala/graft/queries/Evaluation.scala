@@ -39,6 +39,38 @@ object Evaluation extends QueryPack {
       col("o_totalprice"), col("o_orderstatus") === "F")
   }
 
+  /** Sliced evaluation: q50's exact rank-sum AUC per order priority —
+    * the per-segment model audit (does the score discriminate equally
+    * across cohorts?). One map-side-combined (group, score) collapse;
+    * the negative prefix runs per group over distinct scores (see
+    * [[graft.ops.Eval.groupedAucRankSum]] for the giant-slice
+    * alternative). */
+  val q61GroupAuc = GraftQuery(
+    "q61_group_auc",
+    Some("""
+      WITH b AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS s,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS neg
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+      c AS (
+        SELECT grp, pos, neg,
+               SUM(neg) OVER (PARTITION BY grp ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - neg AS negbelow
+        FROM b)
+      SELECT grp, CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * negbelow + neg)) AS BIGINT) AS u2,
+             CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+               CAST(SUM(pos * (2 * negbelow + neg)) AS DOUBLE) /
+                 (2.0 * SUM(pos) * SUM(neg)) END AS auc
+      FROM c GROUP BY grp ORDER BY grp""".stripMargin.trim)) { (spark, dir) =>
+    Eval.groupedAucRankSum(Tables.orders(spark, dir),
+        col("o_orderpriority"), col("o_totalprice"),
+        col("o_orderstatus") === "F")
+      .orderBy("grp")
+  }
+
   /** Average precision on the same score/outcome pair — the PR-curve
     * summary (rank-sum form, decimal-summed precisions; the ROC AUC's
     * imbalance-robust twin). */
@@ -210,5 +242,5 @@ object Evaluation extends QueryPack {
 
   override def all: Seq[GraftQuery] =
     Seq(q50Auc, q51Calibration, q56AvgPrecision, q57PrCurve, dataKfold,
-      q52Basket, q53EventNgrams)
+      q52Basket, q53EventNgrams, q61GroupAuc)
 }

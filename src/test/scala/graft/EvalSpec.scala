@@ -69,6 +69,28 @@ class EvalSpec extends SparkTestBase {
       .head().getAs[Double]("auc") == 0.0)
   }
 
+  test("groupedAucRankSum: independent per-slice rank sums — perfect, " +
+      "reversed, tied, and single-class slices in one pass") {
+    val df = Seq(
+      ("A", 1.0, 0), ("A", 2.0, 0), ("A", 3.0, 1),   // perfect → 1.0
+      ("B", 1.0, 1), ("B", 2.0, 0),                   // reversed → 0.0
+      ("D", 1.0, 1), ("D", 1.0, 0),                   // one tied pair → 0.5
+      ("C", 1.0, 1), ("C", 2.0, 1))                   // single class → NULL
+      .toDF("g", "s", "y")
+    val got = Eval.groupedAucRankSum(df, col("g"), col("s"), col("y") === 1)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("auc"))) None
+         else Some(r.getAs[Double]("auc")))).toMap
+    assert(got == Map("A" -> Some(1.0), "B" -> Some(0.0),
+      "D" -> Some(0.5), "C" -> None), s"got $got")
+    // every slice agrees with the global operator run on it alone
+    for (g <- Seq("A", "B", "D")) {
+      val solo = Eval.aucRankSum(df.filter(col("g") === g),
+        col("s"), col("y") === 1).head().getAs[Double]("auc")
+      assert(got(g).contains(solo), s"slice $g diverged from global form")
+    }
+  }
+
   // ---- k-fold ----
 
   test("kfold: every group lands whole in one fold, assignment is stable") {
