@@ -85,6 +85,55 @@ object Dedup {
         round(col("n_dup_chunks") / col("n_chunks").cast("double"), 6))
   }
 
+  /** Content-defined chunking (the Gear/FastCDC idea at token
+    * granularity): a token CLOSES a chunk when its stable hash ≡ 0 mod
+    * `modulus`, so boundaries are functions of CONTENT, not position —
+    * prepend a sentence and every later boundary stays put, where
+    * fixed-window chunking ([[chunkDupFraction]]) shifts every chunk
+    * and matches nothing (the spec plants exactly that; this is why
+    * storage dedup and long-doc near-dup use CDC). Expected chunk
+    * length = `modulus` tokens.
+    *
+    * Per doc: chunk count, token count, longest chunk, chunks SHARED
+    * with another doc (census by chunk hash — distinct-doc counted, so
+    * within-doc repetition doesn't inflate it) and the shared
+    * fraction. Scale shape: tokens shuffle once on the doc id (the
+    * prefix-sum window and the chunk reassembly are co-partitioned
+    * with it); the census moves 8-byte chunk hashes, a chunk shared by
+    * k docs is one census row. */
+  def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", modulus: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(modulus >= 2)
+    val tok = docs
+      .repartition(shufflePartitions(docs), col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+      .filter(length(col("t")) > 0)
+      .withColumn("cut",
+        when(pmod(hash60(concat(lit("cdc:"), col("t"))),
+          lit(modulus.toLong)) === 0L, 1L).otherwise(0L))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = tok
+      .withColumn("ci", coalesce(sum(col("cut")).over(wPrev), lit(0L)))
+      .groupBy(col("doc_id"), col("ci"))
+      .agg(hash60(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            s => s.getField("t")))).as("chash"),
+        count(lit(1)).as("clen"))
+    val census = chunks.groupBy("chash")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(census, "chash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("n_tokens"),
+        max(col("clen")).as("max_chunk_len"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .withColumn("shared_frac",
+        round(col("n_shared_chunks") / col("n_chunks").cast("double"), 6))
+  }
+
   /** Distinct 3-shingle sets per doc, the shared input of the text
     * near-dup operators. Hash-repartitioned on the doc id first: the
     * downstream per-row work (shingling, minhash signatures) is compute-

@@ -1867,6 +1867,42 @@ object TrainingData extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** Content-defined chunking + cross-doc chunk dedup (the FastCDC
+    * idea at token granularity): boundaries are a function of content
+    * (token hash ≡ 0 mod 16), so an insertion shifts NOTHING
+    * downstream — the robustness fixed-window chunking (dedup_paragraph)
+    * fundamentally lacks (spec plants a one-token prepend: CDC re-finds
+    * every chunk, fixed chunking matches none). Census is
+    * distinct-doc-counted; the oracle replays cut rule, prefix-sum
+    * chunk ids, position-ordered reassembly and census verbatim. */
+  val dedupCdc = GraftQuery(
+    "dedup_cdc_chunks",
+    Some("""
+      WITH tk AS (SELECT doc_id, string_split_regex(text,'\s+') AS tk FROM documents),
+      tok AS (SELECT doc_id, i AS pos, tk[i] AS t,
+            CASE WHEN ('0x'||substr(md5('cdc:'||tk[i]),1,15))::BIGINT % 16 = 0
+                 THEN 1 ELSE 0 END AS cut
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS i FROM tk)
+          WHERE len(tk[i]) > 0),
+      c AS (SELECT doc_id, pos, t,
+            COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+          FROM tok),
+      ch AS (SELECT doc_id, ci,
+            ('0x'||substr(md5(string_agg(t, ' ' ORDER BY pos)),1,15))::BIGINT AS chash,
+            COUNT(*) AS clen
+          FROM c GROUP BY doc_id, ci),
+      census AS (SELECT chash, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chash)
+      SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(clen) AS BIGINT) AS n_tokens,
+        CAST(MAX(clen) AS BIGINT) AS max_chunk_len,
+        CAST(SUM(CASE WHEN census.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+        ROUND(SUM(CASE WHEN census.nd > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS shared_frac
+      FROM ch JOIN census USING (chash)
+      GROUP BY ch.doc_id ORDER BY doc_id""".trim)) { (spark, dir) =>
+    Dedup.cdcChunks(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
   /** Chunk-granular duplication signal (paragraph dedup analog). */
   val dedupParagraph = GraftQuery(
     "dedup_paragraph",
@@ -2657,7 +2693,7 @@ object TrainingData extends QueryPack {
     dedupSortedMulti,
     dedupNgramCapped, dedupContainment,
     dedupContainmentCapped, dedupMinhash, streamDedupParity, dedupSimhash,
-    dedupEmbedding, dedupSemantic,
+    dedupEmbedding, dedupSemantic, dedupCdc,
     dedupClusters, dedupSurvivorship, dataSplit, dataSplitClusterSafe,
     dataSample, dataWeighted, dataImportance, streamImportanceParity, dataPack,
     dataChunk, dataShard,

@@ -356,6 +356,36 @@ class TrainingDataSpec extends SparkTestBase {
     assert((pairs(0).getAs[Long]("id_a"), pairs(0).getAs[Long]("id_b")) == (1L, 2L))
   }
 
+  test("cdcChunks: content-defined boundaries survive a one-token " +
+      "prepend (fixed-window chunking matches nothing on the same " +
+      "corpus) and the census is distinct-doc-counted") {
+    val h = graft.functions.Hashing.hash60Local _
+    def isCut(w: String) = h(s"cdc:$w") % 16 == 0
+    // three known cut words + distinct non-cut fillers, found by the
+    // same hash the operator uses
+    val cuts = (0 until 2000).map(i => s"c$i").filter(isCut).take(3)
+    val fill = (0 until 2000).map(i => s"w$i").filterNot(isCut).take(33)
+    assert(cuts.size == 3 && fill.size == 33)
+    val body = (0 until 3).flatMap(k =>
+      fill.slice(k * 10, k * 10 + 10) :+ cuts(k)) ++ fill.slice(30, 33)
+    val base = body.mkString(" ")
+    val d = docs(1L -> base, 2L -> s"pre $base")
+    val got = graft.ops.Dedup.cdcChunks(d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4))).toMap
+    // 3 cut tokens → 4 chunks per doc; only the FIRST chunk of doc 2
+    // differs (it absorbs the prepended token) — chunks 2..4 realign
+    assert(got(1L)._1 == 4 && got(2L)._1 == 4, s"got $got")
+    assert(got(1L)._2 == 3 && got(2L)._2 == 3,
+      s"CDC must re-find the 3 unshifted chunks: $got")
+    // fixed 10-token windows on the same corpus: the 1-token shift
+    // misaligns every window — zero duplicate chunks
+    val fixed = graft.ops.Dedup.chunkDupFraction(d)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(fixed.values.forall(_ == 0L),
+      s"fixed chunking must not match across the shift: $fixed")
+  }
+
   test("bruteForceTopK ranks the planted duplicate first") {
     val e = embTable(
       1L -> vec(1), 2L -> vec(1, flip = 3), 3L -> vec(7), 4L -> vec(13), 5L -> vec(29))
