@@ -461,6 +461,38 @@ object Extended extends QueryPack {
       .orderBy("file_id")
   }
 
+  /** Per-brand Pareto frontier (skyline) on (price, size), both
+    * minimized — the multi-criteria shortlist no single ORDER BY can
+    * express (Börzsönyi et al. 2001; engines still don't ship the
+    * operator). Sort-free exact form: grid min + per-group prefix-min
+    * window, no self-join, no NOT EXISTS over the fact (see
+    * [[graft.ops.Skyline.skyline2D]]); equal (price, size) twins both
+    * survive. Oracle replays the identical grid/prefix construction. */
+  val q62Skyline = GraftQuery(
+    "q62_skyline",
+    Some("""
+      WITH p AS (SELECT p_brand AS brand, p_partkey AS partkey,
+            p_retailprice AS price, p_size AS sz FROM part
+            WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+      g AS (SELECT brand, price, MIN(sz) AS msz FROM p GROUP BY 1, 2),
+      f AS (SELECT brand, price, msz FROM (
+            SELECT brand, price, msz,
+              MIN(msz) OVER (PARTITION BY brand ORDER BY price
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+            FROM g) t WHERE pmin IS NULL OR pmin > msz)
+      SELECT p.brand, CAST(p.partkey AS BIGINT) AS partkey,
+        p.price, CAST(p.sz AS BIGINT) AS size
+      FROM p JOIN f ON p.brand = f.brand AND p.price = f.price AND p.sz = f.msz
+      ORDER BY p.brand, partkey""".stripMargin.trim)) { (spark, dir) =>
+    graft.ops.Skyline.skyline2D(
+        Tables.part(spark, dir).select(col("p_brand").as("brand"),
+          col("p_partkey").cast("long").as("partkey"),
+          col("p_retailprice").as("price"),
+          col("p_size").cast("long").as("size")),
+        col("brand"), col("price"), col("size"))
+      .orderBy("brand", "partkey")
+  }
+
   /** Shared oracle body for the HLL gates: hash → register → max-rho
     * table → scaled-integer harmonic sum → raw estimate, replayed
     * verbatim against [[graft.ops.Sketches.hllState]]/`hllFinalize`
@@ -545,5 +577,5 @@ object Extended extends QueryPack {
 
   override def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q36, q37, q40, curation, q31, q33, q35, q41,
-      layoutPruneStats, hllDistinct, streamHllParity)
+      layoutPruneStats, hllDistinct, streamHllParity, q62Skyline)
 }

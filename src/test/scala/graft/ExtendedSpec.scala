@@ -273,4 +273,34 @@ class ExtendedSpec extends SparkTestBase {
       df.orderBy("o_orderkey").collect().map(_.toString).toSeq
     assert(canonO(replayedO) == canonO(perturbed))
   }
+
+  test("skyline2D: hand frontier — duplicates both kept, dominance " +
+      "strict on one axis; matches brute-force NOT EXISTS on a real " +
+      "table") {
+    import spark.implicits._
+    val pts = Seq(
+      ("A", 1L, 1.0, 5L), ("A", 2L, 1.0, 5L),  // equal twins: both stay
+      ("A", 3L, 2.0, 3L),                       // frontier
+      ("A", 4L, 3.0, 3L),                       // dominated by id 3
+      ("A", 5L, 2.0, 7L),                       // dominated by ids 1/2
+      ("B", 6L, 9.0, 9L))                       // alone in its group
+      .toDF("g", "id", "x", "y")
+    val got = graft.ops.Skyline.skyline2D(pts, col("g"), col("x"), col("y"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 6L), s"got $got")
+
+    // brute-force dominance check on sf0.001 part (per brand)
+    val part = Tables.part(spark, sfDir).select(col("p_brand").as("g"),
+      col("p_partkey").as("id"), col("p_retailprice").as("x"),
+      col("p_size").cast("long").as("y"))
+    val sky = graft.ops.Skyline.skyline2D(part, col("g"), col("x"), col("y"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val dom = part.as("a").join(part.as("b"),
+        col("a.g") === col("b.g") &&
+        col("b.x") <= col("a.x") && col("b.y") <= col("a.y") &&
+        (col("b.x") < col("a.x") || col("b.y") < col("a.y")))
+      .select(col("a.id")).distinct().collect().map(_.getLong(0)).toSet
+    val all = part.select("id").collect().map(_.getLong(0)).toSet
+    assert(sky == all -- dom, "window frontier diverged from NOT EXISTS")
+  }
 }
