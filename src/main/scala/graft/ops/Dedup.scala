@@ -471,6 +471,54 @@ object Dedup {
     if (cache) materializeThenRelease(result, Seq(banded)) else result
   }
 
+  /** Banding-recall AUDIT: how much of the exact near-dup truth does
+    * the MinHash-LSH banding actually surface? One row — true pairs
+    * (every pair with Jaccard ≥ threshold, via the shingle-sharing
+    * candidate generator, which is EXHAUSTIVE for any threshold > 0:
+    * a pair with positive Jaccard shares a shingle), LSH band
+    * candidates, verified LSH pairs, recall (found/true) and candidate
+    * precision (found/candidates — the verify-cost efficiency).
+    * Verified LSH pairs are a subset of the truth by construction
+    * (same verify), so recall ≤ 1 exactly.
+    *
+    * This is the audit a curation team runs before trusting a banding
+    * config at scale: the published (bands, rows) S-curve says what
+    * recall SHOULD be at a given similarity; this measures it on real
+    * data. Cost is dominated by the exact baseline (the shingle-
+    * sharing pair scan) — at corpus scale run it on a documented
+    * SAMPLE, the standard recall-audit protocol; the LSH side costs
+    * what the production operator costs. */
+  def lshRecallAudit(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandTable(sh, numPerms, bands)
+    val lshCand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val exploded = sh.select(col("doc_id"), explode(col("s")).as("g"))
+    val exactCand = exploded.as("a").join(exploded.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val nTrue = verifyJaccard(exactCand, sh, threshold)
+      .agg(count(lit(1)).as("n_true"))
+    val nCand = lshCand.agg(count(lit(1)).as("n_lsh_candidates"))
+    val nFound = verifyJaccard(lshCand, sh, threshold)
+      .agg(count(lit(1)).as("n_found"))
+    val result = nTrue.crossJoin(nCand).crossJoin(nFound)
+      .withColumn("recall",
+        when(col("n_true") > 0,
+          round(col("n_found") / col("n_true").cast("double"), 6)))
+      .withColumn("cand_precision",
+        when(col("n_lsh_candidates") > 0,
+          round(col("n_found") / col("n_lsh_candidates").cast("double"), 6)))
+    materializeThenRelease(result, Seq(sh))
+  }
+
   /** 60-bit SimHash near-dup pairs within Hamming distance `maxHamming`.
     *
     * Candidates come from 6 bands of 10 bits: by pigeonhole, any pair

@@ -468,9 +468,7 @@ object Extended extends QueryPack {
     * window, no self-join, no NOT EXISTS over the fact (see
     * [[graft.ops.Skyline.skyline2D]]); equal (price, size) twins both
     * survive. Oracle replays the identical grid/prefix construction. */
-  val q62Skyline = GraftQuery(
-    "q62_skyline",
-    Some("""
+  private val SKYLINE_ORACLE = """
       WITH p AS (SELECT p_brand AS brand, p_partkey AS partkey,
             p_retailprice AS price, p_size AS sz FROM part
             WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
@@ -483,14 +481,50 @@ object Extended extends QueryPack {
       SELECT p.brand, CAST(p.partkey AS BIGINT) AS partkey,
         p.price, CAST(p.sz AS BIGINT) AS size
       FROM p JOIN f ON p.brand = f.brand AND p.price = f.price AND p.sz = f.msz
-      ORDER BY p.brand, partkey""".stripMargin.trim)) { (spark, dir) =>
-    graft.ops.Skyline.skyline2D(
-        Tables.part(spark, dir).select(col("p_brand").as("brand"),
-          col("p_partkey").cast("long").as("partkey"),
-          col("p_retailprice").as("price"),
-          col("p_size").cast("long").as("size")),
+      ORDER BY p.brand, partkey""".stripMargin.trim
+
+  private def partPoints(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables.part(spark, dir).select(col("p_brand").as("brand"),
+      col("p_partkey").cast("long").as("partkey"),
+      col("p_retailprice").as("price"),
+      col("p_size").cast("long").as("size"))
+
+  val q62Skyline = GraftQuery(
+    "q62_skyline",
+    Some(SKYLINE_ORACLE)) { (spark, dir) =>
+    graft.ops.Skyline.skyline2D(partPoints(spark, dir),
         col("brand"), col("price"), col("size"))
       .orderBy("brand", "partkey")
+  }
+
+  /** Skyline's union-respecting reduction DRIVER-GATED: parts arrive
+    * as 3 hash-split micro-batches with one at-least-once REPLAY of
+    * batch 1, and the maintained state is re-skylined against each
+    * batch — `state := skyline(distinct(state ∪ batch))`, the
+    * foreachBatch shape the identity
+    * skyline(A ∪ B) = skyline(skyline(A) ∪ B) licenses. The distinct
+    * absorbs the replay (rows the frontier already dropped get
+    * dominated again — deterministically); the final state
+    * hash-equals the one-shot oracle VERBATIM. Like the M4/HLL lanes:
+    * no on-disk state, one lazy plan over frontier-sized rows. */
+  val streamSkylineParity = GraftQuery(
+    "stream_skyline_parity",
+    Some(SKYLINE_ORACLE)) { (spark, dir) =>
+    val p = partPoints(spark, dir)
+    GateHarness.microBatchScoped(spark) {
+      val batches = Seq(0, 1, 1, 2)
+        .map(b => p.filter(pmod(col("partkey"), lit(3)) === b))
+      val folded = batches.tail.foldLeft(
+        graft.ops.Skyline.skyline2D(batches.head,
+          col("brand"), col("price"), col("size"))) { (state, b) =>
+        graft.ops.Skyline.skyline2D(state.unionByName(b).distinct(),
+          col("brand"), col("price"), col("size"))
+      }
+      val out = folded.orderBy("brand", "partkey")
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    }
   }
 
   /** Shared oracle body for the HLL gates: hash → register → max-rho
@@ -577,5 +611,6 @@ object Extended extends QueryPack {
 
   override def all: Seq[GraftQuery] =
     Seq(q13, q14, q15, q36, q37, q40, curation, q31, q33, q35, q41,
-      layoutPruneStats, hllDistinct, streamHllParity, q62Skyline)
+      layoutPruneStats, hllDistinct, streamHllParity, q62Skyline,
+      streamSkylineParity)
 }

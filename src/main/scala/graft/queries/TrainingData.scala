@@ -250,6 +250,39 @@ object TrainingData extends QueryPack {
     Dedup.minHashLsh(Tables.documents(spark, dir))
   }
 
+  /** Banding-recall audit ORACLE-GATED: the exact near-dup truth
+    * (shingle-sharing candidates — exhaustive for any positive
+    * Jaccard — verified at τ), the LSH band-candidate count, the
+    * verified LSH pairs, and the two ratios a curation team reads
+    * before trusting a banding config (recall = found/true, candidate
+    * precision = found/candidates). Found ⊆ true by construction, so
+    * recall ≤ 1 exactly. The exact baseline dominates the cost — at
+    * corpus scale this audit runs on a documented sample (the standard
+    * protocol); see [[graft.ops.Dedup.lshRecallAudit]]. */
+  val dedupLshRecall = GraftQuery(
+    "dedup_lsh_recall",
+    Some(s"""
+      WITH $SH,
+      sig AS (SELECT doc_id, s, list_transform(range(0,64), p -> list_min(list_transform(s, g -> ('0x'||substr(md5(CAST(p AS VARCHAR)||':'||g),1,15))::BIGINT))) AS mh FROM sh),
+      bands AS (SELECT doc_id, band, md5(array_to_string(list_transform(list_slice(mh, band*4+1, band*4+4), x -> CAST(x AS VARCHAR)), ',')) AS bkey
+                FROM (SELECT doc_id, mh, unnest(range(0,16)) AS band FROM sig)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      exg AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      tc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id),
+      jt AS (SELECT ROUND(len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS j
+             FROM tc JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b),
+      jf AS (SELECT ROUND(len(list_intersect(x.s, y.s)) / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS j
+             FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b),
+      tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM jt WHERE j >= 0.5),
+      nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh_candidates FROM cand),
+      nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM jf WHERE j >= 0.5)
+      SELECT n_true, n_lsh_candidates, n_found,
+        CASE WHEN n_true > 0 THEN ROUND(n_found / CAST(n_true AS DOUBLE), 6) END AS recall,
+        CASE WHEN n_lsh_candidates > 0 THEN ROUND(n_found / CAST(n_lsh_candidates AS DOUBLE), 6) END AS cand_precision
+      FROM tr, nc, nf""".trim)) { (spark, dir) =>
+    Dedup.lshRecallAudit(Tables.documents(spark, dir))
+  }
+
   /** The incremental dedup index DRIVER-GATED (round 8 — the parity
     * pattern applied to the last spec-only streaming family): docs
     * arrive as 3 hash-split micro-batches with one at-least-once
@@ -2692,7 +2725,8 @@ object TrainingData extends QueryPack {
     dedupExact, dedupNgram, dedupNgramPrefix, dedupSortedNeighborhood,
     dedupSortedMulti,
     dedupNgramCapped, dedupContainment,
-    dedupContainmentCapped, dedupMinhash, streamDedupParity, dedupSimhash,
+    dedupContainmentCapped, dedupMinhash, dedupLshRecall, streamDedupParity,
+    dedupSimhash,
     dedupEmbedding, dedupSemantic, dedupCdc,
     dedupClusters, dedupSurvivorship, dataSplit, dataSplitClusterSafe,
     dataSample, dataWeighted, dataImportance, streamImportanceParity, dataPack,

@@ -303,4 +303,35 @@ class ExtendedSpec extends SparkTestBase {
     val all = part.select("id").collect().map(_.getLong(0)).toSet
     assert(sky == all -- dom, "window frontier diverged from NOT EXISTS")
   }
+
+  test("skyline fold: skyline(skyline(A) ∪ B) == skyline(A ∪ B), with " +
+      "an at-least-once replayed batch absorbed by distinct") {
+    import spark.implicits._
+    val pts = (1L to 60L).map(i =>
+      ("g" + (i % 3), i, (i * 7 % 13).toDouble, (i * 11 % 17)))
+      .toDF("g", "id", "x", "y")
+    def sky(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Skyline.skyline2D(df, col("g"), col("x"), col("y"))
+    val oneShot = sky(pts).collect().map(_.toString).sorted.toSeq
+    val batches = Seq(0L, 1L, 1L, 2L).map(b => pts.filter(col("id") % 3 === b))
+    val folded = batches.tail.foldLeft(sky(batches.head)) { (st, b) =>
+      sky(st.unionByName(b).distinct()) }
+    assert(folded.collect().map(_.toString).sorted.toSeq == oneShot,
+      "sequential skyline fold diverged from one-shot")
+  }
+
+  test("lshRecallAudit: planted near-dup found, unique doc not, " +
+      "recall and precision exact") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 39).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val d = Seq((1L, base), (2L, nearDup),
+      (3L, (100 to 140).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Dedup.lshRecallAudit(d).head()
+    assert(r.getAs[Long]("n_true") == 1L, s"truth: $r")
+    assert(r.getAs[Long]("n_found") == 1L, s"found: $r")
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(r.getAs[Long]("n_lsh_candidates") >= 1L)
+  }
 }
