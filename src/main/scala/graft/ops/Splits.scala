@@ -127,6 +127,54 @@ object Splits {
       .drop("__h", "__grank", "__n", "__r0")
   }
 
+  /** Max-min fair budget allocation with overflow redistribution
+    * (WATERFILLING): split a document budget equally across strata,
+    * cap each stratum at its capacity, and re-pour what capped strata
+    * couldn't absorb over the still-open ones — the "fair multilingual
+    * budget" recipe (low-resource languages taken whole, the surplus
+    * flowing to high-resource ones), which [[quota]] (fixed cap) and
+    * [[temperatureMix]] (proportional, no redistribution) cannot
+    * express.
+    *
+    * `rounds` unrolled integer rounds: each gives every open stratum
+    * `(budget − used) div n_open`, clamped to remaining capacity;
+    * floor-division leftovers (< n_open per round) stay unallocated —
+    * reported honestly via the per-stratum `alloc`, never silently
+    * topped up. All arithmetic integer, the allocation table is
+    * strata-sized, and the selection is the [[quota]] recipe (smallest
+    * salted id-hashes per stratum through the range-parallel rank), so
+    * the whole operator is deterministic and oracle-exact. The only
+    * corpus-sized passes are the capacity count and the final rank. */
+  def budgetWaterfill(df: DataFrame, idCol: String, strataCol: String,
+      budget: Long, rounds: Int = 3, salt: String = "wf"): DataFrame = {
+    require(budget >= 0 && rounds >= 1)
+    val caps = df.groupBy(strataCol).agg(count(lit(1)).as("__cap"))
+    val alloc = (1 to rounds).foldLeft(
+        caps.withColumn("__alloc", lit(0L))) { (st, _) =>
+      val sc = st.agg(sum(col("__alloc")).as("__used"),
+        sum(when(col("__alloc") < col("__cap"), 1L).otherwise(0L))
+          .as("__open"))
+      st.crossJoin(broadcast(sc))
+        .withColumn("__give",
+          when(col("__open") > 0 && col("__alloc") < col("__cap"),
+            least(col("__cap") - col("__alloc"),
+              // integer floor-div; the greatest() clamp makes the
+              // negative-operand flooring difference moot cross-engine
+              greatest(expr(s"(CAST($budget AS BIGINT) - __used) div __open"),
+                lit(0L))))
+            .otherwise(lit(0L)))
+        .select(col(strataCol), col("__cap"),
+          (col("__alloc") + col("__give")).as("__alloc"))
+    }
+    val h = hash60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val (ranked, offsets) = strataRanked(df, idCol, strataCol, h)
+    joinStrata(joinStrata(ranked, offsets, strataCol), alloc, strataCol)
+      .filter(col("__grank") - col("__r0") + 1 <= col("__alloc"))
+      .withColumn("n", col("__cap"))
+      .withColumn("alloc", col("__alloc"))
+      .drop("__h", "__grank", "__n", "__r0", "__cap", "__alloc")
+  }
+
   /** Deterministic weighted sample: priority = hash(id)/weight, keep the
     * k smallest priorities. A row's selection odds scale with its weight
     * (e.g. sample long documents proportionally to length), yet the

@@ -1782,6 +1782,44 @@ object TrainingData extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Waterfilling budget allocation across languages (max-min fair
+    * with overflow redistribution): a 400-doc budget split equally,
+    * low-resource languages taken WHOLE, their unused share re-poured
+    * over the open ones — at the sf0.01 gate de/fr/es/zh cap at
+    * 70/64/73/75 and en absorbs the redistributed 118. Floor-division
+    * leftovers stay honestly unallocated. Oracle unrolls the identical
+    * integer rounds + the quota selection recipe. See
+    * [[graft.ops.Splits.budgetWaterfill]]. */
+  val dataWaterfill = GraftQuery(
+    "data_budget_waterfill",
+    Some {
+      val rounds = (1 to 3).map { i =>
+        s"""s$i AS (SELECT COALESCE(SUM(alloc), 0) AS used,
+           |        SUM(CASE WHEN alloc < cap THEN 1 ELSE 0 END) AS n_open
+           |      FROM a${i - 1}),
+           |      a$i AS (SELECT lang, cap, alloc + CASE WHEN n_open > 0 AND alloc < cap
+           |          THEN LEAST(cap - alloc, GREATEST((400 - used) // n_open, 0))
+           |          ELSE 0 END AS alloc
+           |        FROM a${i - 1}, s$i)""".stripMargin }
+        .mkString(",\n      ")
+      s"""
+      WITH caps AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cap FROM documents GROUP BY 1),
+      a0 AS (SELECT lang, cap, CAST(0 AS BIGINT) AS alloc FROM caps),
+      $rounds,
+      r AS (SELECT doc_id, lang,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+              ('0x'||substr(md5('wf:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT, doc_id) AS rn
+          FROM documents)
+      SELECT r.doc_id, r.lang, a3.cap AS n, CAST(a3.alloc AS BIGINT) AS alloc
+      FROM r JOIN a3 USING (lang) WHERE rn <= a3.alloc ORDER BY doc_id""".trim
+    }) { (spark, dir) =>
+    graft.ops.Splits.budgetWaterfill(
+        Tables.documents(spark, dir).select("doc_id", "lang"),
+        "doc_id", "lang", budget = 400L)
+      .select("doc_id", "lang", "n", "alloc")
+      .orderBy("doc_id")
+  }
+
   /** PII redaction: masked text + per-doc pattern counts. */
   val textPii = GraftQuery(
     "text_pii_mask",
@@ -2729,7 +2767,8 @@ object TrainingData extends QueryPack {
     dedupSimhash,
     dedupEmbedding, dedupSemantic, dedupCdc,
     dedupClusters, dedupSurvivorship, dataSplit, dataSplitClusterSafe,
-    dataSample, dataWeighted, dataImportance, streamImportanceParity, dataPack,
+    dataSample, dataWeighted, dataWaterfill, dataImportance,
+    streamImportanceParity, dataPack,
     dataChunk, dataShard,
     annBrute, annIvf, annFiltered, annIvfTrained, annLsh, annLshCandidates,
     annPq, annPqRerank, annIvfPq,

@@ -757,6 +757,34 @@ class TrainingDataSpec extends SparkTestBase {
     assert(z.getDouble(4) == 3.0 * 3 / 2)
   }
 
+  test("budgetWaterfill: capped strata taken whole, overflow re-poured " +
+      "over open ones, floor leftovers honestly unallocated") {
+    import graft.ops.Splits
+    import spark.implicits._
+    // strata capacities 5, 10, 100; budget 60:
+    // r1: share 20 → a=5 (capped), b=10 (capped), c=20; used 35
+    // r2: open {c}: share 25 → c=45; used 60. r3: share 0.
+    val d = (1L to 115L).map(i =>
+      (i, if (i <= 5) "a" else if (i <= 15) "b" else "c"))
+      .toDF("doc_id", "grp")
+    val out = Splits.budgetWaterfill(d, "doc_id", "grp", budget = 60L)
+    val alloc = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(alloc == Map("a" -> 5L, "b" -> 10L, "c" -> 45L), s"got $alloc")
+    assert(out.select("alloc").where(col("grp") === "c").head().getLong(0) == 45L)
+    // budget exceeding total capacity: everything taken, nothing more
+    val all = Splits.budgetWaterfill(d, "doc_id", "grp", budget = 1000L)
+    assert(all.count() == 115L)
+    // floor leftover: budget 7 over 3 open strata → share 2 each round;
+    // rounds converge without over-allocating past the budget
+    val small = Splits.budgetWaterfill(d, "doc_id", "grp", budget = 7L)
+    assert(small.count() <= 7L)
+    // stable on rerun
+    val again = Splits.budgetWaterfill(d, "doc_id", "grp", budget = 60L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("quota keeps at most cap rows per stratum, stably") {
     import graft.ops.Splits
     val d = Tables.documents(spark, sfDir).select("doc_id", "source")
