@@ -266,6 +266,68 @@ object TextAnalysis {
         round(col("sum_surprisal") / col("n_bigrams").cast("double"), 6))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995,
+    * the standard n-gram LM smoothing; the estimation rung above
+    * [[bigramSurprisal]]'s add-one): for every bigram (v, w) with
+    * count ≥ minCount,
+    *
+    *   P(w|v) = max(c(vw) − d, 0)/c(v) + d·N₁₊(v·)/c(v) · N₁₊(·w)/N₁₊(··)
+    *
+    * with the classic discount d = 3/4 — chosen RATIONAL so the whole
+    * probability is one exact integer fraction: over the common
+    * denominator 4·c(v)·N₁₊(··),
+    *
+    *   num = (4·c(vw) − 3)·N₁₊(··) + 3·N₁₊(v·)·N₁₊(·w),  den = 4·c(v)·N₁₊(··)
+    *
+    * (max-clause folded in: c ≥ 1 ⇒ 4c − 3 ≥ 1 > 0). Both published
+    * exact, plus their ONE IEEE division rounded at the edge — the
+    * project-wide no-log rule again: the continuation weighting is
+    * what KN is FOR (a word seen in many contexts gets mass a merely
+    * frequent-after-one-context word doesn't — the spec plants the
+    * "San Francisco" trap where raw MLE and KN disagree about the
+    * backoff), and none of it needs a logarithm.
+    *
+    * Scale: one map-side-combined bigram count; c(v), N₁₊(v·) fold off
+    * it grouped by context and N₁₊(·w) grouped by continuation (never
+    * re-scanning the corpus); N₁₊(··) rides a 1-row broadcast; two
+    * hash joins back onto the bigram table (AQE handles stopword-
+    * context skew). The exact num/den columns are gate receipts — at
+    * corpora where 4·c(v)·N₁₊(··) would exceed 64 bits, a caller keeps
+    * `p_kn` (whose double evaluation never overflows) and drops the
+    * integer pair. */
+  def knBigram(docs: DataFrame, minCount: Long = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.Hashing.bigrams2
+    val bg = docs
+      .select(explode(bigrams2(tokens(col(textCol)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_vw"))
+      .withColumn("v", substring_index(col("bg"), " ", 1))
+      .withColumn("w", substring_index(col("bg"), " ", -1))
+    val ctx = bg.groupBy("v")
+      .agg(sum(col("c_vw")).as("c_v"), count(lit(1)).as("n1p_v"))
+    val cont = bg.groupBy("w").agg(count(lit(1)).as("n1p_w"))
+    val tot = bg.agg(count(lit(1)).as("n1p_all"))
+    bg.filter(col("c_vw") >= minCount)
+      .join(ctx, "v").join(cont, "w")
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("w"),
+        col("c_vw").cast("long").as("c_vw"),
+        col("c_v").cast("long").as("c_v"),
+        col("n1p_v").cast("long").as("n1p_v"),
+        col("n1p_w").cast("long").as("n1p_w"),
+        col("n1p_all").cast("long").as("n1p_all"),
+        ((lit(4L) * col("c_vw") - 3L) * col("n1p_all") +
+          lit(3L) * col("n1p_v") * col("n1p_w")).cast("long").as("p_num"),
+        (lit(4L) * col("c_v") * col("n1p_all")).cast("long").as("p_den"))
+      // p_kn evaluates in DOUBLE space (counts enter as doubles, the
+      // same left-associated expression both engines) so it stays
+      // correct where the integer receipts would overflow
+      .withColumn("p_kn", round(
+        ((lit(4.0) * col("c_vw") - 3.0) * col("n1p_all") +
+          lit(3.0) * col("n1p_v") * col("n1p_w")) /
+          (lit(4.0) * col("c_v") * col("n1p_all")), 6))
+  }
+
   /** BM25 relevance of every document against a fixed query-term set —
     * the retrieval scorer of a corpus search / RAG-retrieval lane.
     *

@@ -2431,6 +2431,35 @@ object TrainingData extends QueryPack {
     * un-hinted hash joins onto the vocabulary (corpus-growing — AQE
     * decides), a 1-row broadcast of (N, M), TakeOrdered(50). Nothing
     * corpus-sized sorts. */
+  /** Interpolated Kneser–Ney bigram LM probabilities (Kneser & Ney
+    * 1995 — THE n-gram smoothing; the estimation rung above
+    * bigram-surprisal's add-one): d = 3/4 chosen rational so the whole
+    * probability is one exact integer fraction published alongside its
+    * single rounded division — continuation mass N₁₊(·w) does what KN
+    * exists for, no logarithm anywhere. Oracle replays counts,
+    * fraction, and the identical double expression. See
+    * [[graft.ops.TextAnalysis.knBigram]]. */
+  val textKnBigrams = GraftQuery(
+    "text_kn_bigrams",
+    Some("""
+      WITH tok AS (SELECT string_split_regex(text,'\s+') AS tk FROM documents),
+      bi AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i]||' '||tk[i+1])) AS bg FROM tok),
+      bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_vw FROM bi GROUP BY bg),
+      bv AS (SELECT bg, c_vw, split_part(bg, ' ', 1) AS v, split_part(bg, ' ', 2) AS w FROM bc),
+      ctx AS (SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v, CAST(COUNT(*) AS BIGINT) AS n1p_v FROM bv GROUP BY v),
+      cont AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1p_w FROM bv GROUP BY w),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1p_all FROM bv)
+      SELECT bv.v, bv.w, bv.c_vw, ctx.c_v, ctx.n1p_v, cont.n1p_w, tot.n1p_all,
+        CAST((4*bv.c_vw - 3) * tot.n1p_all + 3*ctx.n1p_v*cont.n1p_w AS BIGINT) AS p_num,
+        CAST(4 * ctx.c_v * tot.n1p_all AS BIGINT) AS p_den,
+        ROUND(((4.0*bv.c_vw - 3.0) * tot.n1p_all + 3.0*ctx.n1p_v*cont.n1p_w) /
+          (4.0*ctx.c_v*tot.n1p_all), 6) AS p_kn
+      FROM bv JOIN ctx USING (v) JOIN cont USING (w), tot
+      WHERE bv.c_vw >= 3
+      ORDER BY v, w""".trim)) { (spark, dir) =>
+    TextAnalysis.knBigram(Tables.documents(spark, dir)).orderBy("v", "w")
+  }
+
   val textPmi = GraftQuery(
     "text_pmi_bigrams",
     Some("""
@@ -2749,7 +2778,7 @@ object TrainingData extends QueryPack {
 
   override def all: Seq[GraftQuery] = Seq(
     mmPhashPairs, streamIndexParity, mmFrameSlices, mmProbeParity,
-    mmAudioEnergy, textPmi,
+    mmAudioEnergy, textPmi, textKnBigrams,
     pipelineDedupCascade,
     dedupUrl, textGopher, textEntropy, annRecall, annRankMetrics,
     fuzzyVocab, vocabStats,

@@ -757,6 +757,28 @@ class TrainingDataSpec extends SparkTestBase {
     assert(z.getDouble(4) == 3.0 * 3 / 2)
   }
 
+  test("knBigram: hand-computed Kneser-Ney fractions; continuation " +
+      "diversity separates equal-count bigrams (the backoff-mass trap " +
+      "raw MLE cannot see)") {
+    // tokens: a x a x a x a y a y a y b x c x d x
+    // c(a,x)=c(a,y)=c(x,a)=3; context a: c_v=6, N1+(a·)=2; x follows
+    // {a,b,c,d} → N1+(·x)=4, y only {a} → N1+(·y)=1; N1+(··)=10
+    val d = docs(1L -> "a x a x a x a y a y a y b x c x d x")
+    val got = graft.ops.TextAnalysis.knBigram(d, minCount = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("p_num"), r.getAs[Long]("p_den"),
+          r.getAs[Double]("p_kn"))).toMap
+    assert(got.keySet == Set(("a", "x"), ("a", "y"), ("x", "a")), s"$got")
+    // (a,x): (4·3−3)·10 + 3·2·4 = 114 over 4·6·10 = 240
+    assert(got(("a", "x")) == ((114L, 240L, 0.475)))
+    // (a,y): same observed count, poorer continuation → 96/240
+    assert(got(("a", "y")) == ((96L, 240L, 0.4)))
+    // (x,a): context x has c_v=5, N1+(x·)=3; N1+(·a)=2 → 108/200
+    assert(got(("x", "a")) == ((108L, 200L, 0.54)))
+    // the trap: equal c_vw and c_v, KN still ranks x above y after 'a'
+    assert(got(("a", "x"))._3 > got(("a", "y"))._3)
+  }
+
   test("budgetWaterfill: capped strata taken whole, overflow re-poured " +
       "over open ones, floor leftovers honestly unallocated") {
     import graft.ops.Splits
