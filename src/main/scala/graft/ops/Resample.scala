@@ -472,6 +472,50 @@ object Resample {
     * average — and every float op is one sub/mult/div of
     * cross-engine-identical doubles, so the whole line is
     * oracle-exact. */
+  /** Cross-series Pearson correlation: every pair of keys' per-day
+    * mean series joined on the day grid, r over the matched days — the
+    * "which metrics move together" dashboard matrix next to
+    * [[autocorrelation]]'s within-series view.
+    *
+    * Determinism: the five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    * Σy²) accumulate in EXACT DECIMAL — grid means are 6-dp-rounded
+    * doubles, i.e. exactly representable (18,6) decimals, and their
+    * (37,12) products stay under the precision cap, so the sums are
+    * fold-order-free. The closing algebra then runs in double with ONE
+    * written expression both engines evaluate identically:
+    * r = (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²)·(n·Σy² − Σy²)) — IEEE sqrt
+    * is CORRECTLY ROUNDED (unlike log/exp), so the whole close is
+    * engine-exact. Degenerate (zero-variance) sides publish NULL.
+    *
+    * Scale: the corpus collapses to the (key × day) grid in one
+    * map-side-combined pass; the pair join and the statistics are
+    * grid-sized (pairs × days), constant in corpus rows. */
+  def crossCorrelation(events: DataFrame, key: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    import graft.functions.Exact.dec
+    val grid = events.filter(col(valCol).isNotNull)
+      .groupBy(col(key), to_date(col(tsCol)).as("d"))
+      .agg(round(sum(dec(col(valCol))).cast("double") / count(col(valCol)), 6)
+        .as("m"))
+    val a = grid.select(col(key).as("type_a"), col("d"), col("m").as("x"))
+    val b = grid.select(col(key).as("type_b"), col("d"), col("m").as("y"))
+    val stats = a.join(b, Seq("d")).filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).cast("double").as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).cast("double").as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).cast("double").as("syy"))
+    val n = col("n_days").cast("double")
+    val v1 = n * col("sxx") - col("sx") * col("sx")
+    val v2 = n * col("syy") - col("sy") * col("sy")
+    stats
+      .withColumn("r", when(v1 > 0 && v2 > 0,
+        round((n * col("sxy") - col("sx") * col("sy")) / sqrt(v1 * v2), 6)))
+      .select(col("type_a"), col("type_b"), col("n_days"), col("r"))
+  }
+
   def theilSen(events: DataFrame, key: String = "event_type",
       tsCol: String = "ts", valCol: String = "value"): DataFrame = {
     import graft.functions.Exact.dec

@@ -489,7 +489,38 @@ object TimeSeries extends QueryPack {
     Resample.theilSen(Tables.events(spark, dir)).orderBy("event_type")
   }
 
+  /** Cross-series Pearson matrix over the per-type daily mean grids —
+    * "which metrics move together" (the between-series complement of
+    * ts_autocorr). Sufficient statistics in exact decimal, the close
+    * in one mirrored double expression (IEEE sqrt is correctly
+    * rounded, so unlike log this is engine-exact); see
+    * [[graft.ops.Resample.crossCorrelation]]. */
+  val tsCrossCorr = GraftQuery(
+    "ts_cross_corr",
+    Some("""
+      WITH g AS (SELECT event_type, CAST(ts AS DATE) AS d,
+            ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS m
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+            CAST(COUNT(*) AS BIGINT) AS n_days,
+            CAST(SUM(CAST(a.m AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(b.m AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(a.m AS DECIMAL(18,6)) * CAST(b.m AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(a.m AS DECIMAL(18,6)) * CAST(a.m AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(b.m AS DECIMAL(18,6)) * CAST(b.m AS DECIMAL(18,6))) AS DOUBLE) AS syy
+          FROM g a JOIN g b ON a.d = b.d AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+      SELECT type_a, type_b, n_days,
+        CASE WHEN n_days*sxx - sx*sx > 0 AND n_days*syy - sy*sy > 0 THEN
+          ROUND((n_days*sxy - sx*sy) / sqrt((n_days*sxx - sx*sx) * (n_days*syy - sy*sy)), 6)
+        END AS r
+      FROM p ORDER BY type_a, type_b""".stripMargin.trim)) { (spark, dir) =>
+    Resample.crossCorrelation(Tables.events(spark, dir))
+      .orderBy("type_a", "type_b")
+  }
+
   override def all: Seq[GraftQuery] =
     Seq(tsGapfill, tsEwma, q32, q34, tsM4, streamM4Parity, tsHampel,
-      tsSeasonal, tsAutocorr, tsChangepoint, tsAnomaly, tsLttb, tsTheilSen)
+      tsSeasonal, tsAutocorr, tsChangepoint, tsAnomaly, tsLttb, tsTheilSen,
+      tsCrossCorr)
 }

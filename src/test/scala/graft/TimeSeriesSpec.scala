@@ -433,6 +433,25 @@ class TimeSeriesSpec extends SparkTestBase {
     // fitted slope to ~148 — Theil-Sen's 29% breakdown is the point
   }
 
+  test("crossCorrelation: perfectly correlated, anti-correlated, and " +
+      "constant series — hand-signed r, zero-variance NULL") {
+    def day(d: Int) = Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00")
+    val rows = (0 until 5).flatMap { d =>
+      Seq(("up", day(d), d + 1.0),        // 1,2,3,4,5
+        ("down", day(d), 10.0 - d),       // 10..6 → r(up,down) = -1
+        ("flat", day(d), 7.0))            // zero variance → NULL
+    }
+    import spark.implicits._
+    val df = rows.toDF("k", "t", "x")
+    val got = graft.ops.Resample.crossCorrelation(df, "k", "t", "x")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(("down", "up")).contains(-1.0), s"got $got")
+    assert(got(("down", "flat")).isEmpty && got(("flat", "up")).isEmpty)
+    // linear transforms preserve |r| = 1: up vs 3·up − 2 would be 1.0;
+    // here down = −up + 11 → exactly −1 after the double close
+  }
+
   test("theilSen: within-day rows average (decimal-exact) before " +
       "pairing; even pair counts take the LOWER median") {
     def at(d: Int, h: Int) = Timestamp.valueOf(f"2024-03-${d + 1}%02d $h%02d:00:00")
