@@ -105,7 +105,9 @@ class RelationalSpec extends SparkTestBase {
   test("every oracle orders deterministically (or is a singleton aggregate)") {
     // the driver's compare sorts columns but NOT rows — every oracle must
     // either carry an ORDER BY or provably return at most one row
-    val singletons = Set("dash_count_locations", "q23_stats_battery")
+    val singletons = Set("dash_count_locations", "q23_stats_battery",
+      // 1-row cross of three scalar aggregates (the recall audit)
+      "dedup_lsh_recall")
     for ((name, sql) <- SparkEntry.oracleSql if !singletons(name))
       assert(sql.toUpperCase.contains("ORDER BY"),
         s"$name oracle has no ORDER BY — nondeterministic row order")
