@@ -110,6 +110,79 @@ object Similarity {
     ivfTopKCore(corpus, queries, centroids, nProbe, k, idCol, vecCol,
       Some(allowed))
 
+  /** MMR diversified retrieval (Carbonell & Goldstein 1998 — the
+    * diversity re-rank every RAG/retrieval stack ships): from each
+    * query's exact top-`poolK` relevance pool, greedily select
+    * `selectK` results maximizing
+    * `λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)` with λ = 1/2 —
+    * the second pick must EARN its place by differing from the first,
+    * so near-duplicate hits stop crowding out coverage (the spec
+    * plants a pool whose top-2 are twins: plain top-k keeps both, MMR
+    * skips to the distinct third).
+    *
+    * Deterministic and oracle-exact: the greedy unrolls as selectK − 1
+    * relational steps (anti-join the picked set, max-sim join against
+    * it, one argmax window per query with (score DESC, id) ties);
+    * every score is one mult/sub pair over round-6 cosines, identical
+    * in both engines. λ is rationally 1/2 so the expression carries no
+    * literal-precision risk.
+    *
+    * Scale: pools are per-query constants (poolK rows), so the pair
+    * table is queries × poolK² and every step is pool-sized —
+    * the corpus is touched ONCE, by the relevance search that builds
+    * the pool (swap in [[ivfTopK]]/[[filteredIvfTopK]] upstream for
+    * the probed or filtered variants; the re-rank is agnostic). */
+  def mmrDiversify(corpus: DataFrame, queries: DataFrame, poolK: Int = 8,
+      selectK: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(selectK >= 1 && poolK >= selectK)
+    val cands = bruteForceTopK(corpus, queries, poolK, idCol, vecCol)
+      .localCheckpoint(false) // reused by every greedy step
+    val c = withNorm(corpus, idCol, vecCol)
+    val pairs = cands.select(col("query_id"), col("neighbor_id").as("na"))
+      .join(cands.select(col("query_id"), col("neighbor_id").as("nb")),
+        Seq("query_id"))
+      .filter(col("na") =!= col("nb"))
+      .join(c.select(col("vec_id").as("na"), col("e").as("ea"),
+        col("nrm").as("nra")), "na")
+      .join(c.select(col("vec_id").as("nb"), col("e").as("eb"),
+        col("nrm").as("nrb")), "nb")
+      .select(col("query_id"), col("na"), col("nb"),
+        round(graft.functions.VectorOps.cosineWithNorms(
+          col("ea"), col("eb"), col("nra"), col("nrb")), 6).as("sim"))
+      .localCheckpoint(false)
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    var selected = cands
+      .withColumn("__rn", row_number().over(byScore))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+        lit(1).as("rank"), col("cosine").as("mmr_score"))
+    for (i <- 2 to selectK) {
+      val picked = selected.select(col("query_id"), col("neighbor_id"))
+      val remaining = cands.join(picked,
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val msim = pairs
+        .join(picked.withColumnRenamed("neighbor_id", "nb"),
+          Seq("query_id", "nb"))
+        .groupBy(col("query_id"), col("na").as("neighbor_id"))
+        .agg(max(col("sim")).as("__msim"))
+      val byMmr = Window.partitionBy(col("query_id"))
+        .orderBy(col("__score").desc, col("neighbor_id"))
+      val pick = remaining
+        .join(msim, Seq("query_id", "neighbor_id"))
+        .withColumn("__score",
+          lit(0.5) * col("cosine") - lit(0.5) * col("__msim"))
+        .withColumn("__rn", row_number().over(byMmr))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(i).as("rank"), col("__score").as("mmr_score"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+  }
+
   private def ivfTopKCore(corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, nProbe: Int, k: Int,
       idCol: String, vecCol: String, allowed: Option[DataFrame]): DataFrame = {

@@ -566,6 +566,60 @@ object TrainingData extends QueryPack {
       allowed)
   }
 
+  /** MMR diversified retrieval (Carbonell & Goldstein 1998): each
+    * query's exact top-8 relevance pool greedily re-ranked to 4 picks
+    * under λ = 1/2 relevance-vs-redundancy — the diversity pass every
+    * RAG stack runs on its retriever output. The greedy unrolls as 3
+    * relational steps (anti-join picked, max-sim against picked,
+    * per-query argmax); oracle replays every step verbatim. See
+    * [[graft.ops.Similarity.mmrDiversify]]. */
+  val annMmr = GraftQuery(
+    "ann_mmr",
+    Some {
+      val steps = (2 to 4).map { i =>
+        s"""rem$i AS (SELECT c.* FROM cand c LEFT JOIN cum${i - 1} s
+           |        ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id
+           |        WHERE s.neighbor_id IS NULL),
+           |      ms$i AS (SELECT r.query_id, r.neighbor_id, r.cosine, MAX(p.sim) AS msim
+           |        FROM rem$i r JOIN ps p ON p.query_id = r.query_id AND p.na = r.neighbor_id
+           |        JOIN cum${i - 1} s ON s.query_id = p.query_id AND s.neighbor_id = p.nb
+           |        GROUP BY r.query_id, r.neighbor_id, r.cosine),
+           |      sel$i AS (SELECT query_id, neighbor_id, $i AS rank, score AS mmr_score FROM (
+           |        SELECT query_id, neighbor_id, 0.5*cosine - 0.5*msim AS score,
+           |          ROW_NUMBER() OVER (PARTITION BY query_id
+           |            ORDER BY 0.5*cosine - 0.5*msim DESC, neighbor_id) AS rn
+           |        FROM ms$i) t WHERE rn = 1),
+           |      cum$i AS (SELECT query_id, neighbor_id FROM cum${i - 1}
+           |        UNION ALL SELECT query_id, neighbor_id FROM sel$i)""".stripMargin }
+        .mkString(",\n      ")
+      s"""
+      WITH $NORM,
+      q AS (SELECT * FROM m WHERE vec_id < 10),
+      p0 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROUND(list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm), 6) AS cosine
+       FROM q JOIN m c ON c.vec_id != q.vec_id),
+      cand AS (SELECT query_id, neighbor_id, cosine FROM (
+       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM p0) t
+      WHERE rn <= 8),
+      ps AS (SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+        ROUND(list_sum(list_transform(range(1,65), i -> x.e[i]*y.e[i])) / (x.nrm*y.nrm), 6) AS sim
+       FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+       JOIN m x ON x.vec_id = a.neighbor_id JOIN m y ON y.vec_id = b.neighbor_id),
+      sel1 AS (SELECT query_id, neighbor_id, 1 AS rank, cosine AS mmr_score FROM (
+       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM cand) t
+      WHERE rn = 1),
+      cum1 AS (SELECT query_id, neighbor_id FROM sel1),
+      $steps
+      SELECT query_id, neighbor_id, rank, mmr_score FROM (
+        SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+        UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4) u
+      ORDER BY query_id, rank""".trim
+    }) { (spark, dir) =>
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.mmrDiversify(embs, embs.filter(col("vec_id") < 10))
+      .orderBy("query_id", "rank")
+  }
+
   /** Radius retrieval through the same IVF candidate shape as ann_ivf:
     * every neighbor with cosine ≥ 0.3 in the query's 4 probed cells —
     * no top-k heap at all, the threshold IS the operator. Oracle =
@@ -2799,8 +2853,8 @@ object TrainingData extends QueryPack {
     dataSample, dataWeighted, dataWaterfill, dataImportance,
     streamImportanceParity, dataPack,
     dataChunk, dataShard,
-    annBrute, annIvf, annFiltered, annIvfTrained, annLsh, annLshCandidates,
-    annPq, annPqRerank, annIvfPq,
+    annBrute, annIvf, annFiltered, annMmr, annIvfTrained, annLsh,
+    annLshCandidates, annPq, annPqRerank, annIvfPq,
     annIvfSq, annRange, annKnnGraph, graphKnnComponents,
     graphLabelPropagation, dataTriplets,
     annPqTrained, annOpq, annIvfAdcR, annMaxSim, annHardNegatives,

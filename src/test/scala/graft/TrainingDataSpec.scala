@@ -432,6 +432,29 @@ class TrainingDataSpec extends SparkTestBase {
     assert(withAll == plain)
   }
 
+  test("mmrDiversify: the twin of the top hit loses its rank-2 slot to " +
+      "a distinct result; first pick is pure relevance") {
+    import spark.implicits._
+    // q=[1,0,0,0]; 2 and 3 are near-twins close to q; 4 is distinct.
+    // plain top-3 by cosine: [2, 3, 4] — MMR must yield [2, 4, 3]
+    val e = Seq(
+      (2L, Seq(0.9f, 0.10f, 0f, 0f)),
+      (3L, Seq(0.9f, 0.11f, 0f, 0f)),
+      (4L, Seq(0.5f, 0f, 0.8f, 0f)),
+      (10L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === 10)
+    val got = graft.ops.Similarity.mmrDiversify(e, q, poolK = 3, selectK = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(2), r.getLong(1)))
+    assert(got.toSeq == Seq((1, 2L), (2, 4L), (3, 3L)), s"got ${got.toSeq}")
+    // rank-1 score is the raw cosine (pure relevance by contract)
+    val plain = graft.ops.Similarity.bruteForceTopK(e, q, k = 1)
+      .head().getAs[Double]("cosine")
+    val r1 = graft.ops.Similarity.mmrDiversify(e, q, poolK = 3, selectK = 1)
+      .head().getAs[Double]("mmr_score")
+    assert(r1 == plain)
+  }
+
   test("ivfTopK recall on real embeddings; probing all cells is exact") {
     val embs = Tables.embeddings(spark, sfDir)
     val q = embs.filter(col("vec_id") < 5)
