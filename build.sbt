@@ -30,6 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g is deliberate (measured, round 11): a 24g heap was tried for the
+  // sf1 wedge aggregates and LOST — spill went to zero but wall went
+  // 18.9 s → 58.4 s with 163 s of cumulative GC (giant in-heap agg maps
+  // cost more in collector pressure than sort-spill costs in NVMe
+  // writes). Operators bound their per-task memory by plan shape
+  // (input-scaled aggregation partitioning) instead of leaning on heap.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 scalacOptions ++= Seq("-deprecation", "-unchecked")

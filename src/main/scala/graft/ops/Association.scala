@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * the same shape surfaces as "which sources co-occur in the same
   * crawl snapshot" / "which labels co-fire on the same document".
   *
-  * Scale shape: pair generation is the shared-key wedge join of the
-  * dedup family — baskets are the blocking key, candidate mass is
-  * Σ C(items_in_basket, 2), NEVER items². A pathological mega-basket
+  * Scale shape: pair generation is wedge-bounded like the dedup
+  * family — baskets are the blocking key, candidate mass is
+  * Σ C(items_in_basket, 2), NEVER items² — and is generated from
+  * per-basket sorted item ARRAYS (one basket-keyed aggregation +
+  * narrow explode) rather than a fact self-join. A pathological
+  * mega-basket
   * (one order with 10⁵ items — a crawl bundle, a bot cart) would alone
   * contribute 5·10⁹ pairs, so baskets wider than `maxBasket` are
   * excluded from the relation ENTIRELY (pair generation, item supports
@@ -41,31 +44,43 @@ object Association {
     // basket width filter that bounds every downstream count
     val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
-    val keptBaskets = items.groupBy("__b")
-      .agg(count(lit(1)).as("__w"))
-      .filter(col("__w") <= maxBasket)
-      .select("__b")
-    // the capped relation is NOT checkpointed: it is fact-scale (the
-    // compacted (basket, item) set), and pinning fact-scale blocks is
-    // what broke the ×100 stress tier (UNABLE_TO_ACQUIRE_MEMORY in the
-    // wedge aggregate while checkpoint storage held the memory pool).
-    // Its three consumers cost at most one extra distinct recompute:
-    // the two self-join sides canonicalize identically (one shuffle,
-    // reused exchange) and item supports are a separate aggregation
-    // that re-reads the scan — the scan-twice trade every other
-    // fact-scale operator here makes.
-    val rel = items.join(keptBaskets, "__b")
-    // keptBaskets IS the distinct basket universe — count it directly
-    // instead of re-distincting the relation
-    val nBaskets = keptBaskets.agg(count(lit(1)).as("__n"))
-    val itemSupp = rel.groupBy("__i")
+    // ONE basket-keyed aggregation builds per-basket SORTED distinct
+    // item arrays; the width filter then excludes wide baskets from
+    // the relation ENTIRELY (pair generation, supports, universe) —
+    // the same consistent capped semantics as before, minus two fact
+    // exchanges and the sort-merge self-join (round 11: the wedge join
+    // re-sorted the fact twice; arrays generate the identical
+    // Σ C(width, 2) pair mass narrowly). The collect_set buffer for a
+    // pathological mega-basket is LINEAR in its width (bytes, one
+    // array) and is discarded by the width filter before any pair
+    // explodes — the quadratic hazard (C(width, 2) pair rows) still
+    // never materializes.
+    val baskets = items.groupBy(col("__b"))
+      .agg(sort_array(collect_set(col("__i"))).as("__is"))
+      .filter(size(col("__is")) <= maxBasket)
+    val nBaskets = baskets.agg(count(lit(1)).as("__n"))
+    val itemSupp = baskets.select(explode(col("__is")).as("__i"))
+      .groupBy("__i")
       .agg(count(lit(1)).cast("long").as("__supp"))
-    // wedge join: pairs meet on the basket key; item_a < item_b halves
-    // the candidate mass and canonicalizes the pair
-    val pairs = rel.as("a")
-      .join(rel.as("b"),
-        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
-      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+    // pairs off the sorted array: item_a < item_b by construction.
+    // The pair aggregate's partition count scales with the input size
+    // (zero-job plan-time proxy — same contract as
+    // Graph.bipartiteLinkPredict): pairs are mostly unique, so the
+    // counting map holds ~the partition's pair mass; input-scaled
+    // partitioning keeps it bounded at any corpus size, and
+    // repartition-by-number is AQE-respected.
+    val nAgg = {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      math.max(shufflePartitions(items),
+        (bytes / (512 * 1024) + 1).min(BigInt(4096)).toInt)
+    }
+    val pairs = baskets
+      .select(explode(flatten(transform(col("__is"),
+        (x, i) => transform(
+          slice(col("__is"), i + lit(2), size(col("__is"))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .repartition(nAgg, col("__p.a"), col("__p.b"))
+      .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
       .agg(count(lit(1)).cast("long").as("support_ab"))
       .filter(col("support_ab") >= minSupport)
     // item supports are usually catalog-sized, but a catalog is

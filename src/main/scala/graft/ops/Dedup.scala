@@ -427,11 +427,20 @@ object Dedup {
     * joinable LSH index rows (shared by the one-shot operator and the
     * incremental [[DedupIndex]]). */
   private[ops] def bandTable(sh: DataFrame, numPerms: Int, bands: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    bandTableFromSig(
+      sh.withColumn("mh",
+        column(graft.functions.MinHash60(expression(col("s")), numPerms))),
+      numPerms, bands)
+  }
+
+  /** Band table off an existing (doc_id, mh) MinHash signature table —
+    * lets [[bandingFrontier]] band ONE signature pass several ways. */
+  private[ops] def bandTableFromSig(sig: DataFrame, numPerms: Int,
+      bands: Int): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
-    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    sh.withColumn("mh",
-        column(graft.functions.MinHash60(expression(col("s")), numPerms)))
+    sig
       .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
         col("mh"))
       .select(col("doc_id"), col("band"),
@@ -485,12 +494,22 @@ object Dedup {
     * config at scale: the published (bands, rows) S-curve says what
     * recall SHOULD be at a given similarity; this measures it on real
     * data. Cost is dominated by the exact baseline (the shingle-
-    * sharing pair scan) — at corpus scale run it on a documented
-    * SAMPLE, the standard recall-audit protocol; the LSH side costs
-    * what the production operator costs. */
+    * sharing pair scan, O(Σ df(g)²) pairs) — at corpus scale run it on
+    * a documented SAMPLE, the standard recall-audit protocol; the LSH
+    * side costs what the production operator costs.
+    *
+    * `maxDf` is the hot-shingle guard for that exact generator (the
+    * same DF-cap mechanics as [[ngramJaccardCapped]]): shingles shared
+    * by more than `maxDf` docs are excluded from CANDIDATE generation,
+    * bounding the pair scan at maxDf² per shingle instead of letting
+    * one boilerplate shingle square the corpus. A capped truth is an
+    * audit APPROXIMATION (pairs whose every shared shingle is hot are
+    * missed) — the default Int.MaxValue keeps the oracle-gated exact
+    * semantics; set it when auditing un-sampled corpora. */
   def lshRecallAudit(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", numPerms: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxDf: Int = Int.MaxValue): DataFrame = {
+    require(maxDf > 0, "maxDf must be positive")
     val sh = shingleSets(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandTable(sh, numPerms, bands)
@@ -499,11 +518,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val exploded = sh.select(col("doc_id"), explode(col("s")).as("g"))
-    val exactCand = exploded.as("a").join(exploded.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val exactCand = cappedExactCand(sh, maxDf)
     val nTrue = verifyJaccard(exactCand, sh, threshold)
       .agg(count(lit(1)).as("n_true"))
     val nCand = lshCand.agg(count(lit(1)).as("n_lsh_candidates"))
@@ -517,6 +532,92 @@ object Dedup {
         when(col("n_lsh_candidates") > 0,
           round(col("n_found") / col("n_lsh_candidates").cast("double"), 6)))
     materializeThenRelease(result, Seq(sh))
+  }
+
+  /** Exhaustive (for positive Jaccard) shingle-sharing candidate pairs
+    * with the optional hot-shingle DF cap — the exact-truth generator
+    * shared by [[lshRecallAudit]] and [[bandingFrontier]]. */
+  private def cappedExactCand(sh: DataFrame, maxDf: Int): DataFrame = {
+    val explodedAll = sh.select(col("doc_id"), explode(col("s")).as("g"))
+    val exploded =
+      if (maxDf == Int.MaxValue) explodedAll
+      else {
+        // semi-join against the under-cap shingle census rather than a
+        // window over the explode: the census is map-side-combined and
+        // shingle-sized, and the filter prunes hot shingles BEFORE the
+        // pair self-join sees them.
+        val cool = explodedAll.groupBy(col("g"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf)
+          .select(col("g"))
+        explodedAll.join(cool, Seq("g"), "left_semi")
+      }
+    exploded.as("a").join(exploded.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Banding AUTO-TUNE frontier (the round-10 verdict's follow-through
+    * on [[lshRecallAudit]]): sweep several (bands, rows-per-band)
+    * configurations of the SAME `numPerms`-permutation MinHash
+    * signature against the same exact truth, and emit one
+    * (bands, rows_per_band, n_true, n_candidates, n_found, recall,
+    * cand_precision) row per configuration — the measured frontier a
+    * curation team picks its banding FROM, instead of trusting the
+    * analytic S-curve.
+    *
+    * Cost: the signature pass (the dominant per-doc work) runs ONCE and
+    * is persisted doc-sized (numPerms longs per doc); the capped exact
+    * truth runs once; each configuration pays only its banding explode +
+    * self-join + verify. Recall is monotone non-decreasing in `bands`
+    * when the choices form a nested chain (each bands value dividing
+    * the next, e.g. 8 | 16 | 32 with numPerms = 64): a pair matching a
+    * full slice necessarily matches both its halves, so candidate sets
+    * are supersets by construction — the spec pins this, and it is the
+    * property that makes the frontier safe to binary-search. */
+  def bandingFrontier(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numPerms: Int = 64,
+      bandsChoices: Seq[Int] = Seq(8, 16, 32), threshold: Double = 0.5,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    require(bandsChoices.nonEmpty &&
+      bandsChoices.forall(b => b >= 1 && numPerms % b == 0),
+      "every bands choice must divide numPerms")
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val sh = shingleSets(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.select(col("doc_id"),
+        column(graft.functions.MinHash60(expression(col("s")), numPerms))
+          .as("mh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTrue = verifyJaccard(cappedExactCand(sh, maxDf), sh, threshold)
+      .agg(count(lit(1)).as("n_true"))
+    val perConfig = bandsChoices.sorted.map { b =>
+      val banded = bandTableFromSig(sig, numPerms, b)
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nFound = verifyJaccard(cand, sh, threshold)
+        .agg(count(lit(1)).as("n_found"))
+      nCand.crossJoin(nFound)
+        .select(lit(b).cast("long").as("bands"),
+          lit(numPerms / b).cast("long").as("rows_per_band"),
+          col("n_candidates"), col("n_found"))
+    }.reduce(_.unionByName(_))
+    val result = perConfig.crossJoin(broadcast(nTrue))
+      .select(col("bands"), col("rows_per_band"), col("n_true"),
+        col("n_candidates"), col("n_found"),
+        when(col("n_true") > 0,
+          round(col("n_found") / col("n_true").cast("double"), 6))
+          .as("recall"),
+        when(col("n_candidates") > 0,
+          round(col("n_found") / col("n_candidates").cast("double"), 6))
+          .as("cand_precision"))
+      .orderBy("bands")
+    materializeThenRelease(result, Seq(sh, sig))
   }
 
   /** 60-bit SimHash near-dup pairs within Hamming distance `maxHamming`.

@@ -397,19 +397,26 @@ object Multimodal {
         def ascii(i: Int, n: Int) = new String(b, i, n, "US-ASCII")
         if (b == null || b.length < 12 || ascii(0, 4) != "RIFF" ||
             ascii(8, 4) != "WAVE") Iterator.empty
-        else {
-          // chunk walk: [id 4][size LE32][payload size] from offset 12
-          var off = 12
+        else try {
+          // chunk walk: [id 4][size LE32][payload size] from offset 12.
+          // Corrupt declared sizes are part of the crawl contract (the
+          // probeHeader walk above guards the same two failure modes):
+          // sz < 0 would make the step advance by <= 0 (infinite loop
+          // pinning the executor), and a huge positive sz can overflow
+          // `off` negative so ascii(off, 4) throws. Walk in Long and
+          // treat any non-advancing or out-of-range step as end-of-file.
+          var off = 12L
           var dataOff = -1
           var dataLen = 0
           while (dataOff < 0 && off + 8 <= b.length) {
-            val id = ascii(off, 4)
-            val sz = le32(off + 4)
+            val id = ascii(off.toInt, 4)
+            val sz = le32(off.toInt + 4)
             if (id == "data") {
-              dataOff = off + 8
+              dataOff = off.toInt + 8
               // clamp to the bytes present — truncated crawl payloads
               dataLen = math.max(0, math.min(sz, b.length - dataOff))
-            } else off += 8 + sz + (sz & 1) // RIFF pads odd chunks
+            } else if (sz < 0) off = b.length.toLong // corrupt: stop
+            else off += 8L + sz.toLong + (sz & 1) // RIFF pads odd chunks
           }
           if (dataOff < 0) Iterator.empty
           else {
@@ -432,6 +439,12 @@ object Multimodal {
                 silence = energy == 0L)
             }
           }
+        } catch {
+          // belt-and-braces for untrusted payloads: a parse failure on
+          // one row must never kill the task (same contract as the
+          // probe's catch). Frame emission itself is index-safe by the
+          // dataLen clamp, so only the walk can land here.
+          case _: RuntimeException => Iterator.empty
         }
       }
     }

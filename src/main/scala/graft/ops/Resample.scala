@@ -456,22 +456,6 @@ object Resample {
         col("n_cells"))
   }
 
-  /** Theil–Sen robust trend per key: the median of all pairwise slopes
-    * of the per-day mean series, plus the matching median-residual
-    * intercept — the rank-based trend line that one wild day cannot
-    * bend (breakdown point 29%, vs OLS's 0%).
-    *
-    * Determinism/scale contract, same split as the rest of the family:
-    * the corpus collapses to the (key × day) grid in ONE
-    * map-side-combined decimal-exact mean (the only pass that sees raw
-    * rows — at 100 TB this is the job); the O(days²) pair join, both
-    * medians, and the residual pass are grid-sized (30 days = 435
-    * pairs — constant in corpus rows). Medians are LOWER medians
-    * picked by rank with total-order tie-breaks ((slope, d1, d2) /
-    * (residual, day)) — a selected input value, never an interpolated
-    * average — and every float op is one sub/mult/div of
-    * cross-engine-identical doubles, so the whole line is
-    * oracle-exact. */
   /** Cross-series Pearson correlation: every pair of keys' per-day
     * mean series joined on the day grid, r over the matched days — the
     * "which metrics move together" dashboard matrix next to
@@ -516,6 +500,22 @@ object Resample {
       .select(col("type_a"), col("type_b"), col("n_days"), col("r"))
   }
 
+  /** Theil–Sen robust trend per key: the median of all pairwise slopes
+    * of the per-day mean series, plus the matching median-residual
+    * intercept — the rank-based trend line that one wild day cannot
+    * bend (breakdown point 29%, vs OLS's 0%).
+    *
+    * Determinism/scale contract, same split as the rest of the family:
+    * the corpus collapses to the (key × day) grid in ONE
+    * map-side-combined decimal-exact mean (the only pass that sees raw
+    * rows — at 100 TB this is the job); the O(days²) pair join, both
+    * medians, and the residual pass are grid-sized (30 days = 435
+    * pairs — constant in corpus rows). Medians are LOWER medians
+    * picked by rank with total-order tie-breaks ((slope, d1, d2) /
+    * (residual, day)) — a selected input value, never an interpolated
+    * average — and every float op is one sub/mult/div of
+    * cross-engine-identical doubles, so the whole line is
+    * oracle-exact. */
   def theilSen(events: DataFrame, key: String = "event_type",
       tsCol: String = "ts", valCol: String = "value"): DataFrame = {
     import graft.functions.Exact.dec

@@ -190,4 +190,112 @@ object Upsert {
       .partitionBy(partitionCol)
       .parquet(root)
   }
+
+  /** Thin JDBC upsert sink — the LITERAL parity path for the
+    * reference's Postgres load step (etl/load.py:21-58: batched
+    * `INSERT ... ON CONFLICT (keys) DO UPDATE SET <updateCols> =
+    * EXCLUDED.<c>`). The lake-native operators above are the engine's
+    * real storage layer; this closes the last storage-surface gap for
+    * deployments that still land a serving copy in an RDBMS.
+    *
+    * Dialects: `"postgres"` emits batched ON CONFLICT (the reference's
+    * exact statement shape); `"generic"` is the portable
+    * UPDATE-then-INSERT-if-absent pair (any JDBC database — Derby
+    * rejects non-base-table MERGE sources, so standard MERGE is not
+    * actually portable). The spec exercises the generic path END TO
+    * END against embedded Derby (already on the Spark classpath), so
+    * the sink is TESTED in-sandbox, not opt-in-skipped; a live
+    * Postgres run needs only the driver jar + url.
+    *
+    * Executor-side contract: one connection + one prepared statement
+    * per partition, `batchSize`-row JDBC batches, one commit per
+    * partition (etl/load.py commits per chunk; per-partition commit is
+    * the Spark-idiomatic equivalent — a retried task re-upserts its
+    * whole partition, which upsert semantics make IDEMPOTENT, the same
+    * at-least-once story as the reference's retry loop). The incoming
+    * frame must already be one-row-per-key ([[latestByKey]] /
+    * [[partialLatestByKey]]) — like the reference, the LAST write wins
+    * only across statements, so duplicate keys inside one batch would
+    * be order-dependent. Column names pass through `quote` (double
+    * quotes) to survive mixed case.
+    */
+  def jdbcUpsert(df: DataFrame, url: String, table: String,
+      keys: Seq[String], updateCols: Seq[String],
+      dialect: String = "postgres", batchSize: Int = 500,
+      connProps: Map[String, String] = Map.empty): Unit = {
+    require(keys.nonEmpty, "upsert needs key columns")
+    require(updateCols.nonEmpty, "upsert needs update columns")
+    val cols = df.columns.toSeq
+    require(keys.forall(cols.contains) && updateCols.forall(cols.contains),
+      "keys/updateCols must exist in the frame")
+    def q(c: String) = "\"" + c + "\""
+    val colList = cols.map(q).mkString(", ")
+    val placeholders = cols.map(_ => "?").mkString(", ")
+    require(dialect == "postgres" || dialect == "generic",
+      s"unknown dialect: $dialect")
+    val nCols = cols.length
+    val keyIdx = keys.map(cols.indexOf)
+    val updIdx = updateCols.map(cols.indexOf)
+    val insertSql = s"INSERT INTO $table ($colList) VALUES ($placeholders)"
+    val upsertSql =
+      insertSql + s" ON CONFLICT (${keys.map(q).mkString(", ")}) DO UPDATE " +
+        s"SET ${updateCols.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")}"
+    val updateSql = s"UPDATE $table SET " +
+      updateCols.map(c => s"${q(c)} = ?").mkString(", ") +
+      " WHERE " + keys.map(k => s"${q(k)} = ?").mkString(" AND ")
+    val pg = dialect == "postgres"
+    val props = connProps
+    df.foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          val p = new java.util.Properties()
+          props.foreach { case (k, v) => p.setProperty(k, v) }
+          val conn = java.sql.DriverManager.getConnection(url, p)
+          try {
+            conn.setAutoCommit(false)
+            if (pg) {
+              // one batched ON CONFLICT statement — the reference's shape
+              val st = conn.prepareStatement(upsertSql)
+              try {
+                var pending = 0
+                rows.foreach { r =>
+                  var i = 0
+                  while (i < nCols) { st.setObject(i + 1, r.get(i)); i += 1 }
+                  st.addBatch()
+                  pending += 1
+                  if (pending >= batchSize) { st.executeBatch(); pending = 0 }
+                }
+                if (pending > 0) st.executeBatch()
+                conn.commit()
+              } finally st.close()
+            } else {
+              // portable pair: UPDATE, INSERT only when nothing matched.
+              // Safe without a uniqueness race here because the frame is
+              // one-row-per-key and a key hashes to exactly one partition
+              // writer within this job.
+              val up = conn.prepareStatement(updateSql)
+              val ins = conn.prepareStatement(insertSql)
+              try {
+                rows.foreach { r =>
+                  updIdx.zipWithIndex.foreach { case (ci, pi) =>
+                    up.setObject(pi + 1, r.get(ci)) }
+                  keyIdx.zipWithIndex.foreach { case (ci, pi) =>
+                    up.setObject(updIdx.length + pi + 1, r.get(ci)) }
+                  if (up.executeUpdate() == 0) {
+                    var i = 0
+                    while (i < nCols) { ins.setObject(i + 1, r.get(i)); i += 1 }
+                    ins.executeUpdate()
+                  }
+                }
+                conn.commit()
+              } finally { up.close(); ins.close() }
+            }
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
+          } finally conn.close()
+        }
+    }
+  }
 }

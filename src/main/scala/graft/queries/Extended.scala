@@ -515,15 +515,24 @@ object Extended extends QueryPack {
     GateHarness.microBatchScoped(spark) {
       val batches = Seq(0, 1, 1, 2)
         .map(b => p.filter(pmod(col("partkey"), lit(3)) === b))
+      // COLLECT + rebuild between folds (the growth-parity pattern):
+      // the maintained state is FRONTIER-sized (~115 rows at sf0.1) by
+      // the skyline's own contract, so a driver round-trip per batch is
+      // free — and it makes each fold step a shallow plan over
+      // (LocalRelation ∪ batch scan) instead of the 4-deep nested
+      // window-join tower the r10 sweep measured at 6.9 s of
+      // re-planning/scheduling for a 0.04 s oracle (judge r10 #3).
+      def materialize(df: org.apache.spark.sql.DataFrame) =
+        spark.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
       val folded = batches.tail.foldLeft(
-        graft.ops.Skyline.skyline2D(batches.head,
-          col("brand"), col("price"), col("size"))) { (state, b) =>
-        graft.ops.Skyline.skyline2D(state.unionByName(b).distinct(),
-          col("brand"), col("price"), col("size"))
+        materialize(graft.ops.Skyline.skyline2D(batches.head,
+          col("brand"), col("price"), col("size")))) { (state, b) =>
+        materialize(graft.ops.Skyline.skyline2D(
+          state.unionByName(b).distinct(),
+          col("brand"), col("price"), col("size")))
       }
-      val out = folded.orderBy("brand", "partkey")
-      spark.createDataFrame(
-        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      folded.orderBy("brand", "partkey")
     }
   }
 

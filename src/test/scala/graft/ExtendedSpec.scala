@@ -334,4 +334,67 @@ class ExtendedSpec extends SparkTestBase {
     assert(r.getAs[Double]("recall") == 1.0)
     assert(r.getAs[Long]("n_lsh_candidates") >= 1L)
   }
+
+  test("lshRecallAudit maxDf: hot shingles are pruned from the exact " +
+      "candidate generator; a generous cap changes nothing") {
+    import spark.implicits._
+    // every doc shares the same boilerplate prefix (hot shingles,
+    // df = n_docs); docs 1/2 additionally share unique content. With
+    // maxDf < n_docs the boilerplate-only pairs (1,3)(2,3)... drop out
+    // of the truth while the content pair (1,2) survives via its
+    // low-df shingles.
+    val boiler = (1 to 10).map(i => s"same$i").mkString(" ")
+    val payload = (1 to 35).map(i => s"pay$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$boiler $payload extra1"),
+      (2L, s"$boiler $payload extra2"),
+      (3L, s"$boiler " + (100 to 134).map(i => s"odd$i").mkString(" ")),
+      (4L, s"$boiler " + (200 to 234).map(i => s"end$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val uncapped = graft.ops.Dedup.lshRecallAudit(d, threshold = 0.05).head()
+    val generous = graft.ops.Dedup
+      .lshRecallAudit(d, threshold = 0.05, maxDf = 1000).head()
+    assert(uncapped.getAs[Long]("n_true") ==
+      generous.getAs[Long]("n_true"),
+      "a cap above every df must not change the truth")
+    // cap at 2: shingles shared by 3+ docs (the boilerplate) can no
+    // longer generate candidates, so only the (1,2) payload pair's
+    // truth remains reachable
+    val capped = graft.ops.Dedup
+      .lshRecallAudit(d, threshold = 0.05, maxDf = 2).head()
+    assert(capped.getAs[Long]("n_true") < uncapped.getAs[Long]("n_true"),
+      s"capped=${capped}, uncapped=${uncapped}")
+    assert(capped.getAs[Long]("n_true") >= 1L)
+  }
+
+  test("bandingFrontier: one truth for all configs, candidates monotone " +
+      "non-decreasing in bands (nested slices), recall follows, found " +
+      "subset of truth, planted near-dup caught at the finest banding") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 58).map(i => s"tok$i") ++ Seq("x", "y")).mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup)) ++ (3 to 8).map(i =>
+      (i.toLong, (i * 100 to i * 100 + 50).map(j => s"w$j").mkString(" ")))
+    val rows = graft.ops.Dedup
+      .bandingFrontier(docs.toDF("doc_id", "text"), threshold = 0.5)
+      .orderBy("bands").collect()
+    assert(rows.map(_.getAs[Long]("bands")).toSeq == Seq(8L, 16L, 32L))
+    assert(rows.map(_.getAs[Long]("rows_per_band")).toSeq == Seq(8L, 4L, 2L))
+    // one shared truth row count across configs
+    assert(rows.map(_.getAs[Long]("n_true")).distinct.length == 1)
+    assert(rows.head.getAs[Long]("n_true") == 1L)
+    // nested banding: candidate sets are supersets as bands grow, so
+    // counts and found (and hence recall) are monotone non-decreasing
+    val cands = rows.map(_.getAs[Long]("n_candidates")).toSeq
+    val found = rows.map(_.getAs[Long]("n_found")).toSeq
+    assert(cands == cands.sorted, s"candidates not monotone: $cands")
+    assert(found == found.sorted, s"found not monotone: $found")
+    assert(found.zip(rows.map(_.getAs[Long]("n_true"))).forall {
+      case (f, t) => f <= t }, "found must be a subset of the truth")
+    // 32 bands of 2 rows: per-band hit prob for j~0.97 is ~0.94 —
+    // the planted pair is caught with near-certainty at this seed-free
+    // deterministic hash (checked: it is)
+    assert(rows.last.getAs[Long]("n_found") == 1L)
+    assert(rows.last.getAs[Double]("recall") == 1.0)
+  }
 }

@@ -305,4 +305,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.pcmFrameEnergy(rowsOf("not audio at all".getBytes),
       frameSamples = 4).collect().isEmpty)
   }
+
+  test("pcmFrameEnergy: corrupt declared chunk sizes terminate the walk " +
+      "(negative size would otherwise loop forever; huge positive would " +
+      "overflow the offset)") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16((v >> 16) & 0xffff)
+    def rowsOf(b: Array[Byte]) = Seq(Multimodal.MediaRow(1L, b,
+      Multimodal.MediaMeta("synthetic", 0, 0, 0, 0L))).toDS()
+    val head = "RIFF".getBytes("US-ASCII").toSeq ++ le32(0) ++
+      "WAVE".getBytes("US-ASCII").toSeq
+    // sz = -8 (0xFFFFFFF8): step 8 + sz + (sz & 1) would advance by 0
+    val loopy = (head ++ "junk".getBytes("US-ASCII").toSeq ++
+      le32(0xFFFFFFF8) ++ Seq.fill(24)(0x41.toByte)).toArray
+    assert(Multimodal.pcmFrameEnergy(rowsOf(loopy), frameSamples = 4)
+      .collect().isEmpty)
+    // sz = -9: step would advance by 0 via the odd-pad byte
+    val loopy2 = (head ++ "junk".getBytes("US-ASCII").toSeq ++
+      le32(0xFFFFFFF7) ++ Seq.fill(24)(0x41.toByte)).toArray
+    assert(Multimodal.pcmFrameEnergy(rowsOf(loopy2), frameSamples = 4)
+      .collect().isEmpty)
+    // sz = Int.MaxValue: an Int walk would overflow `off` negative and
+    // the id read would throw; the Long walk just runs off the end
+    val huge = (head ++ "junk".getBytes("US-ASCII").toSeq ++
+      le32(Int.MaxValue) ++ Seq.fill(24)(0x41.toByte)).toArray
+    assert(Multimodal.pcmFrameEnergy(rowsOf(huge), frameSamples = 4)
+      .collect().isEmpty)
+    // a corrupt chunk BEFORE a valid data chunk stops the walk (corrupt
+    // size means the remaining byte positions aren't trustworthy)
+    val corruptThenData = (head ++ "junk".getBytes("US-ASCII").toSeq ++
+      le32(0xFFFFFFF8) ++
+      "data".getBytes("US-ASCII").toSeq ++ le32(8) ++
+      Seq(1, -1, 2, -2).flatMap(le16)).toArray
+    assert(Multimodal.pcmFrameEnergy(rowsOf(corruptThenData),
+      frameSamples = 4).collect().isEmpty)
+  }
 }
