@@ -146,5 +146,20 @@ def main(argv):
     return 0
 
 
+def regen(argv):
+    """--regen <duckJson> <sparkSf1AuxJson> <sf1Dir> <threads>:
+    rebuild the md section from saved DuckDB timings (the oracle SQL of
+    tier queries did not change) + a fresh spark tier aux line."""
+    duck_json, spark_json, sf1_dir, threads = argv[:4]
+    with open(duck_json) as f:
+        duck = json.load(f)
+    with open(spark_json) as f:
+        spark = json.load(f)
+    write_md(duck, spark["queries"], sf1_dir, int(threads))
+    return 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--regen"]:
+        sys.exit(regen(sys.argv[2:]))
     sys.exit(main(sys.argv[1:]))

@@ -219,6 +219,31 @@ object Upsert {
     * be order-dependent. Column names pass through `quote` (double
     * quotes) to survive mixed case.
     */
+  /** The statements [[jdbcUpsert]] sends, exposed so the spec can
+    * assert the `postgres` dialect's exact ON CONFLICT shape (which no
+    * in-sandbox database executes) textually. `kind`: "postgres" (the
+    * reference's upsert statement), "update"/"insert" (the generic
+    * dialect's pair). */
+  private[graft] def upsertSqlFor(kind: String, table: String,
+      cols: Seq[String], keys: Seq[String],
+      updateCols: Seq[String]): String = {
+    def q(c: String) = "\"" + c + "\""
+    val colList = cols.map(q).mkString(", ")
+    val placeholders = cols.map(_ => "?").mkString(", ")
+    kind match {
+      case "insert" =>
+        s"INSERT INTO $table ($colList) VALUES ($placeholders)"
+      case "postgres" =>
+        s"INSERT INTO $table ($colList) VALUES ($placeholders) " +
+          s"ON CONFLICT (${keys.map(q).mkString(", ")}) DO UPDATE " +
+          s"SET ${updateCols.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")}"
+      case "update" =>
+        s"UPDATE $table SET " +
+          updateCols.map(c => s"${q(c)} = ?").mkString(", ") +
+          " WHERE " + keys.map(k => s"${q(k)} = ?").mkString(" AND ")
+    }
+  }
+
   def jdbcUpsert(df: DataFrame, url: String, table: String,
       keys: Seq[String], updateCols: Seq[String],
       dialect: String = "postgres", batchSize: Int = 500,
@@ -228,21 +253,14 @@ object Upsert {
     val cols = df.columns.toSeq
     require(keys.forall(cols.contains) && updateCols.forall(cols.contains),
       "keys/updateCols must exist in the frame")
-    def q(c: String) = "\"" + c + "\""
-    val colList = cols.map(q).mkString(", ")
-    val placeholders = cols.map(_ => "?").mkString(", ")
     require(dialect == "postgres" || dialect == "generic",
       s"unknown dialect: $dialect")
     val nCols = cols.length
     val keyIdx = keys.map(cols.indexOf)
     val updIdx = updateCols.map(cols.indexOf)
-    val insertSql = s"INSERT INTO $table ($colList) VALUES ($placeholders)"
-    val upsertSql =
-      insertSql + s" ON CONFLICT (${keys.map(q).mkString(", ")}) DO UPDATE " +
-        s"SET ${updateCols.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")}"
-    val updateSql = s"UPDATE $table SET " +
-      updateCols.map(c => s"${q(c)} = ?").mkString(", ") +
-      " WHERE " + keys.map(k => s"${q(k)} = ?").mkString(" AND ")
+    val insertSql = upsertSqlFor("insert", table, cols, keys, updateCols)
+    val upsertSql = upsertSqlFor("postgres", table, cols, keys, updateCols)
+    val updateSql = upsertSqlFor("update", table, cols, keys, updateCols)
     val pg = dialect == "postgres"
     val props = connProps
     df.foreachPartition {

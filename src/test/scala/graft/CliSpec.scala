@@ -53,6 +53,7 @@ class CliSpec extends AnyFunSuite {
   test("unknown commands list `tune` in the usage text") {
     val e = intercept[RuntimeException] { Cli.run(Array("nope")) }
     assert(e.getMessage.contains("tune [--sf-dir D]"))
+    assert(e.getMessage.contains("tune-banding"))
   }
 
   test("flag parsing picks the value following the flag name") {

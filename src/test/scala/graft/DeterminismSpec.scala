@@ -58,6 +58,26 @@ class DeterminismSpec extends SparkTestBase {
     }
   }
 
+  test("globalRanksSharedSample: each rank equals its independent " +
+      "globalRank (shared uniform sample only moves range balance, " +
+      "never a rank)") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => ((i * 131) % 97, (i * 17) % 50, i))
+      .toDF("a", "b", "id").repartition(5)
+    val sorts = Seq(
+      (Seq(col("a"), col("id")), "r1"),
+      (Seq(col("b").desc, col("id")), "r2"),
+      (Seq(col("a").desc, col("b"), col("id")), "r3"))
+    val shared = Ranking.globalRanksSharedSample(df, sorts)
+    sorts.zip(shared).foreach { case ((sc, name), got) =>
+      val want = Ranking.globalRank(df, sc, name)
+        .orderBy(name).select("id").collect().map(_.getInt(0)).toSeq
+      val have = got.orderBy(name).select("id").collect()
+        .map(_.getInt(0)).toSeq
+      assert(have == want, s"rank $name diverges under the shared sample")
+    }
+  }
+
   test("globalRankCumsum running sum matches the window form across " +
       "range counts") {
     import spark.implicits._

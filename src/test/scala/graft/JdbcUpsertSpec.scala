@@ -73,8 +73,14 @@ class JdbcUpsertSpec extends SparkTestBase {
     import spark.implicits._
     val df = Seq((1.0, 2.0, 10.5)).toDF("lat", "lon", "temperature")
     // the postgres SQL can't run in-sandbox (no server); assert the
-    // statement the sink would send by intercepting the dialect error
-    // path: an unknown dialect throws BEFORE any connection attempt
+    // exact statement the sink would send — etl/load.py:21-58's shape
+    assert(graft.ops.Upsert.upsertSqlFor("postgres", "observations",
+      Seq("lat", "lon", "temperature", "note"), Seq("lat", "lon"),
+      Seq("temperature")) ==
+      """INSERT INTO observations ("lat", "lon", "temperature", "note") """ +
+      """VALUES (?, ?, ?, ?) ON CONFLICT ("lat", "lon") DO UPDATE """ +
+      """SET "temperature" = EXCLUDED."temperature"""")
+    // an unknown dialect throws BEFORE any connection attempt
     val e = intercept[IllegalArgumentException] {
       graft.ops.Upsert.jdbcUpsert(df, url, "obs",
         keys = Seq("lat", "lon"), updateCols = Seq("temperature"),
