@@ -827,6 +827,30 @@ class PlanAuditSpec extends SparkTestBase {
       s"candidates must come from the shared-item equi-join only:\n$plan")
   }
 
+  test("wedge pair generation (round 11): link_predict and basket build " +
+      "pairs from per-key sorted adjacency arrays — a Generate(explode) " +
+      "over collect_set output, never a fact self-join — and the " +
+      "counting aggregate sits behind an input-scaled " +
+      "repartition-by-number that AQE cannot coalesce away") {
+    for (name <- Seq("graph_link_predict", "q52_basket")) {
+      val full = planOf(name)
+      val plan = full.split("== Initial Plan ==")(0)
+      assert(plan.contains("collect_set"),
+        s"$name: adjacency arrays must come from collect_set:\n$plan")
+      assert(plan.contains("Generate explode"),
+        s"$name: pairs must explode from the arrays:\n$plan")
+      assert(full.contains("REPARTITION_BY_NUM"),
+        s"$name: the pair aggregate must sit behind the input-scaled " +
+          s"user repartition:\n$full")
+      // the r10 shape — a self-join meeting on the shared key with a
+      // node/item inequality — must NOT return: its sort-merge form
+      // re-sorted the fact twice and its pair map spilled 6.7 GB at sf1
+      assert(!plan.contains("SortMergeJoin") ||
+        !plan.contains("CartesianProduct"),
+        s"$name: unexpected join shape:\n$plan")
+    }
+  }
+
   test("ts_seasonal: the fact collapses to the hourly grid in one " +
       "map-side-combined pass; seasonal profile joins back broadcast") {
     val plan = planOf("ts_seasonal").split("== Initial Plan ==")(0)
