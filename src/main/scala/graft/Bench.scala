@@ -75,16 +75,73 @@ object Bench {
     * clusters scale their PAIR OUTPUT quadratically by construction;
     * [R] rows-only queries have no oracle for DuckDB to replay. Data
     * comes from `graft.MakeSf1` (the Stress100 workload-preserving
-    * scale-up). */
+    * scale-up).
+    *
+    * CHEAPEST-FIRST (judge r11 #1c): the tier runs in ascending order
+    * of the committed round-11 first-in-JVM wall time, so a throttled
+    * host that exhausts the budget skips only the few EXPENSIVE tail
+    * queries — the round-11 driver receipt ran expensive-first and a
+    * GC-thrashed host burned the whole 900 s on 5 queries, skipping
+    * exactly the 20 cheap stage-constant queries whose 2×-vs-DuckDB
+    * ratios were the contested claim. */
   private val Sf1Tier = Seq(
-    "graph_knn_components", "pipeline_dedup_cascade", "graph_link_predict",
-    "data_split_cluster_safe", "dedup_containment_capped", "dedup_clusters",
-    "ts_hampel", "graph_pagerank", "q52_basket", "dedup_survivorship",
-    "dedup_ngram_capped", "ann_knn_graph", "search_rrf_fusion",
-    "q34_outliers", "data_triplets", "dedup_minhash_lsh",
-    "pipeline_curation", "dedup_sorted_multi", "ann_pq_rerank",
-    "q36_quantile_sketch", "q48_rfm", "q57_pr_curve", "q55_pareto",
-    "q51_calibration", "q54_growth_accounting")
+    "pipeline_curation", "q51_calibration", "q54_growth_accounting",
+    "q55_pareto", "q57_pr_curve", "q36_quantile_sketch", "ann_pq_rerank",
+    "search_rrf_fusion", "q48_rfm", "graph_pagerank", "q34_outliers",
+    "dedup_sorted_multi", "dedup_minhash_lsh", "ts_hampel",
+    "dedup_survivorship", "q52_basket", "dedup_clusters", "ann_knn_graph",
+    "data_split_cluster_safe", "dedup_ngram_capped",
+    "dedup_containment_capped", "data_triplets", "pipeline_dedup_cascade",
+    "graph_knn_components", "graph_link_predict")
+
+  /** Control cells (judge r11 #1a): five tier queries UNTOUCHED since
+    * round 11, with their committed round-11 first-in-JVM reference
+    * times (scripts/bench_raw.json, the `position:first_in_jvm` line at
+    * r11 HEAD). The tier computes drift = median(measured / reference)
+    * over whichever controls have completed; a receipt whose controls
+    * run far above 1.0 self-identifies as measured on a degraded host
+    * (the DuckDB baseline columns are frozen from another session, so
+    * host weather otherwise inflates every spark/duck ratio silently).
+    * Spanning shapes: scan+agg pipeline, rank math, PQ rerank,
+    * iterative joins, LSH shuffle. */
+  private val CtrlRefs = Map(
+    "pipeline_curation" -> 1.19, "q51_calibration" -> 2.03,
+    "ann_pq_rerank" -> 3.46, "graph_pagerank" -> 5.04,
+    "dedup_minhash_lsh" -> 6.89)
+
+  /** Host-health preamble (judge r11 #1b): direct-IO write/read
+    * throughput via `dd` (page-cache-proof — the same probe the judge
+    * and builder use by hand when a receipt looks off) plus a fixed
+    * single-thread CPU probe (xorshift fold, ~1 s on a healthy host).
+    * Best-effort: a sandbox without `dd` or a writable tmp reports -1
+    * and the bench proceeds — the probe is receipt metadata, never a
+    * gate. */
+  private def hostProbe(): (Double, Double, Double) = {
+    val tmp = java.nio.file.Files.createTempFile("graft_io", ".bin")
+    def dd(args: Seq[String]): Double =
+      try {
+        val p = new ProcessBuilder(("dd" +: args): _*)
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+        p.waitFor()
+        // dd's summary line ends "..., 1.54 s, 348 MB/s"
+        val m = """([\d.]+)\s+([MG])B/s""".r.findAllMatchIn(out).toSeq.lastOption
+        m.map(g => g.group(1).toDouble *
+          (if (g.group(2) == "G") 1000.0 else 1.0)).getOrElse(-1.0)
+      } catch { case _: Throwable => -1.0 }
+    val w = dd(Seq("if=/dev/zero", s"of=$tmp", "bs=1M", "count=256",
+      "oflag=direct", "conv=notrunc"))
+    val r = dd(Seq(s"if=$tmp", "of=/dev/null", "bs=1M", "iflag=direct"))
+    java.nio.file.Files.deleteIfExists(tmp)
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L; var i = 0
+    while (i < 200000000) { // fixed work → wall time IS the cpu scalar
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    val cpuS = (System.nanoTime() - t0) / 1e9
+    if (x == 42) println("") // defeat dead-code elimination
+    (w, r, cpuS)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -141,10 +198,13 @@ object Bench {
     // are LOGGED, never silently dropped).
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata_sf1")
     val sf1Runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "1").toInt)
-    // 900 s ≈ 3.4× the observed full-tier time (267 s at round-10
-    // HEAD): enough headroom for host swings, bounded enough that a
-    // regression to quadratic cannot stretch the driver's bench run
-    // past its patience (skips are logged, never silent)
+    // 900 s ≈ 4× the observed full-tier time (217 s at round-11 HEAD):
+    // enough headroom for host swings, bounded enough that a regression
+    // to quadratic cannot stretch the driver's bench run past its
+    // patience (skips are logged, never silent). On a throttled host
+    // the budget SCALES with the measured control drift (capped 3×) —
+    // combined with the cheapest-first order, a slow host yields a
+    // complete-but-slow tier with a drift stamp, not `nq: 5` (r11 #1c).
     val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "900").toDouble
     // focused tier-only iteration: SPARK_GRAFT_ONLY=__sf1__ empties the
     // main sweep (no query is named that) and still runs the tier
@@ -157,6 +217,11 @@ object Bench {
     // BENCH_r{N}.json — extra keys on the short line parse everywhere
     var sf1Brief = ""
     var sf1Aux = ""
+    // host-health preamble runs BEFORE any timing so its own IO doesn't
+    // bill to a query; stamped into every receipt line (r11 #1b)
+    val (ioW, ioR, cpuS) = hostProbe()
+    val hostJson = f""""io_w_mbps":$ioW%.0f,"io_r_mbps":$ioR%.0f,"cpu_s":$cpuS%.2f"""
+    println(s"""{"aux":"host",$hostJson}""")
     if (runSf1) {
       val t0 = System.nanoTime()
       def elapsed: Double = (System.nanoTime() - t0) / 1e9
@@ -164,8 +229,16 @@ object Bench {
       val sf1Results = scala.collection.mutable.ListBuffer.empty[(String, Seq[Double])]
       val sf1Spill = scala.collection.mutable.ListBuffer.empty[(String, Long, Long, Long)]
       val skipped = scala.collection.mutable.ListBuffer.empty[String]
+      // drift = median(measured/ref) over completed control cells; 1.0
+      // until the first control lands (the cheapest control runs first)
+      def drift: Double = {
+        val r = sf1Results.collect {
+          case (k, v) if CtrlRefs.contains(k) => v.min / CtrlRefs(k) }.sorted
+        if (r.isEmpty) 1.0 else r((r.size - 1) / 2)
+      }
       for (name <- Sf1Tier) {
-        if (elapsed > sf1Budget) skipped += name
+        if (elapsed > sf1Budget * math.min(3.0, math.max(1.0, drift)))
+          skipped += name
         else {
           spark.catalog.clearCache(); System.gc()
           val (m0, d0, g0) = metrics.snapshot
@@ -189,13 +262,14 @@ object Bench {
       // asked for (distinguishes "plan spills" from "host was busy")
       val spillJson = sf1Spill.map { case (k, m, d, g) =>
         s"\"" + k + s"\":[$m,$d,$g]" }.mkString("{", ",", "}")
-      sf1Aux = s"""{"aux":"sf1","n":$sf1Runs,"dir":"$sf1Dir","total":$tot1,"nq":${sf1Results.size},"skipped":$skippedJson,"queries":$q1}"""
-      sf1Brief = f""","sf1_total":$tot1%.2f,"sf1_nq":${sf1Results.size},"sf1_skipped":${skipped.size}"""
+      val d = drift
+      sf1Aux = f"""{"aux":"sf1","n":$sf1Runs,"dir":"$sf1Dir","total":$tot1,"nq":${sf1Results.size},"skipped":$skippedJson,"ctrl_drift":$d%.2f,$hostJson,"queries":$q1}"""
+      sf1Brief = f""","sf1_total":$tot1%.2f,"sf1_nq":${sf1Results.size},"sf1_skipped":${skipped.size},"sf1_drift":$d%.2f,$hostJson"""
       println(sf1Aux)
       println(s"""{"aux":"sf1_spill","unit":"[memBytes,diskBytes,gcMs]","spill":$spillJson}""")
       val raw = sf1Results.map { case (k, v) =>
         s"\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
-      appendRaw(s"""{"n":$sf1Runs,"cpus":$cpus,"sf":"$sf1Dir","position":"first_in_jvm","raw":$raw,"spill":$spillJson}""")
+      appendRaw(f"""{"n":$sf1Runs,"cpus":$cpus,"sf":"$sf1Dir","position":"first_in_jvm","ctrl_drift":$d%.2f,$hostJson,"raw":$raw,"spill":$spillJson}""")
     }
 
     // ---- sf0.1 main sweep ----
@@ -283,7 +357,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val spillJson = spills.map { case (k, m, d, g) =>
       s"\"" + k + s"\":[$m,$d,$g]" }.mkString("{", ",", "}")
-    appendRaw(s"""{"n":$nRuns,"cpus":$cpus,"sf":"$sfDir","raw":$raw,"spill":$spillJson}""")
+    appendRaw(s"""{"n":$nRuns,"cpus":$cpus,"sf":"$sfDir",$hostJson,"raw":$raw,"spill":$spillJson}""")
     spark.stop()
   }
 }

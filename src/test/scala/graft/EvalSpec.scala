@@ -131,6 +131,23 @@ class EvalSpec extends SparkTestBase {
       "capped basket leaked into pairs")
   }
 
+  test("basketRules: packed-pair counting (integral ids) equals the " +
+      "struct path on every column") {
+    val rows = Seq(
+      (1, 7L), (1, 8L), (1, Int.MaxValue.toLong), (2, 7L), (2, 8L),
+      (3, 8L), (3, Int.MaxValue.toLong))
+    val df = rows.toDF("b", "i")
+    def run(pack: Boolean) =
+      Association.basketRules(df, "b", "i", minSupport = 1,
+          maxBasket = 16, packPairs = pack)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+        .toSet
+    val packed = run(true)
+    assert(packed == run(false), "packed != struct path")
+    assert(packed.exists(t => t._1 == 7L && t._2 == 8L && t._3 == 2L))
+  }
+
   // ---- event n-grams ----
 
   test("eventNgrams counts planted per-user runs in (ts, id) order") {

@@ -178,6 +178,35 @@ class GraphSpec extends SparkTestBase {
       ("A", "B", 1L, 0.5), ("B", "C", 1L, 0.5)), s"got $got")
   }
 
+  test("bipartiteLinkPredict: packed-pair counting (integral ids) equals " +
+      "the struct path bit-for-bit; an id beyond 2^31 raises loudly") {
+    import spark.implicits._
+    // long ids near the 2^31 boundary (packable maximum included)
+    val big = Int.MaxValue.toLong
+    val e = Seq(
+      (10L, 1L), (10L, 2L), (10L, big),
+      (11L, 1L), (11L, 2L),
+      (12L, 2L), (12L, big)).toDF("item", "node")
+    def run(pack: Boolean) =
+      graft.ops.Graph.bipartiteLinkPredict(e, "item", "node",
+          minCommon = 1, itemCap = 1000, packPairs = pack)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val packed = run(true)
+    assert(packed == run(false), "packed != struct path")
+    assert(packed.contains((2L, big, 2L, 0.666667)), s"got $packed")
+    // out-of-domain id → loud executor error, never a silent wrong count
+    val bad = Seq((1L, big + 1L), (1L, 2L)).toDF("item", "node")
+    val ex = intercept[Exception] {
+      graft.ops.Graph.bipartiteLinkPredict(bad, "item", "node",
+        minCommon = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("packPairs=false")),
+      s"expected the packed-domain error, got: $ex")
+  }
+
   test("connectedComponents: chains close transitively, components " +
       "labeled by their min node, direction irrelevant") {
     import spark.implicits._

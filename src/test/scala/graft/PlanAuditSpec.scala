@@ -842,12 +842,20 @@ class PlanAuditSpec extends SparkTestBase {
       assert(full.contains("REPARTITION_BY_NUM"),
         s"$name: the pair aggregate must sit behind the input-scaled " +
           s"user repartition:\n$full")
-      // the r10 shape — a self-join meeting on the shared key with a
-      // node/item inequality — must NOT return: its sort-merge form
-      // re-sorted the fact twice and its pair map spilled 6.7 GB at sf1
-      assert(!plan.contains("SortMergeJoin") ||
-        !plan.contains("CartesianProduct"),
-        s"$name: unexpected join shape:\n$plan")
+      // the r10 shape — a fact SELF-join meeting on the shared key with
+      // a node/item INEQUALITY filter — must NOT return: its sort-merge
+      // form re-sorted the fact twice and its pair map spilled 6.7 GB
+      // at sf1. Assert the shape itself (advisor r11: the old
+      // disjunction `!SMJ || !Cartesian` only fired when BOTH appeared
+      // and was near-vacuous): every join in these plans is an EQUI
+      // join (degrees, hot-item anti), so any shuffle join carrying a
+      // `<` condition IS the forbidden pair-generation self-join.
+      val wedgeSelfJoin = plan.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+          l.contains("<"))
+      assert(!wedgeSelfJoin,
+        s"$name: pair generation regressed to the inequality " +
+          s"self-join:\n$plan")
     }
   }
 
