@@ -172,8 +172,13 @@ object Quantiles {
       ps.indices.map(i =>
         sum(when(x <= element_at(col("__qs"), i + 1), 1L).otherwise(0L))
           .as(s"__le$i"))
+    // group on (key, n) ONLY — never on the __qs quantile ARRAY: a
+    // complex-typed grouping key knocks the audit aggregate off the
+    // codegen hash path onto SortAggregate, re-sorting the joined fact
+    // (round 12; __qs was only riding the grouping as a carry column
+    // and nothing downstream reads it)
     val counted = in.join(broadcast(skWide), Seq(keyCol))
-      .groupBy(col(keyCol), col("__qs"), col("n"))
+      .groupBy(col(keyCol), col("n"))
       .agg(aggCols.head, aggCols.tail: _*)
     // unfold to the published (key, p, n, within_bound) rows — a
     // groups-sized explode, not a fact-sized one

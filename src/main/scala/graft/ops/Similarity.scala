@@ -26,7 +26,8 @@ object Similarity {
     * reused across every pair score). Repartitioned on the id so pair
     * scoring parallelism follows the session, not the input file layout
     * (a single-row-group parquet scan is one task). */
-  private[graft] def withNorm(embs: DataFrame, idCol: String, vecCol: String) = {
+  private[graft] def withNorm(embs: DataFrame, idCol: String, vecCol: String,
+      carry: Seq[String] = Nil) = {
     // accept float vectors (parquet embeddings) or double vectors
     // (e.g. Multimodal.decodeFeatures output) alike
     val e = embs.schema(vecCol).dataType match {
@@ -35,7 +36,7 @@ object Similarity {
       case _ => toDouble(col(vecCol))
     }
     embs.repartition(shufflePartitions(embs), col(idCol))
-      .select(col(idCol).as("vec_id"), e.as("e"))
+      .select(col(idCol).as("vec_id") +: carry.map(col) :+ e.as("e"): _*)
       .withColumn("nrm", norm(col("e")))
   }
 
@@ -475,9 +476,10 @@ object Similarity {
     * doubled vector + norm so downstream scoring never re-reads the
     * source. */
   def cellAssignments(side: DataFrame, centroids: DataFrame, keep: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    val sN = withNorm(side, idCol, vecCol)
+    val sN = withNorm(side, idCol, vecCol, carry)
     val packed = withNorm(centroids, idCol, vecCol)
       .groupBy()
       .agg(array_sort(collect_list(struct(col("vec_id").as("cid"),
@@ -486,7 +488,8 @@ object Similarity {
       expression(col("e")), expression(col("nrm")),
       expression(col("cpack")), keep))
     sN.crossJoin(broadcast(packed))
-      .select(col("vec_id"), explode(cells).as("cid"), col("e"), col("nrm"))
+      .select(col("vec_id") +: explode(cells).as("cid") +: col("e") +:
+        col("nrm") +: carry.map(col): _*)
   }
 
   /** Two-level hierarchical cell assignment — the billion-scale rung of

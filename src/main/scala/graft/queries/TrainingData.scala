@@ -1754,11 +1754,14 @@ object TrainingData extends QueryPack {
     * (round 10, same round as the one-shot — the parity pattern applied
     * at birth): documents arrive as 3 hash-split micro-batches with one
     * at-least-once REPLAY of batch 1, each reduced to its
-    * [[graft.ops.Splits.importanceBuckets]] (doc, bucket) counts and
-    * written under a batch-owned OVERWRITE partition (a hash split
-    * partitions DOCUMENTS, so batches produce disjoint rows and a
-    * replay rewrites its own partition — the assembled state IS the
-    * one-shot table, no versioned counters); the refresh runs
+    * [[graft.ops.Splits.importanceBuckets]] (doc, bucket) counts under
+    * a batch-owned OVERWRITE partition (a hash split partitions
+    * DOCUMENTS, so batches produce disjoint rows and a replay rewrites
+    * its own partition — the assembled state IS the one-shot table, no
+    * versioned counters). Batches 0-2 land via ONE partitioned
+    * bootstrap write (judge r11 #2 — identical layout and bytes, minus
+    * two folds of scheduling constants); the replay then goes through
+    * the per-batch path. The refresh runs
     * [[graft.ops.Splits.importanceFromBuckets]] over the assembled
     * state and must hash-equal data_importance_resample's ONE-SHOT
     * oracle verbatim — profiles, totals, weights and the priority
@@ -1770,13 +1773,24 @@ object TrainingData extends QueryPack {
     val tmpRoot = GateHarness.ephemeralDir("dsir_parity")
     val stateDir = tmpRoot.toString + "/buckets"
     try GateHarness.microBatchScoped(spark) {
-      for (b <- Seq(0, 1, 1, 2))
-        graft.ops.Splits.importanceBuckets(
-            docs.filter(pmod(col("doc_id"), lit(3)) === b),
-            col("lang") === "de", "doc_id", "text")
-          .withColumn("batch", lit(b))
-          .write.partitionBy("batch").mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic").parquet(stateDir)
+      // bootstrap: batches 0, 1, 2 in one partitioned write (the
+      // bucket rows carry doc_id, so the batch label is recomputable
+      // row-side and the layout is byte-identical to per-fold appends)
+      graft.ops.Splits.importanceBuckets(docs,
+          col("lang") === "de", "doc_id", "text")
+        .withColumn("batch", pmod(col("doc_id"), lit(3)))
+        .repartition(col("batch"))
+        .write.partitionBy("batch").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(stateDir)
+      // at-least-once REPLAY of batch 1 through the per-batch path:
+      // must rewrite its own partition, not duplicate it
+      graft.ops.Splits.importanceBuckets(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+          col("lang") === "de", "doc_id", "text")
+        .coalesce(4)
+        .withColumn("batch", lit(1))
+        .write.partitionBy("batch").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(stateDir)
       val state = spark.read.parquet(stateDir)
         .select(col("doc_id"), col("__tgt"), col("__b"), col("__k"))
       val out = graft.ops.Splits
@@ -2846,11 +2860,14 @@ object TrainingData extends QueryPack {
   /** The incremental VECTOR index driver-gated end-to-end (round 9,
     * judge r8 #8 — composing the round-8 metric lane with the streaming
     * index the way `stream_retrieval_parity` composed the fold):
-    * vectors arrive as 3 hash-split micro-batches with one
-    * at-least-once REPLAY, each folded through
-    * [[graft.streaming.VectorIndex.appendBatch]] (per-batch cell
+    * vectors arrive as 3 hash-split batches — bootstrapped in one
+    * partitioned write ([[graft.streaming.VectorIndex.bootstrap]],
+    * byte-identical layout to sequential appends) — with one
+    * at-least-once REPLAY through the real
+    * [[graft.streaming.VectorIndex.appendBatch]] path (per-batch cell
     * assignment, cid-partitioned append, replay rewrites its own batch
-    * partition); the assembled index is then QUERIED
+    * partition instead of duplicating it); the assembled index is then
+    * QUERIED
     * ([[graft.streaming.VectorIndex.queryTopK]] — partition-pruned to
     * the probed cells) and the retrieval GRADED with the gated MRR/NDCG
     * metrics against brute force. The oracle is ann_rank_metrics' SQL
@@ -2869,11 +2886,14 @@ object TrainingData extends QueryPack {
     val tmpRoot = GateHarness.ephemeralDir("vecidx_parity")
     val idx = tmpRoot.toString + "/index"
     try GateHarness.microBatchScoped(spark) {
-      // batches 0, 1, REPLAY 1 (at-least-once), 2
-      Seq(0, 1, 1, 2).foreach { b =>
-        VectorIndex.appendBatch(
-          embs.filter(pmod(col("vec_id"), lit(3)) === b), centroids, idx, b)
-      }
+      // batches 0, 1, 2 land via the one-pass BOOTSTRAP (byte-identical
+      // layout to three sequential appends — judge r11 #2: the gate was
+      // ~5 s of per-fold scheduling constants), then batch 1 REPLAYS
+      // through the real append path (at-least-once): the replay must
+      // rewrite its own batch partition, not duplicate it
+      VectorIndex.bootstrap(embs, centroids, idx, pmod(col("vec_id"), lit(3)))
+      VectorIndex.appendBatch(
+        embs.filter(pmod(col("vec_id"), lit(3)) === 1), centroids, idx, 1)
       val approx = VectorIndex.queryTopK(spark, idx, q, centroids)
       // rebuild locally: the result must not depend on re-reading the
       // temp index deleted below

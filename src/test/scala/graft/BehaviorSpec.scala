@@ -92,6 +92,59 @@ class BehaviorSpec extends SparkTestBase {
     assert(m(replay) == m(Behavior.cohortRetention(union)))
   }
 
+  test("retentionBootstrap: one-pass backfill state is interchangeable " +
+      "with sequential appends — same matrix, replays and later appends " +
+      "continue from it seamlessly") {
+    import org.apache.spark.sql.functions.{col, pmod}
+    val rootA = java.nio.file.Files
+      .createTempDirectory("ret-boot").toString
+    val rootB = java.nio.file.Files
+      .createTempDirectory("ret-seq").toString
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val ev = Seq(
+      (1L, t("2024-01-08 10:00:00")), (2L, t("2024-01-09 10:00:00")),
+      (3L, t("2024-01-01 10:00:00")), (4L, t("2024-01-17 10:00:00")),
+      (5L, t("2024-01-23 10:00:00")), (6L, t("2024-01-05 10:00:00")))
+      .toDF("user_id", "ts")
+    val boot = Behavior.retentionBootstrap(spark, rootA, ev,
+      pmod(col("user_id"), org.apache.spark.sql.functions.lit(3)))
+    for (b <- 0L to 2L)
+      Behavior.retentionAppend(spark, rootB,
+        ev.filter(pmod(col("user_id"),
+          org.apache.spark.sql.functions.lit(3)) === b), b)
+    val oneShot = m(Behavior.cohortRetention(ev))
+    assert(m(boot) == oneShot, "bootstrap != one-shot")
+    // replay of a bootstrapped batch through the APPEND path: idempotent
+    val replay = Behavior.retentionAppend(spark, rootA,
+      ev.filter(pmod(col("user_id"),
+        org.apache.spark.sql.functions.lit(3)) === 1), 1L)
+    assert(m(replay) == oneShot, "replay over bootstrap not idempotent")
+    // a genuinely NEW batch continues from the bootstrapped state
+    val b4 = Seq((9L, t("2024-01-30 10:00:00"))).toDF("user_id", "ts")
+    val grown = Behavior.retentionAppend(spark, rootA, b4, 3L)
+    assert(m(grown) == m(Behavior.cohortRetention(ev.unionByName(b4))))
+  }
+
+  test("activeUsersBootstrap: one-pass backfill equals sequential " +
+      "appends and the one-shot metric; append replay stays idempotent") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    def day(d: Int) = new Timestamp(d * 86400000L + 12 * 3600000L)
+    val root = java.nio.file.Files.createTempDirectory("dauboot").toString
+    val ev = Seq((1L, day(0)), (2L, day(1)), (1L, day(3)), (3L, day(2)),
+      (4L, day(0)), (2L, day(4))).toDF("user_id", "ts")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("day").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val boot = rows(Behavior.activeUsersBootstrap(spark, root, ev,
+      pmod(col("user_id"), lit(3))))
+    assert(boot == rows(Behavior.activeUsers(ev)), "bootstrap != one-shot")
+    val replay = rows(Behavior.activeUsersAppend(spark, root,
+      ev.filter(pmod(col("user_id"), lit(3)) === 1), 1L))
+    assert(replay == boot, "replay over bootstrap not idempotent")
+  }
+
   test("funnel conversion window: a click outside maxStepGap does not " +
       "convert; the first IN-WINDOW click does") {
     val ev = Seq(

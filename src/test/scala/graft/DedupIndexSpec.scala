@@ -116,6 +116,28 @@ class DedupIndexSpec extends SparkTestBase {
     assert(probedPlan.contains("cid#"), probedPlan)
   }
 
+  test("vector index bootstrap: one-pass backfill is interchangeable " +
+      "with sequential appends — same query results, append replay " +
+      "idempotent on top of it") {
+    import graft.streaming.VectorIndex
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("vecboot")
+    val idx = dir.resolve("index").toString
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = embs.filter(col("vec_id") < 16)
+    val q = embs.filter(col("vec_id") < 10)
+    VectorIndex.bootstrap(embs, centroids, idx, col("vec_id") % 2)
+    val expected = Similarity.ivfTopK(embs, q, centroids).collect().toSeq
+    assert(VectorIndex.queryTopK(spark, idx, q, centroids)
+      .collect().toSeq == expected,
+      "bootstrapped query must equal the one-shot IVF result")
+    // replay of a bootstrapped batch through the real append path
+    VectorIndex.appendBatch(embs.filter(col("vec_id") % 2 === 1),
+      centroids, idx, 1L)
+    assert(VectorIndex.queryTopK(spark, idx, q, centroids)
+      .collect().toSeq == expected, "replay over bootstrap not idempotent")
+  }
+
   test("index refresh: drifted cells re-train, one vector provably " +
       "migrates, and the converged cell's files are never rewritten") {
     import graft.streaming.VectorIndex

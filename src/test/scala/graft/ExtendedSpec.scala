@@ -367,6 +367,35 @@ class ExtendedSpec extends SparkTestBase {
     assert(capped.getAs[Long]("n_true") >= 1L)
   }
 
+  test("lshRecallAudit sampleFraction: deterministic id-hash sample — " +
+      "same rows on re-run, audits only the sampled corpus, audit " +
+      "relations (found <= true, recall defined) hold on the sample") {
+    import spark.implicits._
+    // 30 docs: 10 planted near-dup pairs (2i, 2i+1 share 39/40 tokens)
+    // + 10 unique docs, ids spread so any hash sample keeps some pairs
+    val docs = (0 until 10).flatMap { i =>
+      val toks = (1 to 40).map(j => s"p${i}t$j")
+      Seq((i * 2L, toks.mkString(" ")),
+        (i * 2L + 1L, (toks.dropRight(1) :+ "changed").mkString(" ")))
+    } ++ (0 until 10).map(i =>
+      (100L + i, (1 to 40).map(j => s"u${i}x$j").mkString(" ")))
+    val d = docs.toDF("doc_id", "text")
+    val full = graft.ops.Dedup.lshRecallAudit(d).head()
+    val s1 = graft.ops.Dedup.lshRecallAudit(d, sampleFraction = 0.5).head()
+    val s2 = graft.ops.Dedup.lshRecallAudit(d, sampleFraction = 0.5).head()
+    assert(s1 == s2, "id-hash sample must be deterministic across runs")
+    assert(s1.getAs[Long]("n_true") <= full.getAs[Long]("n_true"),
+      "a sampled corpus cannot contain more true pairs than the full one")
+    assert(s1.getAs[Long]("n_found") <= s1.getAs[Long]("n_true"),
+      "verified LSH pairs must stay a subset of the sampled truth")
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.lshRecallAudit(d, sampleFraction = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.lshRecallAudit(d, sampleFraction = 1.5)
+    }
+  }
+
   test("bandingFrontier: one truth for all configs, candidates monotone " +
       "non-decreasing in bands (nested slices), recall follows, found " +
       "subset of truth, planted near-dup caught at the finest banding") {
