@@ -26,14 +26,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 # graft.Bench.Sf1Tier, mirrored (the tier is defined once in Scala; this
 # list is only used to subset the oracle json and order the table)
-TIER = ["graph_knn_components", "pipeline_dedup_cascade", "graph_link_predict",
-        "data_split_cluster_safe", "dedup_containment_capped", "dedup_clusters",
-        "ts_hampel", "graph_pagerank", "q52_basket", "dedup_survivorship",
-        "dedup_ngram_capped", "ann_knn_graph", "search_rrf_fusion",
-        "q34_outliers", "data_triplets", "dedup_minhash_lsh",
-        "pipeline_curation", "dedup_sorted_multi", "ann_pq_rerank",
-        "q36_quantile_sketch", "q48_rfm", "q57_pr_curve", "q55_pareto",
-        "q51_calibration", "q54_growth_accounting"]
+TIER = ["pipeline_curation", "q51_calibration", "q54_growth_accounting",
+        "q55_pareto", "q57_pr_curve", "q36_quantile_sketch", "ann_pq_rerank",
+        "search_rrf_fusion", "q48_rfm", "graph_pagerank", "q34_outliers",
+        "dedup_sorted_multi", "dedup_minhash_lsh", "ts_hampel",
+        "dedup_survivorship", "q52_basket", "dedup_clusters", "ann_knn_graph",
+        "data_split_cluster_safe", "dedup_ngram_capped",
+        "dedup_containment_capped", "data_triplets", "pipeline_dedup_cascade",
+        "graph_knn_components", "graph_link_predict"]
 
 BUDGET_SEC = 600.0
 

@@ -94,20 +94,22 @@ object Bench {
     "dedup_containment_capped", "data_triplets", "pipeline_dedup_cascade",
     "graph_knn_components", "graph_link_predict")
 
-  /** Control cells (judge r11 #1a): five tier queries UNTOUCHED since
-    * round 11, with their committed round-11 first-in-JVM reference
-    * times (scripts/bench_raw.json, the `position:first_in_jvm` line at
-    * r11 HEAD). The tier computes drift = median(measured / reference)
-    * over whichever controls have completed; a receipt whose controls
-    * run far above 1.0 self-identifies as measured on a degraded host
-    * (the DuckDB baseline columns are frozen from another session, so
-    * host weather otherwise inflates every spark/duck ratio silently).
-    * Spanning shapes: scan+agg pipeline, rank math, PQ rerank,
-    * iterative joins, LSH shuffle. */
+  /** Control cells (judge r11 #1a): five tier queries with committed
+    * reference times from the round-12 first-in-JVM PRIMED tier run
+    * (scripts/bench_raw.json — re-stamp these from the committed tier
+    * line whenever a control's operator changes or the tier
+    * methodology moves). The tier computes drift =
+    * median(measured / reference) over whichever controls have
+    * completed; a receipt whose controls run far above 1.0
+    * self-identifies as measured on a degraded host (the DuckDB
+    * baseline columns are frozen from another session, so host weather
+    * otherwise inflates every spark/duck ratio silently). Spanning
+    * shapes: scan+agg pipeline, rank math, PQ rerank, iterative joins,
+    * LSH shuffle. */
   private val CtrlRefs = Map(
-    "pipeline_curation" -> 1.19, "q51_calibration" -> 2.03,
-    "ann_pq_rerank" -> 3.46, "graph_pagerank" -> 5.04,
-    "dedup_minhash_lsh" -> 6.89)
+    "pipeline_curation" -> 3.60, "q51_calibration" -> 2.61,
+    "ann_pq_rerank" -> 3.25, "graph_pagerank" -> 3.77,
+    "dedup_minhash_lsh" -> 5.50)
 
   /** Host-health preamble (judge r11 #1b): direct-IO write/read
     * throughput via `dd` (page-cache-proof — the same probe the judge
@@ -190,12 +192,13 @@ object Bench {
     // ---- sf1 throughput tier (see Sf1Tier) — FIRST-IN-JVM ----
     // Runs only when the MakeSf1 output exists and the main sweep was
     // not name-filtered (a focused local iteration shouldn't pay the
-    // tier). One timed run per query (SPARK_GRAFT_SF1_RUNS): at the
-    // 10–100 s scale, run-to-run variance is proportionally small and
-    // codegen/JIT warm-up is amortized inside the run — re-running a
-    // minutes-scale sweep buys noise reduction that doesn't matter at
-    // that magnitude. A wall budget bounds the tier (skipped queries
-    // are LOGGED, never silently dropped).
+    // tier). One PRIMED timed run per query (SPARK_GRAFT_SF1_RUNS):
+    // the untimed priming run absorbs codegen/JIT (required since the
+    // round-12 cheapest-first order put 1–3 s queries at the head of
+    // the JVM), then at the 2–100 s scale one timed run is enough —
+    // run-to-run variance is proportionally small at that magnitude.
+    // A wall budget bounds the tier (skipped queries are LOGGED, never
+    // silently dropped).
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata_sf1")
     val sf1Runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "1").toInt)
     // 900 s ≈ 4× the observed full-tier time (217 s at round-11 HEAD):
@@ -240,6 +243,15 @@ object Bench {
         if (elapsed > sf1Budget * math.min(3.0, math.max(1.0, drift)))
           skipped += name
         else {
+          spark.catalog.clearCache(); System.gc()
+          // one UNTIMED priming run, same contract as the sf0.1 sweep:
+          // cheapest-first (round 12) puts the CHEAP stage-constant
+          // queries at the head of the JVM, where the unprimed r12 run
+          // billed them the session's residual codegen/JIT warm-up
+          // (q51_calibration measured 2.7× its steady state purely by
+          // position). Priming makes the timed run steady-state
+          // operator cost at every tier position.
+          try { qmap(name)(spark, sf1Dir).count() } catch { case _: Throwable => }
           spark.catalog.clearCache(); System.gc()
           val (m0, d0, g0) = metrics.snapshot
           val times = (1 to sf1Runs).map { _ =>
