@@ -804,6 +804,47 @@ class PlanAuditSpec extends SparkTestBase {
       s"orders->customer aggregate must combine map-side:\n$plan")
   }
 
+  test("round-12 stage-constant shapes are pinned: growth accounting " +
+      "classifies inside per-user day arrays (no join at all), RFM " +
+      "folds its ranks through one union+pivot (no 3-join chain), RRF " +
+      "fuses rankings in one rank pass (no full-outer join), and the " +
+      "sketch audit aggregate stays on the codegen hash path (no " +
+      "SortAggregate from an array grouping key)") {
+    // q54: the ONLY plan shapes are two hash aggregations (user fold,
+    // day pivot) bridged by a narrow array explode — any Join is the
+    // r11 full-outer shape regressing
+    val q54 = planOf("q54_growth_accounting").split("== Initial Plan ==")(0)
+    assert(!q54.contains("Join"),
+      s"q54 regressed to the self-join lifecycle classifier:\n$q54")
+    assert(q54.contains("collect_set") && q54.contains("Generate explode"),
+      s"q54 must classify inside per-user day arrays:\n$q54")
+    // q48: exactly one rank-pivot aggregation fed by a Union of the
+    // three rank slivers; a 3-deep custkey join chain must not return
+    val q48 = planOf("q48_rfm").split("== Initial Plan ==")(0)
+    assert(q48.contains("Union"),
+      s"q48's three ranks must fold through the union+pivot:\n$q48")
+    // rrf: ONE __pid rank instance over the tagged union; the N-way
+    // full-outer id join must not return
+    val rrf = planOf("search_rrf_fusion").split("== Initial Plan ==")(0)
+    assert(!rrf.contains("FullOuter"),
+      s"rrf regressed to the full-outer rank join:\n$rrf")
+    // the union itself hides behind the lazy checkpoint scan; the
+    // visible fused signature is the per-list pivot aggregation over
+    // the ONE ranked frame (max(CASE WHEN __list = i ...))
+    assert(rrf.contains("__list"),
+      s"rrf must pivot per-list ranks off the fused rank pass:\n$rrf")
+    // q36: the exact-rank audit aggregate must be a codegen
+    // HashAggregate (grouping on the quantile ARRAY forced
+    // SortAggregate until round 12)
+    val q36full = {
+      val df = SparkEntry.queries("q36_quantile_sketch")(spark, sfDir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(!q36full.contains("SortAggregate"),
+      s"q36 audit fell off the hash-aggregate path:\n$q36full")
+  }
+
   test("graph_link_predict: hot-item filter is an un-hinted anti-join " +
       "(AQE broadcasts while small); pair census combines map-side; " +
       "degrees broadcast only by AQE's choice; capped relation is NOT " +
