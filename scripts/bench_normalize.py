@@ -32,17 +32,21 @@ def find_sf1(path):
             return json.loads(m.group(0))
         except json.JSONDecodeError:
             continue
-    # committed raw provenance shape (position:first_in_jvm)
+    # committed raw provenance shape (position:first_in_jvm) — the
+    # LAST such line is the current round's receipt
+    best = None
     for line in text.splitlines():
         try:
             d = json.loads(line)
         except json.JSONDecodeError:
             continue
         if d.get("position") == "first_in_jvm" and "raw" in d:
-            return {"queries": {k: min(v) for k, v in d["raw"].items()},
+            best = {"queries": {k: min(v) for k, v in d["raw"].items()},
                     "ctrl_drift": d.get("ctrl_drift", 1.0),
                     "io_w_mbps": d.get("io_w_mbps"),
                     "io_r_mbps": d.get("io_r_mbps")}
+    if best is not None:
+        return best
     raise SystemExit(f"no sf1 tier data found in {path}")
 
 
