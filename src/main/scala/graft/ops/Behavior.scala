@@ -85,10 +85,12 @@ object Behavior {
       stateFiles: Int = 4): DataFrame = {
     val daysDir = s"$root/user_days"
     val firstDir = s"$root/user_first"
-    // lazily checkpoint the batch compaction: both state writes below
-    // consume it, and without the checkpoint the second write re-runs
-    // the event scan + distinct (measured as one of the
-    // stream_retention_parity gate's two per-fold scans).
+    // persist (NOT an eager checkpoint) the batch compaction: both
+    // state writes below consume it — the first write materializes the
+    // cache as a side effect of its own job and the second reads it,
+    // so the event scan + distinct runs once with no extra
+    // materializing action (the old localCheckpoint billed a whole
+    // separate job per fold just to fill the cache).
     // `stateFiles` bounds each batch partition's file count (the
     // DedupIndex.indexFiles contract): micro-batches at shuffle width
     // would write 8+ near-empty files per fold per table, and every
@@ -96,7 +98,7 @@ object Behavior {
     val batch = newEvents
       .select(col(userCol), to_date(col(tsCol)).as("d"))
       .distinct()
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     batch.coalesce(stateFiles).withColumn("batch", lit(batchId))
       .write.partitionBy("batch").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(daysDir)
@@ -104,6 +106,7 @@ object Behavior {
       .coalesce(stateFiles).withColumn("batch", lit(batchId))
       .write.partitionBy("batch").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(firstDir)
+    batch.unpersist()
     val first = spark.read.parquet(firstDir)
       .groupBy(userCol).agg(min(col("first_day")).as("first_day"))
     matrix(first, spark.read.parquet(daysDir).select(col(userCol), col("d")),
@@ -129,7 +132,10 @@ object Behavior {
       .select(batchExpr.cast("long").as("batch"), col(userCol),
         to_date(col(tsCol)).as("d"))
       .distinct()
-      .localCheckpoint(false)
+      // lazy persist, same rationale as [[retentionAppend]]: the first
+      // write's job fills the cache, the second reads it — no separate
+      // materializing action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // repartition by batch → one file per batch partition per table
     batch.repartition(col("batch"))
       .write.partitionBy("batch").mode("overwrite")
@@ -139,6 +145,7 @@ object Behavior {
       .repartition(col("batch"))
       .write.partitionBy("batch").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(s"$root/user_first")
+    batch.unpersist()
     val first = spark.read.parquet(s"$root/user_first")
       .groupBy(userCol).agg(min(col("first_day")).as("first_day"))
     matrix(first,

@@ -141,10 +141,11 @@ object Dedup {
     * parquet reads as ONE task no matter the cluster size) — the
     * repartition pins compute parallelism to the session's shuffle
     * partitioning instead of the writer's file layout. */
-  private[ops] def shingleSets(docs: DataFrame, idCol: String, textCol: String) =
+  private[ops] def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil) =
     docs.repartition(shufflePartitions(docs), col(idCol))
-      .select(col(idCol).as("doc_id"),
-        shingles3(tokens(col(textCol))).as("s"))
+      .select(col(idCol).as("doc_id") +:
+        shingles3(tokens(col(textCol))).as("s") +: carry.map(col): _*)
 
   /** Exact verify step: Jaccard over shingle sets for candidate pairs. */
   private[ops] def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double) = {
@@ -425,28 +426,30 @@ object Dedup {
 
   /** (doc_id, band, bkey) band table for a shingle-set table — the
     * joinable LSH index rows (shared by the one-shot operator and the
-    * incremental [[DedupIndex]]). */
-  private[ops] def bandTable(sh: DataFrame, numPerms: Int, bands: Int): DataFrame = {
+    * incremental [[DedupIndex]]). `carry` columns of `sh` ride along
+    * (the bootstrap path carries the batch-ownership label through). */
+  private[ops] def bandTable(sh: DataFrame, numPerms: Int, bands: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     bandTableFromSig(
       sh.withColumn("mh",
         column(graft.functions.MinHash60(expression(col("s")), numPerms))),
-      numPerms, bands)
+      numPerms, bands, carry)
   }
 
   /** Band table off an existing (doc_id, mh) MinHash signature table —
     * lets [[bandingFrontier]] band ONE signature pass several ways. */
   private[ops] def bandTableFromSig(sig: DataFrame, numPerms: Int,
-      bands: Int): DataFrame = {
+      bands: Int, carry: Seq[String] = Nil): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
     sig
-      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
-        col("mh"))
-      .select(col("doc_id"), col("band"),
+      .select(col("doc_id") +: explode(sequence(lit(0), lit(bands - 1))).as("band") +:
+        col("mh") +: carry.map(col): _*)
+      .select(col("doc_id") +: col("band") +:
         md5(array_join(
           transform(slice(col("mh"), col("band") * r + 1, lit(r)), _.cast("string")),
-          ",")).as("bkey"))
+          ",")).as("bkey") +: carry.map(col): _*)
   }
 
   /** MinHash + banded LSH near-dup pairs.

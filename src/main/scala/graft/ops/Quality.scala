@@ -44,6 +44,25 @@ object Quality {
       .select(col("r.constraint"), col("r.violations"), col("r.n_rows"))
   }
 
+  /** [[rowAudit]] per group: (groupCols…, constraint, violations,
+    * n_rows) — still one scan, one map-side-combined aggregate (the
+    * batch-labelled form the streaming audit's backfill folds into
+    * cumulative prefix states). */
+  def rowAuditBy(df: DataFrame, checks: Seq[Check],
+      groupCols: Seq[String]): DataFrame = {
+    require(checks.nonEmpty && groupCols.nonEmpty)
+    val head +: tail = checks.map(c =>
+      sum(when(c.violatedWhen, 1L).otherwise(0L)).as(c.name)): @unchecked
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(head, tail :+ count(lit(1)).as("__n"): _*)
+    agg.select(groupCols.map(col) :+ explode(array(checks.map(c =>
+        struct(lit(c.name).as("constraint"),
+          coalesce(col(c.name), lit(0L)).as("violations"),
+          col("__n").as("n_rows"))): _*)).as("r"): _*)
+      .select(groupCols.map(col) :+ col("r.constraint") :+
+        col("r.violations") :+ col("r.n_rows"): _*)
+  }
+
   /** Key-uniqueness audit: violations = n_rows − n_distinct(keys)
     * (0 iff `keys` is a proper key). */
   def uniqueAudit(df: DataFrame, keys: Seq[String], name: String): DataFrame =

@@ -35,6 +35,26 @@ object StreamingActivity {
       .distinct()
       .write.mode("append").parquet(stateDir)
 
+  /** Backfill the activity state from a historical feed in ONE append:
+    * `batchExpr` labels each event with the micro-batch that owns it
+    * and the per-batch distinct runs label-aware in one pass, so the
+    * written rows are exactly the multiset N sequential [[foldBatch]]
+    * calls append (a (user, day) active in two batches lands twice —
+    * absorbed by [[current]]'s distinct, the same set algebra that
+    * makes replays safe). Streamed folds — including an at-least-once
+    * replay of a bootstrapped batch — take over seamlessly
+    * (spec-proven interchangeable). */
+  def bootstrap(events: DataFrame, batchExpr: org.apache.spark.sql.Column,
+      stateDir: String, userCol: String = "user_id",
+      tsCol: String = "ts"): Unit =
+    events
+      .select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol) div $usPerDay").as("d"),
+        batchExpr.cast("long").as("__b"))
+      .distinct()
+      .drop("__b")
+      .write.mode("append").parquet(stateDir)
+
   /** The current distinct activity set. */
   def current(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(stateDir).distinct()

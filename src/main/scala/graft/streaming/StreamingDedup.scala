@@ -28,10 +28,12 @@ object StreamingDedup {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val pairs = DedupIndex.append(batch.sparkSession, indexRoot, batch,
-            batchId, idCol, textCol, threshold = threshold)
-          pairs.write.mode("append").parquet(pairsDir)
-          pairs.unpersist()
+          // the returned pair frame is a lazy read-back of the index
+          // partitions the append just wrote — run it NOW, before any
+          // later batch extends the index dirs it lists
+          DedupIndex.append(batch.sparkSession, indexRoot, batch,
+              batchId, idCol, textCol, threshold = threshold)
+            .write.mode("append").parquet(pairsDir)
         }
         ()
       }

@@ -145,6 +145,38 @@ class BehaviorSpec extends SparkTestBase {
     assert(replay == boot, "replay over bootstrap not idempotent")
   }
 
+  test("StreamingActivity bootstrap: one-append backfill writes the " +
+      "row multiset sequential folds append; growth equal, fold replay " +
+      "over bootstrap absorbed by the set algebra") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.streaming.StreamingActivity
+    def day(d: Int) = new Timestamp(d * 86400000L + 12 * 3600000L)
+    // user 1 active on day 0 in two DIFFERENT batches (events 1 and 4):
+    // sequential folds append that (u, d) twice — the bootstrap must too
+    val ev = Seq((1L, 1L, day(0)), (2L, 2L, day(1)), (1L, 4L, day(0)),
+      (3L, 3L, day(2)), (4L, 5L, day(0)), (2L, 6L, day(4)))
+      .toDF("user_id", "event_id", "ts")
+    val batchOf = pmod(col("event_id"), lit(3))
+    val base = java.nio.file.Files.createTempDirectory("actboot")
+    val seqDir = base.resolve("seq").toString
+    for (b <- 0L to 2L)
+      StreamingActivity.foldBatch(ev.filter(batchOf === b), seqDir)
+    val bDir = base.resolve("boot").toString
+    StreamingActivity.bootstrap(ev, batchOf, bDir)
+    def multiset(dir: String) =
+      spark.read.parquet(dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(multiset(bDir) == multiset(seqDir),
+      "bootstrap rows differ from sequential folds (multiset)")
+    def growth(dir: String) =
+      StreamingActivity.growth(spark, dir).orderBy("day").collect().toSeq
+    assert(growth(bDir) == growth(seqDir))
+    // replay batch 1 through the real fold: extra rows, same set
+    StreamingActivity.foldBatch(ev.filter(batchOf === 1), bDir)
+    assert(growth(bDir) == growth(seqDir),
+      "growth changed after replay over bootstrap")
+  }
+
   test("funnel conversion window: a click outside maxStepGap does not " +
       "convert; the first IN-WINDOW click does") {
     val ev = Seq(

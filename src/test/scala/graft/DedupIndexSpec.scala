@@ -298,4 +298,75 @@ class DedupIndexSpec extends SparkTestBase {
     StreamingRetrieval.foldMaxSim(b2, 2L, ms, queries)
     assert(StreamingRetrieval.maxSimCurrent(spark, ms).collect().toSeq == want)
   }
+
+  test("dedup index bootstrap: one-pass backfill is interchangeable with " +
+      "sequential appends — same index rows, same pair union, append " +
+      "replay over bootstrap idempotent") {
+    val docs = Seq(doc(1), doc(2, change = 20), doc(10, change = 5),
+      doc(11, change = 5), unrelated(50), unrelated(60), doc(3, change = 30))
+      .toDF("doc_id", "text")
+    val batchOf = pmod(col("doc_id"), lit(3))
+    // sequential fold reference, including the at-least-once replay of
+    // batch 1 — the shape the parity gate replaces with bootstrap+replay
+    val seqRoot = Files.createTempDirectory("dedupseq").resolve("idx").toString
+    val seqPairs = Seq(0, 1, 1, 2).map { b =>
+      DedupIndex.append(spark, seqRoot, docs.filter(batchOf === b), b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }.reduce(_ ++ _)
+    // bootstrap + replay (the gate shape)
+    val bRoot = Files.createTempDirectory("dedupboot").resolve("idx").toString
+    DedupIndex.bootstrap(spark, bRoot, docs, batchOf)
+    val replay = DedupIndex.append(spark, bRoot, docs.filter(batchOf === 1), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = DedupIndex.allPairs(spark, bRoot)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(replay.subsetOf(all),
+      "replay rows must already be in the full-index scan")
+    assert(all == seqPairs,
+      s"bootstrap pair union differs from sequential folds: $all vs $seqPairs")
+    // index CONTENT identical table-for-table, batch ownership included
+    def rows(root: String, table: String): Seq[String] =
+      spark.read.parquet(s"$root/$table").collect()
+        .map(_.toString).sorted.toSeq
+    assert(rows(bRoot, "bands") == rows(seqRoot, "bands"),
+      "bands table differs between bootstrap and sequential appends")
+    assert(rows(bRoot, "shingles") == rows(seqRoot, "shingles"),
+      "shingles table differs between bootstrap and sequential appends")
+    // the replay overwrote its partition rather than duplicating it
+    val bandRows = spark.read.parquet(s"$bRoot/bands")
+    assert(bandRows.count() ==
+      bandRows.dropDuplicates("doc_id", "band").count(),
+      "index holds duplicate band rows after replay over bootstrap")
+  }
+
+  test("hard-negative bootstrap: one-pass prefix states equal sequential " +
+      "folds version-for-version; fold replay over bootstrap idempotent") {
+    import graft.streaming.StreamingRetrieval
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = embs.filter(col("vec_id") < 16)
+      .select("vec_id", "embedding")
+    val queries = embs.filter(col("vec_id") < 10)
+    val batchOf = pmod(col("vec_id"), lit(3))
+    val dir = java.nio.file.Files.createTempDirectory("sretboot")
+    val seqDir = dir.resolve("seq").toString
+    for (b <- Seq(0, 1, 2))
+      StreamingRetrieval.foldHardNegatives(
+        embs.filter(batchOf === b), b, seqDir, queries, centroids)
+    val bDir = dir.resolve("boot").toString
+    StreamingRetrieval.bootstrapHardNegatives(embs, batchOf, bDir,
+      queries, centroids, batches = Seq(0L, 1L, 2L))
+    def st(root: String, v: Long): Seq[String] =
+      spark.read.parquet(s"$root/v=$v").collect()
+        .map(_.toString).sorted.toSeq
+    for (v <- 0L to 2L)
+      assert(st(bDir, v) == st(seqDir, v),
+        s"bootstrap prefix state v=$v differs from the sequential fold")
+    // the real fold path replays batch 1 over the bootstrapped state:
+    // v=1 rebuilds byte-equal from v=0, nothing double-counts
+    StreamingRetrieval.foldHardNegatives(
+      embs.filter(batchOf === 1), 1, bDir, queries, centroids)
+    for (v <- 0L to 2L)
+      assert(st(bDir, v) == st(seqDir, v),
+        s"state v=$v differs after replay over bootstrap")
+  }
 }

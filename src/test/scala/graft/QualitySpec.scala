@@ -87,6 +87,37 @@ class QualitySpec extends SparkTestBase {
     assert(cur() == got, "replay must be idempotent")
   }
 
+  test("StreamingQuality bootstrap: one-pass prefix states equal " +
+      "sequential folds version-for-version; fold replay over " +
+      "bootstrap idempotent") {
+    import graft.streaming.StreamingQuality
+    val base = java.nio.file.Files.createTempDirectory("qboot")
+    val checks = Seq(
+      Check("k_not_null", col("k").isNull),
+      Check("v_range", coalesce(!col("v").between(0, 100), lit(false))))
+    val rows = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (null, 20L), (3L, 500L), (4L, -5L), (5L, 50L),
+      (6L, 60L), (null, -1L)).toDF("k", "v")
+    val batchOf = pmod(coalesce(col("k"), lit(0L)), lit(3))
+    val seqDir = base.resolve("seq").toString
+    for (b <- Seq(0, 1, 2))
+      StreamingQuality.foldBatch(rows.filter(batchOf === b), b, checks, seqDir)
+    val bDir = base.resolve("boot").toString
+    StreamingQuality.bootstrap(rows, batchOf, checks, bDir,
+      batches = Seq(0L, 1L, 2L))
+    def st(root: String, v: Long) =
+      spark.read.parquet(s"$root/v=$v").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (v <- 0L to 2L)
+      assert(st(bDir, v) == st(seqDir, v),
+        s"bootstrap prefix state v=$v differs from the sequential fold")
+    // the real fold path replays batch 1 over the bootstrapped state
+    StreamingQuality.foldBatch(rows.filter(batchOf === 1), 1, checks, bDir)
+    for (v <- 0L to 2L)
+      assert(st(bDir, v) == st(seqDir, v),
+        s"state v=$v differs after replay over bootstrap")
+  }
+
   // ---- distributionDrift (round 5) -----------------------------------
 
   test("distributionDrift: disjoint halves give tvd=1/chisq=1, " +
