@@ -32,19 +32,26 @@ def find_sf1(path):
             return json.loads(m.group(0))
         except json.JSONDecodeError:
             continue
-    # committed raw provenance shape (position:first_in_jvm) — the
-    # LAST such line is the current round's receipt
-    best = None
+    # committed raw provenance shape (position:first_in_jvm): a round
+    # may commit several tier runs (host weather — see BASELINE's
+    # measurement note); the citable receipt is the BEST-MEASURED one,
+    # i.e. the line whose control drift sits closest to 1.0, breaking
+    # ties toward the latest
+    best, best_dist = None, None
     for line in text.splitlines():
         try:
             d = json.loads(line)
         except json.JSONDecodeError:
             continue
         if d.get("position") == "first_in_jvm" and "raw" in d:
-            best = {"queries": {k: min(v) for k, v in d["raw"].items()},
-                    "ctrl_drift": d.get("ctrl_drift", 1.0),
-                    "io_w_mbps": d.get("io_w_mbps"),
-                    "io_r_mbps": d.get("io_r_mbps")}
+            drift = float(d.get("ctrl_drift", 1.0) or 1.0)
+            dist = abs(drift - 1.0)
+            if best is None or dist <= best_dist:
+                best_dist = dist
+                best = {"queries": {k: min(v) for k, v in d["raw"].items()},
+                        "ctrl_drift": drift,
+                        "io_w_mbps": d.get("io_w_mbps"),
+                        "io_r_mbps": d.get("io_r_mbps")}
     if best is not None:
         return best
     raise SystemExit(f"no sf1 tier data found in {path}")

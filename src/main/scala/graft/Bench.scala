@@ -107,9 +107,9 @@ object Bench {
     * shapes: scan+agg pipeline, rank math, PQ rerank, iterative joins,
     * LSH shuffle. */
   private val CtrlRefs = Map(
-    "pipeline_curation" -> 3.60, "q51_calibration" -> 2.61,
-    "ann_pq_rerank" -> 3.25, "graph_pagerank" -> 3.77,
-    "dedup_minhash_lsh" -> 5.50)
+    "pipeline_curation" -> 2.28, "q51_calibration" -> 1.88,
+    "ann_pq_rerank" -> 5.15, "graph_pagerank" -> 3.21,
+    "dedup_minhash_lsh" -> 6.86)
 
   /** Host-health preamble (judge r11 #1b): direct-IO write/read
     * throughput via `dd` (page-cache-proof — the same probe the judge
