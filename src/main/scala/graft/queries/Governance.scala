@@ -64,6 +64,38 @@ object Governance extends QueryPack {
       .orderBy("chk")
   }
 
+  /** Per-SLICE constraint audit: q43's check battery sliced by a group
+    * column in ONE map-side-combined grouped aggregate
+    * ([[Quality.rowAuditBy]]) — the per-source/per-shard quality table
+    * a curation dashboard reads to find WHICH feed regressed, not just
+    * that one did. Same scale shape as the flat audit: adding a check
+    * adds a column to the aggregate, never a scan; the output is
+    * (groups × checks)-sized. */
+  val q63 = GraftQuery(
+    "q63_quality_by_type",
+    Some("""
+      WITH b AS (SELECT event_type,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) FILTER (WHERE COALESCE(value > 150, FALSE)) AS BIGINT) AS v_spike,
+          CAST(count(*) FILTER (WHERE COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT) >= 80, FALSE)) AS BIGINT) AS v_k,
+          CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS v_user
+        FROM events GROUP BY 1)
+      SELECT event_type, chk, violations, n_rows FROM (
+        SELECT event_type, 'value_spike' AS chk, v_spike AS violations, n_rows FROM b
+        UNION ALL SELECT event_type, 'prop_k_high', v_k, n_rows FROM b
+        UNION ALL SELECT event_type, 'user_not_null', v_user, n_rows FROM b)
+      ORDER BY event_type, chk""".trim)) { (spark, dir) =>
+    Quality.rowAuditBy(Tables.events(spark, dir), Seq(
+        Check("value_spike", coalesce(col("value") > 150, lit(false))),
+        Check("prop_k_high",
+          coalesce(get_json_object(col("props"), "$.k").cast("long") >= 80,
+            lit(false))),
+        Check("user_not_null", col("user_id").isNull)),
+      Seq("event_type"))
+      .withColumnRenamed("constraint", "chk")
+      .orderBy("event_type", "chk")
+  }
+
   /** k-anonymity risk surface: quasi-identifier groups (lang, source,
     * length bucket) with fewer than k=3 members — each row is a set of
     * documents re-identifiable from the quasi-identifiers alone. */
@@ -198,5 +230,6 @@ object Governance extends QueryPack {
       .orderBy("event_type")
   }
 
-  override def all: Seq[GraftQuery] = Seq(q42, q43, q44, q45, streamQualityParity)
+  override def all: Seq[GraftQuery] =
+    Seq(q42, q43, q63, q44, q45, streamQualityParity)
 }

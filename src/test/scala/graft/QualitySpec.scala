@@ -87,6 +87,29 @@ class QualitySpec extends SparkTestBase {
     assert(cur() == got, "replay must be idempotent")
   }
 
+  test("rowAuditBy: the grouped battery equals the flat audit run " +
+      "per slice, slice for slice") {
+    val checks = Seq(
+      Check("k_not_null", col("k").isNull),
+      Check("v_range", coalesce(!col("v").between(0, 100), lit(false))))
+    val rows = Seq[(String, java.lang.Long, java.lang.Long)](
+      ("a", 1L, 10L), ("a", null, 20L), ("b", 3L, 500L),
+      ("b", 4L, -5L), ("c", 5L, 50L), ("c", null, -1L), ("c", 6L, 60L))
+      .toDF("g", "k", "v")
+    val grouped = graft.ops.Quality.rowAuditBy(rows, checks, Seq("g"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val slices = Seq("a", "b", "c")
+    val flat = slices.flatMap { g =>
+      graft.ops.Quality.rowAudit(rows.filter(col("g") === g), checks)
+        .collect()
+        .map(r => (g, r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+    }.toMap
+    assert(grouped == flat, s"grouped $grouped != per-slice flat $flat")
+    assert(grouped(("b", "v_range")) == ((2L, 2L)))
+  }
+
   test("StreamingQuality bootstrap: one-pass prefix states equal " +
       "sequential folds version-for-version; fold replay over " +
       "bootstrap idempotent") {
