@@ -534,18 +534,43 @@ object Dedup {
     val sh = shingleSets(base, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandTable(sh, numPerms, bands)
-    val lshCand = banded.as("a").join(banded.as("b"),
+    // ONE verify pass over the TAGGED UNION of both candidate streams
+    // (round 12, guide §1.2/§2.4): the exact-truth and LSH candidate
+    // sets overlap almost entirely (verified LSH pairs ⊆ truth by
+    // construction), yet the old shape deduped each stream separately
+    // and then ran verifyJaccard twice — two full shingle-fetch joins
+    // over near-identical pair sets. Tagging each RAW (pre-distinct)
+    // stream with its source and folding both through a single
+    // (id_a, id_b) aggregate replaces 2 distincts + 2 verifies + 3
+    // count aggregates + 2 crossJoins with 1 aggregate + 1 verify +
+    // 1 aggregate. max(flag) over the merged group ≡ set membership,
+    // so n_true / n_lsh_candidates / n_found are exactly the old
+    // counts (oracle hash unchanged).
+    val lshRaw = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    val exactCand = cappedExactCand(sh, maxDf)
-    val nTrue = verifyJaccard(exactCand, sh, threshold)
-      .agg(count(lit(1)).as("n_true"))
-    val nCand = lshCand.agg(count(lit(1)).as("n_lsh_candidates"))
-    val nFound = verifyJaccard(lshCand, sh, threshold)
-      .agg(count(lit(1)).as("n_found"))
-    val result = nTrue.crossJoin(nCand).crossJoin(nFound)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        lit(false).as("ex"), lit(true).as("ls"))
+    val exactRaw = cappedExactCandRaw(sh, maxDf)
+      .select(col("id_a"), col("id_b"), lit(true).as("ex"), lit(false).as("ls"))
+    val pairs = lshRaw.unionByName(exactRaw)
+      .groupBy("id_a", "id_b")
+      .agg(max(col("ex")).as("ex"), max(col("ls")).as("ls"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val verified = pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b")
+      .select(col("ex"), col("ls"),
+        (round(inter / (size(col("sa")) + size(col("sb")) - inter)
+          .cast("double"), 6) >= threshold).as("found"))
+    val result = verified
+      .agg(
+        coalesce(sum(when(col("ex") && col("found"), 1L).otherwise(0L)),
+          lit(0L)).as("n_true"),
+        coalesce(sum(when(col("ls"), 1L).otherwise(0L)), lit(0L))
+          .as("n_lsh_candidates"),
+        coalesce(sum(when(col("ls") && col("found"), 1L).otherwise(0L)),
+          lit(0L)).as("n_found"))
       .withColumn("recall",
         when(col("n_true") > 0,
           round(col("n_found") / col("n_true").cast("double"), 6)))
@@ -558,7 +583,14 @@ object Dedup {
   /** Exhaustive (for positive Jaccard) shingle-sharing candidate pairs
     * with the optional hot-shingle DF cap — the exact-truth generator
     * shared by [[lshRecallAudit]] and [[bandingFrontier]]. */
-  private def cappedExactCand(sh: DataFrame, maxDf: Int): DataFrame = {
+  private def cappedExactCand(sh: DataFrame, maxDf: Int): DataFrame =
+    cappedExactCandRaw(sh, maxDf).distinct()
+
+  /** [[cappedExactCand]] BEFORE the distinct — a pair appears once per
+    * shared under-cap shingle. [[lshRecallAudit]] folds this raw stream
+    * through its tagged-union aggregate so the dedup and the
+    * source-flag merge cost ONE exchange instead of two. */
+  private def cappedExactCandRaw(sh: DataFrame, maxDf: Int): DataFrame = {
     val explodedAll = sh.select(col("doc_id"), explode(col("s")).as("g"))
     val exploded =
       if (maxDf == Int.MaxValue) explodedAll
@@ -576,7 +608,6 @@ object Dedup {
     exploded.as("a").join(exploded.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
   }
 
   /** Banding AUTO-TUNE frontier (the round-10 verdict's follow-through
@@ -590,8 +621,11 @@ object Dedup {
     *
     * Cost: the signature pass (the dominant per-doc work) runs ONCE and
     * is persisted doc-sized (numPerms longs per doc); the capped exact
-    * truth runs once; each configuration pays only its banding explode +
-    * self-join + verify. Recall is monotone non-decreasing in `bands`
+    * truth runs once; when the choices form a nested chain (every value
+    * dividing the largest) ALL configurations share ONE banding explode
+    * + self-join + verify at the finest banding, with each coarser
+    * config's membership decided by a row-local signature-slice
+    * predicate. Recall is monotone non-decreasing in `bands`
     * when the choices form a nested chain (each bands value dividing
     * the next, e.g. 8 | 16 | 32 with numPerms = 64): a pair matching a
     * full slice necessarily matches both its halves, so candidate sets
@@ -605,23 +639,75 @@ object Dedup {
       bandsChoices.forall(b => b >= 1 && numPerms % b == 0),
       "every bands choice must divide numPerms")
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    val sh = shingleSets(docs, idCol, textCol)
+    val sortedB = bandsChoices.sorted
+    val maxB = sortedB.max
+    // ONE shingle+signature table persisted (s + mh per doc) instead of
+    // two separately-persisted passes — every downstream join fetches
+    // both columns from the same cached rows.
+    val both = shingleSets(docs, idCol, textCol)
+      .withColumn("mh",
+        column(graft.functions.MinHash60(expression(col("s")), numPerms)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.select(col("doc_id"),
-        column(graft.functions.MinHash60(expression(col("s")), numPerms))
-          .as("mh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nTrue = verifyJaccard(cappedExactCand(sh, maxDf), sh, threshold)
+    val nTrue = verifyJaccard(cappedExactCand(both, maxDf), both, threshold)
       .agg(count(lit(1)).as("n_true"))
-    val perConfig = bandsChoices.sorted.map { b =>
-      val banded = bandTableFromSig(sig, numPerms, b)
+    // NESTED-CHAIN fast path (round 12, guide §1.2): when every bands
+    // choice divides the finest one, the candidate sets are nested
+    // (cand_b ⊆ cand_maxB: a pair matching a coarse slice matches all
+    // its aligned fine sub-slices), so ONE banding explode + self-join
+    // at maxB generates a superset of every config's candidates, and a
+    // pair's membership in each coarser config is a ROW-LOCAL signature
+    // predicate (∃ band: the numPerms/b-row slices are equal — exactly
+    // the md5-bkey equality the per-config join tested, minus the md5).
+    // One verify pass + one flag aggregate then replaces |choices|
+    // band explodes, self-joins, distincts and verify joins. The
+    // default 8|16|32 chain takes this path; non-nested choices keep
+    // the per-config loop (superset generation doesn't apply).
+    val perConfig: DataFrame = if (sortedB.forall(maxB % _ == 0)) {
+      val banded = bandTableFromSig(both.select(col("doc_id"), col("mh")),
+        numPerms, maxB)
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      def inB(b: Int): Column = {
+        val r = numPerms / b
+        exists(sequence(lit(0), lit(b - 1)),
+          band => slice(col("mha"), band * r + 1, lit(r)) ===
+            slice(col("mhb"), band * r + 1, lit(r)))
+      }
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val scored = cand
+        .join(both.select(col("doc_id").as("id_a"), col("s").as("sa"),
+          col("mh").as("mha")), "id_a")
+        .join(both.select(col("doc_id").as("id_b"), col("s").as("sb"),
+          col("mh").as("mhb")), "id_b")
+        .select((round(inter / (size(col("sa")) + size(col("sb")) - inter)
+          .cast("double"), 6) >= threshold).as("found") +:
+          sortedB.map(b => inB(b).as(s"in_$b")): _*)
+      val flagAggs = sortedB.flatMap(b => Seq(
+        coalesce(sum(when(col(s"in_$b"), 1L).otherwise(0L)), lit(0L))
+          .as(s"nc_$b"),
+        coalesce(sum(when(col(s"in_$b") && col("found"), 1L).otherwise(0L)),
+          lit(0L)).as(s"nf_$b")))
+      scored.agg(flagAggs.head, flagAggs.tail: _*)
+        .select(explode(array(sortedB.map(b =>
+          struct(lit(b).cast("long").as("bands"),
+            lit(numPerms / b).cast("long").as("rows_per_band"),
+            col(s"nc_$b").as("n_candidates"),
+            col(s"nf_$b").as("n_found"))): _*)).as("c"))
+        .select(col("c.bands"), col("c.rows_per_band"),
+          col("c.n_candidates"), col("c.n_found"))
+    } else sortedB.map { b =>
+      val banded = bandTableFromSig(both.select(col("doc_id"), col("mh")),
+        numPerms, b)
       val cand = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
       val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-      val nFound = verifyJaccard(cand, sh, threshold)
+      val nFound = verifyJaccard(cand, both, threshold)
         .agg(count(lit(1)).as("n_found"))
       nCand.crossJoin(nFound)
         .select(lit(b).cast("long").as("bands"),
@@ -638,7 +724,7 @@ object Dedup {
           round(col("n_found") / col("n_candidates").cast("double"), 6))
           .as("cand_precision"))
       .orderBy("bands")
-    materializeThenRelease(result, Seq(sh, sig))
+    materializeThenRelease(result, Seq(both))
   }
 
   /** 60-bit SimHash near-dup pairs within Hamming distance `maxHamming`.
