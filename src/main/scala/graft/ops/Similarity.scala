@@ -243,8 +243,45 @@ object Similarity {
   def knnGraph(corpus: DataFrame, centroids: DataFrame, nProbe: Int = 4,
       k: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val edges = ivfTopK(corpus, corpus, centroids, nProbe, k, idCol, vecCol)
-      .localCheckpoint(false) // consumed by both sides of the self-join
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // SELF-query specialization of [[ivfTopKCore]] (round 12, guide
+    // §2.4): the corpus IS the query set, so the index assignment
+    // (nearest cell) is the FIRST element of each row's probe list —
+    // one NearestCells pass over the corpus replaces the core path's
+    // two (keep=1 for the index side, keep=nProbe for the query side).
+    // The (qid, pos, cid) pass is materialized once so the cid join's
+    // two map stages read the same blocks instead of each re-running
+    // the assignment; it is released as soon as the edge list (the
+    // operator's real output mass) is checkpointed.
+    val c = withNorm(corpus, idCol, vecCol)
+    val packed = withNorm(centroids, idCol, vecCol)
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cid"),
+        col("e").as("ce"), col("nrm").as("cnrm")))).as("cpack"))
+    val cells = column(graft.functions.NearestCells(
+      expression(col("e")), expression(col("nrm")),
+      expression(col("cpack")), nProbe))
+    val all = c.crossJoin(broadcast(packed))
+      .select(col("vec_id").as("qid"), posexplode(cells).as(Seq("pos", "cid")))
+      .persist(MEMORY_AND_DISK)
+    all.count()
+    val assign = all.filter(col("pos") === 0)
+      .select(col("qid").as("vec_id"), col("cid"))
+    val probes = all.select(col("qid").as("query_id"), col("cid"))
+    val scored = probes
+      .join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(c.select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn")), "query_id")
+      .join(c.select(col("vec_id"), col("e").as("ce"), col("nrm").as("cn")),
+        "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineWithNorms(col("qe"), col("ce"), col("qn"), col("cn")), 6)
+          .as("cosine"))
+    val edges = rankTopK(scored, k)
+      .localCheckpoint(true) // consumed by both sides of the self-join
+    all.unpersist(blocking = false)
     val back = edges.select(col("query_id").as("neighbor_id"),
       col("neighbor_id").as("query_id"), lit(true).as("__back"))
     edges.join(back, Seq("query_id", "neighbor_id"), "left")
@@ -729,11 +766,19 @@ object Similarity {
       seedVecs(j).slice(s * subDim, (s + 1) * subDim))
     for (_ <- 0 until iters) {
       val cid = literalArgmin(col("vs"), col("s"), cb)
-      sub.select(col("s"), cid.as("cid"),
-          posexplode(col("vs")).as(Seq("pos", "x")))
-        .groupBy("s", "cid", "pos").agg(avg(col("x")).as("mu"))
+      // one avg column per position (see residualTrainFromSub): the
+      // same per-round single job, subDim× fewer shuffled rows, hash
+      // aggregate instead of the posexplode round trip
+      sub.select(col("s"), cid.as("cid"), col("vs"))
+        .groupBy("s", "cid")
+        .agg(array((0 until subDim).map(i =>
+          avg(col("vs").getItem(i))): _*).as("mu"))
         .collect()
-        .foreach(r => cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+        .foreach { r =>
+          val mu = r.getSeq[Double](2)
+          var p = 0
+          while (p < subDim) { cb(r.getInt(0))(r.getInt(1))(p) = mu(p); p += 1 }
+        }
     }
     sub.unpersist(blocking = false)
     // package the m per-subspace codebooks as k full-width vectors
@@ -926,7 +971,7 @@ object Similarity {
     * the cell joining the key, so however many cells the index has,
     * every codebook trains in the same two jobs per round (assignment =
     * one equi-join on (cell, s); means = one map-side-combined
-    * (cell, s, cid, pos) aggregation). Seeds are each cell's `k`
+    * (cell, s, cid) hash aggregate with an avg column per position). Seeds are each cell's `k`
     * smallest-id members (bounded-heap selection, no per-cell sort);
     * cells with fewer than `k` members keep their seed count. Empty
     * codewords persist unchanged (deterministic, like [[pqTrain]]).
@@ -976,7 +1021,7 @@ object Similarity {
     * residual-subspace table — the composed train-and-serve path shares
     * one residual pass between training and encoding. Per Lloyd round:
     * pack+broadcast the (cell, s, cid) codebook, row-local argmin, ONE
-    * map-side-combined (cell, s, cid, pos) mean shuffle — the corpus is
+    * map-side-combined (cell, s, cid) mean aggregate — the corpus is
     * never joined against candidate rows and never shuffled whole. */
   private[graft] def residualTrainFromSub(sub: DataFrame, m: Int, k: Int,
       iters: Int): DataFrame = {
@@ -991,18 +1036,23 @@ object Similarity {
       .withColumn("cid", row_number().over(seedW) - 1)
     var cw = seeds.join(sub, Seq("vec_id", "cell"))
       .select(col("cell"), col("s"), col("cid"), col("vs").as("cs"))
+    // means pass: ONE map-side-combined aggregate with a fixed avg
+    // column per position (subDim is plan-time-known), instead of the
+    // posexplode → per-(…,pos) avg → collect_list+sort round trip —
+    // that shape shuffled subDim× the rows through TWO exchanges and
+    // closed with a sort aggregate; this is one codegen hash aggregate
+    // (round 12, guide §2.3/§2.4). Same per-position mean, same
+    // empty-codeword semantics (an absent (cell,s,cid) group is absent
+    // either way and keeps its previous codeword via the left join).
+    val subDim = 64 / m
     for (_ <- 0 until iters) {
       val assigned = sub.join(broadcast(packCodebook(cw)), Seq("cell", "s"))
         .select(col("cell"), col("s"),
           packedArgmin(col("vs"), col("cbk")).as("cid"), col("vs"))
       val means = assigned
-        .select(col("cell"), col("s"), col("cid"),
-          posexplode(col("vs")).as(Seq("pos", "x")))
-        .groupBy("cell", "s", "cid", "pos").agg(avg(col("x")).as("mu"))
         .groupBy("cell", "s", "cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
-        .select(col("cell"), col("s"), col("cid"),
-          expr("transform(pm, p -> p.mu)").as("upd"))
+        .agg(array((0 until subDim).map(i =>
+          avg(col("vs").getItem(i))): _*).as("upd"))
       val next = cw.join(means, Seq("cell", "s", "cid"), "left")
         .select(col("cell"), col("s"), col("cid"),
           coalesce(col("upd"), col("cs")).as("cs"))
