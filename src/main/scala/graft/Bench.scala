@@ -243,6 +243,9 @@ object Bench {
         if (elapsed > sf1Budget * math.min(3.0, math.max(1.0, drift)))
           skipped += name
         else {
+          // label the tier's jobs (guide §1.5) so a UI/event-log reader
+          // can attribute stages to queries; thread-local, zero cost
+          spark.sparkContext.setJobDescription(s"sf1: $name")
           spark.catalog.clearCache(); System.gc()
           // one UNTIMED priming run, same contract as the sf0.1 sweep:
           // cheapest-first (round 12) puts the CHEAP stage-constant
@@ -289,6 +292,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // label the sweep's jobs (guide §1.5); thread-local, zero cost
+      spark.sparkContext.setJobDescription(s"bench: $name")
       spark.catalog.clearCache()
       // accumulated broadcast/shuffle state is only reclaimed when the
       // ContextCleaner's weak references get GC'd; in a 100+-query

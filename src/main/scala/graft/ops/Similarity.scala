@@ -447,7 +447,11 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("e"))
     // each round's persist supersedes the previous one — release the
     // stale round immediately so an iters-round refine leaves exactly
-    // ONE k-row table cached, not iters of them (session-cache hygiene)
+    // ONE k-row table cached, not iters of them (session-cache hygiene;
+    // a localCheckpoint formulation was tried round 12 and rejected:
+    // it truncates the lineage but its blocks are invisible to the
+    // caller-unpersist hygiene contract, and at k-row round size the
+    // plan-analysis saving did not justify breaking that contract)
     var prevRound: Option[DataFrame] = None
     for (_ <- 0 until iters) {
       // narrow-map Lloyd assignment (no N·k rows, no per-vector window)
@@ -1025,7 +1029,6 @@ object Similarity {
     * never joined against candidate rows and never shuffled whole. */
   private[graft] def residualTrainFromSub(sub: DataFrame, m: Int, k: Int,
       iters: Int): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // per-cell seeds: k smallest member ids, densely renumbered 0..k-1
     // per cell via a bounded heap (never a per-cell corpus sort)
     val seedRows = graft.plans.TopK.perKeyTwoPhase(
@@ -1053,17 +1056,22 @@ object Similarity {
         .groupBy("cell", "s", "cid")
         .agg(array((0 until subDim).map(i =>
           avg(col("vs").getItem(i))): _*).as("upd"))
-      val next = cw.join(means, Seq("cell", "s", "cid"), "left")
+      // eager localCheckpoint, not persist+count: the count materialized
+      // the cache but left the LOGICAL plan growing — cw appears twice
+      // per round (codebook pack + left join), so the composed
+      // train+encode+score plan reached ~1,900 Exchange nodes in
+      // `explain("formatted")` and every downstream action re-analyzed
+      // that tree on the single-threaded driver (guide §3.3/§7.3).
+      // Checkpointing truncates each round to a LogicalRDD: same one
+      // job per round, same rows, bounded (cells·k·m codewords) blocks.
+      cw = cw.join(means, Seq("cell", "s", "cid"), "left")
         .select(col("cell"), col("s"), col("cid"),
           coalesce(col("upd"), col("cs")).as("cs"))
-        .persist(MEMORY_AND_DISK)
-      next.count() // flat lineage round to round
-      if (cw.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        cw.unpersist(blocking = false)
-      cw = next
+        .localCheckpoint(true)
     }
-    // NOTE: the FINAL round's cw stays cached — the returned plan reads
-    // it, and it is bounded (cells·k·m codewords, not data-sized).
+    // NOTE: the FINAL round's cw stays materialized (checkpoint blocks)
+    // — the returned plan reads it, and it is bounded (cells·k·m
+    // codewords, not data-sized).
     cw
   }
 
@@ -1123,8 +1131,10 @@ object Similarity {
     val sub = resSub(residuals(corpus, centroids, idCol, vecCol), m)
       .persist(MEMORY_AND_DISK)
     val cb = residualTrainFromSub(sub, m, codeK, trainIters)
-    val codes = residualEncodePacked(sub, cb).persist(MEMORY_AND_DISK)
-    codes.count()
+    // the encoded index IS the serving artifact — checkpoint it so the
+    // query-time plan reads a LogicalRDD instead of re-analyzing the
+    // whole residual+train+encode lineage per action (guide §3.3)
+    val codes = residualEncodePacked(sub, cb).localCheckpoint(true)
     sub.unpersist(blocking = false)
     scoreResidualCodes(codes, queries, centroids, cb, nProbe, m, k,
       idCol, vecCol)

@@ -971,8 +971,21 @@ object TrainingData extends QueryPack {
     val embs = Tables.embeddings(spark, dir)
     val trained = Similarity.kmeansRefine(
         embs, embs.filter(col("vec_id") < 16), iters = 2)
-      .select(col("cid").as("vec_id"), col("e").as("embedding"))
-    Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10), trained)
+    // the trained centroids are ≤ 16 rows (the seed-set size, a design
+    // constant — the same bounded-driver-side shape as pqTrain's
+    // codebook): re-literalize them so the probe path's plan reads a
+    // LocalRelation instead of nesting the 2-round Lloyd lineage TWICE
+    // (corpus + query cell assignment), which pushed the composed plan
+    // to 224 Exchange nodes re-analyzed per action (guide §3.3/§7.3).
+    // Values are the collected doubles bit-for-bit, and cell argmin is
+    // centroid-order-free, so the [R] rows are unchanged; the refine's
+    // returned cache is released here (hygiene contract).
+    val rows = trained.collect()
+    trained.unpersist(blocking = false)
+    import spark.implicits._
+    val cents = rows.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.toDF("vec_id", "embedding")
+    Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10), cents)
   }
 
   /** PQ/ADC is deterministic given a fixed codebook (vec_id 16..31), so
