@@ -303,9 +303,14 @@ object Stress100 {
       results(("link_predict", f)) = time("link_predict", f) {
         ops.Graph.bipartiteLinkPredict(liF, "l_partkey", "l_suppkey").count()
       }
+      // the ×100 replica offsets push l_partkey past 2³¹ (replica 22+:
+      // 2.2e9), where the packed-pair guard fails LOUD by design
+      // (round-12 PairPack contract) — so the ×100 cell certifies the
+      // documented packPairs=false fallback's linearity, and the ×1/×10
+      // cells certify the packed path (ids in range there)
       results(("basket_rules", f)) = time("basket_rules", f) {
         ops.Association.basketRules(liF, "l_orderkey", "l_partkey",
-          minSupport = 3, maxBasket = 16).count()
+          minSupport = 3, maxBasket = 16, packPairs = f < 22).count()
       }
       // r10 HLL: rows AND distinct users scale with f, register state
       // stays ≤ m per group — the map-side-combined MAX must keep the

@@ -244,7 +244,6 @@ object Similarity {
       k: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // SELF-query specialization of [[ivfTopKCore]] (round 12, guide
     // §2.4): the corpus IS the query set, so the index assignment
     // (nearest cell) is the FIRST element of each row's probe list —
@@ -253,7 +252,12 @@ object Similarity {
     // The (qid, pos, cid) pass is materialized once so the cid join's
     // two map stages read the same blocks instead of each re-running
     // the assignment; it is released as soon as the edge list (the
-    // operator's real output mass) is checkpointed.
+    // operator's real output mass) is checkpointed. SERIALIZED storage
+    // (round-12 Stress100 finding): the deserialized form held ~corpus
+    // ×nProbe row OBJECTS on the heap exactly while the 16-key cid
+    // join buffered its per-key matches across every task, and the
+    // ×100 tier OOMed an 8 GB heap — the serialized narrow (long, int,
+    // long) rows are ~10× smaller and decode in-stream.
     val c = withNorm(corpus, idCol, vecCol)
     val packed = withNorm(centroids, idCol, vecCol)
       .groupBy()
@@ -264,7 +268,7 @@ object Similarity {
       expression(col("cpack")), nProbe))
     val all = c.crossJoin(broadcast(packed))
       .select(col("vec_id").as("qid"), posexplode(cells).as(Seq("pos", "cid")))
-      .persist(MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     all.count()
     val assign = all.filter(col("pos") === 0)
       .select(col("qid").as("vec_id"), col("cid"))
@@ -281,7 +285,7 @@ object Similarity {
           .as("cosine"))
     val edges = rankTopK(scored, k)
       .localCheckpoint(true) // consumed by both sides of the self-join
-    all.unpersist(blocking = false)
+    all.unpersist(blocking = true) // release BEFORE the mutual join runs
     val back = edges.select(col("query_id").as("neighbor_id"),
       col("neighbor_id").as("query_id"), lit(true).as("__back"))
     edges.join(back, Seq("query_id", "neighbor_id"), "left")

@@ -86,34 +86,80 @@ case class TopKPerKeyExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    // Key-count cap on the per-partition heap map (round-12 Stress100
+    // finding): the PARTIAL pass runs on the child's partitioning, so a
+    // self-kNN-shaped input (candidates partitioned by NEIGHBOR, keyed
+    // by QUERY) presents ~every distinct key to ~every partition — at
+    // the ×100 tier that was 2M keys × k copied rows × 32 tasks, an
+    // unbounded multi-GB map that OOMed an 8 GB heap. When the map
+    // reaches the cap, the current heaps FLUSH downstream and the map
+    // clears: partial top-k is a semigroup fold, the final (clustered)
+    // pass re-merges the flushed epochs per key, so results are exact —
+    // a key seen across e epochs just ships ≤ e·k rows instead of ≤ k.
+    // Memory is bounded at cap·(k+1) retained rows per task. The cap
+    // applies ONLY to the partial pass: the FINAL (clustered) pass must
+    // hold exactly one heap per key for the whole partition — flushing
+    // there would emit more than k rows for a key split across epochs.
+    val maxKeys =
+      if (!partial) Int.MaxValue
+      else math.max(1, org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.topk.partialFlushKeys", (1 << 16).toString).toInt)
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       val ord = GenerateOrdering.generate(ordering, childOutput)
       // heap head = WORST retained row (reverse order), so admission is
       // a single compare against peek
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          // initial CAPACITY only (the queue grows) — a huge k (e.g. an
-          // effectively-unbounded "rank everything" call) must not
-          // pre-allocate k slots or overflow PriorityQueue's max size
-          heap = new java.util.PriorityQueue[InternalRow](
-            math.min(k, 63) + 1, ord.reversed())
-          heaps.put(key.copy(), heap)
+      new Iterator[InternalRow] {
+        private val heaps =
+          new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        private var drain: Iterator[InternalRow] = Iterator.empty
+        private var done = false
+
+        private def sortedRows(h: java.util.PriorityQueue[InternalRow]) = {
+          val arr = h.toArray(new Array[InternalRow](h.size))
+          java.util.Arrays.sort(arr, ord)
+          arr.iterator
         }
-        if (heap.size < k) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+
+        private def fill(): Unit = {
+          while (!drain.hasNext && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              if (heaps.size >= maxKeys) {
+                // cap reached and a NEW key arrived: flush this epoch —
+                // materialize the ≤ cap·k retained rows, then release
+                // the map so the next epoch starts empty
+                drain = heaps.values.iterator.asScala
+                  .flatMap(sortedRows).toArray.iterator
+                heaps.clear()
+              }
+              // initial CAPACITY only (the queue grows) — a huge k
+              // (e.g. an effectively-unbounded "rank everything" call)
+              // must not pre-allocate k slots or overflow
+              // PriorityQueue's max size
+              heap = new java.util.PriorityQueue[InternalRow](
+                math.min(k, 63) + 1, ord.reversed())
+              heaps.put(key.copy(), heap)
+            }
+            if (heap.size < k) heap.add(row.copy())
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(row.copy())
+            }
+          }
+          if (!done && !drain.hasNext && !iter.hasNext && !heaps.isEmpty) {
+            // end of input: emit LAZILY over the live map (no clear —
+            // nothing inserts after this; done guards re-entry), so the
+            // final pass never doubles its map into an array
+            drain = heaps.values.iterator.asScala.flatMap(sortedRows)
+            done = true
+          }
         }
-      }
-      heaps.values.iterator.asScala.flatMap { h =>
-        val arr = h.toArray(new Array[InternalRow](h.size))
-        java.util.Arrays.sort(arr, ord)
-        arr.iterator
+
+        override def hasNext: Boolean = { fill(); drain.hasNext }
+        override def next(): InternalRow = { fill(); drain.next() }
       }
     }
   }

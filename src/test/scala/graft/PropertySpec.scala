@@ -50,6 +50,33 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("two-phase TopKPerKey ≡ window under a tiny partial flush cap " +
+      "(epoch-split partials re-merge exactly)") {
+    // graft.topk.partialFlushKeys=2 forces the partial pass to flush its
+    // heap map every 2 distinct keys — the round-12 bounded-memory path
+    // (the unbounded map OOMed the x100 self-kNN tier). A key's rows
+    // then arrive at the final pass split across many epochs; the final
+    // merge must still yield exactly the window-topk rows.
+    spark.conf.set("graft.topk.partialFlushKeys", "2")
+    try {
+      forAll(rowsGen, Gen.choose(1, 5)) { (rows, k) =>
+        whenever(rows.nonEmpty) {
+          val df = rows.toDF("key", "score", "id")
+            .dropDuplicates("key", "score", "id")
+            .repartition(3) // keys scattered across partitions
+          val viaTopK = TopK.perKeyTwoPhase(df, Seq("key"),
+              Seq(col("score").desc, col("id")), k)
+            .orderBy("key", "score", "id").collect().toSeq
+          val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+          val viaWindow = df.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= k).drop("rn")
+            .orderBy("key", "score", "id").collect().toSeq
+          assert(viaTopK == viaWindow)
+        }
+      }
+    } finally spark.conf.unset("graft.topk.partialFlushKeys")
+  }
+
   private val eventsGen: Gen[List[(Int, Int)]] = // (key, epochSecond)
     Gen.listOfN(60, for {
       k <- Gen.choose(0, 4)
