@@ -268,6 +268,10 @@ object Bench {
           sf1Spill += ((name, m1 - m0, d1 - d0, g1 - g0))
         }
       }
+      // clear the thread-local label so later jobs on this thread (the
+      // sf0.1 sweep, teardown) don't inherit the last tier query's
+      // description (advisor r12)
+      spark.sparkContext.setJobDescription(null)
       val q1 = sf1Results.map { case (k, v) =>
         s"\"" + k + "\":" + f"${v.min}%.4f" }.mkString("{", ",", "}")
       val tot1 = sf1Results.map(_._2.min).sum
@@ -338,6 +342,8 @@ object Bench {
       spills += ((name, m1 - m0, d1 - d0, g1 - g0))
       name -> times
     }
+    // clear the last sweep query's thread-local label (advisor r12)
+    spark.sparkContext.setJobDescription(null)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"${v.min}%.4f" }
       .mkString("{", ",", "}")
     // per-query run-to-run variance, published as AUXILIARY lines

@@ -172,11 +172,17 @@ object Quantiles {
       ps.indices.map(i =>
         sum(when(x <= element_at(col("__qs"), i + 1), 1L).otherwise(0L))
           .as(s"__le$i"))
-    // group on (key, n) ONLY — never on the __qs quantile ARRAY: a
-    // complex-typed grouping key knocks the audit aggregate off the
-    // codegen hash path onto SortAggregate, re-sorting the joined fact
-    // (round 12; __qs was only riding the grouping as a carry column
-    // and nothing downstream reads it)
+    // group on (key, n) ONLY — never on the __qs quantile ARRAY (round
+    // 12; __qs was only riding the grouping as a carry column and
+    // nothing downstream reads it). What the array key actually cost
+    // (the committed r12 before-plan shows hash aggregates throughout —
+    // NOT a SortAggregate, as this comment originally overclaimed): a
+    // per-row `knownfloatingpointnormalized(transform(__qs, ...))`
+    // normalization of the array on every joined fact row, plus the
+    // |ps|-double array widening the partial-aggregate exchange rows.
+    // The invariant PlanAuditSpec pins is therefore "the audit
+    // aggregate's grouping keys exclude __qs", not an aggregate-class
+    // assertion.
     val counted = in.join(broadcast(skWide), Seq(keyCol))
       .groupBy(col(keyCol), col("n"))
       .agg(aggCols.head, aggCols.tail: _*)

@@ -102,8 +102,19 @@ case class TopKPerKeyExec(
     // there would emit more than k rows for a key split across epochs.
     val maxKeys =
       if (!partial) Int.MaxValue
-      else math.max(1, org.apache.spark.sql.internal.SQLConf.get
-        .getConfString("graft.topk.partialFlushKeys", (1 << 16).toString).toInt)
+      else {
+        val key = "graft.topk.partialFlushKeys"
+        val raw = org.apache.spark.sql.internal.SQLConf.get
+          .getConfString(key, (1 << 16).toString)
+        // name the conf key on a bad value — a bare .toInt would throw
+        // an anonymous NumberFormatException from inside doExecute
+        // (advisor r12)
+        try math.max(1, raw.trim.toInt)
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be a positive integer, got: '$raw'")
+        }
+      }
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       val ord = GenerateOrdering.generate(ordering, childOutput)

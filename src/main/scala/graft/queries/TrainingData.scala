@@ -982,6 +982,24 @@ object TrainingData extends QueryPack {
     // returned cache is released here (hygiene contract).
     val rows = trained.collect()
     trained.unpersist(blocking = false)
+    // guard the driver-sized assumption this collect rides on (advisor
+    // r12): the seed set bounds the output at 16 rows, and the schema
+    // must still be (long vec_id, array<double> embedding) — fail with
+    // the assumption named rather than an anonymous ClassCastException
+    assert(rows.length <= 16,
+      s"kmeansRefine returned ${rows.length} centroids — the ≤16-row " +
+        "seed-set bound this driver-side re-literalization relies on no " +
+        "longer holds")
+    assert(trained.schema.map(_.dataType) == Seq(
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, false)) ||
+      trained.schema.map(_.dataType) == Seq(
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, true)),
+      s"kmeansRefine schema drifted: ${trained.schema.simpleString} — " +
+        "expected (bigint, array<double>)")
     import spark.implicits._
     val cents = rows.map(r => (r.getLong(0), r.getSeq[Double](1)))
       .toSeq.toDF("vec_id", "embedding")

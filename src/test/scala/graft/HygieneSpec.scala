@@ -60,6 +60,26 @@ class HygieneSpec extends SparkTestBase {
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 
+  test("basketRules releases its serialized basket cache; result " +
+      "release leaves zero blocks (round 13: the width-filtered basket " +
+      "table is persisted across its three consumers above the " +
+      "plan-stats gate — forced on here)") {
+    val leaked = leakedBlocks(graft.ops.Association.basketRules(
+      Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey",
+      minSupport = 3, maxBasket = 16, cacheBasketsMinBytes = 0L))
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
+  test("basketRules below the gate creates no persistent blocks " +
+      "(small facts recompute — the measured-faster path)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    graft.ops.Association.basketRules(
+      Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey",
+      minSupport = 3, maxBasket = 16).count()
+    val after = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(after.isEmpty, s"below-gate basketRules persisted: $after")
+  }
+
   test("cache=false paths create no persistent blocks at all") {
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     Dedup.minHashLsh(docs, cache = false).count()
