@@ -443,47 +443,120 @@ object Similarity {
     * persist so lineage stays flat. Empty cells keep their previous
     * centroid (deterministic; no resampling randomness).
     */
+  /** Centroid row cap for the driver-resident Lloyd loop in
+    * [[kmeansRefine]]: k rows × (dim + 1) doubles ≈ 32 MB of driver
+    * state at the cap. A seed set past it (or a non-integral cid
+    * column) takes the distributed persist-per-round path. */
+  private val DriverCentroidMaxRows = 1 << 16
+
   def kmeansRefine(corpus: DataFrame, seeds: DataFrame, iters: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import scala.jdk.CollectionConverters._
+    val spark = corpus.sparkSession
     val c = withNorm(corpus, idCol, vecCol).persist(MEMORY_AND_DISK)
-    var cent = withNorm(seeds, idCol, vecCol)
+    val cent0 = withNorm(seeds, idCol, vecCol)
       .select(col("vec_id").as("cid"), col("e"))
-    // each round's persist supersedes the previous one — release the
-    // stale round immediately so an iters-round refine leaves exactly
-    // ONE k-row table cached, not iters of them (session-cache hygiene;
-    // a localCheckpoint formulation was tried round 12 and rejected:
-    // it truncates the lineage but its blocks are invisible to the
-    // caller-unpersist hygiene contract, and at k-row round size the
-    // plan-analysis saving did not justify breaking that contract)
-    var prevRound: Option[DataFrame] = None
-    for (_ <- 0 until iters) {
-      // narrow-map Lloyd assignment (no N·k rows, no per-vector window)
-      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-      val packed = cent.groupBy()
-        .agg(array_sort(collect_list(struct(col("cid"), col("e").as("ce"))))
-          .as("cpack"))
-      val assign = c.as("v").crossJoin(broadcast(packed))
+    val cidT = cent0.schema("cid").dataType
+    // the per-round means aggregate — the ONLY fact-scale work of a
+    // round, identical in both paths below (posexplode → per-(cid,pos)
+    // avg → re-assembled array; the aggregation plan is byte-for-byte
+    // the one the old join-per-round form ran, so the float means are
+    // unchanged)
+    def roundMeans(centPacked: DataFrame): DataFrame = {
+      val assign = c.as("v").crossJoin(broadcast(centPacked))
         .select(col("v.vec_id").as("vid"), col("v.e").as("e"),
           explode(column(graft.functions.NearestCellsL2(
             expression(col("v.e")), expression(col("cpack")), 1))).as("cid"))
-      val means = assign
+      assign
         .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), expr("transform(pm, p -> p.m)").as("e"))
-      val next = cent.select(col("cid"), col("e").as("prev"))
-        .join(means.withColumnRenamed("e", "upd"), Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("upd"), col("prev")).as("e"))
-        .persist(MEMORY_AND_DISK)
-      next.count() // materialize: flat lineage round to round
-      prevRound.foreach(_.unpersist(blocking = false))
-      prevRound = Some(next)
-      cent = next
     }
-    c.unpersist()
-    cent
+    val integralCid = cidT match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    val probe =
+      if (integralCid) cent0.limit(DriverCentroidMaxRows + 1).collect()
+      else Array.empty[Row]
+    if (integralCid && probe.length <= DriverCentroidMaxRows &&
+        probe.nonEmpty) {
+      // DRIVER-SIDE rounds (round 13 — the pqTrain/residualTrain
+      // lifecycle): the k-row centroid state lives on the driver, each
+      // round broadcasts it as a locally packed LocalRelation (no pack
+      // job, no per-round persist+count, no stale-round cache to
+      // release) and runs exactly ONE Spark job — the means aggregate,
+      // whose k·dim result is all that crosses back. Values are the
+      // collected doubles bit-for-bit and the keep-previous
+      // empty-cell merge is the old left-join coalesce run locally,
+      // so trained centroids are unchanged (oracle + [R] dump gates
+      // re-proven this round).
+      def cidKey(r: Row): Long = r.get(0) match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.longValue
+        case other => sys.error(s"non-integral cid: $other")
+      }
+      val packSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cpack",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("cid", cidT),
+              org.apache.spark.sql.types.StructField("ce",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.DoubleType))))))))
+      var rows: Array[Row] = probe.sortBy(cidKey)
+      for (_ <- 0 until iters) {
+        val packedDf = spark.createDataFrame(
+          Seq(Row(rows.map(r => Row(r.get(0), r.get(1))).toSeq)).asJava,
+          packSchema)
+        val upd = roundMeans(packedDf).collect()
+          .map(r => cidKey(r) -> r.getSeq[Double](1)).toMap
+        rows = rows.map(r =>
+          upd.get(cidKey(r)).fold(r)(mu => Row(r.get(0), mu)))
+      }
+      c.unpersist()
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid", cidT),
+        org.apache.spark.sql.types.StructField("e",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+      // LocalRelation return: nothing stays cached at all — the caller
+      // unpersist in the hygiene contract becomes a no-op
+      spark.createDataFrame(rows.toSeq.asJava, outSchema)
+    } else {
+      // DISTRIBUTED fallback (oversized or non-integral-cid seed sets):
+      // each round's persist supersedes the previous one — release the
+      // stale round immediately so an iters-round refine leaves exactly
+      // ONE k-row table cached, not iters of them (session-cache
+      // hygiene; a localCheckpoint formulation was tried round 12 and
+      // rejected: it truncates the lineage but its blocks are invisible
+      // to the caller-unpersist hygiene contract, and at k-row round
+      // size the plan-analysis saving did not justify breaking that
+      // contract)
+      var cent = cent0
+      var prevRound: Option[DataFrame] = None
+      for (_ <- 0 until iters) {
+        val packed = cent.groupBy()
+          .agg(array_sort(collect_list(struct(col("cid"), col("e").as("ce"))))
+            .as("cpack"))
+        val means = roundMeans(packed)
+        val next = cent.select(col("cid"), col("e").as("prev"))
+          .join(means.withColumnRenamed("e", "upd"), Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("upd"), col("prev")).as("e"))
+          .persist(MEMORY_AND_DISK)
+        next.count() // materialize: flat lineage round to round
+        prevRound.foreach(_.unpersist(blocking = false))
+        prevRound = Some(next)
+        cent = next
+      }
+      c.unpersist()
+      cent
+    }
   }
 
   /** Mean squared L2 distortion of `corpus` under `centroids` — the
